@@ -1,0 +1,176 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design
+------------
+- **Exact dedup** — one hash-aggregate on the fingerprint (a single shuffle on
+  an evenly-distributed md5 key → no skew by construction).
+- **MinHash-LSH** — the canonical near-dup pipeline for 100 TB corpora:
+  shingle → K minhashes (map-side, per-row, no shuffle) → band → bucket-join.
+  The only shuffle is on (band_id, band_hash); candidate pairs are generated
+  per-bucket, never via an all-pairs product. Bucket skew (degenerate texts)
+  is bounded because identical texts collapse to identical signatures and AQE
+  skew-join splits hot buckets.
+- **SimHash** — per-row signature, dedup = equality/band-match on the
+  signature (same bucket-join shape).
+
+Hash-function contract: md5 over explicit strings, so the DuckDB oracle in
+``arcane_framework_spark.queries`` reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.operators.text import fingerprint_expr, tokens_expr
+
+#: MinHash parameters — shared with the SQL oracle generator.
+NUM_HASHES = 16
+BAND_SIZE = 4
+NUM_BANDS = NUM_HASHES // BAND_SIZE
+SHINGLE_WORDS = 3
+
+#: SimHash parameters: 16 bits derived from md5 hex digits.
+SIMHASH_BITS = 16
+
+
+def shingles_expr(text_col: str | Column = "text") -> Column:
+    """Distinct word-``SHINGLE_WORDS``-gram shingles of the text.
+
+    Documents shorter than one shingle contribute their whole normalized text
+    as a single shingle, so no document silently drops out of dedup.
+    """
+    toks = tokens_expr(text_col)
+    n = F.size(toks)
+    k = SHINGLE_WORDS
+    # greatest(..., 1) keeps the sequence ascending even for short docs (the
+    # when() below discards it, but both branches may be evaluated).
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j - 1) for j in range(k)]),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+
+
+def minhash_signature_expr(text_col: str | Column = "text",
+                           num_hashes: int = NUM_HASHES) -> Column:
+    """MinHash signature: for hash i, ``min(md5(i || ':' || shingle))``.
+
+    Simulated permutations via salted md5 (public-standard construction);
+    min over hex strings is a plain ASCII min, identical across engines.
+    """
+    sh = shingles_expr(text_col)
+
+    def salted(salt: str):
+        # NB: a closure, not a default arg — PySpark infers higher-order-fn
+        # arity from the lambda signature, so `lambda s, i=i` would be treated
+        # as the binary (element, index) form.
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    sigs = [
+        F.array_min(F.transform(sh, salted(f"{i}:"))) for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def band_hashes_expr(sig_col: Column, num_bands: int = NUM_BANDS,
+                     band_size: int = BAND_SIZE) -> Column:
+    """LSH band hashes: md5 of each band's concatenated signature slice."""
+    bands = []
+    for b in range(num_bands):
+        parts = [F.element_at(sig_col, b * band_size + j + 1) for j in range(band_size)]
+        bands.append(F.md5(F.concat_ws("|", *parts)))
+    return F.array(*bands)
+
+
+def simhash_expr(text_col: str | Column = "text",
+                 bits: int = SIMHASH_BITS) -> Column:
+    """SimHash signature as a ``bits``-char '0'/'1' string.
+
+    Bit *p* = sign of ``sum over tokens of (+1 if hex digit p of md5(token)
+    >= '8' else -1)`` — i.e. the top bit of each md5 nibble is the per-token
+    bit, aggregated with ±1 voting. Ties (sum == 0) resolve to '0'.
+    """
+    toks = tokens_expr(text_col)
+
+    def voter(p: int):
+        # Closure (not default arg) to keep the lambda binary — see salted().
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), p, 1) >= F.lit("8"), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for p in range(1, bits + 1):
+        vote = F.aggregate(toks, F.lit(0), voter(p))
+        bit_cols.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-id document per normalized-text fingerprint.
+
+    Returns (fingerprint, keep_id, n_dupes). One shuffle on the md5 key.
+    """
+    return (
+        df.select(fingerprint_expr(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash-LSH, with exact Jaccard.
+
+    Pipeline: signature (map-side) → explode bands → bucket self-join →
+    distinct pairs → exact shingle-Jaccard verification. Output:
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    The Jaccard re-check joins shingle sets back in; at scale that is two
+    narrow shuffles on the id, with the heavy all-pairs product entirely
+    avoided by the banding.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(text_col).alias("shingles"),
+        minhash_signature_expr(text_col).alias("sig"),
+    )
+    bands = base.select(
+        "id",
+        F.posexplode(band_hashes_expr(F.col("sig"))).alias("band_id", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = base.select("id", "shingles")
+    verified = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return verified
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document SimHash signature: (id, simhash bit-string)."""
+    return df.select(
+        F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash")
+    )

@@ -1,0 +1,114 @@
+"""Relational CDC operators (SURVEY.md §2.4, R1–R11), Spark-native.
+
+The reference pushes all of these down as generated T-SQL to SQL Server
+(src/Sources/SqlServer/SqlSnippets/GetSelectDeltaQuery.sql); here they are
+first-class DataFrame operators so they run on any source at any scale.
+
+Scale notes
+-----------
+- ``changes_since`` is a plain filter → predicate-pushdown eligible, no shuffle.
+- ``delta_join`` shuffles both sides on the PK unless the change side is small
+  enough to broadcast — callers pass ``broadcast_changes=True`` for
+  low-change-rate ticks (the common CDC case), which turns a 100 TB-side
+  shuffle into a map-side join.
+- ``latest_state`` is a window dedup: one shuffle on the merge key. At scale
+  prefer partitioned storage bucketed by merge key so AQE can skip the
+  exchange; skew on hot keys is handled by AQE skew-join/salting upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.contracts.columns import (
+    ARCANE_MERGE_KEY,
+    SYS_CHANGE_OPERATION,
+    SYS_CHANGE_VERSION,
+)
+
+
+def changes_since(df: DataFrame, version_column: str, last_version: int) -> DataFrame:
+    """R1 — incremental scan filter: all changes with version > last_version.
+
+    Reference form: ``CHANGETABLE (CHANGES t, {lastId})``
+    (GetSelectDeltaQuery.sql:8). Expressed as a filter so Catalyst pushes it
+    into the scan (parquet/JDBC ``PushedFilters``).
+    """
+    return df.filter(F.col(version_column) > F.lit(last_version))
+
+
+def delta_join(changes: DataFrame, table: DataFrame, pk_columns: Sequence[str],
+               op_column: str = SYS_CHANGE_OPERATION,
+               broadcast_changes: bool = False) -> DataFrame:
+    """R2 — delete-preserving equi-join of a change feed back to the table.
+
+    The reference's delta query right-outer-joins CHANGETABLE rows to current
+    row values so deleted keys survive with NULL payload
+    (GetSelectDeltaQuery.sql:7-8, match builder
+    SqlServerChangeTrackingSource.cs:289-310). From the change side that is a
+    LEFT join: every change row is kept; 'D' rows keep NULL payload columns.
+
+    Columns: PKs + bookkeeping from ``changes``, payload from ``table``.
+
+    ``broadcast_changes=True`` is the scale path for the common CDC shape
+    (small change tick, huge table): Spark cannot broadcast the *preserved*
+    side of an outer join, so instead we shrink the table with a broadcast
+    LEFT SEMI join on the PKs (map-side, no shuffle of the big table) and
+    left-join the changes to that small matched subset — AQE then broadcasts
+    the residual join too. Net cost: one pass over the table, zero big-side
+    shuffles.
+    """
+    payload_cols = [c for c in table.columns if c not in set(pk_columns)]
+    change_cols = list(changes.columns)
+    if broadcast_changes:
+        keys = F.broadcast(changes.select(*pk_columns).distinct())
+        table = table.join(keys, on=list(pk_columns), how="left_semi")
+    joined = changes.join(table, on=list(pk_columns), how="left")
+    # Delete rows must not leak stale payload values (the reference emits NULL
+    # payload for 'D' ops).
+    is_delete = F.col(op_column) == F.lit("D")
+    projected = [
+        F.when(is_delete, F.lit(None)).otherwise(F.col(c)).alias(c)
+        if c in payload_cols else F.col(c)
+        for c in change_cols + payload_cols
+    ]
+    return joined.select(*projected)
+
+
+def latest_state(df: DataFrame,
+                 merge_key: str | Sequence[str] = ARCANE_MERGE_KEY,
+                 version_column: str = SYS_CHANGE_VERSION,
+                 op_column: str = SYS_CHANGE_OPERATION,
+                 tie_breakers: Sequence[Column] | None = None,
+                 drop_deletes: bool = True) -> DataFrame:
+    """R11 — fold a change stream to latest state per merge key.
+
+    The reference defines this contract for downstream MERGE consumers
+    (merge key + SYS_CHANGE_VERSION/DML_Action, SURVEY.md §1.4); here it is
+    executed natively: window by merge key, order by version desc, keep row 1,
+    drop deletes.
+
+    One shuffle on the merge key; with AQE the post-shuffle partition count
+    adapts to the fold's actual output size.
+    """
+    keys = [merge_key] if isinstance(merge_key, str) else list(merge_key)
+    order = [F.col(version_column).desc()]
+    if tie_breakers:
+        order.extend(tie_breakers)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    folded = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if drop_deletes and op_column in df.columns:
+        folded = folded.filter(F.col(op_column) != F.lit("D"))
+    return folded
+
+
+def project(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """R3/R10 — explicit projection & column alignment (order matters)."""
+    return df.select(*columns)

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring what a 100 TB training-data pipeline needs:
+
+- **Brute-force cosine top-k** — exact baseline. Query set × candidate set
+  join; at scale the query side is broadcast (it is small by construction)
+  so the candidate scan stays a single map-side pass, with the top-k via a
+  window on the query id (one shuffle on query_id, bounded by k).
+- **Hyperplane-LSH buckets** — scale path: each vector gets a ``P``-bit sign
+  signature from P fixed pseudo-random hyperplanes; near neighbors collide in
+  buckets, so candidate generation is a bucket equi-join instead of a cross
+  product. The hyperplane weights are ±1 values derived from md5 (see
+  ``hyperplane_weights``) so they are reproducible constants — identical in
+  the Spark plan and the DuckDB oracle.
+
+All arithmetic is JVM-side Column expressions (zip_with/aggregate), no Python
+in the data path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default hyperplane count (LSH signature bits) — shared with the oracle.
+NUM_PLANES = 16
+
+
+@lru_cache(maxsize=None)
+def hyperplane_weights(num_planes: int, dim: int) -> tuple[tuple[int, ...], ...]:
+    """Deterministic ±1 hyperplane matrix.
+
+    ``w[p][i] = +1 if md5(f"{p}:{i}")'s first hex digit < '8' else -1``.
+    Rademacher (±1) hyperplanes are a valid random-projection family, and
+    this construction is reproducible anywhere md5 exists.
+    """
+    out = []
+    for p in range(num_planes):
+        row = []
+        for i in range(dim):
+            digit = hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0]
+            row.append(1 if digit < "8" else -1)
+        out.append(tuple(row))
+    return tuple(out)
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns, accumulated as double in
+    index order (ordered fold → deterministic across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    """L2 norm of a float-array column (double)."""
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns."""
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def knn_bruteforce(candidates: DataFrame, queries: DataFrame, k: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   query_id_col: str | None = None) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, self-matches
+    excluded, ties broken by neighbor_id. The query side is broadcast —
+    at scale this is one pass over the candidate corpus.
+    """
+    from pyspark.sql import Window
+
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def lsh_signature_expr(vec_col: Column, dim: int,
+                       num_planes: int = NUM_PLANES) -> Column:
+    """Hyperplane-LSH sign signature as a '0'/'1' string of length num_planes.
+
+    Bit p = 1 iff ``dot(w_p, v) > 0`` with the ±1 weights of
+    ``hyperplane_weights``. Map-side only — no shuffle, no Python.
+    """
+    weights = hyperplane_weights(num_planes, dim)
+    bits = []
+    for p in range(num_planes):
+        w = F.array(*[F.lit(float(x)) for x in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(vec_col, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_buckets(df: DataFrame, dim: int, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                num_planes: int = NUM_PLANES) -> DataFrame:
+    """Assign each vector its LSH bucket: (id, bucket)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        lsh_signature_expr(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+
+
+def ann_lsh_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  num_planes: int = NUM_PLANES) -> DataFrame:
+    """Near-neighbor candidate pairs = same LSH bucket, verified by cosine.
+
+    Output (id_a, id_b, cosine) with id_a < id_b. The join is on the bucket
+    signature — at 100 TB this is the standard ANN sketch: linear scan to
+    bucket, shuffle on bucket, per-bucket pair generation.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature_expr(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

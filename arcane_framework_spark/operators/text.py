@@ -1,0 +1,137 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Column expressions (whole-stage codegen, zero shuffle,
+zero Python in the hot path) so they scan-scale linearly: at 100 TB they cost
+exactly one pass over the text column with full column pruning.
+
+Tokenization contract (shared with the DuckDB oracles in
+``arcane_framework_spark.queries``): tokens = lowercased, trimmed text split
+on runs of whitespace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Stopword profiles per language for the n-gram/stopword language-ID
+#: heuristic and the quality score. Deliberately tiny and deterministic —
+#: the point is the distributed plumbing, not linguistic accuracy.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+    "es": ["el", "la", "de", "y", "es", "un", "en", "que", "los", "por"],
+    "fr": ["le", "la", "de", "et", "est", "un", "en", "que", "les", "pour"],
+}
+
+#: Stopwords used for the quality-score stopword ratio (English profile).
+STOPWORDS: list[str] = LANG_PROFILES["en"]
+
+#: Punctuation characters counted by the punctuation-ratio feature. Kept as an
+#: explicit class so the Spark (Java regex) and DuckDB (RE2) oracles agree.
+PUNCT_CLASS = r"[.,;:!?'\"()\-]"
+
+
+def tokens_expr(text_col: str | Column = "text") -> Column:
+    """Whitespace tokens of lowercased, trimmed text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count_expr(text_col: str | Column = "text") -> Column:
+    """Number of whitespace tokens (0 for empty/blank text)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens_expr(c))
+    ).cast("long")
+
+
+def punct_ratio_expr(text_col: str | Column = "text") -> Column:
+    """Fraction of characters that are punctuation (0.0 for empty text)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        punct.cast("double") / F.length(c).cast("double")
+    )
+
+
+def stopword_ratio_expr(text_col: str | Column = "text",
+                        stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords."""
+    stopwords = stopwords or STOPWORDS
+    toks = tokens_expr(text_col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def quality_score_expr(text_col: str | Column = "text") -> Column:
+    """Deterministic [0,1] quality heuristic.
+
+    ``min(1, tokens/100) * (1 - punct_ratio)`` — rewards length, penalizes
+    punctuation soup. Pure arithmetic (no transcendental fns) so Spark and
+    the DuckDB oracle agree bit-for-bit after rounding.
+    """
+    toks = token_count_expr(text_col).cast("double")
+    return F.least(F.lit(1.0), toks / F.lit(100.0)) * (
+        F.lit(1.0) - punct_ratio_expr(text_col)
+    )
+
+
+def lang_score_expr(text_col: str | Column, lang: str) -> Column:
+    """Count of tokens matching the language's stopword profile."""
+    toks = tokens_expr(text_col)
+    profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(profile, t))).cast("long")
+
+
+def lang_id_expr(text_col: str | Column = "text") -> Column:
+    """Predicted language = argmax stopword-profile hits.
+
+    Deterministic tie-break: languages are checked in sorted order and the
+    first maximal profile wins; zero hits everywhere → 'und' (undetermined).
+    The DuckDB oracle replicates the same check order.
+    """
+    langs = sorted(LANG_PROFILES)
+    scores = {lang: lang_score_expr(text_col, lang) for lang in langs}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else scores[langs[0]]
+    result = F.lit("und")
+    # Build the CASE back-to-front so earlier (alphabetical) langs win ties.
+    for lang in reversed(langs):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def fingerprint_expr(text_col: str | Column = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    Serves the same role as the reference-era rolling hash: a cheap, exact
+    near-canonical identity for dedup; md5 is used because it is identical in
+    Spark and DuckDB (oracle parity).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach n_tokens / punct_ratio / stopword_ratio / quality columns."""
+    return (
+        df.withColumn("n_tokens", token_count_expr(text_col))
+        .withColumn("punct_ratio", F.round(punct_ratio_expr(text_col), 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio_expr(text_col), 6))
+        .withColumn("quality", F.round(quality_score_expr(text_col), 6))
+    )
+
+
+def with_language(df: DataFrame, text_col: str = "text",
+                  out_col: str = "lang_pred") -> DataFrame:
+    """Attach the heuristic language prediction."""
+    return df.withColumn(out_col, lang_id_expr(text_col))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out_col: str = "fingerprint") -> DataFrame:
+    """Attach the md5 document fingerprint."""
+    return df.withColumn(out_col, fingerprint_expr(text_col))

@@ -1,0 +1,753 @@
+"""The engine's query catalog: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a north-star
+extension operator) against the driver-provided parquet tables. The DuckDB
+SQL is the independent oracle: identical column names, identical rounding,
+identical hash functions (md5/sha256 are bit-identical across engines).
+
+Used by ``__spark_entry__.py`` (driver contract) and ``bench.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.contracts.columns import merge_key_expr
+from arcane_framework_spark.operators.dedup import (
+    BAND_SIZE,
+    NUM_BANDS,
+    NUM_HASHES,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from arcane_framework_spark.operators.relational import delta_join, latest_state
+from arcane_framework_spark.operators.similarity import (
+    NUM_PLANES,
+    hyperplane_weights,
+    knn_bruteforce,
+    lsh_buckets,
+)
+from arcane_framework_spark.operators.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprint_expr,
+    lang_id_expr,
+    token_count_expr,
+    with_text_stats,
+)
+from arcane_framework_spark.session import load_tables
+
+EMBEDDING_DIM = 64
+KNN_K = 5
+KNN_NUM_QUERIES = 10
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (the Catalyst-exposed surface, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate over lineitem.
+
+    Scale: single shuffle (partial aggregation map-side), filter + column
+    pruning pushed to the parquet scan.
+    """
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t["lineitem"].filter(F.expr("l_shipdate <= timestamp'2000-09-02 00:00:00'"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(avg(l_quantity), 4)                                            AS avg_qty,
+       round(avg(l_extendedprice), 4)                                       AS avg_price,
+       round(avg(l_discount), 4)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + aggregate + deterministic top-10."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.expr("o_orderdate < timestamp'1998-03-15 00:00:00'"))
+    li = t["lineitem"].filter(F.expr("l_shipdate > timestamp'1998-03-15 00:00:00'"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d')                 AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with broadcast dims + aggregate.
+
+    region/nation/supplier are far below the broadcast threshold, so the only
+    real shuffles are orders⋈lineitem and the final aggregation.
+    """
+    t = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    return (
+        t["region"].filter(F.col("r_name") == "ASIA")
+        .join(t["nation"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(t["customer"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            F.expr(
+                "o_orderdate >= timestamp'1996-01-01 00:00:00' AND "
+                "o_orderdate < timestamp'1997-01-01 00:00:00'"
+            )
+        )
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Arcane column contracts + CDC operators (SURVEY §1.4, §2.4 R2/R4/R5/R11)
+# ---------------------------------------------------------------------------
+
+
+def merge_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 — deterministic SHA-256 merge key over (l_orderkey, l_linenumber)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        merge_key_expr(["l_orderkey", "l_linenumber"]).alias("ARCANE_MERGE_KEY"),
+    )
+
+
+_MERGE_KEY_SQL = """
+SELECT l_orderkey, l_linenumber,
+       lower(sha256(concat_ws('#', CAST(l_orderkey AS VARCHAR),
+                                    CAST(l_linenumber AS VARCHAR)))) AS "ARCANE_MERGE_KEY"
+FROM lineitem
+"""
+
+
+def date_partition_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 — DATE_PARTITION_KEY from a user SQL expression, with rollup."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .withColumn("DATE_PARTITION_KEY", F.expr("date_format(o_orderdate, 'yyyyMM')"))
+        .groupBy("DATE_PARTITION_KEY")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+    )
+
+
+_DATE_PARTITION_SQL = """
+SELECT strftime(o_orderdate, '%Y%m')      AS "DATE_PARTITION_KEY",
+       count(*)                           AS n_orders,
+       round(sum(o_totalprice), 2)        AS sum_totalprice
+FROM orders
+GROUP BY 1
+"""
+
+#: events → CDC change feed: each event is a change to entity `user_id`;
+#: `error` events model deletes. Shared shape between Spark and oracle.
+_OPS_SQL = """
+SELECT user_id,
+       event_id                                                    AS sys_change_version,
+       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END        AS sys_change_operation,
+       value
+FROM events
+"""
+
+
+def _events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events")
+    return t["events"].select(
+        F.col("user_id"),
+        F.col("event_id").alias("sys_change_version"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("sys_change_operation"),
+        F.col("value"),
+    )
+
+
+def cdc_latest_state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 — fold a change feed to latest state per key, dropping deletes."""
+    changes = _events_as_changes(spark, sf_dir)
+    folded = latest_state(
+        changes,
+        merge_key="user_id",
+        version_column="sys_change_version",
+        op_column="sys_change_operation",
+    )
+    return folded.select(
+        "user_id",
+        "sys_change_version",
+        "sys_change_operation",
+        F.round("value", 2).alias("value"),
+    )
+
+
+_CDC_LATEST_SQL = f"""
+WITH ops AS ({_OPS_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY sys_change_version DESC) AS rn
+  FROM ops
+)
+SELECT user_id, sys_change_version, sys_change_operation, round(value, 2) AS value
+FROM ranked
+WHERE rn = 1 AND sys_change_operation <> 'D'
+"""
+
+
+def cdc_delta_join_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 — delete-preserving delta join of a change feed back to the table."""
+    t = load_tables(spark, sf_dir, "customer")
+    changes = _events_as_changes(spark, sf_dir).select(
+        F.col("user_id").alias("c_custkey"),
+        "sys_change_version",
+        "sys_change_operation",
+    )
+    joined = delta_join(
+        changes,
+        t["customer"].select("c_custkey", "c_name", "c_acctbal"),
+        pk_columns=["c_custkey"],
+        op_column="sys_change_operation",
+        broadcast_changes=True,
+    )
+    return joined.select(
+        "c_custkey",
+        "sys_change_version",
+        "sys_change_operation",
+        "c_name",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    )
+
+
+_CDC_DELTA_JOIN_SQL = f"""
+WITH ops AS ({_OPS_SQL}),
+changes AS (
+  SELECT user_id AS c_custkey, sys_change_version, sys_change_operation FROM ops
+)
+SELECT ch.c_custkey,
+       ch.sys_change_version,
+       ch.sys_change_operation,
+       CASE WHEN ch.sys_change_operation = 'D' THEN NULL ELSE c.c_name END    AS c_name,
+       round(CASE WHEN ch.sys_change_operation = 'D' THEN NULL
+                  ELSE c.c_acctbal END, 2)                                    AS c_acctbal
+FROM changes ch
+LEFT JOIN customer c ON ch.c_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star operators over `documents`)
+# ---------------------------------------------------------------------------
+
+#: Shared DuckDB token expression (must mirror operators.text.tokens_expr).
+_TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+_SQL_PUNCT_CLASS = "[.,;:!?''\"()-]"  # '' = escaped quote inside SQL string
+
+
+def _sql_str_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, punct/stopword ratio, score."""
+    t = load_tables(spark, sf_dir, "documents")
+    return with_text_stats(t["documents"]).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+_TEXT_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS w FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(w) END::BIGINT AS n_tokens,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE (len(text) - len(regexp_replace(text, '{_SQL_PUNCT_CLASS}', '', 'g')))::DOUBLE
+                   / len(text)::DOUBLE END AS praw,
+         CASE WHEN len(w) = 0 THEN 0.0
+              ELSE len(list_filter(w, t -> list_contains({_sql_str_list(STOPWORDS)}, t)))::DOUBLE
+                   / len(w)::DOUBLE END AS sraw
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       round(praw, 6) AS punct_ratio,
+       round(sraw, 6) AS stopword_ratio,
+       round(least(1.0, n_tokens::DOUBLE / 100.0) * (1.0 - praw), 6) AS quality
+FROM feat
+"""
+
+
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs. the labeled lang column."""
+    t = load_tables(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id", "lang", lang_id_expr("text").alias("lang_pred")
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_PROFILES)
+    scores = ",\n         ".join(
+        f"len(list_filter(w, t -> list_contains({_sql_str_list(LANG_PROFILES[lang])}, t))) AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKS_SQL} AS w FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM toks
+),
+ranked AS (
+  SELECT doc_id, lang, {best} AS best, * FROM scored
+)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS lang_pred
+FROM ranked
+"""
+
+
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source."""
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        t["documents"]
+        .select("source", token_count_expr("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+_TOKEN_COUNT_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS_SQL}) END::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens
+FROM toks
+GROUP BY source
+"""
+
+
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of normalized text per document."""
+    t = load_tables(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id", fingerprint_expr("text").alias("fingerprint")
+    )
+
+
+_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (north-star). The corpus has no exact dupes, so the exact-
+# dedup query plants deterministic duplicates (every 10th doc re-inserted
+# with a shifted id) identically in both engines.
+# ---------------------------------------------------------------------------
+
+_DUP_OFFSET = 100_000
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint over a corpus with planted dupes."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_DUP_OFFSET)
+    )
+    return exact_dedup(docs.unionByName(planted))
+
+
+_DEDUP_EXACT_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_dupes
+FROM corpus
+GROUP BY 1
+"""
+
+
+def minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs with exact Jaccard verification.
+
+    The corpus gets planted *near*-duplicates (every 7th doc re-inserted with
+    its text self-concatenated → shingle-Jaccard ≈ 0.9) so the banding has
+    real positives to find; the DuckDB oracle plants identically.
+    """
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    return minhash_lsh_pairs(docs.unionByName(planted))
+
+
+def _minhash_sql() -> str:
+    k = 3  # SHINGLE_WORDS
+    sig_items = ",\n      ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')"
+        for i in range(NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(NUM_BANDS):
+        parts = " || '|' || ".join(
+            f"sig[{b * BAND_SIZE + j + 1}]" for j in range(BAND_SIZE)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text || ' ' || text
+  FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= {k}
+                THEN list_transform(range(1, len(w) - {k - 2}),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END
+         ) AS shingles
+  FROM toks
+),
+sig AS (
+  SELECT doc_id, shingles,
+    [ {sig_items} ] AS sig
+  FROM sh
+),
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
+             6) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+"""
+
+
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash signature."""
+    t = load_tables(spark, sf_dir, "documents")
+    return simhash_signatures(t["documents"])
+
+
+def _simhash_sql() -> str:
+    bit_exprs = " || ".join(
+        f"(CASE WHEN list_sum(list_transform(w, t -> CASE WHEN substr(md5(t), {p}, 1) >= '8' "
+        f"THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
+        for p in range(1, SIMHASH_BITS + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, {_TOKS_SQL} AS w FROM documents
+)
+SELECT id, {bit_exprs} AS simhash
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north-star, over `embeddings`)
+# ---------------------------------------------------------------------------
+
+
+def knn_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id < 10, k = 5."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < KNN_NUM_QUERIES), k=KNN_K
+    )
+
+
+_KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {KNN_NUM_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def ann_lsh_buckets_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment per vector (the ANN scale path)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    return lsh_buckets(t["embeddings"], dim=EMBEDDING_DIM)
+
+
+def _ann_buckets_sql() -> str:
+    weights = hyperplane_weights(NUM_PLANES, EMBEDDING_DIM)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST([{', '.join(f'{float(x)}' for x in weights[p])}] AS DOUBLE[])) > 0 "
+        "THEN '1' ELSE '0' END)"
+        for p in range(NUM_PLANES)
+    )
+    return f"""
+SELECT vec_id AS id, {bits} AS bucket
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-stream rollups (windowed aggregation + semi-structured extraction)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (hourly) rollup per event type.
+
+    Batch shape of the streaming `F.window` aggregation; events.ts arrives as
+    long nanos (see session.load_tables).
+    """
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .select(
+            F.date_format(
+                F.expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd HH:00:00"
+            ).alias("hour"),
+            "event_type",
+            "value",
+        )
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path (F4): JSON property extraction + rollup."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(*)             AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "merge_key_lineitem": merge_key_lineitem,
+    "date_partition_orders": date_partition_orders,
+    "cdc_latest_state_events": cdc_latest_state_events,
+    "cdc_delta_join_customer": cdc_delta_join_customer,
+    "text_stats_documents": text_stats_documents,
+    "lang_id_documents": lang_id_documents,
+    "token_count_by_source": token_count_by_source,
+    "fingerprint_documents": fingerprint_documents,
+    "dedup_exact_documents": dedup_exact_documents,
+    "minhash_pairs_documents": minhash_pairs_documents,
+    "simhash_documents": simhash_documents,
+    "knn_bruteforce_embeddings": knn_bruteforce_embeddings,
+    "ann_lsh_buckets_embeddings": ann_lsh_buckets_embeddings,
+    "events_hourly_rollup": events_hourly_rollup,
+    "events_json_extract": events_json_extract,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "q5_local_supplier_volume": _Q5_SQL,
+    "merge_key_lineitem": _MERGE_KEY_SQL,
+    "date_partition_orders": _DATE_PARTITION_SQL,
+    "cdc_latest_state_events": _CDC_LATEST_SQL,
+    "cdc_delta_join_customer": _CDC_DELTA_JOIN_SQL,
+    "text_stats_documents": _TEXT_STATS_SQL,
+    "lang_id_documents": _lang_id_sql(),
+    "token_count_by_source": _TOKEN_COUNT_SQL,
+    "fingerprint_documents": _FINGERPRINT_SQL,
+    "dedup_exact_documents": _DEDUP_EXACT_SQL,
+    "minhash_pairs_documents": _minhash_sql(),
+    "simhash_documents": _simhash_sql(),
+    "knn_bruteforce_embeddings": _KNN_SQL,
+    "ann_lsh_buckets_embeddings": _ann_buckets_sql(),
+    "events_hourly_rollup": _EVENTS_HOURLY_SQL,
+    "events_json_extract": _EVENTS_JSON_SQL,
+}
