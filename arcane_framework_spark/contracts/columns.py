@@ -37,26 +37,38 @@ SYS_CHANGE_OPERATION = "SYS_CHANGE_OPERATION"
 MERGE_KEY_SEPARATOR = "#"
 
 
-def merge_key_expr(pk_columns: Sequence[str | Column]) -> Column:
+def merge_key_expr(pk_columns: Sequence[str | Column],
+                   encoding: str = "UTF-8") -> Column:
     """SHA-256 upsert key over the primary-key columns.
 
     Equivalent to the reference T-SQL
     ``lower(convert(nvarchar(128), HashBytes('SHA2_256', cast(pk1 as
-    nvarchar(128)) + '#' + ...), 2))``. Deterministic across engines: DuckDB's
-    ``lower(sha256(concat_ws('#', ...)))`` produces the identical string.
+    nvarchar(128)) + '#' + ...), 2))``.
+
+    ``encoding``: T-SQL hashes the *nvarchar* bytes, i.e. UTF-16LE — pass
+    ``encoding="UTF-16LE"`` for bit-exact parity with the reference (golden:
+    sha256(UTF-16LE('88888')) =
+    ``cc2b36e9f63cdbf5baa90d8eeb0d8edfae3017b137ff2c94ef9d9436bac760f0``,
+    reference test/Sources/SqlServerChangeTrackingSourceTests.cs:73-91).
+    The default UTF-8 produces the same key universe with the portable
+    ``lower(sha256(concat_ws('#', ...)))`` formula any engine can recompute.
     """
     casts = [
         (F.col(c) if isinstance(c, str) else c).cast("string")
         for c in pk_columns
     ]
-    # sha2 already yields lowercase hex; lower() kept for contract clarity.
-    return F.lower(F.sha2(F.concat_ws(MERGE_KEY_SEPARATOR, *casts), 256))
+    concat = F.concat_ws(MERGE_KEY_SEPARATOR, *casts)
+    if encoding.upper().replace("-", "") == "UTF8":
+        # sha2 already yields lowercase hex; lower() kept for contract clarity.
+        return F.lower(F.sha2(concat, 256))
+    return F.lower(F.sha2(F.encode(concat, encoding), 256))
 
 
 def with_merge_key(df: DataFrame, pk_columns: Sequence[str],
-                   column_name: str = ARCANE_MERGE_KEY) -> DataFrame:
+                   column_name: str = ARCANE_MERGE_KEY,
+                   encoding: str = "UTF-8") -> DataFrame:
     """Attach the deterministic merge key (narrow projection, no shuffle)."""
-    return df.withColumn(column_name, merge_key_expr(pk_columns))
+    return df.withColumn(column_name, merge_key_expr(pk_columns, encoding))
 
 
 def with_date_partition(df: DataFrame, expression: str,

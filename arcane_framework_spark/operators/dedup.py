@@ -123,27 +123,51 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Per-document MinHash signature as columns ``s0..s{K-1}``.
+
+    Implemented explode-then-aggregate rather than with array higher-order
+    functions: HOFs are evaluated interpreted (outside whole-stage codegen),
+    and a signature expression referenced N times is recomputed N times. The
+    exploded form keeps all K md5 calls inside codegen and computes mins via
+    map-side partial aggregation — at 100 TB this is one scan + one shuffle
+    of (id, K hashes), the canonical signature-table build.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(text_col)).alias("s")
+    )
+    return exploded.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"s{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-LSH, with exact Jaccard.
 
-    Pipeline: signature (map-side) → explode bands → bucket self-join →
-    distinct pairs → exact shingle-Jaccard verification. Output:
-    (id_a, id_b, jaccard) with id_a < id_b.
+    Pipeline: signature table (explode → codegen md5 → partial-agg min) →
+    band rows → bucket self-join → distinct pairs → exact shingle-Jaccard
+    verification. Output: (id_a, id_b, jaccard) with id_a < id_b.
 
-    The Jaccard re-check joins shingle sets back in; at scale that is two
-    narrow shuffles on the id, with the heavy all-pairs product entirely
-    avoided by the banding.
+    The signature table is persisted for the duration of the job: it is
+    consumed by both sides of the bucket self-join, and re-deriving it means
+    re-hashing the corpus — at scale you materialize the signature table
+    (here: Spark block-manager persistence; in production: a parquet/Delta
+    side table).
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles_expr(text_col).alias("shingles"),
-        minhash_signature_expr(text_col).alias("sig"),
-    )
-    bands = base.select(
-        "id",
-        F.posexplode(band_hashes_expr(F.col("sig"))).alias("band_id", "band_hash"),
-    )
+    sig = minhash_signatures(df, text_col, id_col)
+    band_cols = []
+    for b in range(NUM_BANDS):
+        parts = [F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)))
+    bands = sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash")
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, on=["band_id", "band_hash"])
@@ -151,7 +175,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = base.select("id", "shingles")
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(text_col).alias("shingles")
+    )
     verified = (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
@@ -169,8 +195,32 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
-    """Per-document SimHash signature: (id, simhash bit-string)."""
-    return df.select(
-        F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash")
+                       id_col: str = "doc_id",
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash signature: (id, simhash bit-string).
+
+    Explode-then-aggregate for the same codegen reason as
+    ``minhash_signatures``: one md5 per token (codegen), ±1 votes summed via
+    map-side partial aggregation, bits assembled from the vote sums.
+    """
+    votes = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_expr(text_col)).alias("t"),
+        )
+        .withColumn("h", F.md5("t"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.substring("h", p, 1) >= "8", 1).otherwise(-1)
+                ).alias(f"v{p}")
+                for p in range(1, bits + 1)
+            ]
+        )
     )
+    bit_cols = [
+        F.when(F.col(f"v{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(1, bits + 1)
+    ]
+    return votes.select("id", F.concat(*bit_cols).alias("simhash"))
