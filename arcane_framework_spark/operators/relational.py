@@ -104,7 +104,10 @@ def latest_state(df: DataFrame,
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    if drop_deletes and op_column in df.columns:
+    # Membership must be case-insensitive like Spark's own column resolution,
+    # else the delete-filter silently no-ops on lowercase feeds.
+    has_op = op_column.lower() in {c.lower() for c in df.columns}
+    if drop_deletes and has_op:
         folded = folded.filter(F.col(op_column) != F.lit("D"))
     return folded
 

@@ -1,0 +1,312 @@
+"""Paginated REST API source (S4 + §2.8, SURVEY.md).
+
+Reference: src/Sources/RestApi/RestApiSource.cs:35-517 plus the pagination /
+URI / auth micro-operators under src/Sources/RestApi/Services/. The fetch
+loop is inherently driver-side state (pagination cursors, token expiry, rate
+limits); rows then enter Spark as a DataFrame per micro-batch, where all
+heavy transformation happens distributed. For very large backfills the page
+*range* can be parallelized by seeding multiple sources with disjoint date
+ranges — pagination itself is sequential by nature (each page may depend on
+the previous response).
+
+Pagination strategies (reference PageResolvers, sequence goldens in
+test/Sources/PageResolverTests.cs:104-170):
+
+- ``PageCountingResolver`` — read total pages from the first response
+- ``PageOffsetResolver``   — numeric offset advanced by response size
+- ``PageNextTokenResolver`` — continuation token from the response body
+
+Auth (reference FixedHeader / DynamicBearer providers):
+
+- ``FixedHeaderAuth`` — static headers
+- ``DynamicBearerAuth`` — fetch token, cache until expiry minus one minute
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def extract_by_key_chain(doc: Any, key_chain: list[str] | None) -> list:
+    """Walk nested properties then enumerate the array (F4).
+
+    Tolerant of missing keys — returns [] — matching
+    RestApiExtensions.ParseResponse (RestApiExtensions.cs:37-52).
+    """
+    node = doc
+    for key in key_chain or []:
+        if not isinstance(node, dict) or key not in node:
+            return []
+        node = node[key]
+    if node is None:
+        return []
+    return node if isinstance(node, list) else [node]
+
+
+# ---------------------------------------------------------------------------
+# Page resolvers (P1-P3)
+# ---------------------------------------------------------------------------
+
+
+class PageResolver:
+    """Iteration state for one pagination scheme."""
+
+    def next(self, response: Any | None) -> bool:
+        """Advance using the latest response; False when no more pages."""
+        raise NotImplementedError
+
+    def current(self) -> str | None:
+        raise NotImplementedError
+
+    def reset(self) -> None:
+        raise NotImplementedError
+
+
+class PageCountingResolver(PageResolver):
+    """Total page count read from the first response (P1)."""
+
+    def __init__(self, total_pages_key_chain: list[str], start_page: int = 1):
+        self.key_chain = total_pages_key_chain
+        self.start_page = start_page
+        self.page: int | None = None
+        self.total: int | None = None
+
+    def next(self, response: Any | None) -> bool:
+        if response is None:  # first call: emit the first page
+            self.page, self.total = self.start_page, None
+            return True
+        if self.total is None:
+            found = extract_by_key_chain(response, self.key_chain)
+            self.total = int(found[0]) if found else 0
+        if self.page is not None and self.page < self.total + self.start_page - 1:
+            self.page += 1
+            return True
+        self.reset()
+        return False
+
+    def current(self) -> str | None:
+        return None if self.page is None else str(self.page)
+
+    def reset(self) -> None:
+        self.page = None
+        self.total = None
+
+
+class PageOffsetResolver(PageResolver):
+    """Numeric offset advanced by the number of rows returned (P2)."""
+
+    def __init__(self, response_size_key_chain: list[str] | None,
+                 start_offset: int = 0):
+        self.key_chain = response_size_key_chain
+        self.start_offset = start_offset
+        self.offset: int | None = None
+
+    def next(self, response: Any | None) -> bool:
+        if response is None:
+            self.offset = self.start_offset
+            return True
+        rows = extract_by_key_chain(response, self.key_chain)
+        if len(rows) == 0:
+            self.reset()
+            return False
+        self.offset = (self.offset or 0) + len(rows)
+        return True
+
+    def current(self) -> str | None:
+        return None if self.offset is None else str(self.offset)
+
+    def reset(self) -> None:
+        self.offset = None
+
+
+class PageNextTokenResolver(PageResolver):
+    """Continuation token from the response; stop on null/missing (P3)."""
+
+    def __init__(self, token_key_chain: list[str]):
+        self.key_chain = token_key_chain
+        self.token: str | None = None
+        self._started = False
+
+    def next(self, response: Any | None) -> bool:
+        if response is None:
+            self._started, self.token = True, None
+            return True
+        found = extract_by_key_chain(response, self.key_chain)
+        token = found[0] if found else None
+        if token in (None, ""):
+            self.reset()
+            return False
+        self.token = str(token)
+        return True
+
+    def current(self) -> str | None:
+        return self.token
+
+    def reset(self) -> None:
+        self.token = None
+        self._started = False
+
+
+# ---------------------------------------------------------------------------
+# Auth providers (P6/P7)
+# ---------------------------------------------------------------------------
+
+
+class FixedHeaderAuth:
+    """Static headers (FixedHeaderAuthenticatedMessageProvider)."""
+
+    def __init__(self, headers: dict[str, str] | None = None):
+        self.headers = headers or {}
+
+    def get_headers(self) -> dict[str, str]:
+        return dict(self.headers)
+
+
+class DynamicBearerAuth:
+    """Token fetch + cache until expiry−1min (DynamicBearerAuthenticatedMessageProvider).
+
+    ``token_fetcher`` returns ``(token, expires_in_seconds)`` — injected so
+    tests (and different auth endpoints) can supply their own transport.
+    """
+
+    def __init__(self, token_fetcher: Callable[[], tuple[str, float]],
+                 header: str = "Authorization", scheme: str = "Bearer"):
+        self.token_fetcher = token_fetcher
+        self.header = header
+        self.scheme = scheme
+        self._token: str | None = None
+        self._valid_until: datetime | None = None
+
+    def get_headers(self) -> dict[str, str]:
+        now = datetime.now(timezone.utc)
+        if self._token is None or (self._valid_until and now >= self._valid_until):
+            token, expires_in = self.token_fetcher()
+            self._token = token
+            self._valid_until = now + timedelta(seconds=expires_in) - timedelta(
+                minutes=1
+            )
+        value = f"{self.scheme} {self._token}".strip()
+        return {self.header: value}
+
+
+# ---------------------------------------------------------------------------
+# Rate limiting (T5)
+# ---------------------------------------------------------------------------
+
+
+class TokenBucketRateLimiter:
+    """``rate`` requests per ``per_seconds``, blocking acquire."""
+
+    def __init__(self, rate: int, per_seconds: float = 1.0,
+                 clock: Callable[[], float] = time.monotonic,
+                 sleeper: Callable[[float], None] = time.sleep):
+        self.rate = rate
+        self.per_seconds = per_seconds
+        self.clock = clock
+        self.sleeper = sleeper
+        self.tokens = float(rate)
+        self.updated = clock()
+
+    def acquire(self) -> None:
+        while True:
+            now = self.clock()
+            self.tokens = min(
+                self.rate, self.tokens + (now - self.updated) * self.rate / self.per_seconds
+            )
+            self.updated = now
+            if self.tokens >= 1:
+                self.tokens -= 1
+                return
+            self.sleeper((1 - self.tokens) * self.per_seconds / self.rate)
+
+
+# ---------------------------------------------------------------------------
+# The source
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RestApiSource:
+    """Driver-side fetch loop feeding Spark micro-batches.
+
+    ``url_builder(page_token)`` renders the request URL for the current page
+    (covers the reference's templated URI providers P4/P5);
+    ``response_key_chain`` locates the row array in the response body.
+    """
+
+    spark: SparkSession
+    url_builder: Callable[[str | None], str]
+    schema: T.StructType
+    page_resolver: PageResolver = field(default_factory=lambda: _OnePage())
+    auth: FixedHeaderAuth | DynamicBearerAuth = field(default_factory=FixedHeaderAuth)
+    rate_limiter: TokenBucketRateLimiter | None = None
+    response_key_chain: list[str] | None = None
+    timeout_seconds: float = 30.0
+    #: HTTP transport — injectable for tests; defaults to urllib.
+    http_get: Callable[[str, dict[str, str], float], tuple[int, str]] | None = None
+
+    def _get(self, url: str) -> tuple[int, str]:
+        if self.http_get is not None:
+            return self.http_get(url, self.auth.get_headers(), self.timeout_seconds)
+        req = urllib.request.Request(url, headers=self.auth.get_headers())
+        with urllib.request.urlopen(req, timeout=self.timeout_seconds) as resp:
+            return resp.status, resp.read().decode("utf-8")
+
+    def fetch_pages(self) -> Iterator[list[dict]]:
+        """Iterate pages until the resolver is exhausted.
+
+        429/408 responses yield an empty batch and stop the sweep (retried
+        next trigger), matching RestApiSource.cs:503-515; other non-2xx raise.
+        """
+        response: Any | None = None
+        while self.page_resolver.next(response):
+            if self.rate_limiter is not None:
+                self.rate_limiter.acquire()
+            url = self.url_builder(self.page_resolver.current())
+            status, body = self._get(url)
+            if status in (408, 429):
+                yield []
+                return
+            if not 200 <= status < 300:
+                raise RuntimeError(f"REST source HTTP {status} for {url}")
+            response = json.loads(body) if body else {}
+            yield [
+                row if isinstance(row, dict) else {"value": row}
+                for row in extract_by_key_chain(response, self.response_key_chain)
+            ]
+
+    def fetch_batch(self) -> DataFrame:
+        """One full pagination sweep → one DataFrame (one micro-batch)."""
+        rows: list[dict] = []
+        for page in self.fetch_pages():
+            rows.extend(page)
+        return self.spark.createDataFrame(rows, self.schema)
+
+
+class _OnePage(PageResolver):
+    """Non-paginated endpoint: exactly one request per sweep (P4)."""
+
+    def __init__(self) -> None:
+        self._done = False
+
+    def next(self, response: Any | None) -> bool:
+        if response is None and not self._done:
+            self._done = True
+            return True
+        self._done = False
+        return False
+
+    def current(self) -> str | None:
+        return None
+
+    def reset(self) -> None:
+        self._done = False

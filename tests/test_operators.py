@@ -1,0 +1,181 @@
+"""Operator unit tests: CDC relational ops, dedup, similarity, text."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_signatures,
+)
+from arcane_framework_spark.operators.relational import (
+    changes_since,
+    delta_join,
+    latest_state,
+)
+from arcane_framework_spark.operators.similarity import (
+    hyperplane_weights,
+    knn_bruteforce,
+    lsh_buckets,
+)
+from arcane_framework_spark.operators.text import (
+    fingerprint_expr,
+    lang_id_expr,
+    token_count_expr,
+)
+
+
+def _changes(spark):
+    # (key, version, op, payload)
+    rows = [
+        (1, 10, "I", "a0"),
+        (1, 20, "U", "a1"),
+        (2, 15, "I", "b0"),
+        (2, 30, "D", None),
+        (3, 5, "I", "c0"),
+    ]
+    return spark.createDataFrame(
+        rows, "k: int, sys_change_version: long, sys_change_operation: string, v: string"
+    )
+
+
+def test_changes_since_filters_versions(spark):
+    df = _changes(spark)
+    got = changes_since(df, "sys_change_version", 14)
+    assert {r.sys_change_version for r in got.collect()} == {20, 15, 30}
+
+
+def test_latest_state_folds_and_drops_deletes(spark):
+    folded = latest_state(_changes(spark), merge_key="k").collect()
+    by_key = {r.k: r for r in folded}
+    # key 2's latest change is a delete -> dropped entirely
+    assert set(by_key) == {1, 3}
+    assert by_key[1].sys_change_version == 20
+    assert by_key[1].v == "a1"
+
+
+def test_latest_state_keep_deletes(spark):
+    folded = latest_state(_changes(spark), merge_key="k", drop_deletes=False)
+    assert {r.k for r in folded.collect()} == {1, 2, 3}
+
+
+def test_delta_join_nulls_deleted_payload(spark):
+    table = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "k: int, name: string"
+    )
+    changes = _changes(spark).select("k", "sys_change_version", "sys_change_operation")
+    for broadcast in (False, True):
+        out = delta_join(
+            changes, table, ["k"], broadcast_changes=broadcast
+        ).collect()
+        assert len(out) == 5  # every change row preserved
+        deleted = [r for r in out if r.sys_change_operation == "D"]
+        assert all(r.name is None for r in deleted)
+        live = [r for r in out if r.k == 1]
+        assert all(r.name == "alice" for r in live)
+        # key 3 has no table row -> NULL payload but the change survives
+        assert [r.name for r in out if r.k == 3] == [None]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same  text"), (2, "same text"), (3, "other")],
+        "doc_id: long, text: string",
+    )
+    out = {r.keep_id: r.n_dupes for r in exact_dedup(df).collect()}
+    # whitespace-normalized fingerprints collapse docs 1 and 2
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_identical_docs_pair_with_jaccard_one(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words entirely here")],
+        "doc_id: long, text: string",
+    )
+    pairs = minhash_lsh_pairs(df).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_signature_shape(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id: long, text: string")
+    row = minhash_signatures(df).head()
+    sig = [row[f"s{i}"] for i in range(16)]
+    assert all(len(h) == 32 for h in sig)  # md5 hex
+    assert len(set(sig)) > 1  # salts differ
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "spark engine test"), (2, "spark  engine   test"), (3, "unrelated")],
+        "doc_id: long, text: string",
+    )
+    sigs = {r.id: r.simhash for r in simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]  # whitespace-insensitive
+    assert set(sigs[1]) <= {"0", "1"} and len(sigs[1]) == 16
+
+
+def test_knn_excludes_self_and_ranks(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert all(r.neighbor_id != 0 for r in out)
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.neighbor_id for r in ranked] == [3, 1]  # cosine order
+    assert ranked[0].cosine > ranked[1].cosine
+
+
+def test_lsh_buckets_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(0, [0.1] * 8), (1, [0.1] * 8), (2, [-0.5] * 8)],
+        "vec_id: long, embedding: array<float>",
+    )
+    out = {r.id: r.bucket for r in lsh_buckets(df, dim=8).collect()}
+    assert out[0] == out[1]  # identical vectors, identical bucket
+    assert len(out[0]) == 16 and set(out[0]) <= {"0", "1"}
+
+
+def test_hyperplane_weights_deterministic():
+    w1 = hyperplane_weights(4, 8)
+    w2 = hyperplane_weights(4, 8)
+    assert w1 == w2
+    assert all(x in (-1, 1) for row in w1 for x in row)
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "two  words")],
+        "id: int, text: string",
+    )
+    out = {r.id: r.n for r in df.select("id", token_count_expr().alias("n")).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_fingerprint_whitespace_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, " Hello   world "), (2, "hello world")], "id: int, text: string"
+    )
+    fps = [r.f for r in df.select(fingerprint_expr().alias("f")).collect()]
+    assert fps[0] == fps[1] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_lang_id_prefers_profile_hits(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is big"),
+            (2, "der hund ist ein tier und das ist gut"),
+            (3, "xyzzy plugh foobar"),
+        ],
+        "id: int, text: string",
+    )
+    out = {r.id: r.p for r in df.select("id", lang_id_expr().alias("p")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"

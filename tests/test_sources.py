@@ -1,0 +1,312 @@
+"""Source tests: CDM change feed, REST pagination/auth, blob listing, JDBC CT.
+
+Mirrors the reference's mock-backed operator tests (SURVEY.md §5 categories
+1-2): row counts per mode, schema drift, pagination sequences, watermarks.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.contracts.columns import ARCANE_MERGE_KEY
+from arcane_framework_spark.contracts.schema import SchemaMismatchError
+from arcane_framework_spark.sources.blob import blob_listing
+from arcane_framework_spark.sources.cdm import CdmChangeFeedSource, load_cdm_schema
+from arcane_framework_spark.sources.jdbc_ct import (
+    ChangeTrackingSource,
+    VersionCheckpoint,
+)
+from arcane_framework_spark.sources.rest import (
+    DynamicBearerAuth,
+    FixedHeaderAuth,
+    PageCountingResolver,
+    PageNextTokenResolver,
+    PageOffsetResolver,
+    RestApiSource,
+    TokenBucketRateLimiter,
+)
+
+# ---------------------------------------------------------------------------
+# CDM fixture
+# ---------------------------------------------------------------------------
+
+CDM_ATTRS = [
+    {"name": "RECID", "dataFormat": "int64"},
+    {"name": "NAME", "dataFormat": "string"},
+    {"name": "Start_LSN", "dataFormat": "string"},
+    {"name": "End_LSN", "dataFormat": "string"},
+    {"name": "DML_Action", "dataFormat": "string"},
+    {"name": "Seq_Val", "dataFormat": "string"},
+    {"name": "Update_Mask", "dataFormat": "string"},
+]
+
+
+def _write_cdm_fixture(root):
+    feed_dir = root / "ChangeFeed" / "widgets"
+    feed_dir.mkdir(parents=True)
+    (root / "ChangeFeed" / "widgets.cdm.json").write_text(
+        json.dumps(
+            {
+                "definitions": [
+                    {"entityName": "widgets", "hasAttributes": CDM_ATTRS}
+                ]
+            }
+        )
+    )
+    # change feed rows: RECID,NAME,Start_LSN,End_LSN,DML_Action,Seq_Val,Update_Mask
+    (feed_dir / "0001.csv").write_text(
+        '101,"gizmo","0X01",,"INSERT","0X0A","0X0F"\n'
+        '102,"gadget, deluxe","0X02",,"AFTER_UPDATE","0X0B","0X0F"\n'
+    )
+    tables = root / "Tables" / "2024"
+    tables.mkdir(parents=True)
+    # base entity: RECID,NAME,LSN,_SysRowId
+    (tables / "WIDGETS_00001.csv").write_text(
+        '1,"alpha","0X00","sys-1"\n2,"multi\nline","0X00","sys-2"\n'
+    )
+    return root
+
+
+def test_cdm_schema_loader(tmp_path):
+    root = _write_cdm_fixture(tmp_path)
+    schema = load_cdm_schema(str(root / "ChangeFeed" / "widgets.cdm.json"), "widgets")
+    assert schema.field_names[:2] == ["RECID", "NAME"]
+    assert schema.spark_schema.fields[0].dataType.simpleString() == "bigint"
+
+
+def test_cdm_stream_rows_and_merge_key(spark, tmp_path):
+    root = _write_cdm_fixture(tmp_path)
+    src = CdmChangeFeedSource(spark, str(root), "widgets")
+    rows = src.stream_batch().collect()
+    assert len(rows) == 2
+    by_id = {r.RECID: r for r in rows}
+    assert by_id[102].NAME == "gadget, deluxe"  # embedded delimiter
+    assert by_id[101][ARCANE_MERGE_KEY] == "101"  # merge key = RECID as string
+
+
+def test_cdm_backfill_alignment(spark, tmp_path):
+    root = _write_cdm_fixture(tmp_path)
+    src = CdmChangeFeedSource(spark, str(root), "widgets")
+    df = src.backfill()
+    rows = df.collect()
+    assert len(rows) == 2
+    # column order matches the change-feed schema + merge key appended
+    assert df.columns == [a["name"] for a in CDM_ATTRS] + [ARCANE_MERGE_KEY]
+    by_id = {r.RECID: r for r in rows}
+    # quoted newline survived (multiLine CSV)
+    assert by_id[2].NAME == "multi\nline"
+    # backfill defaults (CdmChangeFeedSource.cs:244-264)
+    assert by_id[1].DML_Action == "INSERT"
+    assert by_id[1].Seq_Val == "0x00000000000000000000"
+    assert by_id[1].Start_LSN == "0X00"  # renamed from LSN
+    assert by_id[1][ARCANE_MERGE_KEY] == "1"
+
+
+def test_cdm_schema_drift_raises(spark, tmp_path):
+    root = _write_cdm_fixture(tmp_path)
+    src = CdmChangeFeedSource(spark, str(root), "widgets")
+    src.check_schema_drift()  # unchanged -> no error
+    drifted = {
+        "definitions": [
+            {
+                "entityName": "widgets",
+                "hasAttributes": CDM_ATTRS + [{"name": "EXTRA", "dataFormat": "string"}],
+            }
+        ]
+    }
+    (root / "ChangeFeed" / "widgets.cdm.json").write_text(json.dumps(drifted))
+    with pytest.raises(SchemaMismatchError):
+        src.check_schema_drift()
+
+
+def test_cdm_streaming_source_is_streaming(spark, tmp_path):
+    root = _write_cdm_fixture(tmp_path)
+    src = CdmChangeFeedSource(spark, str(root), "widgets")
+    assert src.stream().isStreaming
+
+
+# ---------------------------------------------------------------------------
+# REST pagination / auth (reference PageResolverTests.cs:104-170)
+# ---------------------------------------------------------------------------
+
+
+def _fake_http(pages):
+    """Returns an http_get stub serving pages keyed by URL."""
+    calls = []
+
+    def get(url, headers, timeout):
+        calls.append((url, dict(headers)))
+        return 200, json.dumps(pages(url))
+
+    get.calls = calls
+    return get
+
+
+def test_page_counting_resolver_sequence():
+    r = PageCountingResolver(["meta", "totalPages"])
+    assert r.next(None) is True and r.current() == "1"
+    resp = {"meta": {"totalPages": 3}, "items": [1]}
+    assert r.next(resp) is True and r.current() == "2"
+    assert r.next(resp) is True and r.current() == "3"
+    assert r.next(resp) is False  # exhausted + reset
+
+
+def test_page_offset_resolver_sequence():
+    r = PageOffsetResolver(["items"], start_offset=0)
+    assert r.next(None) is True and r.current() == "0"
+    assert r.next({"items": [1, 2, 3]}) is True and r.current() == "3"
+    assert r.next({"items": [4]}) is True and r.current() == "4"
+    assert r.next({"items": []}) is False
+
+
+def test_page_next_token_resolver_sequence():
+    r = PageNextTokenResolver(["next"])
+    assert r.next(None) is True and r.current() is None
+    assert r.next({"next": "abc", "items": [1]}) is True and r.current() == "abc"
+    assert r.next({"items": [2]}) is False  # missing token -> stop
+
+
+def test_rest_source_paginated_fetch(spark):
+    def pages(url):
+        page = int(url.rsplit("=", 1)[1]) if "=" in url else 1
+        return {
+            "meta": {"totalPages": 3},
+            "items": [{"id": page * 10 + i, "v": f"p{page}"} for i in range(2)],
+        }
+
+    http = _fake_http(pages)
+    src = RestApiSource(
+        spark=spark,
+        url_builder=lambda page: f"http://api.test/items?page={page or 1}",
+        schema="id INT, v STRING",
+        page_resolver=PageCountingResolver(["meta", "totalPages"]),
+        response_key_chain=["items"],
+        http_get=http,
+    )
+    df = src.fetch_batch()
+    assert df.count() == 6  # 3 pages x 2 rows
+    assert len(http.calls) == 3
+    assert {r.v for r in df.collect()} == {"p1", "p2", "p3"}
+
+
+def test_rest_source_rate_limited_status_yields_empty(spark):
+    def http(url, headers, timeout):
+        return 429, ""
+
+    src = RestApiSource(
+        spark=spark,
+        url_builder=lambda page: "http://api.test/items",
+        schema="id INT",
+        http_get=http,
+    )
+    # 429 -> empty batch, no exception (RestApiSource.cs:503-515)
+    assert src.fetch_batch().count() == 0
+
+
+def test_rest_source_auth_headers_sent(spark):
+    http = _fake_http(lambda url: {"items": []})
+    src = RestApiSource(
+        spark=spark,
+        url_builder=lambda page: "http://api.test/x",
+        schema="id INT",
+        auth=FixedHeaderAuth({"X-Api-Key": "sekret"}),
+        response_key_chain=["items"],
+        http_get=http,
+    )
+    src.fetch_batch()
+    assert http.calls[0][1]["X-Api-Key"] == "sekret"
+
+
+def test_dynamic_bearer_auth_caches_until_expiry():
+    fetches = []
+
+    def fetcher():
+        fetches.append(1)
+        return f"tok{len(fetches)}", 3600.0
+
+    auth = DynamicBearerAuth(fetcher)
+    h1 = auth.get_headers()
+    h2 = auth.get_headers()
+    assert h1 == h2 == {"Authorization": "Bearer tok1"}
+    assert len(fetches) == 1  # cached
+    auth._valid_until = None  # force expiry path
+    auth._token = None
+    assert auth.get_headers() == {"Authorization": "Bearer tok2"}
+
+
+def test_token_bucket_limits_rate():
+    clock = {"t": 0.0}
+    sleeps = []
+
+    def fake_clock():
+        return clock["t"]
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    limiter = TokenBucketRateLimiter(2, 1.0, clock=fake_clock, sleeper=fake_sleep)
+    for _ in range(4):
+        limiter.acquire()
+    assert sum(sleeps) >= 0.9  # 4 requests at 2 rps needs ~1s of waiting
+
+
+# ---------------------------------------------------------------------------
+# Blob listing
+# ---------------------------------------------------------------------------
+
+
+def test_blob_listing_names_and_glob(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("x")
+    (tmp_path / "b.csv").write_text("y")
+    (tmp_path / "c.txt").write_text("z")
+    got = blob_listing(spark, str(tmp_path), glob="*.csv")
+    names = sorted(r.blob_name.rsplit("/", 1)[1] for r in got.collect())
+    assert names == ["a.csv", "b.csv"]
+    assert set(got.columns) == {"blob_name", "size", "last_modified"}
+
+
+# ---------------------------------------------------------------------------
+# Change-tracking source (S2) against a parquet-backed fake
+# ---------------------------------------------------------------------------
+
+
+def test_change_tracking_full_load_and_delta(spark, tmp_path):
+    table_rows = [(1, "alice"), (2, "bob"), (3, "carol")]
+    table = spark.createDataFrame(table_rows, "id: int, name: string")
+    changes = spark.createDataFrame(
+        [
+            (1, 10, "U"),
+            (3, 11, "D"),
+            (2, 5, "U"),  # below the watermark after first tick
+        ],
+        "id: int, SYS_CHANGE_VERSION: long, SYS_CHANGE_OPERATION: string",
+    )
+    cp = VersionCheckpoint(str(tmp_path / "ct" / "version.json"))
+    src = ChangeTrackingSource(
+        table_provider=lambda: table,
+        changes_provider=lambda: changes,
+        pk_columns=["id"],
+        checkpoint=cp,
+    )
+    full = src.full_load().collect()
+    assert len(full) == 3
+    assert all(r.SYS_CHANGE_VERSION == 0 and r.SYS_CHANGE_OPERATION == "I" for r in full)
+    assert all(r[ARCANE_MERGE_KEY] for r in full)
+
+    cp.write(5)  # pretend the first tick processed version 5
+    delta = src.delta().collect()
+    assert {r.id for r in delta} == {1, 3}  # version 5 row filtered out
+    deleted = [r for r in delta if r.SYS_CHANGE_OPERATION == "D"]
+    assert len(deleted) == 1 and deleted[0].name is None  # delete-preserving
+
+    new_version = src.advance(src.delta())
+    assert new_version == 11 and cp.read() == 11
+
+
+def test_version_checkpoint_roundtrip(tmp_path):
+    cp = VersionCheckpoint(str(tmp_path / "v.json"))
+    assert cp.read() == -1
+    cp.write(42)
+    assert cp.read() == 42
