@@ -34,13 +34,17 @@ SHINGLE_WORDS = 3
 SIMHASH_BITS = 16
 
 
-def shingles_expr(text_col: str | Column = "text") -> Column:
-    """Distinct word-``SHINGLE_WORDS``-gram shingles of the text.
+def shingles_from_tokens(toks: Column) -> Column:
+    """Distinct word-``SHINGLE_WORDS``-gram shingles from a token array.
 
     Documents shorter than one shingle contribute their whole normalized text
     as a single shingle, so no document silently drops out of dedup.
+
+    ``toks`` should be a *materialized* column (see ``_with_tokens``): this
+    expression references it ~3× per shingle, and if it is an inlined
+    tokenizer expression the regex split re-runs per reference in the
+    interpreted higher-order-function path (measured 10× slowdown).
     """
-    toks = tokens_expr(text_col)
     n = F.size(toks)
     k = SHINGLE_WORDS
     # greatest(..., 1) keeps the sequence ascending even for short docs (the
@@ -51,6 +55,27 @@ def shingles_expr(text_col: str | Column = "text") -> Column:
     )
     whole = F.array(F.concat_ws(" ", toks))
     return F.array_distinct(F.when(n >= k, grams).otherwise(whole))
+
+
+def shingles_expr(text_col: str | Column = "text") -> Column:
+    """Shingles straight from a text column (convenience; see the note above —
+    prefer ``_with_tokens`` + ``shingles_from_tokens`` in operator pipelines)."""
+    return shingles_from_tokens(tokens_expr(text_col))
+
+
+def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, toks) with the token array materialized exactly once per row.
+
+    The ``explode(array(...))`` wrapper inserts a Generate barrier that
+    Catalyst's CollapseProject cannot inline through, so the tokenizer regex
+    runs once per row regardless of how many times downstream expressions
+    reference ``toks``. A plain two-step projection is NOT enough — Catalyst
+    collapses it and re-inlines the split into every reference.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(tokens_expr(text_col))).alias("toks"),
+    )
 
 
 def minhash_signature_expr(text_col: str | Column = "text",
@@ -135,8 +160,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     map-side partial aggregation — at 100 TB this is one scan + one shuffle
     of (id, K hashes), the canonical signature-table build.
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles_expr(text_col)).alias("s")
+    exploded = _with_tokens(df, text_col, id_col).select(
+        "id", F.explode(shingles_from_tokens(F.col("toks"))).alias("s")
     )
     return exploded.groupBy("id").agg(
         *[
@@ -175,8 +200,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(text_col).alias("shingles")
+    sh = _with_tokens(df, text_col, id_col).select(
+        "id", shingles_from_tokens(F.col("toks")).alias("shingles")
     )
     verified = (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
