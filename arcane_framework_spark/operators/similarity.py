@@ -139,6 +139,132 @@ def lsh_buckets(df: DataFrame, dim: int, id_col: str = "vec_id",
     )
 
 
+def ann_banded_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     num_planes: int = 8, band_size: int = 4) -> DataFrame:
+    """Near-dup pairs via banded (OR-amplified) hyperplane LSH + cosine check.
+
+    Like MinHash banding: the ``num_planes``-bit signature is split into
+    ``num_planes/band_size``-bit bands and a pair becomes a candidate if ANY
+    band matches — much better recall than requiring the full signature to
+    collide, at the cost of more (still bucket-bounded) candidates.
+
+    Output (id_a, id_b, cosine) with id_a < id_b, cosine >= min_cosine.
+    Scale: one map-side signature pass, one shuffle on (band_id, band_hash),
+    per-bucket pair generation, then a distinct + verification join — the
+    exact shape of the MinHash-LSH text pipeline, reused for vectors.
+    """
+    num_bands = num_planes // band_size
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature_expr(F.col(vec_col), dim, num_planes).alias("sig"),
+    )
+    bands = base.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("sig", b * band_size + 1, band_size)
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = base.select("id", "vec")
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a"
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cid_col: str = "cid", cvec_col: str = "cvec") -> DataFrame:
+    """IVF cell assignment: each vector → its max-cosine centroid.
+
+    Output (id, vec, cid). Scale: centroids are broadcast (they are small by
+    construction — k ≪ N); the argmax is a per-row reduction over the
+    broadcast list, so assignment is a single map-side pass. The window
+    tie-break (cosine desc, cid asc) keeps the choice deterministic.
+    """
+    from pyspark.sql import Window
+
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(F.broadcast(centroids.select(cid_col, cvec_col)))
+        .select(
+            "id",
+            "vec",
+            F.col(cid_col).alias("cid"),
+            cosine_expr(F.col("vec"), F.col(cvec_col)).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "vec", "cid")
+    )
+
+
+def ivf_topk(df: DataFrame, centroids: DataFrame, queries: DataFrame, k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: top-k by cosine among vectors sharing the query's cell.
+
+    probe=1 (search only the query's own cell). Output
+    (query_id, neighbor_id, cosine, rank). Scale: the corpus is scanned once
+    for assignment; the search join shuffles on cid — each query touches
+    ~N/k_centroids vectors instead of N (the IVF speedup), and more probes
+    are just more cid values per query.
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv"), "cid"
+    )
+    scored = (
+        assigned.join(q, on="cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            cosine_expr(F.col("qv"), F.col("vec")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__cos"), 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def ann_lsh_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   num_planes: int = NUM_PLANES) -> DataFrame:

@@ -46,6 +46,23 @@ def token_count_expr(text_col: str | Column = "text") -> Column:
     ).cast("long")
 
 
+#: BPE-ish pre-tokenizer: word runs or single non-word-non-space characters.
+#: Explicit ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def bpe_token_count_expr(text_col: str | Column = "text") -> Column:
+    """Count of BPE-style pre-tokens (word runs + individual punctuation).
+
+    Approximates a BPE tokenizer's pre-tokenization pass; a cheap,
+    JVM-side stand-in for per-document token accounting at corpus scale.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0))).cast(
+        "long"
+    )
+
+
 def punct_ratio_expr(text_col: str | Column = "text") -> Column:
     """Fraction of characters that are punctuation (0.0 for empty text)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

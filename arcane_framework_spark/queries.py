@@ -40,6 +40,8 @@ from arcane_framework_spark.operators.text import (
     token_count_expr,
     with_text_stats,
 )
+from arcane_framework_spark.queries_ext import EXT_ORACLE_SQL, EXT_QUERIES
+from arcane_framework_spark.queries_tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from arcane_framework_spark.session import load_tables
 
 EMBEDDING_DIM = 64
@@ -729,6 +731,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_buckets_embeddings": ann_lsh_buckets_embeddings,
     "events_hourly_rollup": events_hourly_rollup,
     "events_json_extract": events_json_extract,
+    **TPCH_QUERIES,
+    **EXT_QUERIES,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -750,4 +754,6 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_buckets_embeddings": _ann_buckets_sql(),
     "events_hourly_rollup": _EVENTS_HOURLY_SQL,
     "events_json_extract": _EVENTS_JSON_SQL,
+    **TPCH_ORACLE_SQL,
+    **EXT_ORACLE_SQL,
 }

@@ -1,0 +1,319 @@
+"""Extension-operator queries: n-gram Jaccard dedup, embedding near-dup,
+IVF ANN, multimodal features, BPE-ish token accounting.
+
+Same contract as queries.py: every Spark query has a DuckDB oracle with
+identical column names, rounding, and hash functions. Near-dup queries plant
+deterministic positives (the synthetic corpus has none) identically in both
+engines, mirroring the MinHash query's planting scheme.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.operators.dedup import (
+    CHAR_NGRAM,
+    NGRAM_SKETCH_K,
+    ngram_jaccard_pairs,
+)
+from arcane_framework_spark.operators.multimodal import (
+    documents_as_assets,
+    extract_features,
+)
+from arcane_framework_spark.operators.similarity import (
+    ann_banded_pairs,
+    hyperplane_weights,
+    ivf_topk,
+)
+from arcane_framework_spark.operators.text import (
+    BPE_TOKEN_RE,
+    bpe_token_count_expr,
+    token_count_expr,
+)
+from arcane_framework_spark.session import load_tables
+
+_DUP_OFFSET = 100_000
+
+#: n-gram Jaccard: keep pairs at or above this similarity.
+NGRAM_MIN_JACCARD = 0.5
+
+#: Embedding near-dup planting/threshold parameters.
+NEARDUP_EVERY = 20
+NEARDUP_DELTA = 0.5
+NEARDUP_MIN_COSINE = 0.8
+NEARDUP_PLANES = 8
+NEARDUP_BAND = 4
+
+#: IVF parameters: centroid stride and k.
+IVF_STRIDE = 25
+IVF_K = 5
+IVF_NUM_QUERIES = 10
+
+EMBEDDING_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-4-gram Jaccard near-dup pairs (bottom-3-sketch blocking)."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    return ngram_jaccard_pairs(
+        docs.unionByName(planted), min_jaccard=NGRAM_MIN_JACCARD
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    k = CHAR_NGRAM
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text || ' ' || text
+  FROM documents WHERE doc_id % 7 = 0
+),
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(s) >= {k}
+           THEN list_transform(range(1, len(s) - {k - 2}),
+                               i -> substr(s, i::INT, {k}))
+           ELSE [s] END) AS g
+  FROM norm
+),
+keyed AS (
+  SELECT doc_id, g,
+         array_to_string(
+           list_sort(list_transform(g, x -> md5(x)))[1:{NGRAM_SKETCH_K}],
+           '|') AS bk
+  FROM grams
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.g, b.g))::DOUBLE
+             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6) AS jaccard
+FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.g, b.g))::DOUBLE
+            / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6)
+      >= {NGRAM_MIN_JACCARD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (banded hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    v = F.col("embedding")
+    planted = emb.filter(F.col("vec_id") % NEARDUP_EVERY == 0).select(
+        (F.col("vec_id") + F.lit(_DUP_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(F.get(v, 0) + F.lit(NEARDUP_DELTA)),
+            F.slice(v, 2, EMBEDDING_DIM - 1),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+def cosine_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vector pairs: banded LSH candidates + cosine >= 0.8."""
+    return ann_banded_pairs(
+        _neardup_corpus(spark, sf_dir),
+        dim=EMBEDDING_DIM,
+        min_cosine=NEARDUP_MIN_COSINE,
+        num_planes=NEARDUP_PLANES,
+        band_size=NEARDUP_BAND,
+    )
+
+
+def _cosine_neardup_sql() -> str:
+    weights = hyperplane_weights(NEARDUP_PLANES, EMBEDDING_DIM)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(v, CAST(["
+        + ", ".join(f"{float(x)}" for x in weights[p])
+        + "] AS DOUBLE[])) > 0 THEN '1' ELSE '0' END)"
+        for p in range(NEARDUP_PLANES)
+    )
+    num_bands = NEARDUP_PLANES // NEARDUP_BAND
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band_id, "
+        f"substr(sig, {b * NEARDUP_BAND + 1}, {NEARDUP_BAND}) AS band_hash FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {_DUP_OFFSET}, list_concat([v[1] + {NEARDUP_DELTA}], v[2:])
+  FROM base WHERE vec_id % {NEARDUP_EVERY} = 0
+),
+sig AS (
+  SELECT vec_id, v, {bits} AS sig FROM corpus
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_dot_product(sa.v, sb.v)
+             / (sqrt(list_dot_product(sa.v, sa.v))
+                * sqrt(list_dot_product(sb.v, sb.v))), 6) AS cosine
+FROM cand
+JOIN sig sa ON sa.vec_id = id_a
+JOIN sig sb ON sb.vec_id = id_b
+WHERE round(list_dot_product(sa.v, sb.v)
+            / (sqrt(list_dot_product(sa.v, sa.v))
+               * sqrt(list_dot_product(sb.v, sb.v))), 6) >= {NEARDUP_MIN_COSINE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe-1 top-5 by cosine within the query's coarse cell.
+
+    Centroids are a deterministic corpus stride (vec_id % 25 == 0) standing
+    in for a k-means codebook; queries are vec_id < 10.
+    """
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    centroids = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return ivf_topk(
+        emb, centroids, emb.filter(F.col("vec_id") < IVF_NUM_QUERIES), k=IVF_K
+    )
+
+
+_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_STRIDE} = 0
+),
+scored AS (
+  SELECT e.vec_id, e.v, cent.cid,
+         list_dot_product(e.v, cent.cv)
+           / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+  FROM e CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid) AS rn
+    FROM scored) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM assigned
+  WHERE vec_id < {IVF_NUM_QUERIES}
+),
+pairs AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(q.qv, a.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(a.v, a.v))) AS cos
+  FROM q JOIN assigned a ON q.cid = a.cid AND a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal features (Arrow-batched Pandas UDF plumbing)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level asset features via mapInPandas over a binary column."""
+    t = load_tables(spark, sf_dir, "documents")
+    return extract_features(documents_as_assets(t["documents"]))
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       'application/octet-stream'          AS mime,
+       octet_length(encode(text))::BIGINT  AS n_bytes,
+       sha256(text)                        AS sha256,
+       (octet_length(encode(text)) % 640 + 16)::INT     AS width,
+       (octet_length(encode(text)) * 7 % 480 + 16)::INT AS height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token accounting
+# ---------------------------------------------------------------------------
+
+
+def bpe_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-style pre-token counts per document."""
+    t = load_tables(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        token_count_expr("text").alias("n_ws_tokens"),
+        bpe_token_count_expr("text").alias("n_bpe_tokens"),
+    )
+
+
+_BPE_SQL = rf"""
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+       END::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ngram_jaccard_documents": ngram_jaccard_documents,
+    "cosine_neardup_embeddings": cosine_neardup_embeddings,
+    "ivf_topk_embeddings": ivf_topk_embeddings,
+    "multimodal_features_documents": multimodal_features_documents,
+    "bpe_token_stats_documents": bpe_token_stats_documents,
+}
+
+EXT_ORACLE_SQL: dict[str, str] = {
+    "ngram_jaccard_documents": _ngram_jaccard_sql(),
+    "cosine_neardup_embeddings": _cosine_neardup_sql(),
+    "ivf_topk_embeddings": _IVF_SQL,
+    "multimodal_features_documents": _MULTIMODAL_SQL,
+    "bpe_token_stats_documents": _BPE_SQL,
+}

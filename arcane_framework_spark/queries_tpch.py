@@ -1,0 +1,584 @@
+"""TPC-H-shape relational queries widening the Catalyst-exposed surface.
+
+SURVEY.md §2.4 establishes that the reference pushes all relational work to
+the source database as generated T-SQL; our engine exposes the same (and a
+wider) relational surface natively through Catalyst. This module covers the
+join/aggregation patterns the core catalog (queries.py) does not yet hit:
+
+- semi-join / anti-join (EXISTS / NOT EXISTS shapes)
+- outer join + double aggregation
+- window functions (max-over-all, lag-based sessionization)
+- scalar aggregate subqueries (per-group avg thresholds)
+- HAVING-style post-aggregation filters
+- disjunctive multi-column pushdown predicates
+
+Each query carries a DuckDB oracle with identical column names and rounding.
+All predicates are adapted to the synthetic testdata's columns (TESTDATA.md);
+shapes follow the public TPC-H specification, not any proprietary workload.
+
+Scale notes are per-query docstrings: every plan is one or two shuffles with
+broadcast dims, no driver-side materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.session import load_tables
+
+# q18 threshold chosen so the result is non-empty from sf0.001 upward.
+Q18_MIN_QTY = 300.0
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins.
+
+    Scale: all three predicates push down to the parquet scan; the aggregate
+    is a map-side partial + single-row final — the cheapest possible plan.
+    """
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .filter(
+            F.expr(
+                "l_shipdate >= timestamp'1997-01-01 00:00:00' AND "
+                "l_shipdate <  timestamp'1998-01-01 00:00:00'"
+            )
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join orders→lineitem with a non-equi term.
+
+    (Adapted: testdata lacks commit/receipt dates, so "late" means a line
+    shipped after the order date.) Scale: left-semi join shuffles on
+    orderkey only; lineitem payload columns are pruned before the shuffle.
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        F.expr(
+            "o_orderdate >= timestamp'1997-07-01 00:00:00' AND "
+            "o_orderdate <  timestamp'1997-10-01 00:00:00'"
+        )
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation trade flow, supplier-nation x customer-nation.
+
+    Scale: nation is broadcast twice under different aliases; the nation-pair
+    filter collapses the fact stream early; one shuffle each for
+    orders⋈lineitem and the final (year, nation-pair) aggregate.
+    """
+    t = load_tables(
+        spark, sf_dir, "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name                                          AS supp_nation,
+       n2.n_name                                          AS cust_nation,
+       CAST(year(l_shipdate) AS INT)                      AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking, deterministic top-20."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    o = t["orders"].filter(
+        F.expr(
+            "o_orderdate >= timestamp'1997-10-01 00:00:00' AND "
+            "o_orderdate <  timestamp'1998-01-01 00:00:00'"
+        )
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2)                               AS c_acctbal,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join + two-level aggregation.
+
+    Scale: the left outer join shuffles on custkey; the second aggregate is
+    over at most a few thousand distinct counts — near-free.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over lineitem⋈part.
+
+    Scale: part is broadcast; single scan of the shipdate-pruned lineitem.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        F.expr(
+            "l_shipdate >= timestamp'1997-09-01 00:00:00' AND "
+            "l_shipdate <  timestamp'1997-10-01 00:00:00'"
+        )
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: max-revenue supplier(s) via an all-rows window max.
+
+    Scale: revenue-per-supplier is one shuffle; the window max over the
+    (small) aggregated table is a single-partition exchange of supplier
+    rollups, not of fact rows. Rounding happens before the max comparison so
+    both engines compare identical cent values.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .filter(
+            F.expr(
+                "l_shipdate >= timestamp'1997-01-01 00:00:00' AND "
+                "l_shipdate <  timestamp'1997-04-01 00:00:00'"
+            )
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    return (
+        best.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part avg-quantity threshold (scalar agg subquery).
+
+    Expressed as an aggregate-then-rejoin rather than a correlated subquery —
+    the idiomatic Spark decorrelation. l_quantity carries integer values, so
+    the avg is exact in binary floating point and the 0.2*avg comparison is
+    engine-stable.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    p = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = t["lineitem"].join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+),
+avg_q AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty FROM li GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM li JOIN avg_q USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum, then enrich + rank.
+
+    Scale: the HAVING aggregate shrinks lineitem to a handful of orderkeys
+    which then semi-joins (broadcast) back to orders/customer.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2)            AS o_totalprice,
+       round(sum_qty, 2)                 AS sum_qty
+FROM orders
+JOIN big      ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs multi-table predicate.
+
+    Scale: Catalyst extracts the common join key and pushes the disjunction's
+    part-only/lineitem-only conjuncts below the join (the classic Q19
+    optimization) — verified via .explain's PushedFilters.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: anti-join + global scalar-subquery threshold.
+
+    Customers above the positive-balance average with no orders since
+    2000-01-01, rolled up per nation. Scale: the threshold is a broadcast
+    scalar; the anti-join shuffles on custkey; the rollup is tiny.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cust = t["customer"]
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = t["orders"].filter(
+        F.expr("o_orderdate >= timestamp'2000-01-01 00:00:00'")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+#: Session gap for events sessionization (microseconds).
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-based sessionization of the event stream (30-minute gap).
+
+    The batch shape of `F.session_window`: a session starts where the gap
+    from the previous event of the same user exceeds 30 minutes. Scale: one
+    shuffle on user_id for the window sort; the rollup rides the same
+    partitioning (no second exchange of fact rows).
+
+    events.ts arrives as long nanoseconds (TESTDATA nanos-as-long); both
+    engines compare microsecond integers, so boundaries are exact.
+    """
+    t = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = t["events"].select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    marked = ev.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "is_new",
+        (
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US)
+        ).cast("int"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_new").alias("n_sessions"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, count(*) AS n_events, sum(is_new)::BIGINT AS n_sessions
+FROM marked
+GROUP BY user_id
+"""
+
+
+TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q4_late_shipment_priority": q4_late_shipment_priority,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q7_nation_trade_volume": q7_nation_trade_volume,
+    "q10_returned_items": q10_returned_items,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_suppliers": q15_top_suppliers,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_orders": q18_large_volume_orders,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q22_inactive_customers": q22_inactive_customers,
+    "events_sessionize": events_sessionize,
+}
+
+TPCH_ORACLE_SQL: dict[str, str] = {
+    "q4_late_shipment_priority": _Q4_SQL,
+    "q6_revenue_forecast": _Q6_SQL,
+    "q7_nation_trade_volume": _Q7_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q13_order_count_distribution": _Q13_SQL,
+    "q14_promo_revenue": _Q14_SQL,
+    "q15_top_suppliers": _Q15_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
+    "q18_large_volume_orders": _Q18_SQL,
+    "q19_disjunctive_predicates": _Q19_SQL,
+    "q22_inactive_customers": _Q22_SQL,
+    "events_sessionize": _SESSIONIZE_SQL,
+}

@@ -179,3 +179,103 @@ def test_lang_id_prefers_profile_hits(spark):
     assert out[1] == "en"
     assert out[2] == "de"
     assert out[3] == "und"
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard / banded LSH / IVF / multimodal / BPE tokens
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_finds_planted_neardup(spark):
+    from arcane_framework_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog " * 2),
+        (3, "completely unrelated zebra xylophone quartz vibes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(df, min_jaccard=0.5).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.8
+    assert all(a < b for a, b in pairs)
+
+
+def test_ann_banded_pairs_scaled_vector_is_exact_dup(spark):
+    from arcane_framework_spark.operators.similarity import ann_banded_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 2.0, -1.0]),
+        (2, [2.0, 0.0, 4.0, -2.0]),   # same direction -> cosine 1, same signs
+        (3, [-1.0, 5.0, -2.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in ann_banded_pairs(df, dim=4, min_cosine=0.9,
+                                     num_planes=8, band_size=4).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_ivf_topk_identical_vector_ranks_first(spark):
+    from arcane_framework_spark.operators.similarity import ivf_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),      # near query
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.2]),
+        (4, [1.0, 0.05, 0.0]),     # nearest to query 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<double>")
+    centroids = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+        "cid: long, cvec: array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    got = ivf_topk(df, centroids, q, k=2).collect()
+    assert [r.neighbor_id for r in got] == [4, 1]  # cell of centroid 100 only
+    assert [r.rank for r in got] == [1, 2]
+
+
+def test_multimodal_features_match_hashlib(spark):
+    from arcane_framework_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        documents_as_assets,
+        extract_features,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "hello world"), (8, "")], "doc_id: long, text: string"
+    )
+    feats = extract_features(documents_as_assets(df))
+    assert feats.schema == FEATURE_SCHEMA
+    by_id = {r.doc_id: r for r in feats.collect()}
+    raw = "hello world".encode()
+    assert by_id[7].n_bytes == len(raw)
+    assert by_id[7].sha256 == hashlib.sha256(raw).hexdigest()
+    assert by_id[7].width == len(raw) % 640 + 16
+    assert by_id[7].height == len(raw) * 7 % 480 + 16
+    assert by_id[8].n_bytes == 0
+
+
+def test_multimodal_decode_is_stubbed():
+    import pytest as _pytest
+
+    from arcane_framework_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_bpe_token_count(spark):
+    from arcane_framework_spark.operators.text import bpe_token_count_expr
+
+    df = spark.createDataFrame(
+        [(1, "don't stop-me now!"), (2, ""), (3, "abc_def 42")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id", bpe_token_count_expr("text").alias("n")).collect()}
+    # don ' t stop - me now !  -> 8 ; "" -> 0 ; abc_def 42 -> 2
+    assert got == {1: 8, 2: 0, 3: 2}
