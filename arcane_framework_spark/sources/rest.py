@@ -157,6 +157,138 @@ class PageNextTokenResolver(PageResolver):
 
 
 # ---------------------------------------------------------------------------
+# URL templating + URI providers (F8, P4, P5)
+# ---------------------------------------------------------------------------
+
+
+class TemplatedFieldType:
+    """Template field kinds (reference: RestApi/Models/TemplatedFieldType.cs)."""
+
+    RESPONSE_PAGE = "RESPONSE_PAGE"
+    FILTER_DATE_FROM = "FILTER_DATE_FROM"
+    FILTER_DATE_BETWEEN_FROM = "FILTER_DATE_BETWEEN_FROM"
+    FILTER_DATE_BETWEEN_TO = "FILTER_DATE_BETWEEN_TO"
+
+
+class RestApiTemplate:
+    """``@field`` placeholder substitution in a URL/body template.
+
+    Mirrors RestApiTemplate.ResolveField (reference
+    src/Sources/RestApi/Services/RestApiTemplate.cs:60-103): each declared
+    field name ``x`` is substituted wherever ``@x`` appears; undeclared
+    placeholders are left intact; ``resolve`` returns the rendered string
+    once every declared field has a value.
+    """
+
+    def __init__(self, template: str, field_names: list[str]):
+        self.template = template
+        self.field_names = list(field_names)
+        self._values: dict[str, str] = {}
+
+    def resolve_field(self, name: str, value: str) -> "RestApiTemplate":
+        if name in self.field_names:
+            self._values[name] = value
+        return self
+
+    def resolve(self) -> str:
+        out = self.template
+        for name in self.field_names:
+            out = out.replace(f"@{name}", self._values.get(name, f"@{name}"))
+        return out
+
+    def reset(self) -> "RestApiTemplate":
+        self._values.clear()
+        return self
+
+
+class SimpleUriProvider:
+    """Non-paginated URL with a single date filter (P4).
+
+    Date filter value (reference SimpleUriProvider.cs:62-67):
+    - backfilling → ``backfill_start``
+    - first stream sweep → ``now - look_back``
+    - steady state → ``now - change_capture_interval``
+    """
+
+    def __init__(self, template: str, date_field: str,
+                 backfill_start: datetime,
+                 look_back: timedelta = timedelta(days=1),
+                 change_capture_interval: timedelta = timedelta(seconds=15),
+                 is_backfilling: bool = False,
+                 date_format: str = "%Y-%m-%dT%H:%M:%S",
+                 clock: Callable[[], datetime] | None = None):
+        self.template = RestApiTemplate(template, [date_field])
+        self.date_field = date_field
+        self.backfill_start = backfill_start
+        self.look_back = look_back
+        self.change_capture_interval = change_capture_interval
+        self.is_backfilling = is_backfilling
+        self.date_format = date_format
+        self.clock = clock or (lambda: datetime.now(timezone.utc))
+        self._first_sweep = True
+
+    def next_uri(self, page_token: str | None = None) -> str:
+        if self.is_backfilling:
+            start = self.backfill_start
+        elif self._first_sweep:
+            start = self.clock() - self.look_back
+        else:
+            start = self.clock() - self.change_capture_interval
+        self._first_sweep = False
+        return (
+            self.template.reset()
+            .resolve_field(self.date_field, start.strftime(self.date_format))
+            .resolve()
+        )
+
+
+class PagedUriProvider:
+    """Date-range + page templating (P5).
+
+    Sweeps ``[range_start, range_end)`` in ``range_step`` slices; within each
+    slice the page token fills ``page_field``. ``has_read_all_pages`` flips
+    when the full range is consumed; ``reset_range`` starts a new sweep
+    (reference PagedUriProvider.cs:16-181).
+    """
+
+    def __init__(self, template: str, page_field: str,
+                 date_from_field: str, date_to_field: str,
+                 range_start: datetime, range_end: datetime,
+                 range_step: timedelta = timedelta(days=1),
+                 date_format: str = "%Y-%m-%dT%H:%M:%S"):
+        fields = [page_field, date_from_field, date_to_field]
+        self.template = RestApiTemplate(template, fields)
+        self.page_field = page_field
+        self.date_from_field = date_from_field
+        self.date_to_field = date_to_field
+        self.range_start = range_start
+        self.range_end = range_end
+        self.range_step = range_step
+        self.date_format = date_format
+        self._cursor = range_start
+
+    def has_read_all_pages(self) -> bool:
+        return self._cursor >= self.range_end
+
+    def advance_range(self) -> None:
+        self._cursor = min(self._cursor + self.range_step, self.range_end)
+
+    def reset_range(self) -> None:
+        self._cursor = self.range_start
+
+    def next_uri(self, page_token: str | None) -> str:
+        slice_from = self._cursor
+        slice_to = min(slice_from + self.range_step, self.range_end)
+        return (
+            self.template.reset()
+            .resolve_field(self.page_field, str(page_token or 1))
+            .resolve_field(self.date_from_field, slice_from.strftime(self.date_format))
+            .resolve_field(self.date_to_field, slice_to.strftime(self.date_format))
+            .resolve()
+        )
+
+
+# ---------------------------------------------------------------------------
 # Auth providers (P6/P7)
 # ---------------------------------------------------------------------------
 

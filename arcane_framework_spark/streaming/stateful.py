@@ -1,0 +1,163 @@
+"""Stateful streaming operators (T7/T8 extension surface).
+
+The reference has no stateful streaming ops (SURVEY §2.6 T7) — these are the
+Spark-native extensions a large-scale ingestion pipeline needs on top of it:
+
+- ``windowed_rollup`` — watermarked tumbling-window aggregation (the
+  streaming twin of the batch ``events_hourly_rollup`` query).
+- ``dedup_stream`` — exactly-once-per-key within the watermark horizon
+  (state is bounded by the watermark, so it runs forever at scale).
+- ``sessionize_stream`` — custom per-key session state via
+  ``applyInPandasWithState``: Arrow-batched, partitioned by key, state
+  evicted on processing-time timeout. The streaming twin of the batch
+  ``events_sessionize`` query.
+
+All three shuffle once on the grouping key and hold per-key state on
+executors — no driver state, so a 1000-executor cluster scales linearly in
+keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+#: Session gap default — matches the batch events_sessionize query.
+DEFAULT_GAP_SECONDS = 30 * 60
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def windowed_rollup(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours",
+                    ts_col: str = "ts", key_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
+    """Watermarked tumbling-window rollup: (window, key, n_events, sum_value).
+
+    Late rows beyond ``watermark`` are dropped and the window state is
+    evicted — state size stays bounded by (horizon / window) × keys.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(df: DataFrame, keys: list[str], ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key within the
+    watermark horizon and then forgets the key — the only way exact dedup
+    runs indefinitely on an unbounded stream.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS,
+                      state_timeout_ms: int = 60_000,
+                      key_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Per-user sessionization with custom state (applyInPandasWithState).
+
+    Emits one row per *closed* session (gap exceeded within a batch, or the
+    key's processing-time timeout fires). State per key is three longs —
+    O(keys) memory across the cluster, evicted on timeout.
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
+           state: GroupState) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, start_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+            return
+
+        ts_us = pd.concat(
+            [pdf[ts_col] for pdf in pdfs], ignore_index=True
+        ).astype("int64").sort_values()
+        # incoming ts is long microseconds (cast upstream)
+        n, start_us, last_us = state.get if state.exists else (0, None, None)
+        out = []
+        for t in ts_us:
+            t = int(t)
+            if last_us is not None and t - last_us > gap_us:
+                out.append((n, start_us, last_us))
+                n, start_us = 0, t
+            if start_us is None:
+                start_us = t
+            n += 1
+            last_us = t
+        state.update((n, start_us, last_us))
+        state.setTimeoutDuration(state_timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "n_events": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                }
+            )
+
+    prepared = events.select(
+        F.col(key_col).cast("long").alias(key_col),
+        F.col(ts_col).cast("long").alias(ts_col),
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

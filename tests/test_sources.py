@@ -310,3 +310,105 @@ def test_version_checkpoint_roundtrip(tmp_path):
     assert cp.read() == -1
     cp.write(42)
     assert cp.read() == 42
+
+
+# ---------------------------------------------------------------------------
+# URL templating + URI providers (F8, P4, P5) and OpenAPI schema (F7)
+# ---------------------------------------------------------------------------
+
+
+def test_rest_api_template_substitution():
+    from arcane_framework_spark.sources.rest import RestApiTemplate
+
+    t = RestApiTemplate("https://api/x?from=@dateFrom&page=@page",
+                        ["dateFrom", "page"])
+    got = t.resolve_field("dateFrom", "2024-01-01").resolve_field(
+        "page", "3").resolve()
+    assert got == "https://api/x?from=2024-01-01&page=3"
+    # undeclared fields stay; reset clears values
+    assert "@page" in t.reset().resolve_field("dateFrom", "x").resolve()
+
+
+def test_simple_uri_provider_mode_switch():
+    from datetime import datetime, timedelta, timezone
+
+    from arcane_framework_spark.sources.rest import SimpleUriProvider
+
+    now = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+    common = dict(
+        template="https://api/x?from=@d", date_field="d",
+        backfill_start=datetime(2020, 1, 1, tzinfo=timezone.utc),
+        look_back=timedelta(hours=2),
+        change_capture_interval=timedelta(seconds=30),
+        clock=lambda: now,
+    )
+    backfill = SimpleUriProvider(is_backfilling=True, **common)
+    assert backfill.next_uri() == "https://api/x?from=2020-01-01T00:00:00"
+    stream = SimpleUriProvider(is_backfilling=False, **common)
+    assert stream.next_uri() == "https://api/x?from=2024-06-01T10:00:00"  # lookback
+    assert stream.next_uri() == "https://api/x?from=2024-06-01T11:59:30"  # interval
+
+
+def test_paged_uri_provider_range_sweep():
+    from datetime import datetime, timedelta
+
+    from arcane_framework_spark.sources.rest import PagedUriProvider
+
+    p = PagedUriProvider(
+        "https://api/x?page=@p&from=@f&to=@t", "p", "f", "t",
+        range_start=datetime(2024, 1, 1), range_end=datetime(2024, 1, 3),
+        range_step=timedelta(days=1),
+    )
+    assert p.next_uri(1) == (
+        "https://api/x?page=1&from=2024-01-01T00:00:00&to=2024-01-02T00:00:00"
+    )
+    assert not p.has_read_all_pages()
+    p.advance_range()
+    assert p.next_uri(7) == (
+        "https://api/x?page=7&from=2024-01-02T00:00:00&to=2024-01-03T00:00:00"
+    )
+    p.advance_range()
+    assert p.has_read_all_pages()
+    p.reset_range()
+    assert not p.has_read_all_pages()
+
+
+def test_openapi_schema_nested_structs():
+    import base64
+    import json
+
+    from pyspark.sql import types as T
+
+    from arcane_framework_spark.contracts.openapi import parse_openapi_schema
+
+    fragment = {
+        "type": "object",
+        "properties": {
+            "id": {"type": "integer", "format": "int64"},
+            "name": {"type": "string"},
+            "created": {"type": "string", "format": "date-time"},
+            "score": {"type": "number"},
+            "tags": {"type": "array", "items": {"type": "string"}},
+            "address": {
+                "type": "object",
+                "properties": {
+                    "city": {"type": "string"},
+                    "geo": {
+                        "type": "object",
+                        "properties": {"lat": {"type": "number", "format": "double"}},
+                    },
+                },
+            },
+        },
+    }
+    schema = parse_openapi_schema(json.dumps(fragment))
+    assert schema["id"].dataType == T.LongType()
+    assert schema["created"].dataType == T.TimestampType()
+    assert schema["tags"].dataType == T.ArrayType(T.StringType())
+    addr = schema["address"].dataType
+    assert isinstance(addr, T.StructType)
+    assert isinstance(addr["geo"].dataType, T.StructType)
+    assert addr["geo"].dataType["lat"].dataType == T.DoubleType()
+    # base64 input round-trips to the same schema (two-level nesting golden)
+    b64 = base64.b64encode(json.dumps(fragment).encode()).decode()
+    assert parse_openapi_schema(b64) == schema

@@ -119,3 +119,113 @@ def test_stream_drift_mid_stream_maps_to_exit_code(spark, tmp_path):
         backfill=True,
     )
     assert result.exit_code == EXIT_RESTART
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming operators (T7/T8 extensions)
+# ---------------------------------------------------------------------------
+
+
+def _drain(q):
+    q.awaitTermination()
+
+
+def test_windowed_rollup_stream(spark, tmp_path):
+    import json as _json
+
+    from arcane_framework_spark.streaming.stateful import windowed_rollup
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:05:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T10:55:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01T11:05:00", "event_type": "view", "value": 5.0},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .json(str(src))
+    )
+    out = windowed_rollup(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("rollup1")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _drain(q)
+    # append mode emits only watermark-closed windows; re-feed a late-enough
+    # row so every earlier window closes deterministically in batch 2
+    (src / "b.json").write_text(_json.dumps(
+        {"ts": "2024-01-01T23:00:00", "event_type": "view", "value": 0.5}))
+    q = (
+        out.writeStream.format("memory").queryName("rollup2")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _drain(q)
+    got = {(r.event_type, r.window_start.hour): (r.n_events, r.sum_value)
+           for r in spark.table("rollup2").collect()}
+    assert got[("click", 10)] == (2, 3.0)
+    assert got[("view", 11)] == (1, 5.0)
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    import json as _json
+
+    from arcane_framework_spark.streaming.stateful import dedup_stream
+
+    src = tmp_path / "dup"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:00:00", "k": 1},
+        {"ts": "2024-01-01T10:00:10", "k": 1},
+        {"ts": "2024-01-01T10:00:20", "k": 2},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("ts TIMESTAMP, k LONG").json(str(src))
+    out = dedup_stream(stream, keys=["k"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _drain(q)
+    ks = sorted(r.k for r in spark.table("dedup_t").collect())
+    assert ks == [1, 2]
+
+
+def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
+    import json as _json
+    import time as _time
+
+    from arcane_framework_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    us = 1_000_000
+    rows = [
+        {"user_id": 1, "ts": 0},
+        {"user_id": 1, "ts": 60 * us},            # same session
+        {"user_id": 1, "ts": 4000 * us},          # gap > 30min -> closes first
+        {"user_id": 2, "ts": 10 * us},
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("user_id LONG, ts LONG").json(str(src))
+    out = sessionize_stream(stream, gap_seconds=1800, state_timeout_ms=3000)
+    # NB: processing-time timeouts keep scheduling batches, so the query
+    # never self-terminates even under availableNow — poll, then stop.
+    q = (
+        out.writeStream.format("memory").queryName("sess_t")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            got = {(r.user_id, r.n_events)
+                   for r in spark.table("sess_t").collect()}
+            if len(got) == 3:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    # gap-closed session (1,2) arrives in-batch; the open tails (1,1) and
+    # (2,1) flush when the 3s processing-time timeout fires
+    assert got == {(1, 2), (1, 1), (2, 1)}
