@@ -412,3 +412,51 @@ def test_openapi_schema_nested_structs():
     # base64 input round-trips to the same schema (two-level nesting golden)
     b64 = base64.b64encode(json.dumps(fragment).encode()).decode()
     assert parse_openapi_schema(b64) == schema
+
+
+# ---------------------------------------------------------------------------
+# CSV scalar operations (F1-F3) — reference's table-driven goldens
+# ---------------------------------------------------------------------------
+
+
+def test_parse_csv_line_reference_goldens():
+    import pytest as _pytest
+
+    from arcane_framework_spark.sources.csv_ops import parse_csv_line
+
+    cases = [
+        ('"qv1","qv2","qv3",,"qv4","qv5","qv6",123,,0.12345',
+         ["qv1", "qv2", "qv3", None, "qv4", "qv5", "qv6", "123", None,
+          "0.12345"]),
+        ('123,,"qv1",,,,', ["123", None, "qv1", None, None, None]),
+        (',,123,341,5', [None, None, "123", "341", "5"]),
+        ('"q",,"1321"', ["q", None, "1321"]),
+        ('"q",,"13,21"', ["q", None, "13,21"]),
+        ('123,,", abc def"', ["123", None, ", abc def"]),
+        ('5637144576,"NFO",,0,', ["5637144576", "NFO", None, "0", None]),
+    ]
+    for line, expected in cases:
+        assert parse_csv_line(line, len(expected)) == expected, line
+    with _pytest.raises(ValueError):
+        parse_csv_line('"q",","1321"', 3)
+
+
+def test_csv_is_complete_and_quoted_newlines():
+    from arcane_framework_spark.sources.csv_ops import (
+        is_complete,
+        replace_quoted_newlines,
+    )
+
+    assert is_complete('"a","b"')
+    assert not is_complete('"a","b')
+    got = replace_quoted_newlines('1,"a\nb",2\r\n3,"c ""x""\n",4')
+    assert got == '1,"ab",2\n3,"c ""x""",4'
+
+
+def test_functions_namespace_importable():
+    from arcane_framework_spark import functions as AF
+
+    assert callable(AF.merge_key_expr)
+    assert callable(AF.fingerprint_expr)
+    assert callable(AF.parse_csv_line)
+    assert len(AF.__all__) >= 25
