@@ -229,3 +229,101 @@ def test_sessionize_stream_closes_on_gap_and_timeout(spark, tmp_path):
     # gap-closed session (1,2) arrives in-batch; the open tails (1,1) and
     # (2,1) flush when the 3s processing-time timeout fires
     assert got == {(1, 2), (1, 1), (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Hosted pipeline: STREAMCONTEXT env spec -> running job -> exit code (§3.1)
+# ---------------------------------------------------------------------------
+
+
+def test_run_pipeline_backfill_from_env_spec(spark, tmp_path):
+    import json as _json
+    import os
+
+    from arcane_framework_spark.plans.pipeline import run_pipeline
+    from arcane_framework_spark.plans.spec import from_env
+    from arcane_framework_spark.streaming.runner import EXIT_SUCCESS
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [{"id": 1, "name": "a", "d": "2024-01-05"},
+            {"id": 2, "name": "b", "d": "2024-02-06"}]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    sink_path = str(tmp_path / "out")
+    spec_json = {
+        "streamKind": "file",
+        "partitions": [{
+            "description": "monthly",
+            "field_name": "DATE_PARTITION_KEY",
+            "field_format": "datetime",
+            "field_expression": "date_format(to_date(d), 'yyyyMM')",
+            "is_date_partition": True,
+        }],
+        "options": {
+            "path": str(src),
+            "format": "json",
+            "schema": "id LONG, name STRING, d STRING",
+            "merge_key_columns": ["id"],
+            "sink_path": sink_path,
+        },
+    }
+    env = {
+        "STREAMCONTEXT__SPEC": _json.dumps(spec_json),
+        "STREAMCONTEXT__BACKFILL": "true",
+        "STREAMCONTEXT__STREAM_ID": "t-1",
+        "STREAMCONTEXT__STREAM_KIND": "file",
+    }
+    result = run_pipeline(spark, from_env(env))
+    assert result.exit_code == EXIT_SUCCESS
+    # data files under partitioned dirs, named per protocol
+    data = str(tmp_path / "out" / "data")
+    parts = []
+    for root, _dirs, files in os.walk(data):
+        parts += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    assert parts and all("-chunk.parquet" in p for p in parts)
+    assert any("DATE_PARTITION_KEY=202401" in p for p in parts)
+    got = spark.read.parquet(data)
+    assert sorted(got.columns) == ["ARCANE_MERGE_KEY", "DATE_PARTITION_KEY",
+                                   "d", "id", "name"]
+    assert got.count() == 2
+    # sidecars + completion token
+    out = tmp_path / "out"
+    assert (out / "metadata" / "v0" / "partitions.json").exists()
+    assert list((out / "schema").glob("schema-*.parquet"))
+    assert list(out.glob("*.COMPLETED"))
+
+
+def test_run_pipeline_streaming_drain(spark, tmp_path):
+    import json as _json
+
+    from arcane_framework_spark.plans.pipeline import run_pipeline
+    from arcane_framework_spark.plans.spec import StreamSpec
+    from arcane_framework_spark.streaming.runner import EXIT_SUCCESS
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(_json.dumps({"id": 5, "name": "x"}))
+    spec = StreamSpec.from_dict({
+        "streamKind": "file",
+        "stopAfterBackfill": True,
+        "options": {
+            "path": str(src),
+            "format": "json",
+            "schema": "id LONG, name STRING",
+            "sink_path": str(tmp_path / "out"),
+        },
+    })
+    result = run_pipeline(spark, spec)
+    assert result.exit_code == EXIT_SUCCESS
+    got = spark.read.parquet(str(tmp_path / "out" / "data"))
+    assert got.count() == 1
+
+
+def test_run_pipeline_unknown_kind_raises(spark):
+    import pytest as _pytest
+
+    from arcane_framework_spark.plans.pipeline import run_pipeline
+    from arcane_framework_spark.plans.spec import StreamSpec
+
+    with _pytest.raises(ValueError, match="no source builder"):
+        run_pipeline(spark, StreamSpec(stream_kind="nope"))
