@@ -203,20 +203,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sh = _with_tokens(df, text_col, id_col).select(
         "id", shingles_from_tokens(F.col("toks")).alias("shingles")
     )
-    verified = (
+    sized = (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            F.size("sh_a").alias("__na"),
+            F.size("sh_b").alias("__nb"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("__ni"),
         )
     )
-    return verified
+    # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct).
+    return sized.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("__ni").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__ni")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
 
 
 #: Character n-gram width for the n-gram-Jaccard dedup path.
@@ -287,15 +294,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     b = keyed.select(
         F.col("id").alias("id_b"), F.col("grams").alias("g_b"), "block_key"
     )
-    return (
+    # |A∪B| = |A|+|B|-|A∩B| (arrays are distinct) — half the array work of
+    # materializing array_union per pair. Two-step projection so the
+    # intersection is evaluated once (CollapseProject keeps non-cheap
+    # multi-referenced aliases in their own project).
+    sized = (
         a.join(b, on="block_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
+            F.size("g_a").alias("__na"),
+            F.size("g_b").alias("__nb"),
+            F.size(F.array_intersect("g_a", "g_b")).alias("__ni"),
+        )
+    )
+    return (
+        sized.select(
+            "id_a",
+            "id_b",
             F.round(
-                F.size(F.array_intersect("g_a", "g_b")).cast("double")
-                / F.size(F.array_union("g_a", "g_b")).cast("double"),
+                F.col("__ni").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__ni")).cast("double"),
                 6,
             ).alias("jaccard"),
         )

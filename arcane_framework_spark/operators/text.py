@@ -97,28 +97,52 @@ def quality_score_expr(text_col: str | Column = "text") -> Column:
     )
 
 
-def lang_score_expr(text_col: str | Column, lang: str) -> Column:
+def lang_score_from_tokens(toks: Column, lang: str) -> Column:
     """Count of tokens matching the language's stopword profile."""
-    toks = tokens_expr(text_col)
     profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
     return F.size(F.filter(toks, lambda t: F.array_contains(profile, t))).cast("long")
 
 
-def lang_id_expr(text_col: str | Column = "text") -> Column:
-    """Predicted language = argmax stopword-profile hits.
+def lang_score_expr(text_col: str | Column, lang: str) -> Column:
+    return lang_score_from_tokens(tokens_expr(text_col), lang)
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
+    """Predicted language = argmax stopword-profile hits over a token array.
 
     Deterministic tie-break: languages are checked in sorted order and the
     first maximal profile wins; zero hits everywhere → 'und' (undetermined).
     The DuckDB oracle replicates the same check order.
+
+    Pass a *materialized* token column (see ``with_language``) — this
+    expression references the array once per profile.
     """
     langs = sorted(LANG_PROFILES)
-    scores = {lang: lang_score_expr(text_col, lang) for lang in langs}
+    scores = {lang: lang_score_from_tokens(toks, lang) for lang in langs}
     best = F.greatest(*scores.values()) if len(scores) > 1 else scores[langs[0]]
     result = F.lit("und")
     # Build the CASE back-to-front so earlier (alphabetical) langs win ties.
     for lang in reversed(langs):
         result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
     return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def lang_id_expr(text_col: str | Column = "text") -> Column:
+    """Language ID straight from a text column (convenience; operator
+    pipelines should prefer ``with_language``, which tokenizes once)."""
+    return lang_id_from_tokens(tokens_expr(text_col))
+
+
+def _with_token_barrier(df: DataFrame, text_col: str,
+                        out: str = "__toks") -> DataFrame:
+    """Attach a materialized token array behind a Generate barrier.
+
+    ``explode(array(...))`` defeats CollapseProject, so the tokenizer regex
+    runs once per row however many downstream expressions reference ``out``
+    (same trick as the dedup shingle pipeline; measured ~4× on multi-feature
+    extraction).
+    """
+    return df.withColumn(out, F.explode(F.array(tokens_expr(text_col))))
 
 
 def fingerprint_expr(text_col: str | Column = "text") -> Column:
@@ -133,19 +157,52 @@ def fingerprint_expr(text_col: str | Column = "text") -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach n_tokens / punct_ratio / stopword_ratio / quality columns."""
+    """Attach n_tokens / punct_ratio / stopword_ratio / quality columns.
+
+    Tokenizes once per row (Generate barrier) and computes the punctuation
+    regex once, however many features consume them — at corpus scale the
+    whole feature set costs a single text pass.
+    """
+    toks = F.col("__toks")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_tokens = (
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+    )
+    sraw = F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+        / F.size(toks).cast("double")
+    )
+    staged = (
+        _with_token_barrier(df, text_col)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("__praw", punct_ratio_expr(text_col))
+        .withColumn("__sraw", sraw)
+    )
     return (
-        df.withColumn("n_tokens", token_count_expr(text_col))
-        .withColumn("punct_ratio", F.round(punct_ratio_expr(text_col), 6))
-        .withColumn("stopword_ratio", F.round(stopword_ratio_expr(text_col), 6))
-        .withColumn("quality", F.round(quality_score_expr(text_col), 6))
+        staged.withColumn("punct_ratio", F.round(F.col("__praw"), 6))
+        .withColumn("stopword_ratio", F.round(F.col("__sraw"), 6))
+        .withColumn(
+            "quality",
+            F.round(
+                F.least(F.lit(1.0), F.col("n_tokens").cast("double") / 100.0)
+                * (F.lit(1.0) - F.col("__praw")),
+                6,
+            ),
+        )
+        .drop("__toks", "__praw", "__sraw")
     )
 
 
 def with_language(df: DataFrame, text_col: str = "text",
                   out_col: str = "lang_pred") -> DataFrame:
-    """Attach the heuristic language prediction."""
-    return df.withColumn(out_col, lang_id_expr(text_col))
+    """Attach the heuristic language prediction (single tokenization pass)."""
+    return (
+        _with_token_barrier(df, text_col)
+        .withColumn(out_col, lang_id_from_tokens(F.col("__toks")))
+        .drop("__toks")
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text",

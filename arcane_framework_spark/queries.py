@@ -36,7 +36,7 @@ from arcane_framework_spark.operators.text import (
     LANG_PROFILES,
     STOPWORDS,
     fingerprint_expr,
-    lang_id_expr,
+    with_language,
     token_count_expr,
     with_text_stats,
 )
@@ -380,9 +380,7 @@ FROM feat
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID vs. the labeled lang column."""
     t = load_tables(spark, sf_dir, "documents")
-    return t["documents"].select(
-        "doc_id", "lang", lang_id_expr("text").alias("lang_pred")
-    )
+    return with_language(t["documents"]).select("doc_id", "lang", "lang_pred")
 
 
 def _lang_id_sql() -> str:
@@ -553,13 +551,18 @@ cand AS (
   JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
               AND a.doc_id < b.doc_id
 )
+,
+sized AS (
+  SELECT id_a, id_b,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb,
+         len(list_intersect(sa.shingles, sb.shingles)) AS ni
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
 SELECT id_a, id_b,
-       round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE,
-             6) AS jaccard
-FROM cand
-JOIN sh sa ON sa.doc_id = id_a
-JOIN sh sb ON sb.doc_id = id_b
+       round(ni::DOUBLE / (na + nb - ni)::DOUBLE, 6) AS jaccard
+FROM sized
 """
 
 

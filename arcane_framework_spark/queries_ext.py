@@ -101,13 +101,17 @@ keyed AS (
            '|') AS bk
   FROM grams
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.g, b.g))::DOUBLE
-             / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6) AS jaccard
-FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.g, b.g))::DOUBLE
-            / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE, 6)
-      >= {NGRAM_MIN_JACCARD}
+,
+sized AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(a.g) AS na, len(b.g) AS nb,
+         len(list_intersect(a.g, b.g)) AS ni
+  FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(ni::DOUBLE / (na + nb - ni)::DOUBLE, 6) AS jaccard
+FROM sized
+WHERE round(ni::DOUBLE / (na + nb - ni)::DOUBLE, 6) >= {NGRAM_MIN_JACCARD}
 """
 
 
