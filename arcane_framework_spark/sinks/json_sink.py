@@ -76,3 +76,60 @@ class JsonStreamSink:
         with open(token, "w", encoding="utf-8"):
             pass
         return token
+
+
+class DynamicPathJsonSink:
+    """K3: per-element dynamic output paths with a ``{timestamp, body}``
+    envelope (reference src/Sinks/Json/JsonSink.cs:18-200, envelope
+    :135-144).
+
+    Input rows carry (``path``, ``timestamp``, ``body``); each distinct
+    ``path`` value lands in its own directory under ``base_path`` as a
+    ``part-{uuid}.json`` JSONL file of envelope objects. Implemented with a
+    partitioned executor write (one shuffle-free pass; the path column is a
+    Hive partition) and driver-side renames into the protocol layout.
+    """
+
+    def __init__(self, base_path: str,
+                 path_col: str = "path",
+                 timestamp_col: str = "timestamp",
+                 body_col: str = "body"):
+        self.base_path = base_path
+        self.path_col = path_col
+        self.timestamp_col = timestamp_col
+        self.body_col = body_col
+
+    def write_batch(self, df: DataFrame, batch_id: int = 0) -> list[str]:
+        from pyspark.sql import functions as F
+
+        enveloped = df.select(
+            F.col(self.path_col).alias("__path"),
+            F.to_json(
+                F.struct(
+                    F.col(self.timestamp_col).alias("timestamp"),
+                    F.col(self.body_col).alias("body"),
+                )
+            ).alias("value"),
+        )
+        tmp = os.path.join(self.base_path, f"_stage_tmp_{uuid.uuid4().hex}")
+        enveloped.write.mode("overwrite").partitionBy("__path").text(tmp)
+        moved: list[str] = []
+        for entry in sorted(os.listdir(tmp)):
+            if not entry.startswith("__path="):
+                continue
+            suffix = entry.split("=", 1)[1]
+            moved.extend(
+                _move_parts(
+                    os.path.join(tmp, entry),
+                    os.path.join(self.base_path, suffix),
+                    lambda e: f"part-{uuid.uuid4()}.json",
+                )
+            )
+        _clear_dir(tmp)
+        return moved
+
+    def foreach_batch(self):
+        def _write(df: DataFrame, batch_id: int) -> None:
+            self.write_batch(df, batch_id)
+
+        return _write

@@ -192,7 +192,8 @@ class RestApiTemplate:
 
     def resolve(self) -> str:
         out = self.template
-        for name in self.field_names:
+        # longest names first so @page never captures the prefix of @pageSize
+        for name in sorted(self.field_names, key=len, reverse=True):
             out = out.replace(f"@{name}", self._values.get(name, f"@{name}"))
         return out
 

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the pure-Python pieces.
+
+The reference has no property tests; these harden the parser/template/
+contract helpers beyond the golden tables.
+"""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arcane_framework_spark.contracts.openapi import parse_openapi_schema
+from arcane_framework_spark.sources.csv_ops import (
+    is_complete,
+    parse_csv_line,
+    replace_quoted_newlines,
+)
+from arcane_framework_spark.sources.rest import RestApiTemplate
+
+# Field values without quotes/newlines; empties round-trip to None.
+_plain = st.text(
+    alphabet=st.characters(blacklist_characters='"\n\r', codec="ascii"),
+    max_size=20,
+)
+
+
+def _render(fields: list[str], delimiter: str = ",") -> str:
+    out = []
+    for f in fields:
+        if delimiter in f:
+            out.append(f'"{f}"')
+        else:
+            out.append(f)
+    return delimiter.join(out)
+
+
+@settings(max_examples=200)
+@given(st.lists(_plain, min_size=1, max_size=8))
+def test_csv_roundtrip_property(fields):
+    line = _render(fields)
+    parsed = parse_csv_line(line, len(fields))
+    expected = [f if f else None for f in fields]
+    assert parsed == expected
+
+
+@settings(max_examples=100)
+@given(st.text(max_size=60))
+def test_csv_is_complete_matches_quote_parity(text):
+    assert is_complete(text) == (text.count('"') % 2 == 0)
+
+
+@settings(max_examples=100)
+@given(st.lists(_plain.filter(lambda s: "," not in s), min_size=1, max_size=4))
+def test_quoted_newline_repair_keeps_unquoted_text(fields):
+    # newlines outside quotes must survive; quoted ones must not
+    line = "\n".join(fields)
+    assert replace_quoted_newlines(line) == line
+    quoted = '"a\nb",' + _render(fields)
+    assert replace_quoted_newlines(quoted).startswith('"ab",')
+
+
+@settings(max_examples=50)
+@given(
+    st.dictionaries(
+        st.text(alphabet=st.characters(codec="ascii", categories=["L"]),
+                min_size=1, max_size=8),
+        st.sampled_from(
+            [{"type": "string"}, {"type": "integer"}, {"type": "number"},
+             {"type": "boolean"},
+             {"type": "array", "items": {"type": "string"}}]
+        ),
+        max_size=6,
+    )
+)
+def test_openapi_schema_field_count_property(props):
+    schema = parse_openapi_schema(
+        json.dumps({"type": "object", "properties": props})
+    )
+    assert len(schema.fields) == len(props)
+    assert [f.name for f in schema.fields] == list(props)
+
+
+@settings(max_examples=100)
+@given(st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=5),
+    st.text(alphabet=st.characters(blacklist_characters="@", codec="ascii"),
+            max_size=10),
+    min_size=1, max_size=4,
+))
+def test_rest_template_substitutes_all_declared_fields(values):
+    template = "&".join(f"{k}=@{k}" for k in values)
+    t = RestApiTemplate(template, list(values))
+    for k, v in values.items():
+        t.resolve_field(k, v)
+    resolved = t.resolve()
+    for k, v in values.items():
+        assert f"{k}={v}" in resolved or v == ""

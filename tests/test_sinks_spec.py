@@ -157,3 +157,35 @@ def test_scalar_converters():
     dt = parse_unix_millis(1700000000000)
     assert dt.year == 2023 and dt.tzinfo is not None
     assert parse_seconds(90).total_seconds() == 90.0
+
+
+def test_dynamic_path_json_sink_envelopes(spark, tmp_path):
+    import json as _json
+    import os
+
+    from arcane_framework_spark.sinks.json_sink import DynamicPathJsonSink
+
+    df = spark.createDataFrame(
+        [
+            ("tenant-a/2024", "2024-01-01T00:00:00", '{"x": 1}'),
+            ("tenant-a/2024", "2024-01-01T00:00:01", '{"x": 2}'),
+            ("tenant-b/2024", "2024-01-02T00:00:00", '{"y": 3}'),
+        ],
+        "path: string, timestamp: string, body: string",
+    )
+    base = str(tmp_path / "out")
+    sink = DynamicPathJsonSink(base)
+    moved = sink.write_batch(df)
+    assert len(moved) >= 2
+    a_dir = os.path.join(base, "tenant-a%2F2024")
+    # partition values are URL-escaped by the writer; accept either layout
+    if not os.path.isdir(a_dir):
+        a_dir = os.path.join(base, "tenant-a/2024")
+    lines = []
+    for f in sorted(os.listdir(a_dir)):
+        with open(os.path.join(a_dir, f), encoding="utf-8") as fh:
+            lines += [l for l in fh.read().splitlines() if l]
+    got = sorted((_json.loads(l)["timestamp"], _json.loads(l)["body"])
+                 for l in lines)
+    assert got == [("2024-01-01T00:00:00", '{"x": 1}'),
+                   ("2024-01-01T00:00:01", '{"x": 2}')]
