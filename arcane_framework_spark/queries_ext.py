@@ -282,6 +282,62 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming path (real readStream execution in the catalog)
+# ---------------------------------------------------------------------------
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup computed by an actual Structured Streaming query.
+
+    The events parquet is replayed through ``readStream`` → watermarked
+    tumbling-window aggregation → complete-mode memory sink, drained with
+    ``Trigger.availableNow``; the returned DataFrame is the sink table. The
+    oracle is plain SQL — identical results prove the streaming execution
+    path agrees with the batch semantics (T1/T8).
+    """
+    from arcane_framework_spark.streaming.stateful import windowed_rollup
+
+    t = load_tables(spark, sf_dir, "events")  # sets nanosAsLong/ANSI/UTC
+    schema = t["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    ev = stream.select(
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        "event_type",
+        "value",
+    )
+    agg = windowed_rollup(ev, window="1 hour", watermark="2 hours")
+    name = "streaming_hourly_rollup_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+_STREAMING_HOURLY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE-ish token accounting
 # ---------------------------------------------------------------------------
 
@@ -312,6 +368,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "multimodal_features_documents": multimodal_features_documents,
     "bpe_token_stats_documents": bpe_token_stats_documents,
+    "streaming_hourly_rollup": streaming_hourly_rollup,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -320,4 +377,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "ivf_topk_embeddings": _IVF_SQL,
     "multimodal_features_documents": _MULTIMODAL_SQL,
     "bpe_token_stats_documents": _BPE_SQL,
+    "streaming_hourly_rollup": _STREAMING_HOURLY_SQL,
 }

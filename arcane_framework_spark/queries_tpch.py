@@ -502,6 +502,87 @@ GROUP BY c_nationkey
 """
 
 
+def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: (status, priority) hierarchy with subtotals.
+
+    Scale: rollup is a single shuffle producing all grouping levels via
+    partial aggregation — no extra pass per level. NULL grouping cells are
+    labeled 'ALL' so both engines emit identical keys.
+    """
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "sum_totalprice",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*)                          AS n_orders,
+       round(sum(o_totalprice), 2)       AS sum_totalprice
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def setops_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT cohorts of ordering customers.
+
+    Scale: both set ops are hash aggregations on custkey (one shuffle each
+    over already-filtered projections).
+    """
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"]
+
+    def cohort(year: int) -> DataFrame:
+        return o.filter(
+            F.expr(
+                f"o_orderdate >= timestamp'{year}-01-01 00:00:00' AND "
+                f"o_orderdate < timestamp'{year + 1}-01-01 00:00:00'"
+            )
+        ).select("o_custkey")
+
+    y96, y97 = cohort(1996), cohort(1997)
+    both = y96.intersect(y97).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both_years").alias("cohort"), "n"
+    )
+    # subtract = EXCEPT DISTINCT (exceptAll would subtract multiplicities)
+    only96 = y96.subtract(y97).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_1996").alias("cohort"), "n"
+    )
+    return both.unionByName(only96)
+
+
+_SETOPS_SQL = """
+WITH y96 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+),
+y97 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT 'both_years' AS cohort, count(*) AS n
+FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT 'only_1996' AS cohort, count(*) AS n
+FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+"""
+
+
 #: Session gap for events sessionization (microseconds).
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
@@ -565,6 +646,8 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_orders": q18_large_volume_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q22_inactive_customers": q22_inactive_customers,
+    "rollup_order_priority": rollup_order_priority,
+    "setops_repeat_customers": setops_repeat_customers,
     "events_sessionize": events_sessionize,
 }
 
@@ -580,5 +663,7 @@ TPCH_ORACLE_SQL: dict[str, str] = {
     "q18_large_volume_orders": _Q18_SQL,
     "q19_disjunctive_predicates": _Q19_SQL,
     "q22_inactive_customers": _Q22_SQL,
+    "rollup_order_priority": _ROLLUP_SQL,
+    "setops_repeat_customers": _SETOPS_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
 }
