@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from arcane_framework_spark.operators.dedup import (
     CHAR_NGRAM,
+    NGRAM_MAX_BLOCK,
     NGRAM_SKETCH_K,
     ngram_jaccard_pairs,
 )
@@ -94,14 +95,18 @@ grams AS (
            ELSE [s] END) AS g
   FROM norm
 ),
-keyed AS (
+keyed0 AS (
   SELECT doc_id, g,
          array_to_string(
            list_sort(list_transform(g, x -> md5(x)))[1:{NGRAM_SKETCH_K}],
            '|') AS bk
   FROM grams
-)
-,
+),
+keyed AS (
+  SELECT k.* FROM keyed0 k
+  JOIN (SELECT bk, count(*) AS cnt FROM keyed0 GROUP BY bk) s USING (bk)
+  WHERE s.cnt <= {NGRAM_MAX_BLOCK}
+),
 sized AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(a.g) AS na, len(b.g) AS nb,
