@@ -201,28 +201,26 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     """IVF cell assignment: each vector → its max-cosine centroid.
 
     Output (id, vec, cid). Scale: centroids are broadcast (they are small by
-    construction — k ≪ N); the argmax is a per-row reduction over the
-    broadcast list, so assignment is a single map-side pass. The window
-    tie-break (cosine desc, cid asc) keeps the choice deterministic.
+    construction — k ≪ N); the argmax is a ``max_by`` aggregation with
+    map-side partial aggregation — one shuffle of one row per vector, no
+    sort (a window row_number here would shuffle and sort N×k scored rows).
+    Tie-break: max over (cosine, -cid) ⇒ highest cosine, then lowest cid —
+    deterministic and identical to the oracle's row_number ordering.
     """
-    from pyspark.sql import Window
-
-    scored = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .join(F.broadcast(centroids.select(cid_col, cvec_col)))
-        .select(
-            "id",
-            "vec",
-            F.col(cid_col).alias("cid"),
-            cosine_expr(F.col("vec"), F.col(cvec_col)).alias("__cos"),
-        )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Skinny scored rows (id, cid, cos) only: dragging the vector array
+    # through the N×k aggregation buffers costs more than re-joining it.
+    scored = base.join(F.broadcast(centroids.select(cid_col, cvec_col))).select(
+        "id",
+        F.col(cid_col).alias("cid"),
+        cosine_expr(F.col("vec"), F.col(cvec_col)).alias("__cos"),
     )
-    w = Window.partitionBy("id").orderBy(F.col("__cos").desc(), F.col("cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "vec", "cid")
+    assigned = scored.groupBy("id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("t"))
+        ).alias("cid")
     )
+    return base.join(assigned, "id").select("id", "vec", "cid")
 
 
 def ivf_topk(df: DataFrame, centroids: DataFrame, queries: DataFrame, k: int,

@@ -327,3 +327,39 @@ def test_run_pipeline_unknown_kind_raises(spark):
 
     with _pytest.raises(ValueError, match="no source builder"):
         run_pipeline(spark, StreamSpec(stream_kind="nope"))
+
+
+def test_rows_incoming_metrics_listener(spark, tmp_path):
+    import json as _json
+    import time as _time
+
+    from arcane_framework_spark.streaming.metrics import (
+        ROWS_INCOMING,
+        RowsIncomingListener,
+        SourceTags,
+    )
+
+    src = tmp_path / "m"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(_json.dumps({"id": i}) for i in range(7))
+    )
+    listener = RowsIncomingListener(
+        SourceTags(stream_id="s-1", stream_kind="file")
+    )
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema("id LONG").json(str(src))
+        q = (
+            stream.writeStream.format("memory").queryName("metrics_t")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not listener.observations:
+            _time.sleep(0.5)  # listener events are delivered asynchronously
+    finally:
+        spark.streams.removeListener(listener)
+    rows = [o for o in listener.observations if o.name == ROWS_INCOMING]
+    assert rows and sum(o.value for o in rows) == 7.0
+    assert rows[0].tags["arcane.stream_id"] == "s-1"
