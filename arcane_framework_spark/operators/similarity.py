@@ -79,11 +79,18 @@ def knn_bruteforce(candidates: DataFrame, queries: DataFrame, k: int,
     from pyspark.sql import Window
 
     query_id_col = query_id_col or id_col
+    # Norms are precomputed per side so each pair costs one dot product
+    # instead of three array folds; dot/(qn*cn) is bitwise-identical to
+    # dot/(sqrt(dot_qq)*sqrt(dot_cc)) — oracle parity preserved.
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm_expr(F.col(vec_col)).alias("__qn"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q))
@@ -91,7 +98,10 @@ def knn_bruteforce(candidates: DataFrame, queries: DataFrame, k: int,
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("__qv"), F.col("__cv")).alias("__cos"),
+            (
+                dot_expr(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("__cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -155,11 +165,13 @@ def ann_banded_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
     exact shape of the MinHash-LSH text pipeline, reused for vectors.
     """
     num_bands = num_planes // band_size
+    # persisted: consumed by both the band explode and the verification
+    # join — recomputing means re-running the signature HOFs over the corpus
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_signature_expr(F.col(vec_col), dim, num_planes).alias("sig"),
-    )
+    ).persist()
     bands = base.select(
         "id",
         F.posexplode(
@@ -178,18 +190,32 @@ def ann_banded_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    vecs = base.select("id", "vec")
+    vecs = base.select("id", "vec", norm_expr(F.col("vec")).alias("__n"))
     return (
         cand.join(
-            vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a"
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("va"),
+                F.col("__n").alias("__na"),
+            ),
+            "id_a",
         )
         .join(
-            vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b"
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vb"),
+                F.col("__n").alias("__nb"),
+            ),
+            "id_b",
         )
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
     )
@@ -208,12 +234,22 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     deterministic and identical to the oracle's row_number ordering.
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    withn = base.withColumn("__n", norm_expr(F.col("vec")))
+    cent = centroids.select(
+        F.col(cid_col).alias("cid"),
+        F.col(cvec_col).alias("__cv"),
+        norm_expr(F.col(cvec_col)).alias("__cn"),
+    )
     # Skinny scored rows (id, cid, cos) only: dragging the vector array
     # through the N×k aggregation buffers costs more than re-joining it.
-    scored = base.join(F.broadcast(centroids.select(cid_col, cvec_col))).select(
+    # Norms precomputed per side: one dot per (vector, centroid) pair.
+    scored = withn.join(F.broadcast(cent)).select(
         "id",
-        F.col(cid_col).alias("cid"),
-        cosine_expr(F.col("vec"), F.col(cvec_col)).alias("__cos"),
+        "cid",
+        (
+            dot_expr(F.col("vec"), F.col("__cv"))
+            / (F.col("__n") * F.col("__cn"))
+        ).alias("__cos"),
     )
     assigned = scored.groupBy("id").agg(
         F.max_by(
@@ -235,9 +271,14 @@ def ivf_topk(df: DataFrame, centroids: DataFrame, queries: DataFrame, k: int,
     """
     from pyspark.sql import Window
 
-    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col, vec_col).withColumn(
+        "__n", norm_expr(F.col("vec"))
+    )
     q = ivf_assign(queries, centroids, id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("qv"), "cid"
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        norm_expr(F.col("vec")).alias("__qn"),
+        "cid",
     )
     scored = (
         assigned.join(q, on="cid")
@@ -245,7 +286,10 @@ def ivf_topk(df: DataFrame, centroids: DataFrame, queries: DataFrame, k: int,
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            cosine_expr(F.col("qv"), F.col("vec")).alias("__cos"),
+            (
+                dot_expr(F.col("qv"), F.col("vec"))
+                / (F.col("__qn") * F.col("__n"))
+            ).alias("__cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
