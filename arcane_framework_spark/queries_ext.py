@@ -367,6 +367,136 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered-statistics, pivot, and TF-IDF (relational + text depth)
+# ---------------------------------------------------------------------------
+
+
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per event type (sort-based `percentile`).
+
+    Exact percentile is a per-group sort — the right tool up to millions of
+    rows per group; beyond that switch to `approx_percentile` (t-digest,
+    mergeable map-side) and drop the oracle to rows-only. DuckDB's
+    quantile_cont interpolates identically, so values hash-match bitwise.
+    """
+    t = load_tables(spark, sf_dir, "events")
+    return t["events"].groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+_QUANTILES_SQL = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_events_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: user cohorts × event types → sum(value) matrix.
+
+    Explicit pivot values keep the plan static (no discovery pass); the
+    pivot is a single hash aggregation with one output column per type.
+    """
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+_PIVOT_SQL = "SELECT user_id % 10 AS cohort, " + ", ".join(
+    f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 2) AS {t}"
+    for t in _EVENT_TYPES
+) + " FROM events GROUP BY 1"
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by TF-IDF.
+
+    explode → (doc, term) counts → document frequencies → idf join → window
+    top-k. Scale: two shuffles (term counts, df) + the ranked top-k, which
+    Spark executes with partial WindowGroupLimit before the exchange. The
+    df table is broadcast (|vocab| ≪ corpus).
+    """
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.text import tokens_expr
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    n_docs = docs.count()  # plan-time scalar, like the reference's schema pass
+    terms = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0)))
+        ).alias("__score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("__score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            F.round("__score", 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _tfidf_sql() -> str:
+    return rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         tf::DOUBLE * ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE) AS score
+  FROM tf JOIN dfs USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": ngram_jaccard_documents,
     "cosine_neardup_embeddings": cosine_neardup_embeddings,
@@ -374,6 +504,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features_documents": multimodal_features_documents,
     "bpe_token_stats_documents": bpe_token_stats_documents,
     "streaming_hourly_rollup": streaming_hourly_rollup,
+    "events_quantiles": events_quantiles,
+    "pivot_events_by_cohort": pivot_events_by_cohort,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -383,4 +516,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "multimodal_features_documents": _MULTIMODAL_SQL,
     "bpe_token_stats_documents": _BPE_SQL,
     "streaming_hourly_rollup": _STREAMING_HOURLY_SQL,
+    "events_quantiles": _QUANTILES_SQL,
+    "pivot_events_by_cohort": _PIVOT_SQL,
+    "tfidf_top_terms": _tfidf_sql(),
 }
