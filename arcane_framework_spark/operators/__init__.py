@@ -1,7 +1,29 @@
 """Operator surface: relational CDC ops + large-scale data-pipeline operators."""
 
+from arcane_framework_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from arcane_framework_spark.operators.multimodal import (  # noqa: F401
+    documents_as_assets,
+    extract_features,
+)
 from arcane_framework_spark.operators.relational import (  # noqa: F401
     changes_since,
     delta_join,
     latest_state,
+)
+from arcane_framework_spark.operators.similarity import (  # noqa: F401
+    ann_banded_pairs,
+    ivf_topk,
+    knn_bruteforce,
+    lsh_buckets,
+)
+from arcane_framework_spark.operators.text import (  # noqa: F401
+    with_fingerprint,
+    with_language,
+    with_text_stats,
 )

@@ -1,9 +1,18 @@
-"""Streaming runtime: runner, exit codes, triggers, drift choreography."""
+"""Streaming runtime: runner, exit codes, stateful operators, metrics."""
 
+from arcane_framework_spark.streaming.metrics import (  # noqa: F401
+    RowsIncomingListener,
+    SourceTags,
+)
 from arcane_framework_spark.streaming.runner import (  # noqa: F401
     EXIT_FATAL,
     EXIT_RESTART,
     EXIT_SUCCESS,
     StreamRunner,
     classify_exception,
+)
+from arcane_framework_spark.streaming.stateful import (  # noqa: F401
+    dedup_stream,
+    sessionize_stream,
+    windowed_rollup,
 )
