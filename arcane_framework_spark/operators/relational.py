@@ -115,3 +115,69 @@ def latest_state(df: DataFrame,
 def project(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """R3/R10 — explicit projection & column alignment (order matters)."""
     return df.select(*columns)
+
+
+def apply_changes_to_snapshot(snapshot: DataFrame, changes: DataFrame,
+                              merge_key: str | Sequence[str] = ARCANE_MERGE_KEY,
+                              version_column: str = SYS_CHANGE_VERSION,
+                              op_column: str = SYS_CHANGE_OPERATION) -> DataFrame:
+    """R11 consumer side — the MERGE the reference leaves to downstream.
+
+    New snapshot = latest surviving row per merge key across (current
+    snapshot ∪ change batch): updates replace, inserts append, deletes
+    remove. Implemented as a union + ``latest_state`` fold, so it is the
+    same one-shuffle window dedup regardless of change-batch size; snapshot
+    rows that lack CDC columns are treated as version −1 inserts (any real
+    change outranks them).
+
+    On Delta/Iceberg storage this maps to a native ``MERGE INTO``; for plain
+    parquet use ``upsert_parquet_snapshot`` which rewrites atomically.
+    """
+    cols = set(snapshot.columns)
+    if version_column not in cols:
+        snapshot = snapshot.withColumn(version_column, F.lit(-1).cast("long"))
+    if op_column not in cols:
+        snapshot = snapshot.withColumn(op_column, F.lit("I"))
+    ordered = changes.select(*snapshot.columns)
+    return latest_state(
+        snapshot.unionByName(ordered),
+        merge_key=merge_key,
+        version_column=version_column,
+        op_column=op_column,
+        drop_deletes=True,
+    )
+
+
+def upsert_parquet_snapshot(spark, path: str, changes: DataFrame,
+                            merge_key: str | Sequence[str] = ARCANE_MERGE_KEY,
+                            version_column: str = SYS_CHANGE_VERSION,
+                            op_column: str = SYS_CHANGE_OPERATION) -> DataFrame:
+    """Fold a change batch into a parquet snapshot directory, atomically.
+
+    Writes the merged state to a staging dir, then swaps it in (rename —
+    metadata-only on a real object-store layout). Returns the new snapshot.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        current = spark.read.parquet(path)
+        merged = apply_changes_to_snapshot(
+            current, changes, merge_key, version_column, op_column
+        )
+    else:
+        merged = latest_state(
+            changes, merge_key=merge_key, version_column=version_column,
+            op_column=op_column, drop_deletes=True,
+        )
+    staging = f"{path.rstrip('/')}__stage_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(staging)
+    backup = f"{path.rstrip('/')}__old_{uuid.uuid4().hex}"
+    if os.path.exists(path):
+        os.replace(path, backup)
+    os.replace(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return spark.read.parquet(path)

