@@ -1,0 +1,77 @@
+"""Scale utilities: salted joins for skew, bucketing for co-located joins.
+
+These are the two knobs the catalog queries don't exercise automatically:
+
+- **Salting** — when one join key carries a disproportionate share of rows
+  (hot user, null-ish default key), AQE's skew-join split helps reads but
+  a deliberately salted join bounds the worst partition by construction:
+  the skewed side gets a random salt in [0, buckets); the small side is
+  exploded across all salt values; the join key becomes (key, salt).
+- **Bucketing** — persisting both sides of a recurring equi-join bucketed
+  by the key lets every future join run exchange-free (verified in tests
+  by asserting no Exchange under the SortMergeJoin).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(skewed: DataFrame, small: DataFrame, on: str,
+                num_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join with the skewed side salted across ``num_salts`` buckets.
+
+    ``skewed`` gets a uniform random salt per row; ``small`` is replicated
+    once per salt value (explode of a literal range — cheap when ``small``
+    is the dimension side). The output drops the salt column. Worst-case
+    partition size becomes ``hot_key_rows / num_salts``.
+    """
+    salted_big = skewed.withColumn(
+        SALT_COL, (F.rand(seed=42) * num_salts).cast("int")
+    )
+    replicated = small.withColumn(
+        SALT_COL,
+        F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))),
+    )
+    return salted_big.join(replicated, on=[on, SALT_COL], how=how).drop(SALT_COL)
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: Sequence[str],
+                   num_buckets: int = 32,
+                   sort_cols: Sequence[str] | None = None) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table.
+
+    Two tables bucketed by the same key with the same bucket count join
+    without any Exchange — the physical plan goes straight to (sorted)
+    bucket-wise merge join. This is the storage-level answer to recurring
+    100 TB joins: pay the shuffle once at write time.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # A dropped-from-catalog table can leave its managed location behind
+    # (e.g. after a session restart); clear it or saveAsTable refuses.
+    import os
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    leftover = os.path.join(warehouse, table_name.split(".")[-1].lower())
+    shutil.rmtree(leftover, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: Sequence[str], how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables (exchange-free when buckets align)."""
+    return spark.table(left_table).join(
+        spark.table(right_table), on=list(on), how=how
+    )

@@ -323,3 +323,41 @@ def test_upsert_parquet_snapshot_roundtrip(spark, tmp_path):
     # re-applying the same batch is idempotent (at-least-once absorption)
     got3 = upsert_parquet_snapshot(spark, path, batch2, merge_key="k")
     assert {r.k: r.v for r in got3.collect()} == {2: "b", 3: "c"}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from arcane_framework_spark.operators.scale import salted_join
+
+    # skewed fact: key 1 dominates
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1000), (3, 2000)], "k: long, x: long"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "warm"), (4, "unused")],
+                                "k: long, label: string")
+    got = salted_join(fact, dim, on="k", num_salts=8)
+    plain = fact.join(dim, on="k")
+    assert got.count() == plain.count() == 501
+    assert got.columns == plain.columns
+    agg = {r.label: r.n for r in
+           got.groupBy("label").agg(__import__("pyspark").sql.functions
+                                    .count("*").alias("n")).collect()}
+    assert agg == {"hot": 500, "warm": 1}
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from arcane_framework_spark.operators.scale import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    o = spark.createDataFrame([(i, f"o{i}") for i in range(100)],
+                              "k: long, ov: string")
+    li = spark.createDataFrame([(i % 100, f"l{i}") for i in range(300)],
+                               "k: long, lv: string")
+    write_bucketed(o, "t_orders_b", ["k"], num_buckets=4, sort_cols=["k"])
+    write_bucketed(li, "t_lineitem_b", ["k"], num_buckets=4, sort_cols=["k"])
+    joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", on=["k"])
+    assert joined.count() == 300
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # bucket-aligned join: no shuffle exchange anywhere in the plan
+    assert "Exchange hashpartitioning" not in plan, plan
