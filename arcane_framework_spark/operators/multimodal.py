@@ -23,6 +23,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -98,6 +99,83 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: Arrow-batched pass emitting resized assets.
+
+    The real pixel resample needs an imaging library (absent here), so the
+    byte payload passes through unchanged and only the declared dimensions
+    change — the schema, batching, and partition behavior are exactly what
+    a real resampler plugs into (swap the body, keep the signature).
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["content"],  # stub: no real resample
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_sha256", StringType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled "frame".
+
+    A real video decoder would emit per-frame images; the deterministic
+    stand-in slices the byte payload every ``every_n_bytes`` and hashes each
+    slice. The one-to-many row fan-out (the part that matters for Spark —
+    schema, ordering, partition locality) is real.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(content)
+                for i in range(min(max_frames, max(len(raw), 1) // every_n_bytes + 1)):
+                    chunk = raw[i * every_n_bytes:(i + 1) * every_n_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame_sha256": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return assets.mapInPandas(batches, FRAME_SCHEMA)
 
 
 def decode_image(content: bytes):  # pragma: no cover - stub by design

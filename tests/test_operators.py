@@ -361,3 +361,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     # bucket-aligned join: no shuffle exchange anywhere in the plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    import hashlib as _hashlib
+
+    from arcane_framework_spark.operators.multimodal import (
+        documents_as_assets,
+        resize_assets,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "abc")], "doc_id: long, text: string"
+    )
+    assets = documents_as_assets(df)
+    resized = resize_assets(assets, 224, 224).collect()
+    by_id = {r.doc_id: r for r in resized}
+    assert by_id[1].width == by_id[1].height == 224
+    assert bytes(by_id[1].content) == b"x" * 100  # stub passthrough
+
+    frames = sample_frames(assets, every_n_bytes=64, max_frames=8).collect()
+    f1 = sorted((r.frame_index, r.frame_sha256) for r in frames
+                if r.doc_id == 1)
+    # 100 bytes / 64 -> frames 0 (bytes 0..63) and 1 (bytes 64..99)
+    assert [i for i, _ in f1] == [0, 1]
+    assert f1[0][1] == _hashlib.sha256(b"x" * 64).hexdigest()
+    assert f1[1][1] == _hashlib.sha256(b"x" * 36).hexdigest()
