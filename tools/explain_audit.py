@@ -1,0 +1,67 @@
+"""Plan audit: dump red flags for every catalog query.
+
+Greps each query's optimized physical plan for the things that kill 100 TB
+runs: cartesian products, unexpected nested-loop joins, and scans that read
+every column. Prints one line per query; RED lines deserve a look.
+
+Some BroadcastNestedLoopJoins are by construction (query-set × candidate-set
+similarity scans, scalar-subquery broadcasts) — the audit marks them `ok`
+for the queries that declare them.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from arcane_framework_spark.queries import QUERIES  # noqa: E402
+from arcane_framework_spark.session import get_spark  # noqa: E402
+
+#: Queries where a nested-loop broadcast join is the intended plan.
+EXPECTED_BNLJ = {
+    "knn_bruteforce_embeddings",   # query-set × candidate scan
+    "ivf_topk_embeddings",         # corpus × broadcast centroids
+    "q22_inactive_customers",      # scalar threshold broadcast
+}
+
+#: Streaming-executed queries — no batch plan to audit.
+SKIP = {"streaming_hourly_rollup"}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("arcane-explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name, fn in QUERIES.items():
+        if name in SKIP:
+            print(f"SKIP  {name} (streaming execution)")
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan and name not in EXPECTED_BNLJ:
+            flags.append("NESTED-LOOP")
+        import re
+
+        # formatted mode prints "(N) Exchange" headers with the partitioning
+        # on a separate Arguments line
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        status = "RED " if flags else "ok  "
+        if flags:
+            failures += 1
+        print(f"{status}{name}: exchanges={n_exchanges} {' '.join(flags)}")
+    print(f"\n{failures} flagged plan(s)")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
