@@ -307,6 +307,56 @@ def ivf_topk(df: DataFrame, centroids: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def kmeans_fit(df: DataFrame, k: int, iterations: int = 3,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               init_stride: int | None = None) -> DataFrame:
+    """Lloyd's k-means over an embedding column, pure DataFrame ops.
+
+    Deterministic init (every ``init_stride``-th vector by id); each
+    iteration = cosine-argmax assignment (broadcast centroids, map-side)
+    followed by a per-dimension mean (posexplode → groupBy(cid, pos) avg →
+    re-assemble). Per iteration: one N×dim-row shuffle — the canonical
+    distributed k-means cost. Returns the final centroids (cid, cvec).
+
+    Iterative, so no SQL oracle — covered by operator unit tests instead.
+    """
+    init_stride = init_stride or max(
+        1, df.count() // k
+    )
+    centroids = (
+        df.filter((F.col(id_col) % init_stride == 0))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(base, centroids, id_col, vec_col)
+        dims = assigned.select(
+            "cid", F.posexplode("vec").alias("pos", "x")
+        )
+        means = (
+            dims.groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "cid", F.transform("pm", lambda s: s.m).alias("cvec")
+            )
+        )
+        centroids = means
+    return centroids
+
+
 def ann_lsh_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   num_planes: int = NUM_PLANES) -> DataFrame:

@@ -497,6 +497,49 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Oracle-free scale operators (approximation / iteration — the driver
+# records the weaker rows-only check for these by design)
+# ---------------------------------------------------------------------------
+
+
+def approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per event type.
+
+    approx_count_distinct is the only way to count distincts in one pass at
+    100 TB (mergeable sketch, map-side combine, no exact-distinct shuffle).
+    Sketch estimates are engine-specific, so there is deliberately no SQL
+    oracle; the exact variant is cross-checked in unit tests.
+    """
+    t = load_tables(spark, sf_dir, "events")
+    return t["events"].groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration Lloyd's k-means over the embeddings (iterative — no
+    SQL oracle; deterministic init, so rows/schema are stable)."""
+    from arcane_framework_spark.operators.similarity import kmeans_fit
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(t["embeddings"], k=10, iterations=3)
+    return centroids.select(
+        "cid",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("cvec", "cvec", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+            6,
+        ).alias("centroid_norm"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": ngram_jaccard_documents,
     "cosine_neardup_embeddings": cosine_neardup_embeddings,
@@ -507,6 +550,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": events_quantiles,
     "pivot_events_by_cohort": pivot_events_by_cohort,
     "tfidf_top_terms": tfidf_top_terms,
+    # oracle-free (approximation / iteration): rows-only driver check
+    "approx_user_counts": approx_user_counts,
+    "kmeans_embeddings": kmeans_embeddings,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {

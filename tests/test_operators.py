@@ -388,3 +388,23 @@ def test_resize_and_frame_sample_plumbing(spark):
     assert [i for i, _ in f1] == [0, 1]
     assert f1[0][1] == _hashlib.sha256(b"x" * 64).hexdigest()
     assert f1[1][1] == _hashlib.sha256(b"x" * 36).hexdigest()
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from arcane_framework_spark.operators.similarity import ivf_assign, kmeans_fit
+
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.1, 0.0]) for i in range(0, 8)] + [
+        (i, [0.1, 10.0 + (i % 3) * 0.1, 0.0]) for i in range(8, 16)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    centroids = kmeans_fit(df, k=2, iterations=3, init_stride=8)
+    got = centroids.collect()
+    assert len(got) == 2
+    assigned = ivf_assign(df, centroids)
+    clusters = {
+        r.cid: r.n
+    for r in assigned.groupBy("cid").agg(
+            __import__("pyspark").sql.functions.count("*").alias("n")
+        ).collect()
+    }
+    assert sorted(clusters.values()) == [8, 8]
