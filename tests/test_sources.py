@@ -512,3 +512,53 @@ def test_tsql_query_shapes():
 
     pk = pk_discovery_query("dbo", "t")
     assert "PRIMARY KEY" in pk and "ORDINAL_POSITION" in pk
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource face of the REST source (page-parallel)
+# ---------------------------------------------------------------------------
+
+
+def test_rest_datasource_page_parallel(spark):
+    import http.server
+    import json as _json
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            page = int(self.path.split("page=")[1])
+            payload = {"data": {"items": [
+                {"id": page * 10 + i, "name": f"p{page}r{i}"} for i in range(3)
+            ]}}
+            body = _json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        from arcane_framework_spark.sources.rest_datasource import RestDataSource
+
+        spark.dataSource.register(RestDataSource)
+        df = (
+            spark.read.format("arcane_rest")
+            .schema("id LONG, name STRING")
+            .option("url_template", f"http://127.0.0.1:{port}/data?page=@page")
+            .option("pages", "3")
+            .option("key_chain", "data.items")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 3  # one partition per page
+        rows = sorted((r.id, r.name) for r in df.collect())
+        assert len(rows) == 9
+        assert rows[0] == (10, "p1r0") and rows[-1] == (32, "p3r2")
+    finally:
+        server.shutdown()
