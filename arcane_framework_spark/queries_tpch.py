@@ -502,6 +502,138 @@ GROUP BY c_nationkey
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: supplier-nation market share within a region by year.
+
+    8-way join with every dim broadcast; the conditional-sum ratio is a
+    single aggregation over the joined fact stream.
+    """
+    t = load_tables(
+        spark, sf_dir,
+        "region", "nation", "customer", "supplier", "orders", "lineitem", "part",
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.expr(
+                "o_orderdate >= timestamp'1996-01-01 00:00:00' AND "
+                "o_orderdate <= timestamp'1997-12-31 00:00:00'"
+            )
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("c_rkey") == F.col("r_regionkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY 1
+"""
+
+
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + two conditional counts per group.
+
+    (Adapted: the synthetic lineitem has no shipmode, so l_returnflag
+    plays the grouping role and priority classes split the counts.)
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].filter(
+        F.expr(
+            "l_shipdate >= timestamp'1997-01-01 00:00:00' AND "
+            "l_shipdate <  timestamp'1998-01-01 00:00:00'"
+        )
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count aggregation over part attributes.
+
+    (Adapted: no partsupp table, so lineitem bridges parts to suppliers.)
+    Scale: count(distinct) expands to a two-phase aggregate; the first
+    groupBy deduplicates (brand, size, suppkey) triples map-side.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size <= 25
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: (status, priority) hierarchy with subtotals.
 
@@ -646,6 +778,9 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_orders": q18_large_volume_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q22_inactive_customers": q22_inactive_customers,
+    "q8_market_share": q8_market_share,
+    "q12_shipping_modes": q12_shipping_modes,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
     "rollup_order_priority": rollup_order_priority,
     "setops_repeat_customers": setops_repeat_customers,
     "events_sessionize": events_sessionize,
@@ -663,6 +798,9 @@ TPCH_ORACLE_SQL: dict[str, str] = {
     "q18_large_volume_orders": _Q18_SQL,
     "q19_disjunctive_predicates": _Q19_SQL,
     "q22_inactive_customers": _Q22_SQL,
+    "q8_market_share": _Q8_SQL,
+    "q12_shipping_modes": _Q12_SQL,
+    "q16_supplier_part_counts": _Q16_SQL,
     "rollup_order_priority": _ROLLUP_SQL,
     "setops_repeat_customers": _SETOPS_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
