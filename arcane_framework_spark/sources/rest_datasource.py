@@ -31,7 +31,12 @@ import json
 import urllib.request
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -79,8 +84,47 @@ class RestReader(DataSourceReader):
             yield tuple(row.get(name) for name in self.schema_fields)
 
 
+class RestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face: one page per micro-batch, page cursor as the offset.
+
+    The offset dict {"page": N} is checkpointed by Structured Streaming, so
+    a restarted query resumes at the exact page — the page-token analog of
+    the reference's ChangeTrackingVersion watermark (T2). An empty page
+    leaves the offset unchanged (the next trigger re-polls, matching the
+    reference's empty-batch-then-retry behavior).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.inner = RestReader(schema, options)
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API)
+        return {"page": 0}
+
+    def read(self, start: dict) -> tuple:
+        next_page = int(start["page"]) + 1
+        rows = self._rows_for(next_page)
+        if not rows:
+            return iter([]), start
+        return iter(rows), {"page": next_page}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        rows: list[tuple] = []
+        for page in range(int(start["page"]) + 1, int(end["page"]) + 1):
+            rows.extend(self._rows_for(page))
+        return iter(rows)
+
+    def _rows_for(self, page: int) -> list[tuple]:
+        url = self.inner.url_template.replace("@page", str(page))
+        return [
+            tuple(row.get(name) for name in self.inner.schema_fields)
+            for row in _fetch_rows(
+                url, self.inner.headers, self.inner.timeout, self.inner.key_chain
+            )
+        ]
+
+
 class RestDataSource(DataSource):
-    """``format("arcane_rest")`` — page-parallel REST ingestion."""
+    """``format("arcane_rest")`` — page-parallel batch + page-cursor stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -93,3 +137,6 @@ class RestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> RestReader:
         return RestReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> RestStreamReader:  # noqa: N802
+        return RestStreamReader(schema, self.options)

@@ -562,3 +562,60 @@ def test_rest_datasource_page_parallel(spark):
         assert rows[0] == (10, "p1r0") and rows[-1] == (32, "p3r2")
     finally:
         server.shutdown()
+
+
+def test_rest_datasource_streaming_page_cursor(spark, tmp_path):
+    import http.server
+    import json as _json
+    import threading
+    import time as _time
+
+    N_PAGES = 3
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            page = int(self.path.split("page=")[1])
+            items = ([{"id": page}] if page <= N_PAGES else [])
+            body = _json.dumps({"items": items}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        from arcane_framework_spark.sources.rest_datasource import RestDataSource
+
+        spark.dataSource.register(RestDataSource)
+        stream = (
+            spark.readStream.format("arcane_rest")
+            .schema("id LONG")
+            .option("url_template", f"http://127.0.0.1:{port}/d?page=@page")
+            .option("key_chain", "items")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory").queryName("rest_stream_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 60
+            got = set()
+            while _time.time() < deadline:
+                got = {r.id for r in spark.table("rest_stream_t").collect()}
+                if got == {1, 2, 3}:
+                    break
+                _time.sleep(1)
+        finally:
+            q.stop()
+        assert got == {1, 2, 3}  # one page per micro-batch, offset-checkpointed
+    finally:
+        server.shutdown()
