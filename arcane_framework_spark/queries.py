@@ -688,6 +688,10 @@ GROUP BY 1, 2
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path (F4): JSON property extraction + rollup."""
     t = load_tables(spark, sf_dir, "events")
+    # NB: rounding is floor(x*1e4+0.5)/1e4 rather than round(x, 4): Spark
+    # rounds the exact binary double (HALF_UP on 28.84624999... → .8462)
+    # while DuckDB's round goes through the decimal representation
+    # (→ .8463); pure float arithmetic is bit-identical in both engines.
     return (
         t["events"]
         .select(
@@ -697,15 +701,17 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.floor(F.avg("value") * 10000.0 + 0.5) / 10000.0).alias(
+                "avg_value"
+            ),
         )
     )
 
 
 _EVENTS_JSON_SQL = """
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-       count(*)             AS n_events,
-       round(avg(value), 4) AS avg_value
+       count(*)                                   AS n_events,
+       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
 FROM events
 GROUP BY 1
 """
