@@ -200,9 +200,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # persisted: joined by both the id_a and id_b side of the verification
     sh = _with_tokens(df, text_col, id_col).select(
         "id", shingles_from_tokens(F.col("toks")).alias("shingles")
-    )
+    ).persist()
     sized = (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
@@ -283,7 +284,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     grams = norm.select(
         "id", char_ngrams_from_norm(F.col("norm")).alias("grams")
-    ).persist()
+    )
+    # persisted: consumed by the size aggregation and BOTH sides of the
+    # pair join — without it the md5 sort behind the sketch runs 3×.
     keyed = grams.select(
         "id",
         "grams",
@@ -295,7 +298,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             ),
             "|",
         ).alias("block_key"),
-    )
+    ).persist()
     if max_block is not None:
         # degenerate-block guard (see NGRAM_MAX_BLOCK): one aggregation on
         # the key, then an equi-join filter — both ride the same shuffle
@@ -310,14 +313,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     b = keyed.select(
         F.col("id").alias("id_b"), F.col("grams").alias("g_b"), "block_key"
     )
+    # Size-ratio prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+    # whose gram-set sizes differ too much cannot pass min_jaccard — drop
+    # them BEFORE the O(|A|+|B|) intersection. The 1e-6 slack keeps pairs
+    # whose rounded jaccard could still reach the threshold; the oracle
+    # applies the identical arithmetic, so result sets stay equal.
+    paired = a.join(b, on="block_key").filter(F.col("id_a") < F.col("id_b"))
+    if min_jaccard > 0.0:
+        paired = paired.filter(
+            F.least(F.size("g_a"), F.size("g_b")).cast("double")
+            >= (min_jaccard - 1e-6)
+            * F.greatest(F.size("g_a"), F.size("g_b")).cast("double")
+        )
     # |A∪B| = |A|+|B|-|A∩B| (arrays are distinct) — half the array work of
     # materializing array_union per pair. Two-step projection so the
     # intersection is evaluated once (CollapseProject keeps non-cheap
     # multi-referenced aliases in their own project).
     sized = (
-        a.join(b, on="block_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        paired.select(
             "id_a",
             "id_b",
             F.size("g_a").alias("__na"),

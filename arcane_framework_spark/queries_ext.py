@@ -112,6 +112,9 @@ sized AS (
          len(a.g) AS na, len(b.g) AS nb,
          len(list_intersect(a.g, b.g)) AS ni
   FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
+  WHERE least(len(a.g), len(b.g))::DOUBLE
+        >= ({NGRAM_MIN_JACCARD} - 1e-6)
+           * greatest(len(a.g), len(b.g))::DOUBLE
 )
 SELECT id_a, id_b,
        round(ni::DOUBLE / (na + nb - ni)::DOUBLE, 6) AS jaccard
