@@ -567,7 +567,7 @@ FROM sized
 
 
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 16-bit SimHash signature."""
+    """Per-document SIMHASH_BITS-bit SimHash signature."""
     t = load_tables(spark, sf_dir, "documents")
     return simhash_signatures(t["documents"])
 

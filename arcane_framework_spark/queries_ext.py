@@ -123,6 +123,78 @@ WHERE round(ni::DOUBLE / (na + nb - ni)::DOUBLE, 6) >= {NGRAM_MIN_JACCARD}
 """
 
 
+def simhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banded near-dup pairs (Hamming ≤ 1) over the planted corpus.
+
+    Doubled text doubles every token's vote without changing signs, so the
+    planted near-dups collide at Hamming distance 0 — the property SimHash
+    dedup exploits at scale.
+    """
+    from arcane_framework_spark.operators.dedup import simhash_neardup_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    return simhash_neardup_pairs(docs.unionByName(planted))
+
+
+def _simhash_neardup_sql() -> str:
+    from arcane_framework_spark.operators.dedup import (
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        SIMHASH_MAX_HAMMING,
+    )
+
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    bit_exprs = " || ".join(
+        f"(CASE WHEN list_sum(list_transform(w, t -> CASE WHEN "
+        f"substr(md5(t), {p}, 1) >= '8' THEN 1 ELSE -1 END)) > 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in range(1, SIMHASH_BITS + 1)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {b} AS band_id, "
+        f"substr(sig, {b * band_w + 1}, {band_w}) AS band_hash FROM sig"
+        for b in range(SIMHASH_BANDS)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN substr(sa.sig, {p}, 1) <> substr(sb.sig, {p}, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for p in range(1, SIMHASH_BITS + 1)
+    )
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text || ' ' || text
+  FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM corpus
+),
+sig AS (
+  SELECT id, {bit_exprs} AS sig FROM toks
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+)
+SELECT id_a, id_b, ({hamming})::INT AS hamming
+FROM cand
+JOIN sig sa ON sa.id = id_a
+JOIN sig sb ON sb.id = id_b
+WHERE ({hamming}) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (banded hyperplane LSH)
 # ---------------------------------------------------------------------------
@@ -545,6 +617,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": ngram_jaccard_documents,
+    "simhash_neardup_documents": simhash_neardup_documents,
     "cosine_neardup_embeddings": cosine_neardup_embeddings,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "multimodal_features_documents": multimodal_features_documents,
@@ -560,6 +633,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_documents": _ngram_jaccard_sql(),
+    "simhash_neardup_documents": _simhash_neardup_sql(),
     "cosine_neardup_embeddings": _cosine_neardup_sql(),
     "ivf_topk_embeddings": _IVF_SQL,
     "multimodal_features_documents": _MULTIMODAL_SQL,

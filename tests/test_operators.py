@@ -114,7 +114,9 @@ def test_simhash_identical_texts_equal(spark):
     )
     sigs = {r.id: r.simhash for r in simhash_signatures(df).collect()}
     assert sigs[1] == sigs[2]  # whitespace-insensitive
-    assert set(sigs[1]) <= {"0", "1"} and len(sigs[1]) == 16
+    from arcane_framework_spark.operators.dedup import SIMHASH_BITS
+
+    assert set(sigs[1]) <= {"0", "1"} and len(sigs[1]) == SIMHASH_BITS
 
 
 def test_knn_excludes_self_and_ranks(spark):
@@ -408,3 +410,18 @@ def test_kmeans_separates_obvious_clusters(spark):
         ).collect()
     }
     assert sorted(clusters.values()) == [8, 8]
+
+
+def test_simhash_neardup_pairs_doubled_text_hamming_zero(spark):
+    from arcane_framework_spark.operators.dedup import simhash_neardup_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta " * 2),  # doubled -> same sig
+        (3, "totally different words here entirely unlike"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_neardup_pairs(df).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
