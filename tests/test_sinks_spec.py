@@ -189,3 +189,29 @@ def test_dynamic_path_json_sink_envelopes(spark, tmp_path):
                  for l in lines)
     assert got == [("2024-01-01T00:00:00", '{"x": 1}'),
                    ("2024-01-01T00:00:01", '{"x": 2}')]
+
+
+def test_partitioned_sink_output_is_partition_pruned(spark, tmp_path):
+    """Hive-layout partitioned writes must let readers prune partitions —
+    the consumer-side payoff of DATE_PARTITION_KEY (SURVEY R5/K1)."""
+    from pyspark.sql import functions as F
+
+    from arcane_framework_spark.sinks.parquet_sink import ParquetStreamSink
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}", f"2024{1 + i % 3:02d}") for i in range(30)],
+        "id: long, v: string, DATE_PARTITION_KEY: string",
+    )
+    base = str(tmp_path / "out")
+    sink = ParquetStreamSink(base, partition_by=["DATE_PARTITION_KEY"])
+    sink.write_batch(df)
+    back = spark.read.parquet(sink.data_path).filter(
+        F.col("DATE_PARTITION_KEY") == "202401"
+    )
+    assert back.count() == 10
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(DATE_PARTITION_KEY" in plan
+    # only the matching partition directory is scanned
+    files = [r[0] for r in back.select(
+        F.input_file_name()).distinct().collect()]
+    assert files and all("DATE_PARTITION_KEY=202401" in f for f in files)
