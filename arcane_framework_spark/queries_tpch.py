@@ -715,6 +715,66 @@ FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
 """
 
 
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: all grouping combinations of (status, priority)."""
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*)                          AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ntile: customers quartiled by account balance per nation.
+
+    Scale: one shuffle on the partition key; ntile needs the per-partition
+    sort but no cross-partition state.
+    """
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    t = load_tables(spark, sf_dir, "customer")
+    quartiled = t["customer"].select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        "c_acctbal",
+    )
+    return quartiled.groupBy("c_nationkey", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
+_NTILE_SQL = """
+WITH q AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_nationkey, CAST(quartile AS INT) AS quartile,
+       count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM q
+GROUP BY 1, 2
+"""
+
+
 #: Session gap for events sessionization (microseconds).
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
@@ -782,6 +842,8 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_shipping_modes": q12_shipping_modes,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "rollup_order_priority": rollup_order_priority,
+    "cube_order_status": cube_order_status,
+    "ntile_customer_value": ntile_customer_value,
     "setops_repeat_customers": setops_repeat_customers,
     "events_sessionize": events_sessionize,
 }
@@ -802,6 +864,8 @@ TPCH_ORACLE_SQL: dict[str, str] = {
     "q12_shipping_modes": _Q12_SQL,
     "q16_supplier_part_counts": _Q16_SQL,
     "rollup_order_priority": _ROLLUP_SQL,
+    "cube_order_status": _CUBE_SQL,
+    "ntile_customer_value": _NTILE_SQL,
     "setops_repeat_customers": _SETOPS_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
 }

@@ -425,3 +425,25 @@ def test_simhash_neardup_pairs_doubled_text_hamming_zero(spark):
            for r in simhash_neardup_pairs(df).collect()}
     assert got.get((1, 2)) == 0
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_join_degrades_to_sort_merge_without_broadcast(spark):
+    """With broadcast disabled (the shape a 100 TB join takes when both
+    sides are large), the same declarative plan must degrade to a shuffle
+    join — no plan rewrite needed, Catalyst picks the strategy."""
+    import pyspark.sql.functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                        (F.col("id") * 2).alias("x"))
+        b = spark.range(0, 1000).select(F.col("id").alias("k"),
+                                        (F.col("id") * 3).alias("y"))
+        joined = a.join(b, "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
