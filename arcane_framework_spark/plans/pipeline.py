@@ -24,7 +24,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from arcane_framework_spark.contracts.columns import with_merge_key
+from arcane_framework_spark.contracts.columns import (
+    MERGE_KEY_ENCODING,
+    with_merge_key,
+)
 from arcane_framework_spark.plans.spec import StreamSpec
 from arcane_framework_spark.sinks.parquet_sink import ParquetStreamSink
 from arcane_framework_spark.streaming.runner import RunResult, StreamRunner
@@ -83,7 +86,14 @@ def apply_contracts(df: DataFrame, spec: StreamSpec) -> DataFrame:
     """Attach the §1.4 column contracts declared by the spec."""
     merge_keys = spec.options.get("merge_key_columns")
     if merge_keys:
-        df = with_merge_key(df, merge_keys)
+        # Encoding is a single pipeline-level setting so the Spark-computed
+        # key always matches the JDBC-pushdown key (sources/tsql.py); the
+        # default (UTF-16LE) is reference parity.
+        df = with_merge_key(
+            df, merge_keys,
+            encoding=spec.options.get("merge_key_encoding",
+                                      MERGE_KEY_ENCODING),
+        )
     for p in spec.partitions:
         if p.field_expression:
             df = df.withColumn(p.field_name, F.expr(p.field_expression))

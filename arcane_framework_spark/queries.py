@@ -211,9 +211,14 @@ def merge_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MERGE_KEY_SQL = """
+-- UTF-16LE parity: for ASCII input (int PKs cast to string), the nvarchar
+-- bytes T-SQL HashBytes sees are the UTF-8 bytes NUL-interleaved — which
+-- regexp_replace can synthesize, so DuckDB recomputes the exact reference key.
 SELECT l_orderkey, l_linenumber,
-       lower(sha256(concat_ws('#', CAST(l_orderkey AS VARCHAR),
-                                    CAST(l_linenumber AS VARCHAR)))) AS "ARCANE_MERGE_KEY"
+       lower(sha256(regexp_replace(
+           concat_ws('#', CAST(l_orderkey AS VARCHAR),
+                          CAST(l_linenumber AS VARCHAR)),
+           '(.)', '\\1' || chr(0), 'g'))) AS "ARCANE_MERGE_KEY"
 FROM lineitem
 """
 

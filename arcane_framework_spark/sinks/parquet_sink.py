@@ -139,20 +139,38 @@ class ParquetStreamSink:
             lambda entry: f"part-{uuid.uuid4()}-{schema_hash}-chunk.parquet",
         )
         if self.partition_by:
-            # partitioned layout: move the whole directory tree instead
-            for entry in sorted(os.listdir(tmp)):
-                src = os.path.join(tmp, entry)
-                if entry.startswith(("_", ".")) or not os.path.isdir(src):
+            # Partitioned layout: Spark stages a Hive-style tree that is one
+            # directory level per partition column (p1=a/p2=x/part-*.parquet).
+            # Walk the whole tree and move every part file, preserving the
+            # relative partition path — a single-level listdir silently skips
+            # nested partition dirs when len(partition_by) > 1.
+            for root, _dirs, files in sorted(os.walk(tmp)):
+                rel = os.path.relpath(root, tmp)
+                if rel == ".":
                     continue
-                dst = os.path.join(dest_dir, entry)
-                os.makedirs(dst, exist_ok=True)
+                if any(seg.startswith(("_", ".")) for seg in rel.split(os.sep)):
+                    continue
+                if not any(f.startswith("part-") for f in files):
+                    continue
                 moved.extend(
                     _move_parts(
-                        src,
-                        dst,
+                        root,
+                        os.path.join(dest_dir, rel),
                         lambda e: f"part-{uuid.uuid4()}-{schema_hash}-chunk.parquet",
                     )
                 )
+        # Guard against a silent drop: nothing named part-* may remain in the
+        # staging tree once the move completes.
+        leftover = [
+            os.path.join(os.path.relpath(root, tmp), f)
+            for root, _dirs, files in os.walk(tmp)
+            for f in files
+            if f.startswith("part-") and not f.endswith(".crc")
+        ]
+        if leftover:
+            raise RuntimeError(
+                f"parquet sink failed to move staged part files: {leftover[:5]}"
+            )
         _clear_dir(tmp)
         return moved
 

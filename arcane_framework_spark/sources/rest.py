@@ -102,12 +102,22 @@ class PageCountingResolver(PageResolver):
 
 
 class PageOffsetResolver(PageResolver):
-    """Numeric offset advanced by the number of rows returned (P2)."""
+    """Numeric offset advanced by a fixed configured page size (P2).
+
+    Reference parity (PageOffsetResolver.cs:31-59): the offset advances by
+    the *configured* ``response_size`` after every non-empty response — NOT
+    by the number of rows the page happened to contain — so APIs that return
+    short non-final pages follow the same offset sequence as the reference.
+    ``response_size=None`` keeps the advance-by-rows-returned behavior as an
+    explicitly-documented divergence for APIs with unknown page size.
+    """
 
     def __init__(self, response_size_key_chain: list[str] | None,
-                 start_offset: int = 0):
+                 start_offset: int = 0,
+                 response_size: int | None = None):
         self.key_chain = response_size_key_chain
         self.start_offset = start_offset
+        self.response_size = response_size
         self.offset: int | None = None
 
     def next(self, response: Any | None) -> bool:
@@ -118,7 +128,8 @@ class PageOffsetResolver(PageResolver):
         if len(rows) == 0:
             self.reset()
             return False
-        self.offset = (self.offset or 0) + len(rows)
+        step = self.response_size if self.response_size is not None else len(rows)
+        self.offset = (self.offset or 0) + step
         return True
 
     def current(self) -> str | None:

@@ -9,8 +9,10 @@ partition expression all evaluate server-side and Spark sees only the
 result relation. Semantics (not text) follow the reference:
 
 - merge key = ``lower(hex(sha2_256('#'-joined nvarchar casts of the PKs)))``
-  — byte-identical to the engine-side ``merge_key_expr`` (golden hash test
-  in tests/test_contracts.py pins both to the same value)
+  — nvarchar means the hashed bytes are UTF-16LE, which is also the default
+  encoding of the engine-side ``merge_key_expr`` (contracts/columns.py), so
+  the two paths are byte-identical out of the box (golden hash test in
+  tests/test_contracts.py pins both to the same value)
 - full load synthesizes version 0 / operation 'I'
 - delta reads ``CHANGETABLE(CHANGES ..., last_version)`` left-joined to the
   live table so deletes survive with NULL payload

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -150,9 +151,20 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS,
                 }
             )
 
+    # The state machine works in epoch MICROSECONDS. A bare cast('long') on a
+    # TimestampType column yields epoch SECONDS in Spark — gaps would be
+    # under-measured 1e6× and sessions would never close — so convert
+    # explicitly by input type instead of trusting the caller to pre-convert.
+    ts_type = events.schema[ts_col].dataType
+    if isinstance(ts_type, TimestampType):
+        ts_expr = F.unix_micros(F.col(ts_col))
+    elif isinstance(ts_type, TimestampNTZType):
+        ts_expr = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    else:  # integer epochs are taken as already-microseconds
+        ts_expr = F.col(ts_col).cast("long")
     prepared = events.select(
         F.col(key_col).cast("long").alias(key_col),
-        F.col(ts_col).cast("long").alias(ts_col),
+        ts_expr.alias(ts_col),
     )
     return prepared.groupBy(key_col).applyInPandasWithState(
         fn,

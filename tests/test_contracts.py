@@ -44,23 +44,33 @@ def test_merge_key_reference_golden_utf16(spark):
     assert got == GOLDEN_88888
 
 
+def test_merge_key_default_is_reference_utf16(spark):
+    """The DEFAULT encoding must be reference parity (UTF-16LE) so every
+    code path — pushdown, backfill, spec contracts — emits the same key."""
+    df = spark.createDataFrame([(88888,)], "x: int")
+    got = df.select(merge_key_expr(["x"]).alias("k")).head()[0]
+    assert got == GOLDEN_88888
+
+
 def test_merge_key_utf8_matches_hashlib(spark):
     df = spark.createDataFrame([(42, 7)], "a: bigint, b: int")
-    got = df.select(merge_key_expr(["a", "b"]).alias("k")).head()[0]
+    got = df.select(
+        merge_key_expr(["a", "b"], encoding="UTF-8").alias("k")
+    ).head()[0]
     assert got == hashlib.sha256(b"42#7").hexdigest()
 
 
 def test_merge_key_multi_pk_separator(spark):
     df = spark.createDataFrame([("x", "y")], "a: string, b: string")
     got = df.select(merge_key_expr(["a", "b"]).alias("k")).head()[0]
-    assert got == hashlib.sha256(b"x#y").hexdigest()
+    assert got == hashlib.sha256("x#y".encode("utf-16-le")).hexdigest()
 
 
 def test_with_merge_key_and_defaults(spark):
     df = spark.createDataFrame([(1, "p")], "id: int, payload: string")
     out = with_change_defaults(with_merge_key(df, ["id"]))
     row = out.head()
-    assert row.ARCANE_MERGE_KEY == hashlib.sha256(b"1").hexdigest()
+    assert row.ARCANE_MERGE_KEY == hashlib.sha256("1".encode("utf-16-le")).hexdigest()
     assert row.SYS_CHANGE_VERSION == 0
     assert row.SYS_CHANGE_OPERATION == "I"
 

@@ -215,3 +215,31 @@ def test_partitioned_sink_output_is_partition_pruned(spark, tmp_path):
     files = [r[0] for r in back.select(
         F.input_file_name()).distinct().collect()]
     assert files and all("DATE_PARTITION_KEY=202401" in f for f in files)
+
+def test_multi_column_partitioned_write_preserves_all_rows(spark, tmp_path):
+    """Regression: with 2+ partition_by columns the staged tree is nested
+    (p1=a/p2=x/part-*.parquet); the sink must move every leaf part file,
+    not silently drop the batch."""
+    from pyspark.sql import functions as F
+
+    from arcane_framework_spark.sinks.parquet_sink import ParquetStreamSink
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}", f"t{i % 2}", f"2024{1 + i % 3:02d}") for i in range(30)],
+        "id: long, v: string, tenant: string, DATE_PARTITION_KEY: string",
+    )
+    base = str(tmp_path / "out")
+    sink = ParquetStreamSink(base, partition_by=["tenant", "DATE_PARTITION_KEY"])
+    moved = sink.write_batch(df)
+    assert moved, "multi-column partitioned write moved zero files"
+    back = spark.read.parquet(sink.data_path)
+    assert back.count() == 30
+    assert sorted(r["id"] for r in back.select("id").collect()) == list(range(30))
+    # nested Hive layout survives the rename and still prunes
+    pruned = back.filter(
+        (F.col("tenant") == "t0") & (F.col("DATE_PARTITION_KEY") == "202401")
+    )
+    files = [r[0] for r in pruned.select(F.input_file_name()).distinct().collect()]
+    assert files and all(
+        "tenant=t0" in f and "DATE_PARTITION_KEY=202401" in f for f in files
+    )

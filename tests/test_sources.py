@@ -160,6 +160,17 @@ def test_page_offset_resolver_sequence():
     assert r.next({"items": []}) is False
 
 
+def test_page_offset_resolver_fixed_response_size():
+    """Reference parity (PageOffsetResolver.cs:47): a configured
+    response_size advances the offset even when the API returns a short
+    (non-final) page."""
+    r = PageOffsetResolver(["items"], start_offset=0, response_size=100)
+    assert r.next(None) is True and r.current() == "0"
+    assert r.next({"items": [1, 2, 3]}) is True and r.current() == "100"
+    assert r.next({"items": [4]}) is True and r.current() == "200"
+    assert r.next({"items": []}) is False and r.current() is None
+
+
 def test_page_next_token_resolver_sequence():
     r = PageNextTokenResolver(["next"])
     assert r.next(None) is True and r.current() is None
@@ -481,9 +492,12 @@ def test_tsql_merge_key_matches_engine_semantics(spark):
     # structure assertions on the real T-SQL
     assert "HashBytes('SHA2_256'" in sql
     assert "+ '#' +" in sql and sql.startswith("lower(convert(nvarchar(128)")
-    # semantic parity via DuckDB
+    # semantic parity via DuckDB: HashBytes sees nvarchar (UTF-16LE) bytes,
+    # reproduced for ASCII input by NUL-interleaving with regexp_replace
     got = duckdb.sql(
-        "SELECT lower(sha256(cast(1 as varchar) || '#' || cast(2 as varchar)))"
+        "SELECT lower(sha256(regexp_replace("
+        "cast(1 as varchar) || '#' || cast(2 as varchar),"
+        " '(.)', '\\1' || chr(0), 'g')))"
     ).fetchone()[0]
     df = spark.createDataFrame([(1, 2)], "k1: int, k2: int")
     want = df.select(merge_key_expr(["k1", "k2"]).alias("m")).head().m

@@ -363,3 +363,44 @@ def test_rows_incoming_metrics_listener(spark, tmp_path):
     rows = [o for o in listener.observations if o.name == ROWS_INCOMING]
     assert rows and sum(o.value for o in rows) == 7.0
     assert rows[0].tags["arcane.stream_id"] == "s-1"
+
+def test_sessionize_stream_accepts_timestamp_column(spark, tmp_path):
+    """Regression: a TimestampType ts column must be converted to epoch
+    MICROSECONDS (unix_micros), not bare-cast to epoch seconds — otherwise
+    gaps are under-measured 1e6x and in-batch sessions never close."""
+    import json as _json
+    import time as _time
+
+    from arcane_framework_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "sess_ts"
+    src.mkdir()
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T10:00:00"},
+        {"user_id": 1, "ts": "2024-01-01T10:01:00"},   # same session
+        {"user_id": 1, "ts": "2024-01-01T12:00:00"},   # gap > 30min -> closes
+    ]
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP").json(str(src))
+    out = sessionize_stream(stream, gap_seconds=1800, state_timeout_ms=3000)
+    q = (
+        out.writeStream.format("memory").queryName("sess_ts_t")
+        .outputMode("append").trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = _time.time() + 90
+        got = set()
+        while _time.time() < deadline:
+            got = {(r.user_id, r.n_events, r.session_start, r.session_end)
+                   for r in spark.table("sess_ts_t").collect()}
+            if len(got) == 2:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    by_n = {n: (s, e) for (_u, n, s, e) in got}
+    assert set(by_n) == {2, 1}
+    # emitted bounds are the real wall-clock timestamps, not seconds-as-micros
+    start2, end2 = by_n[2]
+    assert (start2.year, start2.hour, start2.minute) == (2024, 10, 0)
+    assert (end2.hour, end2.minute) == (10, 1)
