@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from arcane_framework_spark.operators.cache import scoped_persist
+
 from arcane_framework_spark.operators.text import fingerprint_expr, tokens_expr
 
 #: MinHash parameters — shared with the SQL oracle generator.
@@ -195,7 +197,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         band_cols.append(F.md5(F.concat_ws("|", *parts)))
     bands = sig.select(
         "id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash")
-    ).persist()
+    ).transform(scoped_persist)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, on=["band_id", "band_hash"])
@@ -206,7 +208,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # persisted: joined by both the id_a and id_b side of the verification
     sh = _with_tokens(df, text_col, id_col).select(
         "id", shingles_from_tokens(F.col("toks")).alias("shingles")
-    ).persist()
+    ).transform(scoped_persist)
     sized = (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
@@ -288,28 +290,45 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     grams = norm.select(
         "id", char_ngrams_from_norm(F.col("norm")).alias("grams")
     )
-    # persisted: consumed by the size aggregation and BOTH sides of the
-    # pair join — without it the md5 sort behind the sketch runs 3×.
-    keyed = grams.select(
-        "id",
-        "grams",
-        F.array_join(
-            F.slice(
-                F.array_sort(F.transform("grams", lambda g: F.md5(g))),
-                1,
-                NGRAM_SKETCH_K,
-            ),
-            "|",
-        ).alias("block_key"),
-    ).persist()
+    # The gram + sketch build is map-only (row-local HOFs, zero shuffles);
+    # the single repartition on block_key then pre-positions the table for
+    # EVERYTHING downstream: the block-size window, and both sides of the
+    # pair self-join, all inherit HashPartitioning(block_key), so Catalyst
+    # inserts no further exchange. (Measured against the alternatives —
+    # explode-to-codegen gram build + groupBy, or a separate size
+    # aggregation joined back — this one-shuffle shape is the fastest; the
+    # sketch is identical either way so the oracle is unaffected.)
+    # persisted: consumed by the window and BOTH sides of the pair join.
+    keyed = (
+        grams.select(
+            "id",
+            "grams",
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.transform("grams", lambda g: F.md5(g))),
+                    1,
+                    NGRAM_SKETCH_K,
+                ),
+                "|",
+            ).alias("block_key"),
+        )
+        .repartition("block_key")
+        .transform(scoped_persist)
+    )
     if max_block is not None:
-        # degenerate-block guard (see NGRAM_MAX_BLOCK): one aggregation on
-        # the key, then an equi-join filter — both ride the same shuffle
-        # partitioning as the pair join itself.
-        sizes = keyed.groupBy("block_key").agg(
-            F.count(F.lit(1)).alias("__blk")
-        ).filter(F.col("__blk") <= max_block)
-        keyed = keyed.join(sizes.select("block_key"), "block_key")
+        # degenerate-block guard (see NGRAM_MAX_BLOCK): a count window over
+        # the existing block_key partitioning — no aggregation shuffle, no
+        # join, rides the one exchange above.
+        from pyspark.sql import Window
+
+        keyed = (
+            keyed.withColumn(
+                "__blk",
+                F.count(F.lit(1)).over(Window.partitionBy("block_key")),
+            )
+            .filter(F.col("__blk") <= max_block)
+            .drop("__blk")
+        )
     a = keyed.select(
         F.col("id").alias("id_a"), F.col("grams").alias("g_a"), "block_key"
     )
@@ -374,7 +393,7 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str = "text",
     """
     bits = SIMHASH_BITS
     band_w = bits // SIMHASH_BANDS
-    sig = simhash_signatures(df, text_col, id_col).persist()
+    sig = simhash_signatures(df, text_col, id_col).transform(scoped_persist)
     bands = sig.select(
         "id",
         F.posexplode(

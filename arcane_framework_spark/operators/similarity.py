@@ -25,6 +25,8 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from arcane_framework_spark.operators.cache import scoped_persist
+
 #: Default hyperplane count (LSH signature bits) — shared with the oracle.
 NUM_PLANES = 16
 
@@ -171,7 +173,7 @@ def ann_banded_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_signature_expr(F.col(vec_col), dim, num_planes).alias("sig"),
-    ).persist()
+    ).transform(scoped_persist)
     bands = base.select(
         "id",
         F.posexplode(
@@ -312,28 +314,50 @@ def kmeans_fit(df: DataFrame, k: int, iterations: int = 3,
                init_stride: int | None = None) -> DataFrame:
     """Lloyd's k-means over an embedding column, pure DataFrame ops.
 
-    Deterministic init (every ``init_stride``-th vector by id); each
-    iteration = cosine-argmax assignment (broadcast centroids, map-side)
+    Fully deterministic: init takes the ``k`` lowest-id vectors whose id is a
+    multiple of ``init_stride`` (defaulting to ``count/k``, computed INSIDE
+    the plan via a broadcast scalar — no driver-side ``df.count()`` action);
+    each iteration = cosine-argmax assignment (broadcast centroids, map-side)
     followed by a per-dimension mean (posexplode → groupBy(cid, pos) avg →
     re-assemble). Per iteration: one N×dim-row shuffle — the canonical
     distributed k-means cost. Returns the final centroids (cid, cvec).
 
-    Iterative, so no SQL oracle — covered by operator unit tests instead.
+    Scale hygiene: ``base`` is persisted once (every iteration and the
+    caller's final action re-reads it); each iteration's centroids are
+    persisted and materialized so Lloyd iteration i does not re-derive the
+    full lineage of iterations 0..i-1, and the previous iteration's cache is
+    dropped as soon as it is superseded. The small final-centroid handle is
+    left cached for the caller (k rows).
+
+    Deterministic init + fixed iteration count also make the whole fit
+    SQL-expressible — the catalog's ``kmeans_embeddings`` oracle unrolls
+    these exact iterations as DuckDB CTEs.
     """
-    init_stride = init_stride or max(
-        1, df.count() // k
-    )
-    centroids = (
-        df.filter((F.col(id_col) % init_stride == 0))
-        .limit(k)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).cast("array<double>").alias("cvec"),
-        )
-    )
     base = df.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
+    ).transform(scoped_persist)
+    if init_stride is not None:
+        seeds = base.filter(F.col(id_col) % init_stride == 0)
+    else:
+        stride = base.select(
+            F.greatest(
+                F.lit(1), (F.count(F.lit(1)) / k).cast("long")
+            ).alias("__stride")
+        )
+        seeds = base.join(F.broadcast(stride)).filter(
+            F.col(id_col) % F.col("__stride") == 0
+        )
+    # orderBy + limit = TakeOrderedAndProject: deterministic at any
+    # parallelism, unlike a bare limit over an unordered filter.
+    centroids = (
+        seeds.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .transform(scoped_persist)
     )
     for _ in range(iterations):
         assigned = ivf_assign(base, centroids, id_col, vec_col)
@@ -352,8 +376,14 @@ def kmeans_fit(df: DataFrame, k: int, iterations: int = 3,
             .select(
                 "cid", F.transform("pm", lambda s: s.m).alias("cvec")
             )
+            .transform(scoped_persist)
         )
+        # materialize the new centroids, then drop the superseded cache so
+        # iteration i+1 starts from k cached rows, not re-derived lineage
+        means.count()
+        centroids.unpersist()
         centroids = means
+    base.unpersist()
     return centroids
 
 
@@ -366,11 +396,14 @@ def ann_lsh_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
     signature — at 100 TB this is the standard ANN sketch: linear scan to
     bucket, shuffle on bucket, per-bucket pair generation.
     """
+    # persisted: both sides of the self-join consume base — without the cache
+    # the signature HOFs run twice over the corpus (same fix as
+    # ann_banded_pairs)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_signature_expr(F.col(vec_col), dim, num_planes).alias("bucket"),
-    )
+    ).transform(scoped_persist)
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, on="bucket")

@@ -33,6 +33,22 @@ def parse_seconds(value: int | float | str) -> timedelta:
     return timedelta(seconds=float(value))
 
 
+#: Reference source-width limit: "Supports max 600 columns"
+#: (SqlServerChangeTrackingSource.cs:29).
+MAX_SOURCE_COLUMNS = 600
+
+
+def validate_source_columns(columns: list[str],
+                            limit: int = MAX_SOURCE_COLUMNS) -> list[str]:
+    """Reject source relations wider than the reference's 600-column limit."""
+    if len(columns) > limit:
+        raise ValueError(
+            f"source has {len(columns)} columns; the supported maximum is "
+            f"{limit} (reference SqlServerChangeTrackingSource.cs:29)"
+        )
+    return columns
+
+
 @dataclass(frozen=True)
 class PartitionSpec:
     """One output-partition declaration, serialized for consumers.

@@ -573,46 +573,154 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 
 
 # ---------------------------------------------------------------------------
-# Oracle-free scale operators (approximation / iteration — the driver
-# records the weaker rows-only check for these by design)
+# Approximation / iteration operators with checkable oracle contracts
 # ---------------------------------------------------------------------------
 
 
 def approx_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct users per event type.
+    """HLL approximate distinct users per event type, with a checkable
+    contract.
 
     approx_count_distinct is the only way to count distincts in one pass at
     100 TB (mergeable sketch, map-side combine, no exact-distinct shuffle).
-    Sketch estimates are engine-specific, so there is deliberately no SQL
-    oracle; the exact variant is cross-checked in unit tests.
+    The raw sketch estimate is engine-specific, so the query emits the EXACT
+    distinct count alongside a ``within_5pct`` accuracy boolean instead: the
+    oracle recomputes the exact counts and asserts the same boolean, which
+    hash-fails if the sketch ever drifts outside its rsd contract. (At
+    production scale only the approx aggregate would be run; the exact twin
+    here is the correctness harness.)
     """
     t = load_tables(spark, sf_dir, "events")
-    return t["events"].groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = t["events"].groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
+_APPROX_USERS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+KMEANS_K = 10
+KMEANS_ITERS = 3
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration Lloyd's k-means over the embeddings (iterative — no
-    SQL oracle; deterministic init, so rows/schema are stable)."""
-    from arcane_framework_spark.operators.similarity import kmeans_fit
+    """3-iteration Lloyd's k-means over the embeddings, oracle-checkable.
+
+    Init and iteration count are deterministic (kmeans_fit), so the whole
+    fit is SQL-expressible: the oracle unrolls the same three assign/mean
+    iterations as DuckDB CTEs. Output is per-centroid quality stats —
+    assignment counts, mean cosine to the centroid, centroid norm — the
+    values a training pipeline actually monitors.
+    """
+    from arcane_framework_spark.operators.similarity import (
+        dot_expr,
+        ivf_assign,
+        kmeans_fit,
+        norm_expr,
+    )
 
     t = load_tables(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(t["embeddings"], k=10, iterations=3)
-    return centroids.select(
-        "cid",
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with("cvec", "cvec", lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            ),
-            6,
-        ).alias("centroid_norm"),
+    emb = t["embeddings"]
+    centroids = kmeans_fit(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
+    cent = centroids.select(
+        "cid", "cvec", norm_expr(F.col("cvec")).alias("__cn")
     )
+    assigned = ivf_assign(emb, centroids)
+    scored = assigned.join(F.broadcast(cent), "cid").select(
+        "cid",
+        (
+            dot_expr(F.col("vec"), F.col("cvec"))
+            / (norm_expr(F.col("vec")) * F.col("__cn"))
+        ).alias("__cos"),
+    )
+    stats = scored.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg("__cos"), 4).alias("avg_cosine"),
+    )
+    norms = centroids.select(
+        "cid", F.round(norm_expr(F.col("cvec")), 4).alias("centroid_norm")
+    )
+    return stats.join(F.broadcast(norms), "cid").select(
+        "cid", "n_points", "avg_cosine", "centroid_norm"
+    )
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                dim: int = 64) -> str:
+    """Unrolled deterministic Lloyd iterations as DuckDB CTEs.
+
+    Mirrors kmeans_fit exactly: stride init (k lowest ids divisible by
+    count/k), cosine-argmax assignment with (cos DESC, cid ASC) tie-break,
+    per-dimension mean. list_dot_product accumulates in index order like the
+    Spark-side ordered fold, so cosines agree to well under the round-4
+    tolerance of the emitted stats.
+    """
+    cos = (
+        "list_dot_product(e.v, c.cvec) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * "
+        "sqrt(list_dot_product(c.cvec, c.cvec)))"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT vec_id AS cid, v AS cvec FROM e,
+       (SELECT greatest(1, CAST(floor(count(*)::DOUBLE / {k}) AS BIGINT))
+          AS stride FROM e) p
+  WHERE vec_id % p.stride = 0 ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM e CROSS JOIN {prev} c
+)""")
+        ctes.append(f"""c{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT a.cid, g.i AS pos, avg(e.v[g.i]) AS m
+    FROM (SELECT vec_id, cid FROM s{i} WHERE rn = 1) a
+    JOIN e USING (vec_id)
+    CROSS JOIN generate_series(1, {dim}) AS g(i)
+    GROUP BY a.cid, g.i
+  ) GROUP BY cid
+)""")
+        prev = f"c{i}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+final_scored AS (
+  SELECT e.vec_id, c.cid, {cos} AS cos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM e CROSS JOIN {prev} c
+)
+SELECT f.cid, count(*) AS n_points,
+       round(avg(f.cos), 4) AS avg_cosine,
+       round(any_value(sqrt(list_dot_product(c.cvec, c.cvec))), 4)
+         AS centroid_norm
+FROM (SELECT vec_id, cid, cos FROM final_scored WHERE rn = 1) f
+JOIN {prev} c USING (cid)
+GROUP BY f.cid
+"""
 
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -626,7 +734,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": events_quantiles,
     "pivot_events_by_cohort": pivot_events_by_cohort,
     "tfidf_top_terms": tfidf_top_terms,
-    # oracle-free (approximation / iteration): rows-only driver check
     "approx_user_counts": approx_user_counts,
     "kmeans_embeddings": kmeans_embeddings,
 }
@@ -642,4 +749,6 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "events_quantiles": _QUANTILES_SQL,
     "pivot_events_by_cohort": _PIVOT_SQL,
     "tfidf_top_terms": _tfidf_sql(),
+    "approx_user_counts": _APPROX_USERS_SQL,
+    "kmeans_embeddings": _kmeans_sql(),
 }

@@ -86,6 +86,9 @@ class ChangeTrackingSource:
         self.partitioning_expression = partitioning_expression
 
     def _finalize(self, df: DataFrame) -> DataFrame:
+        from arcane_framework_spark.plans.spec import validate_source_columns
+
+        validate_source_columns(df.columns)
         df = with_merge_key(df, self.pk_columns)
         if self.partitioning_expression:
             from arcane_framework_spark.contracts.columns import with_date_partition
@@ -131,7 +134,14 @@ class ChangeTrackingSource:
 
     def run_once(self, sink_fn: Callable[[DataFrame], None],
                  backfill: bool = False) -> int:
-        """One tick: read → write via sink_fn → advance the watermark."""
-        batch = self.full_load() if backfill else self.delta()
+        """One tick: read → write via sink_fn → advance the watermark.
+
+        Transient provider errors retry with the reference's 1 s backoff
+        (SqlServerChangeTrackingSource.cs:225-229, C11); non-transient ones
+        propagate to the runner → FATAL.
+        """
+        from arcane_framework_spark.streaming.retry import with_retry
+
+        batch = with_retry(self.full_load if backfill else self.delta)
         sink_fn(batch)
         return self.advance(batch)

@@ -398,12 +398,31 @@ class RestApiSource:
     #: HTTP transport — injectable for tests; defaults to urllib.
     http_get: Callable[[str, dict[str, str], float], tuple[int, str]] | None = None
 
+    #: Transient-retry knobs (C11): the reference restarts the fetch with a
+    #: 1 s backoff on timeout/IO errors (RestApiSource.cs:355-361,404-415).
+    max_retry_attempts: int = 3
+    retry_backoff_seconds: float = 1.0
+    retry_sleep: Callable[[float], None] | None = None
+
     def _get(self, url: str) -> tuple[int, str]:
-        if self.http_get is not None:
-            return self.http_get(url, self.auth.get_headers(), self.timeout_seconds)
-        req = urllib.request.Request(url, headers=self.auth.get_headers())
-        with urllib.request.urlopen(req, timeout=self.timeout_seconds) as resp:
-            return resp.status, resp.read().decode("utf-8")
+        from arcane_framework_spark.streaming.retry import with_retry
+
+        def once() -> tuple[int, str]:
+            if self.http_get is not None:
+                return self.http_get(
+                    url, self.auth.get_headers(), self.timeout_seconds
+                )
+            req = urllib.request.Request(url, headers=self.auth.get_headers())
+            with urllib.request.urlopen(req, timeout=self.timeout_seconds) as resp:
+                return resp.status, resp.read().decode("utf-8")
+
+        kwargs = {} if self.retry_sleep is None else {"sleep": self.retry_sleep}
+        return with_retry(
+            once,
+            max_attempts=self.max_retry_attempts,
+            backoff_seconds=self.retry_backoff_seconds,
+            **kwargs,
+        )
 
     def fetch_pages(self) -> Iterator[list[dict]]:
         """Iterate pages until the resolver is exhausted.

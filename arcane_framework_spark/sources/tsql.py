@@ -39,6 +39,16 @@ def merge_key_sql(pk_columns: list[str], alias: str = "") -> str:
     return f"lower(convert(nvarchar(128), HashBytes('SHA2_256', {casts}), 2))"
 
 
+def plain_select_query(catalog: str, schema: str, table: str) -> str:
+    """S1 polling query: plain ``SELECT *`` over the three-part table name.
+
+    Mirrors ``SqlServerSource.GetQuery()`` (SqlServerSource.cs:103-107) —
+    the simple source has no merge key, CDC columns, or watermark; it just
+    re-reads the table per tick.
+    """
+    return f"SELECT * FROM {_bracket(catalog)}.{_qualified(schema, table)}"
+
+
 def select_all_query(schema: str, table: str, pk_columns: list[str],
                      columns: list[str],
                      partition_expression: str | None = None) -> str:

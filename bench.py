@@ -40,10 +40,15 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from arcane_framework_spark.operators.cache import cache_scope
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # cache_scope releases each query's persisted intermediates after
+        # its action — block-manager storage stays flat across the catalog.
+        with cache_scope():
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)

@@ -447,3 +447,30 @@ def test_join_degrades_to_sort_merge_without_broadcast(spark):
         assert "BroadcastHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+def test_cache_scope_releases_operator_persists(spark):
+    """Operators persist intermediates; a cache_scope must release them all
+    after the consuming action so long-lived sessions stay flat."""
+    from arcane_framework_spark.operators.cache import cache_scope
+    from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(30)],
+        "doc_id: long, text: string",
+    )
+
+    def cached_rdd_count():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = cached_rdd_count()
+    with cache_scope() as tracked:
+        minhash_lsh_pairs(docs).count()
+        assert tracked, "operator persists were not registered in the scope"
+        assert cached_rdd_count() > before
+    assert cached_rdd_count() == before
+
+    # outside a scope, persist behaves as before (caller owns cleanup)
+    pairs = minhash_lsh_pairs(docs)
+    pairs.count()
+    assert cached_rdd_count() > before
+    spark.catalog.clearCache()

@@ -633,3 +633,127 @@ def test_rest_datasource_streaming_page_cursor(spark, tmp_path):
         assert got == {1, 2, 3}  # one page per micro-batch, offset-checkpointed
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# S1 polling source + C11 transient retry deciders
+# ---------------------------------------------------------------------------
+
+
+def test_polling_source_two_ticks_observe_insert(spark, tmp_path):
+    """S1 semantics (SqlServerSource.cs:28-210): every tick re-reads the
+    WHOLE table, so a row inserted between polls appears in the next one."""
+    from arcane_framework_spark.sources.polling import PollingTableSource
+
+    state = {"rows": [(1, "a")]}
+
+    def provider():
+        return spark.createDataFrame(state["rows"], "id: long, v: string")
+
+    src = PollingTableSource(provider, pk_columns=["id"])
+    seen = []
+
+    def sink(df, batch_id):
+        seen.append({(r.id, r.v) for r in df.collect()})
+        state["rows"] = [(1, "a"), (2, "b")]  # insert between polls
+
+    res = src.run(
+        spark, sink, checkpoint_dir=str(tmp_path / "ckpt"),
+        tick_interval=__import__("datetime").timedelta(seconds=1),
+        max_ticks=2,
+    )
+    assert res.exit_code == 0 and res.interrupted
+    assert len(seen) == 2
+    assert seen[0] == {(1, "a")}
+    assert seen[1] == {(1, "a"), (2, "b")}
+
+
+def test_polling_source_merge_key_and_retry(spark):
+    """poll() retries transient provider errors with backoff, attaches the
+    merge key, and propagates non-transient errors unchanged."""
+    from arcane_framework_spark.sources.polling import PollingTableSource
+
+    calls = {"n": 0}
+
+    def flaky_provider():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise TimeoutError("transient connect timeout")
+        return spark.createDataFrame([(7, "x")], "id: long, v: string")
+
+    naps = []
+    src = PollingTableSource(
+        flaky_provider, pk_columns=["id"], sleep=naps.append
+    )
+    row = src.poll().head()
+    assert row[ARCANE_MERGE_KEY]
+    assert calls["n"] == 3 and naps == [1.0, 1.0]
+
+    def fatal_provider():
+        raise ValueError("bad credentials")
+
+    src2 = PollingTableSource(fatal_provider, sleep=lambda s: None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        src2.poll()
+
+
+def test_polling_jdbc_query_shape(spark):
+    from arcane_framework_spark.sources.tsql import plain_select_query
+
+    q = plain_select_query("mydb", "dbo", "orders")
+    assert q == "SELECT * FROM [mydb].[dbo].[orders]"
+
+
+def test_rest_source_retries_transient_transport(spark):
+    """C11 (RestApiSource.cs:355-361): first N transport failures retry with
+    1 s backoff; the sweep still completes. Non-transient errors raise."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from arcane_framework_spark.sources.rest import RestApiSource
+
+    calls = {"n": 0}
+
+    def flaky_http(url, headers, timeout):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise TimeoutError("socket timeout")
+        return 200, _json.dumps({"items": [{"id": 1}]})
+
+    naps = []
+    src = RestApiSource(
+        spark=spark,
+        url_builder=lambda tok: "http://unit.test/api",
+        schema=T.StructType([T.StructField("id", T.LongType())]),
+        response_key_chain=["items"],
+        http_get=flaky_http,
+        retry_sleep=naps.append,
+    )
+    rows = [r.id for r in src.fetch_batch().collect()]
+    assert rows == [1] and calls["n"] == 3 and naps == [1.0, 1.0]
+
+
+def test_ct_source_600_column_guard(spark, tmp_path):
+    """SqlServerChangeTrackingSource.cs:29 — sources wider than 600 columns
+    are rejected at the contract layer."""
+    import pytest as _pytest
+
+    from arcane_framework_spark.sources.jdbc_ct import (
+        ChangeTrackingSource,
+        VersionCheckpoint,
+    )
+
+    wide = spark.range(1).select(
+        *[F.lit(i).alias(f"c{i}") for i in range(601)]
+    )
+    src = ChangeTrackingSource(
+        table_provider=lambda: wide,
+        changes_provider=lambda: wide,
+        pk_columns=["c0"],
+        checkpoint=VersionCheckpoint(str(tmp_path / "v.json")),
+    )
+    with _pytest.raises(ValueError, match="600"):
+        src.full_load()
