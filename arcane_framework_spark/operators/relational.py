@@ -152,10 +152,23 @@ def upsert_parquet_snapshot(spark, path: str, changes: DataFrame,
                             merge_key: str | Sequence[str] = ARCANE_MERGE_KEY,
                             version_column: str = SYS_CHANGE_VERSION,
                             op_column: str = SYS_CHANGE_OPERATION) -> DataFrame:
-    """Fold a change batch into a parquet snapshot directory, atomically.
+    """Fold a change batch into a parquet snapshot directory via full rewrite.
 
-    Writes the merged state to a staging dir, then swaps it in (rename —
-    metadata-only on a real object-store layout). Returns the new snapshot.
+    Writes the merged state to a staging dir, then swaps it in with
+    ``os.replace``. HONEST LIMITS: the swap is atomic only on a POSIX
+    filesystem — on S3-style object stores a directory "rename" is a
+    copy-then-delete and is NOT atomic, and the rewrite itself is
+    O(snapshot) per batch. This is the dependency-free fallback for tests
+    and small snapshots. In production, point the pipeline at a table format
+    with a real MERGE: the (merge_key, version, op) contract here maps 1:1
+    onto Delta Lake's ``MERGE INTO target USING changes ON
+    target.key = changes.key WHEN MATCHED AND changes.op = 'D' THEN DELETE
+    WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED AND changes.op <> 'D'
+    THEN INSERT *`` (or the Iceberg equivalent) — O(changed files),
+    snapshot-isolated, object-store safe. delta-spark is not installable in
+    this environment, so that path ships as documentation + the identical
+    fold semantics in ``apply_changes_to_snapshot`` (oracle-checked).
+    Returns the new snapshot.
     """
     import os
     import shutil

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from datetime import timedelta  # noqa: F401 — stream(lookback=...) signature
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +61,8 @@ class CdmEntitySchema:
 
     entity_name: str
     attributes: tuple[tuple[str, str], ...]
+    #: entity version from the ``is.CDM.entityVersion`` trait (F5), when present
+    version: str | None = None
 
     @property
     def spark_schema(self) -> T.StructType:
@@ -75,27 +78,124 @@ class CdmEntitySchema:
         return [name for name, _ in self.attributes]
 
 
+# -- JSON document navigation (F5) ------------------------------------------
+# Reference: JsonDocumentOperations.cs:17-53 (GetArrayElement both overloads,
+# FilterArray) and SimpleCdmEntity.FromJson (SimpleCdmEntity.cs:41-61).
+
+
+def get_array_element(document: dict, search_from: str, search_for: str,
+                      search_for_value: str | None = None):
+    """Navigate a JSON array property like the reference's GetArrayElement.
+
+    Two-arg form: first element of ``document[search_from]`` that HAS the
+    ``search_for`` property → that property's value. Three-arg form: first
+    element whose ``search_for`` property EQUALS ``search_for_value`` → the
+    element itself. Returns None when nothing matches (the C# default).
+    """
+    arr = document.get(search_from) or []
+    if search_for_value is None:
+        for item in arr:
+            if isinstance(item, dict) and search_for in item:
+                return item[search_for]
+        return None
+    for item in arr:
+        if isinstance(item, dict) and item.get(search_for) == search_for_value:
+            return item
+    return None
+
+
+def filter_array(array: list, array_property: str, filter_value: str):
+    """First array element whose property equals the value (FilterArray)."""
+    for item in array or []:
+        if isinstance(item, dict) and item.get(array_property) == filter_value:
+            return item
+    return None
+
+
+def entity_version(doc: dict) -> str | None:
+    """Entity version from the ``is.CDM.entityVersion`` trait.
+
+    Navigation chain per SimpleCdmEntity.cs:50-54:
+    definitions → element with exhibitsTraits → trait with
+    traitReference == "is.CDM.entityVersion" → arguments element with
+    name == "versionNumber" → its value.
+    """
+    traits = get_array_element(doc, "definitions", "exhibitsTraits")
+    trait = filter_array(traits or [], "traitReference", "is.CDM.entityVersion")
+    if not trait:
+        return None
+    arg = get_array_element(trait, "arguments", "name", "versionNumber")
+    return arg.get("value") if arg else None
+
+
+def _resolve_complex_types(definitions: list, cdm_type: str) -> str:
+    """Follow ``dataTypeName``/``extendsDataType`` chains to a primitive.
+
+    Reference: SimpleCdmAttribute.ResolveComplexTypes — custom data types
+    (definitions entries with ``dataTypeName``) extend one another until a
+    CDM primitive; attributes referencing them resolve transitively.
+    """
+    by_name = {
+        d["dataTypeName"]: d.get("extendsDataType", "string")
+        for d in definitions
+        if isinstance(d, dict) and "dataTypeName" in d
+    }
+    seen = set()
+    while cdm_type in by_name and cdm_type not in seen:
+        seen.add(cdm_type)
+        cdm_type = by_name[cdm_type]
+    return cdm_type
+
+
 def load_cdm_schema(path: str, entity_name: str | None = None) -> CdmEntitySchema:
     """Parse a ``.cdm.json`` file into an ordered attribute schema.
 
-    Raises ``UnknownPrimitiveTypeError`` for unmapped CDM primitives, like the
-    reference (test/Sources/CdmChangeFeedSourceTests.cs:286-301).
+    Resolves custom data types through their ``extendsDataType`` chain and
+    extracts the version trait. Raises ``UnknownPrimitiveTypeError`` for
+    unmapped CDM primitives, like the reference
+    (test/Sources/CdmChangeFeedSourceTests.cs:286-301).
     """
     with open(path, encoding="utf-8") as fh:
         doc = json.load(fh)
+    return parse_cdm_entity(doc, entity_name, source=path)
+
+
+def parse_cdm_entity(doc: dict, entity_name: str | None = None,
+                     source: str = "<dict>") -> CdmEntitySchema:
+    """SimpleCdmEntity.FromJson parity over an already-loaded document."""
     definitions = doc.get("definitions", [])
     entity = None
     for d in definitions:
+        if "entityName" not in d:
+            continue
         if entity_name is None or d.get("entityName") in (entity_name, "Entity"):
             entity = d
             break
     if entity is None:
-        raise ValueError(f"No entity definition found in {path}")
+        raise ValueError(f"No entity definition found in {source}")
     attrs = tuple(
-        (a["name"], a.get("dataFormat") or a.get("dataType") or "string")
+        (
+            a["name"],
+            _resolve_complex_types(
+                definitions,
+                a.get("dataFormat") or a.get("dataType") or "string",
+            ),
+        )
         for a in entity.get("hasAttributes", [])
     )
-    return CdmEntitySchema(entity.get("entityName", "Entity"), attrs)
+    return CdmEntitySchema(
+        entity.get("entityName", "Entity"), attrs, version=entity_version(doc)
+    )
+
+
+def find_model_entity(model: dict, entity_name: str) -> dict | None:
+    """Locate an entity descriptor in a ``model.json``/manifest document.
+
+    model.json lists entities under ``entities`` with ``name``/
+    ``attributes``; the same 3-arg GetArrayElement navigation the reference
+    uses applies.
+    """
+    return get_array_element(model, "entities", "name", entity_name)
 
 
 class CdmChangeFeedSource:
@@ -139,14 +239,32 @@ class CdmChangeFeedSource:
 
     # -- stream path --------------------------------------------------------
 
-    def stream(self) -> DataFrame:
-        """Unbounded change-feed: new CSVs under ChangeFeed/<entity>/."""
+    def stream(self, lookback: "timedelta | None" = None) -> DataFrame:
+        """Unbounded change-feed: new CSVs under ChangeFeed/<entity>/.
+
+        ``lookback`` reproduces the reference's cold-start watermark
+        ``lastProcessedTimestamp = now - lookBackRange``
+        (CdmChangeFeedSource.cs:165,296-346): files last modified before the
+        cutoff are never ingested. Implemented as a filter on the hidden
+        ``_metadata.file_modification_time`` column, which file-streaming
+        sources expose per input file — the cutoff is fixed at stream
+        construction, matching the reference's cold-start semantics, while
+        already-processed newer files stay deduplicated by the stream's own
+        file checkpoint.
+        """
         feed_dir = os.path.join(self.root_path, "ChangeFeed", self.entity_name)
         df = (
             self.spark.readStream.options(**self._csv_options())
             .schema(self.schema.spark_schema)
             .csv(feed_dir + "/", pathGlobFilter="*.csv")
         )
+        if lookback is not None:
+            from datetime import datetime, timezone
+
+            cutoff = datetime.now(timezone.utc) - lookback
+            df = df.filter(
+                F.col("_metadata.file_modification_time") >= F.lit(cutoff)
+            )
         return self._with_merge_key(df)
 
     def stream_batch(self) -> DataFrame:

@@ -757,3 +757,108 @@ def test_ct_source_600_column_guard(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="600"):
         src.full_load()
+
+
+# ---------------------------------------------------------------------------
+# F5 manifest navigation + CDM stream lookback
+# ---------------------------------------------------------------------------
+
+
+def _entity_with_version(attrs, version="1.0.0"):
+    """Fixture mirroring test/Sources/SampleData/CdmChangeFeed/ValidEntity:
+    version trait + a custom data type chain ending in string."""
+    return {
+        "jsonSchemaSemanticVersion": "1.4.0",
+        "definitions": [
+            {
+                "entityName": "widgets",
+                "exhibitsTraits": [
+                    {
+                        "traitReference": "is.CDM.entityVersion",
+                        "arguments": [
+                            {"name": "versionNumber", "value": version}
+                        ],
+                    }
+                ],
+                "hasAttributes": attrs,
+            },
+            {
+                "dataTypeName": "customDataTypeNumber",
+                "extendsDataType": "nestedCustomDataTypeNumber",
+            },
+            {
+                "dataTypeName": "nestedCustomDataTypeNumber",
+                "extendsDataType": "string",
+            },
+        ],
+    }
+
+
+def test_cdm_entity_version_trait_and_complex_types(tmp_path):
+    """SimpleCdmEntity.FromJson parity (SimpleCdmEntity.cs:41-61): version
+    from the trait chain, custom data types resolved transitively."""
+    from arcane_framework_spark.sources.cdm import load_cdm_schema
+
+    doc = _entity_with_version(
+        [
+            {"name": "RECID", "dataFormat": "int64"},
+            {"name": "CustomField", "dataType": "customDataTypeNumber"},
+        ]
+    )
+    p = tmp_path / "widgets.cdm.json"
+    p.write_text(json.dumps(doc))
+    schema = load_cdm_schema(str(p), "widgets")
+    assert schema.version == "1.0.0"
+    assert dict(schema.attributes)["CustomField"] == "string"
+    assert schema.spark_schema["CustomField"].dataType.simpleString() == "string"
+
+
+def test_json_document_navigation_helpers():
+    """JsonDocumentOperations.cs:17-53 parity on the golden shapes."""
+    from arcane_framework_spark.sources.cdm import (
+        entity_version,
+        filter_array,
+        find_model_entity,
+        get_array_element,
+    )
+
+    doc = _entity_with_version([{"name": "RECID", "dataFormat": "int64"}])
+    traits = get_array_element(doc, "definitions", "exhibitsTraits")
+    assert traits and traits[0]["traitReference"] == "is.CDM.entityVersion"
+    trait = filter_array(traits, "traitReference", "is.CDM.entityVersion")
+    arg = get_array_element(trait, "arguments", "name", "versionNumber")
+    assert arg["value"] == "1.0.0"
+    assert entity_version(doc) == "1.0.0"
+    # missing pieces return None, not raise (C# FirstOrDefault)
+    assert entity_version({"definitions": []}) is None
+    assert get_array_element({}, "definitions", "x") is None
+
+    model = {"entities": [{"name": "widgets", "attributes": []},
+                          {"name": "orders", "attributes": []}]}
+    assert find_model_entity(model, "orders")["name"] == "orders"
+    assert find_model_entity(model, "missing") is None
+
+
+def test_cdm_stream_lookback_skips_old_files(spark, tmp_path):
+    """Cold-start lookback (CdmChangeFeedSource.cs:165,296-346): a change
+    file older than the lookback window is ignored; newer files ingest."""
+    import os as _os
+    import time as _time
+    from datetime import timedelta as _td
+
+    root = _write_cdm_fixture(tmp_path)
+    feed_dir = root / "ChangeFeed" / "widgets"
+    old = feed_dir / "0000.csv"
+    old.write_text('900,"stale","0X00",,"INSERT","0X00","0X00"\n')
+    two_hours_ago = _time.time() - 7200
+    _os.utime(old, (two_hours_ago, two_hours_ago))
+
+    src = CdmChangeFeedSource(spark, str(root), "widgets")
+    out = src.stream(lookback=_td(hours=1))
+    q = (
+        out.writeStream.format("memory").queryName("cdm_lookback")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.RECID for r in spark.table("cdm_lookback").collect())
+    assert ids == [101, 102]  # 900 (stale) filtered out
