@@ -1,0 +1,104 @@
+"""Graph clustering for dedup: connected components over near-dup pairs.
+
+Pair generators (MinHash/SimHash/ngram/ANN) emit EDGES; an actual dedup
+pipeline needs CLUSTERS — "these 17 docs are all one duplicate group, keep
+the canonical one". That closure step is a connected-components computation
+over the pair graph.
+
+Scale design: iterative min-label propagation in pure DataFrame ops —
+per round, every node takes the min label among itself and its neighbors
+(one join + one partial-aggregated groupBy per round, both shuffling on the
+node id). Rounds needed = graph diameter, and near-dup components are
+shallow (dups of a doc are dups of each other), so 3-5 rounds close real
+corpora. Labels/edges are persisted per round and the superseded cache
+dropped (the kmeans_fit lifecycle). The driver-side convergence probe is an
+aggregate over the (nodes)-sized label table — no row data ever leaves the
+executors.
+
+The fixpoint (min reachable id per node) is engine-agnostic, so a DuckDB
+recursive-CTE closure reproduces it exactly — the oracle for
+``dedup_clusters_documents``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.operators.cache import scoped_persist
+
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation: (node, component) with component = min node id
+    reachable from the node.
+
+    Converges in ``diameter`` rounds; raises if ``max_rounds`` is hit while
+    labels are still moving (pathological chain — raise the bound).
+    """
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+        .transform(scoped_persist)
+    )
+    labels = (
+        sym.select("node")
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .transform(scoped_persist)
+    )
+    labels.count()
+    for _ in range(max_rounds):
+        neighbor_labels = sym.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("component")
+            ),
+            "nbr",
+        ).select("node", "component")
+        new_labels = (
+            neighbor_labels.union(labels.select("node", "component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .transform(scoped_persist)
+        )
+        moved = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if moved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """Duplicate clusters from near-dup pairs.
+
+    Output (doc_id, cluster_id, cluster_size, is_canonical): cluster_id is
+    the smallest doc id in the component (the doc a dedup pipeline keeps),
+    cluster_size counts members, is_canonical marks the keeper.
+    """
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+    )

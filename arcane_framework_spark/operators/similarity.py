@@ -340,12 +340,16 @@ def kmeans_fit(df: DataFrame, k: int, iterations: int = 3,
     if init_stride is not None:
         seeds = base.filter(F.col(id_col) % init_stride == 0)
     else:
+        from arcane_framework_spark.operators.scale import (
+            with_broadcast_scalar,
+        )
+
         stride = base.select(
             F.greatest(
                 F.lit(1), (F.count(F.lit(1)) / k).cast("long")
             ).alias("__stride")
         )
-        seeds = base.join(F.broadcast(stride)).filter(
+        seeds = with_broadcast_scalar(base, stride).filter(
             F.col(id_col) % F.col("__stride") == 0
         )
     # orderBy + limit = TakeOrderedAndProject: deterministic at any

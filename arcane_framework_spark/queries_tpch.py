@@ -826,7 +826,288 @@ GROUP BY user_id
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery — per-part minimum cost.
+
+    (Adapted: no partsupp, so lineitem bridges parts to suppliers and
+    "cost" is the minimum extended price a supplier ever charged for the
+    part.) Scale: the per-(part, supplier) aggregate and the per-part min
+    ride the SAME shuffle key prefix (partkey) — Catalyst plans the second
+    aggregate without a re-shuffle; supplier/nation dims broadcast.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    p = t["part"].filter(F.col("p_size").between(10, 15))
+    cost = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    best = cost.groupBy("p_partkey").agg(F.min("cost").alias("best_cost"))
+    return (
+        cost.join(best, "p_partkey")
+        .filter(F.col("cost") == F.col("best_cost"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.round("cost", 2).alias("min_cost"),
+        )
+    )
+
+
+_Q2_SQL = """
+WITH cost AS (
+  SELECT p_partkey, l_suppkey, min(l_extendedprice) AS cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size BETWEEN 10 AND 15
+  GROUP BY p_partkey, l_suppkey
+)
+SELECT c.p_partkey, s_name, n_name, round(c.cost, 2) AS min_cost
+FROM cost c
+JOIN supplier ON c.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c.cost = (SELECT min(cost) FROM cost c2 WHERE c2.p_partkey = c.p_partkey)
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: LIKE-filtered part, 4-way join, profit by nation/year.
+
+    Scale: part filter prunes before the broadcast; the only big shuffle is
+    lineitem⋈orders on orderkey; the groupBy rides partial aggregation.
+    """
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    p = t["part"].filter(F.col("p_name").like("%gear%"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            # Round per ROW to cents, then sum: the per-row product is one
+            # IEEE multiplication (bit-identical across engines) and the sum
+            # of integer cents is exact and order-independent — unlike
+            # rounding an order-dependent fractional-double sum, which can
+            # straddle a tie boundary differently per engine.
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + F.lit(0.5)
+                    )
+                )
+                / 100
+            ).alias("profit")
+        )
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)) / 100 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar-subquery fraction of total.
+
+    (Adapted: "value" is lineitem revenue from suppliers of one nation.)
+    Scale: the per-part aggregate and the global total reuse one filtered
+    relation; the total is a 1-row broadcast, so the HAVING is a map-side
+    filter — no second pass over the data.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    nation_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    value = (
+        t["lineitem"]
+        .join(F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    # threshold = 1.5× the mean part value: scale-invariant (non-empty at
+    # every SF), same "significant fraction of total" semantics as Q11.
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    total = value.agg(
+        (F.sum("value") / F.count(F.lit(1)) * 1.5).alias("threshold")
+    )
+    return (
+        with_broadcast_scalar(value, total)
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 2).alias("part_value"))
+    )
+
+
+_Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey, sum(l_extendedprice) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(value, 2) AS part_value
+FROM v
+WHERE value > 1.5 * (SELECT sum(value) / count(*) FROM v)
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-joins — suppliers who moved big volumes
+    of the filtered parts.
+
+    Scale: the quantity aggregate shuffles on (suppkey, partkey) once; the
+    supplier list is then a broadcast-semi join; nothing is re-scanned.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    p = t["part"].filter(F.col("p_name").like("small%"))
+    big = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(big, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50
+)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order (EXISTS + NOT EXISTS semantics).
+
+    (Adapted: "late" = shipped more than 60 days after the order date.)
+    Scale: expressed as one per-(order, supplier) aggregate + one per-order
+    aggregate instead of two correlated EXISTS probes — the order-level
+    stats are computed once on the orderkey shuffle and broadcast back,
+    which is how the correlated form should execute anyway.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    o = t["orders"].filter(F.col("o_orderstatus") == "F")
+    lo = t["lineitem"].join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("int")
+        ).alias("is_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+    )
+    waiting = (
+        per_supp.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return waiting.join(
+        F.broadcast(t["supplier"]),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "numwait")
+
+
+_Q21_SQL = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+  FROM per_supp GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM per_supp ps
+JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+JOIN supplier ON ps.l_suppkey = s_suppkey
+WHERE ps.is_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+GROUP BY s_suppkey, s_name
+"""
+
+
 TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_parts": q11_important_parts,
+    "q20_excess_shippers": q20_excess_shippers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q4_late_shipment_priority": q4_late_shipment_priority,
     "q6_revenue_forecast": q6_revenue_forecast,
     "q7_nation_trade_volume": q7_nation_trade_volume,
@@ -849,6 +1130,11 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 TPCH_ORACLE_SQL: dict[str, str] = {
+    "q2_min_cost_supplier": _Q2_SQL,
+    "q9_product_type_profit": _Q9_SQL,
+    "q11_important_parts": _Q11_SQL,
+    "q20_excess_shippers": _Q20_SQL,
+    "q21_waiting_suppliers": _Q21_SQL,
     "q4_late_shipment_priority": _Q4_SQL,
     "q6_revenue_forecast": _Q6_SQL,
     "q7_nation_trade_volume": _Q7_SQL,

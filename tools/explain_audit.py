@@ -23,11 +23,32 @@ from arcane_framework_spark.session import get_spark  # noqa: E402
 EXPECTED_BNLJ = {
     "knn_bruteforce_embeddings",   # query-set × candidate scan
     "ivf_topk_embeddings",         # corpus × broadcast centroids
+    "kmeans_embeddings",           # corpus × broadcast centroids per Lloyd pass
     "q22_inactive_customers",      # scalar threshold broadcast
 }
 
 #: Streaming-executed queries — no batch plan to audit.
 SKIP = {"streaming_hourly_rollup"}
+
+
+def _only_scalar_bnlj(executed_plan: str) -> bool:
+    """True if every BroadcastNestedLoopJoin's build side is a 1-row global
+    aggregate (``HashAggregate(keys=[]``/``SortAggregate(key=[]`` under a
+    SinglePartition exchange)."""
+    import re
+
+    lines = executed_plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        # The build subtree follows the join node; a global aggregate
+        # signature within the next indented block marks it scalar.
+        window = "\n".join(lines[i:i + 40])
+        if not re.search(
+            r"(HashAggregate|SortAggregate)\s*\((keys|key)=\[\]", window
+        ) and "Exchange SinglePartition" not in window:
+            return False
+    return True
 
 
 def main() -> None:
@@ -49,7 +70,14 @@ def main() -> None:
         if "CartesianProduct" in plan:
             flags.append("CARTESIAN")
         if "BroadcastNestedLoopJoin" in plan and name not in EXPECTED_BNLJ:
-            flags.append("NESTED-LOOP")
+            # A BNLJ whose build side is a GLOBAL aggregate (no grouping
+            # keys → exactly one row) is the scalar-attach pattern — a
+            # computed threshold/total/stride joined to every row. That is
+            # the correct 100 TB plan (the 1-row side broadcasts); only
+            # flag nested loops against multi-row relations.
+            executed = df._jdf.queryExecution().executedPlan().toString()
+            if not _only_scalar_bnlj(executed):
+                flags.append("NESTED-LOOP")
         import re
 
         # formatted mode prints "(N) Exchange" headers with the partitioning
