@@ -771,3 +771,9 @@ ORACLE_SQL: dict[str, str] = {
     **TPCH_ORACLE_SQL,
     **EXT_ORACLE_SQL,
 }
+
+# Registered here (not in queries_ext) because its oracle embeds the MinHash
+# pairs SQL defined above — queries_ext loads before _minhash_sql exists.
+from arcane_framework_spark.queries_ext import _dedup_clusters_sql  # noqa: E402
+
+ORACLE_SQL["dedup_clusters_documents"] = _dedup_clusters_sql(_minhash_sql())

@@ -616,6 +616,114 @@ FROM events GROUP BY event_type
 """
 
 
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash pair graph.
+
+    Pair generation alone is not dedup — the closure step groups
+    transitively-connected docs so the pipeline can keep one canonical doc
+    per cluster. Same planted corpus as minhash_pairs_documents; the oracle
+    recomputes the identical min-reachable-id fixpoint with a DuckDB
+    recursive-CTE closure.
+    """
+    from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
+    from arcane_framework_spark.operators.graph import dedup_clusters
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(docs.unionByName(planted))
+    return dedup_clusters(pairs)
+
+
+def _dedup_clusters_sql(minhash_pairs_sql: str) -> str:
+    """Oracle: recursive-CTE closure over the MinHash pair graph.
+
+    Takes the pairs SQL as a parameter (registered from queries.py after
+    ``_minhash_sql`` exists — queries_ext loads before it is defined).
+    """
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a, id_b FROM ({minhash_pairs_sql}) mh
+),
+sym AS (
+  SELECT id_a AS node, id_b AS nbr FROM edges
+  UNION
+  SELECT id_b AS node, id_a AS nbr FROM edges
+),
+reach(node, r) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT reach.node, sym.nbr FROM reach JOIN sym ON reach.r = sym.node
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT comp.node AS doc_id,
+       comp.component AS cluster_id,
+       sizes.cluster_size,
+       comp.node = comp.component AS is_canonical
+FROM comp JOIN sizes USING (component)
+"""
+
+
+def asof_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's most recent prior
+    click (inclusive). One shuffle+sort over clicks∪purchases — the
+    union-tag as-of pattern (operators/temporal.py). DuckDB's native ASOF
+    JOIN is the oracle.
+    """
+    from arcane_framework_spark.operators.temporal import asof_join
+
+    t = load_tables(spark, sf_dir, "events")
+    # events.ts arrives as long NANOS (session.load_tables nanosAsLong);
+    # truncate to micros like DuckDB's TIMESTAMP read of the same parquet.
+    ev = t["events"].withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_payload=["event_id"],
+        suffix="_click",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 4).alias("value"),
+        F.col("ts_click").alias("click_ts"),
+        F.col("event_id_click").alias("click_id"),
+    )
+
+
+_ASOF_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       round(p.value, 4) AS value,
+       c.ts AS click_ts,
+       c.event_id AS click_id
+FROM (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 KMEANS_K = 10
 KMEANS_ITERS = 3
 
@@ -736,6 +844,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": tfidf_top_terms,
     "approx_user_counts": approx_user_counts,
     "kmeans_embeddings": kmeans_embeddings,
+    "dedup_clusters_documents": dedup_clusters_documents,
+    "asof_attribution_events": asof_attribution_events,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -751,4 +861,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "tfidf_top_terms": _tfidf_sql(),
     "approx_user_counts": _APPROX_USERS_SQL,
     "kmeans_embeddings": _kmeans_sql(),
+    "asof_attribution_events": _ASOF_SQL,
+    # dedup_clusters_documents is registered by queries.py (its oracle embeds
+    # _minhash_sql, which is defined after this module loads).
 }

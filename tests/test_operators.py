@@ -474,3 +474,56 @@ def test_cache_scope_releases_operator_persists(spark):
     pairs.count()
     assert cached_rdd_count() > before
     spark.catalog.clearCache()
+
+def test_connected_components_and_clusters(spark):
+    """Min-label propagation: chain, triangle, and isolated pair resolve to
+    min-id components; dedup_clusters marks canonicals and sizes."""
+    from arcane_framework_spark.operators.graph import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain -> component 1
+         (10, 11), (11, 12), (10, 12),  # triangle -> component 10
+         (20, 21)],                   # pair -> component 20
+        "id_a: long, id_b: long",
+    )
+    comp = {r.node: r.component
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
+
+    rows = dedup_clusters(edges).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert by_doc[4].cluster_id == 1 and by_doc[4].cluster_size == 4
+    assert by_doc[1].is_canonical and not by_doc[2].is_canonical
+    assert by_doc[21].cluster_size == 2
+
+def test_asof_join_backward_inclusive(spark):
+    """Backward as-of join: latest right row at-or-before each left ts per
+    key; NULL when none precedes; ties are inclusive."""
+    from datetime import datetime as dt
+
+    from arcane_framework_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 10), "p1"), (1, dt(2024, 1, 20), "p2"),
+         (2, dt(2024, 1, 5), "p3")],
+        "user_id: long, ts: timestamp, pid: string",
+    )
+    right = spark.createDataFrame(
+        [(1, dt(2024, 1, 8), "c1"), (1, dt(2024, 1, 15), "c2"),
+         (1, dt(2024, 1, 20), "c3"),   # exact tie with p2 -> inclusive
+         (2, dt(2024, 1, 7), "c4")],   # after p3 -> p3 unattributed
+        "user_id: long, ts: timestamp, cid: string",
+    )
+    got = {
+        r.pid: (r.cid_right, r.ts_right)
+        for r in asof_join(left, right, on="user_id",
+                           right_payload=["cid"], suffix="_right").collect()
+    }
+    assert got["p1"][0] == "c1"
+    assert got["p2"][0] == "c3" and got["p2"][1] == dt(2024, 1, 20)
+    assert got["p3"] == (None, None)
