@@ -1,0 +1,99 @@
+"""Sequence packing: assign documents to fixed-token-budget training packs.
+
+LLM training consumes documents concatenated into fixed-length context
+windows; the pipeline step is "give every doc a pack id such that packs hold
+~budget tokens". Exact bin packing is inherently sequential, so the
+scalable formulation is cumulative-sum bucketing over a deterministic doc
+order: ``pack_id = floor(prefix_tokens_before_doc / budget)``. Every pack
+except possibly the last reaches at least ``budget`` tokens and overflows by
+less than one document — the standard streaming approximation.
+
+The prefix sum itself is computed DISTRIBUTED, not with one global window
+(a single-partition sort dies at 100 TB):
+
+1. docs hash into ``num_groups`` deterministic groups (``id % G``);
+2. a per-group window (shuffle on the group key) computes local prefix
+   sums in (group, id) order;
+3. group token totals — G rows — get a tiny window pass for group offsets;
+4. global prefix = group offset + local prefix (broadcast hash join).
+
+Same arithmetic is plain SQL window algebra, so the DuckDB oracle
+reproduces pack ids exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Default group count for the distributed prefix sum. At 100 TB raise to
+#: O(cluster cores); correctness is independent of the value.
+DEFAULT_PREFIX_GROUPS = 32
+
+
+def pack_documents(df: DataFrame, budget: int,
+                   id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens",
+                   num_groups: int = DEFAULT_PREFIX_GROUPS) -> DataFrame:
+    """(id, n_tokens, fill_before, pack_id) with deterministic global order.
+
+    The effective document order is ``(id % num_groups, id)`` — arbitrary
+    but deterministic, which is all packing needs. ``fill_before`` is the
+    exact number of tokens before this doc in that order;
+    ``pack_id = floor(fill_before / budget)``. Documents longer than
+    ``budget`` occupy their own pack(s) naturally.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (F.col(id_col) % num_groups).alias("__grp"),
+    )
+    w_local = (
+        Window.partitionBy("__grp")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "__local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    # Group totals: G rows — the only single-partition window, over G rows.
+    w_groups = (
+        Window.orderBy("__grp").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("__grp")
+        .agg(F.sum("n_tokens").alias("__grp_total"))
+        .withColumn(
+            "__offset",
+            F.coalesce(F.sum("__grp_total").over(w_groups), F.lit(0)),
+        )
+        .select("__grp", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__grp")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            (F.col("__local_before") + F.col("__offset")).alias("fill_before"),
+            F.floor(
+                (F.col("__local_before") + F.col("__offset")) / budget
+            ).cast("long").alias("pack_id"),
+        )
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-pack aggregate: docs, tokens, and fill ratio vs the budget."""
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .select(
+            "pack_id",
+            "n_docs",
+            "pack_tokens",
+            F.round(F.col("pack_tokens") / budget, 4).alias("fill_ratio"),
+        )
+    )

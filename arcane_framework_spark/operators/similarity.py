@@ -391,6 +391,57 @@ def kmeans_fit(df: DataFrame, k: int, iterations: int = 3,
     return centroids
 
 
+def dimension_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension global (min, max) assembled into two aligned arrays.
+
+    One explode + one 64-row aggregate + one 1-row assembly — the
+    calibration pass of scalar quantization. Returns a single row
+    ``(mins: array<double>, maxs: array<double>)`` meant for
+    ``with_broadcast_scalar``.
+    """
+    dims = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+    )
+    per_dim = dims.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    return per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+            lambda s: s.mn,
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+            lambda s: s.mx,
+        ).alias("maxs"),
+    )
+
+
+def quantize_expr(vec_col: Column, mins: Column, maxs: Column) -> Column:
+    """Symmetric-range int8 scalar quantization.
+
+    ``q_i = floor((x_i - min_i) / (max_i - min_i) * 255 + 0.5) - 128`` —
+    floor(v+0.5) instead of round() so half-way codes are identical across
+    engines; constant dimensions (max == min) quantize to 0.
+    """
+    return F.zip_with(
+        vec_col.cast("array<double>"),
+        F.zip_with(mins, maxs, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))),
+        lambda x, s: F.when(s.mx == s.mn, F.lit(0)).otherwise(
+            F.floor((x - s.mn) / (s.mx - s.mn) * 255 + F.lit(0.5)) - 128
+        ).cast("int"),
+    )
+
+
+def dequantize_expr(q_col: Column, mins: Column, maxs: Column) -> Column:
+    """Inverse of ``quantize_expr``: ``min_i + (q_i + 128) / 255 * range_i``."""
+    return F.zip_with(
+        q_col,
+        F.zip_with(mins, maxs, lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))),
+        lambda q, s: s.mn + (q.cast("double") + 128) / 255 * (s.mx - s.mn),
+    )
+
+
 def ann_lsh_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   num_planes: int = NUM_PLANES) -> DataFrame:

@@ -724,6 +724,332 @@ ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
 """
 
 
+#: Context-window token budget for the packing query.
+PACK_BUDGET = 512
+_PACK_GROUPS = 32
+
+
+def pack_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents → fixed-token-budget training packs via a
+    distributed prefix sum (operators/packing.py). Output is the per-doc
+    pack assignment; the oracle replays the identical (id%G, id)-ordered
+    cumulative-sum arithmetic with SQL windows.
+    """
+    from arcane_framework_spark.operators.packing import pack_documents
+    from arcane_framework_spark.operators.text import token_count_expr
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id", token_count_expr("text").alias("n_tokens")
+    )
+    return pack_documents(
+        docs, budget=PACK_BUDGET, num_groups=_PACK_GROUPS
+    )
+
+
+_PACK_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+         END::BIGINT AS n_tokens,
+         doc_id % {_PACK_GROUPS} AS grp
+  FROM documents
+),
+local AS (
+  SELECT doc_id, n_tokens, grp,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_before
+  FROM docs
+),
+offsets AS (
+  SELECT grp,
+         COALESCE(sum(grp_total) OVER (
+           ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS off
+  FROM (SELECT grp, sum(n_tokens) AS grp_total FROM docs GROUP BY grp) g
+)
+SELECT l.doc_id, l.n_tokens,
+       (l.local_before + o.off)::BIGINT AS fill_before,
+       CAST(floor((l.local_before + o.off)::DOUBLE / {PACK_BUDGET}) AS BIGINT)
+         AS pack_id
+FROM local l JOIN offsets o USING (grp)
+"""
+
+
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup executed by a REAL Structured Streaming query.
+
+    Events replay through ``readStream`` → ``dropDuplicatesWithinWatermark``
+    on (user_id, event_type) → per-type distinct-user counts from the
+    drained sink. The watermark horizon (1000 h) exceeds the replayed
+    data's ~30-day span, so streaming dedup state never evicts a key early and the
+    result equals batch DISTINCT — which is exactly what the SQL oracle
+    asserts (T7: bounded-state dedup agrees with batch semantics).
+    """
+    from arcane_framework_spark.streaming.stateful import dedup_stream
+
+    t = load_tables(spark, sf_dir, "events")  # sets nanosAsLong/ANSI/UTC
+    schema = t["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.select(
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    deduped = dedup_stream(
+        ev, keys=["user_id", "event_type"], watermark="1000 hours"
+    )
+    name = "streaming_dedup_users_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+    )
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
+def corpus_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by doc-id hash.
+
+    Stable across runs/partitionings/engines (operators/sampling.py) — the
+    property that keeps eval sets uncontaminated as the corpus grows. The
+    oracle replays the identical md5-prefix CASE.
+    """
+    from arcane_framework_spark.operators.sampling import with_split
+    from arcane_framework_spark.operators.text import token_count_expr
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id", token_count_expr("text").alias("n_tokens")
+    )
+    return with_split(docs, ["doc_id"])
+
+
+def _corpus_split_sql() -> str:
+    from arcane_framework_spark.operators.sampling import split_sql
+
+    case = split_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(lower(trim(text)), '\\s+'))
+       END::BIGINT AS n_tokens,
+       {case} AS split
+FROM documents
+"""
+
+
+def range_join_activation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: events falling inside ANY user's first-2-hour
+    activation window (no equi-key — pure interval containment).
+
+    Scale path per operators/rangejoin.py: both sides big → bucket on
+    15-minute cells, equi-join, verify BETWEEN. Output: per-window count of
+    in-window events from OTHER users (cross-user interval join).
+    """
+    from arcane_framework_spark.operators.rangejoin import range_join
+
+    t = load_tables(spark, sf_dir, "events")
+    # micros since epoch (events.ts is long nanos)
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        # integer div nanos -> micros (matches DuckDB's truncating
+        # TIMESTAMP read; a float division would lose ULPs at e18)
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    windows = ev.groupBy(F.col("user_id").alias("w_user")).agg(
+        F.min("ts_us").alias("w_start")
+    ).withColumn("w_end", F.col("w_start") + 2 * 3600 * 1_000_000)
+    joined = range_join(
+        ev, windows, "ts_us", "w_start", "w_end",
+        bucket_width=15 * 60 * 1_000_000,
+    )
+    return (
+        joined.filter(F.col("user_id") != F.col("w_user"))
+        .groupBy("w_user")
+        .agg(F.count(F.lit(1)).alias("n_other_events"))
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch_us(ts)) AS BIGINT) AS ts_us
+  FROM events
+),
+w AS (
+  SELECT user_id AS w_user, min(ts_us) AS w_start,
+         min(ts_us) + 7200000000::BIGINT AS w_end
+  FROM ev GROUP BY user_id
+)
+SELECT w_user, count(*) AS n_other_events
+FROM ev JOIN w ON ev.ts_us BETWEEN w.w_start AND w.w_end
+WHERE ev.user_id <> w.w_user
+GROUP BY w_user
+"""
+
+
+#: Quantization-recall query knobs.
+QUANT_QUERIES = 10
+QUANT_K = 10
+
+
+def quantization_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization + recall@k against the exact top-k.
+
+    The production pattern for shipping embeddings at 100 TB: calibrate
+    per-dimension ranges once (64-row aggregate), quantize map-side (4×
+    smaller vectors), and measure retrieval recall of the dequantized
+    vectors vs full precision. All arithmetic is element-wise IEEE ops the
+    DuckDB oracle replays exactly.
+    """
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.operators.similarity import (
+        dequantize_expr,
+        dimension_stats,
+        dot_expr,
+        norm_expr,
+        quantize_expr,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select("vec_id", "embedding")
+    stats = dimension_stats(emb)
+    deq = with_broadcast_scalar(emb, stats).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("exact_vec"),
+        dequantize_expr(
+            quantize_expr(F.col("embedding"), F.col("mins"), F.col("maxs")),
+            F.col("mins"),
+            F.col("maxs"),
+        ).alias("deq_vec"),
+    )
+
+    def topk(vec_field: str) -> DataFrame:
+        q = deq.filter(F.col("vec_id") < QUANT_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_field).alias("qv"),
+            norm_expr(F.col(vec_field)).alias("qn"),
+        )
+        c = deq.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col(vec_field).alias("cv"),
+            norm_expr(F.col(vec_field)).alias("cn"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__cos").desc(), F.col("neighbor_id")
+        )
+        return (
+            c.join(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("__cos"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= QUANT_K)
+            .groupBy("query_id")
+            .agg(F.collect_set("neighbor_id").alias("nbrs"))
+        )
+
+    exact = topk("exact_vec").withColumnRenamed("nbrs", "exact_nbrs")
+    approx = topk("deq_vec").withColumnRenamed("nbrs", "deq_nbrs")
+    return exact.join(approx, "query_id").select(
+        "query_id",
+        F.size(F.array_intersect("exact_nbrs", "deq_nbrs")).alias("n_overlap"),
+        F.round(
+            F.size(F.array_intersect("exact_nbrs", "deq_nbrs"))
+            / F.lit(QUANT_K),
+            4,
+        ).alias("recall"),
+    )
+
+
+def _quant_recall_sql(dim: int = 64) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+per_dim AS (
+  SELECT g.i AS pos, min(e.v[g.i]) AS mn, max(e.v[g.i]) AS mx
+  FROM e CROSS JOIN generate_series(1, {dim}) AS g(i)
+  GROUP BY g.i
+),
+stats AS (
+  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+  FROM per_dim
+),
+deq AS (
+  SELECT vec_id,
+         v AS exact_vec,
+         list_transform(range(1, {dim + 1}), i ->
+           CASE WHEN s.maxs[i] = s.mins[i] THEN s.mins[i]
+                ELSE s.mins[i]
+                     + (floor((e.v[i] - s.mins[i]) / (s.maxs[i] - s.mins[i])
+                              * 255 + 0.5) - 128 + 128) / 255
+                       * (s.maxs[i] - s.mins[i])
+           END) AS deq_vec
+  FROM e, stats s
+),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.exact_vec, c.exact_vec)
+           / (sqrt(list_dot_product(q.exact_vec, q.exact_vec))
+              * sqrt(list_dot_product(c.exact_vec, c.exact_vec))) AS cos,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY cos DESC, c.vec_id) AS rn
+  FROM deq q CROSS JOIN deq c
+  WHERE q.vec_id < {QUANT_QUERIES} AND q.vec_id <> c.vec_id
+),
+deq_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.deq_vec, c.deq_vec)
+           / (sqrt(list_dot_product(q.deq_vec, q.deq_vec))
+              * sqrt(list_dot_product(c.deq_vec, c.deq_vec))) AS cos,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY cos DESC, c.vec_id) AS rn
+  FROM deq q CROSS JOIN deq c
+  WHERE q.vec_id < {QUANT_QUERIES} AND q.vec_id <> c.vec_id
+),
+exact_nbrs AS (
+  SELECT query_id, list(neighbor_id) AS nbrs FROM exact_scored
+  WHERE rn <= {QUANT_K} GROUP BY query_id
+),
+deq_nbrs AS (
+  SELECT query_id, list(neighbor_id) AS nbrs FROM deq_scored
+  WHERE rn <= {QUANT_K} GROUP BY query_id
+)
+SELECT e.query_id,
+       len(list_intersect(e.nbrs, d.nbrs)) AS n_overlap,
+       round(len(list_intersect(e.nbrs, d.nbrs))::DOUBLE / {QUANT_K}, 4)
+         AS recall
+FROM exact_nbrs e JOIN deq_nbrs d USING (query_id)
+"""
+
+
 KMEANS_K = 10
 KMEANS_ITERS = 3
 
@@ -846,6 +1172,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_clusters_documents": dedup_clusters_documents,
     "asof_attribution_events": asof_attribution_events,
+    "pack_documents_512": pack_documents_query,
+    "quantization_recall_embeddings": quantization_recall_embeddings,
+    "corpus_split_documents": corpus_split_documents,
+    "range_join_activation_events": range_join_activation_events,
+    "streaming_dedup_users": streaming_dedup_users,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -862,6 +1193,11 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "approx_user_counts": _APPROX_USERS_SQL,
     "kmeans_embeddings": _kmeans_sql(),
     "asof_attribution_events": _ASOF_SQL,
+    "pack_documents_512": _PACK_SQL,
+    "quantization_recall_embeddings": _quant_recall_sql(),
+    "corpus_split_documents": _corpus_split_sql(),
+    "range_join_activation_events": _RANGE_JOIN_SQL,
+    "streaming_dedup_users": _STREAMING_DEDUP_SQL,
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

@@ -527,3 +527,116 @@ def test_asof_join_backward_inclusive(spark):
     assert got["p1"][0] == "c1"
     assert got["p2"][0] == "c3" and got["p2"][1] == dt(2024, 1, 20)
     assert got["p3"] == (None, None)
+
+def test_pack_documents_budget_semantics(spark):
+    """Cumsum bucketing: packs fill to >= budget (except the last), docs
+    longer than the budget own their packs, assignment is deterministic."""
+    from arcane_framework_spark.operators.packing import (
+        pack_documents,
+        pack_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 100) for i in range(10)] + [(100, 1000)],  # one giant doc
+        "doc_id: long, n_tokens: long",
+    )
+    packed = pack_documents(docs, budget=250, num_groups=4)
+    rows = {r.doc_id: r for r in packed.collect()}
+    # replay the contract exactly: effective order is (id % 4, id);
+    # fill_before = tokens before the doc in that order; pack = fill // 250
+    sizes = {i: 100 for i in range(10)}
+    sizes[100] = 1000
+    order = sorted(sizes, key=lambda d: (d % 4, d))
+    fill = 0
+    for d in order:
+        assert rows[d].fill_before == fill
+        assert rows[d].pack_id == fill // 250
+        fill += sizes[d]
+    assert fill == 2000
+    stats = {r.pack_id: r for r in pack_stats(packed, 250).collect()}
+    assert sum(r.n_docs for r in stats.values()) == 11
+    assert sum(r.pack_tokens for r in stats.values()) == 2000
+    # deterministic: re-running yields identical assignment
+    again = {r.doc_id: r.pack_id for r in
+             pack_documents(docs, budget=250, num_groups=4).collect()}
+    assert again == {d: r.pack_id for d, r in rows.items()}
+
+def test_quantize_dequantize_roundtrip(spark):
+    """int8 quantization: codes in [-128,127], dequantized values within a
+    half-step of the original, constant dims survive."""
+    from pyspark.sql import functions as F
+
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.operators.similarity import (
+        dequantize_expr,
+        dimension_stats,
+        quantize_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), -1.0 + i * 0.5, 7.0]) for i in range(5)],
+        "vec_id: long, embedding: array<double>",
+    )
+    stats = dimension_stats(df)
+    out = with_broadcast_scalar(df, stats).select(
+        "vec_id",
+        "embedding",
+        quantize_expr(F.col("embedding"), F.col("mins"), F.col("maxs")).alias("q"),
+        dequantize_expr(
+            quantize_expr(F.col("embedding"), F.col("mins"), F.col("maxs")),
+            F.col("mins"), F.col("maxs"),
+        ).alias("deq"),
+    ).collect()
+    for r in out:
+        assert all(-128 <= q <= 127 for q in r.q)
+        # constant third dim: code 0, exact reconstruction
+        assert r.q[2] == 0 and r.deq[2] == 7.0
+        for orig, deq, step in zip(r.embedding, r.deq, [4 / 255, 2 / 255, 0.0]):
+            assert abs(orig - deq) <= step / 2 + 1e-12
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    """Hash splits: stable across runs and repartitionings, fractions
+    roughly honored, salt changes the assignment."""
+    from arcane_framework_spark.operators.sampling import with_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id: long"
+    )
+    a = {r.doc_id: r.split for r in with_split(df, ["doc_id"]).collect()}
+    b = {r.doc_id: r.split
+         for r in with_split(df.repartition(7), ["doc_id"]).collect()}
+    assert a == b
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    assert 0.06 < counts["val"] / 2000 < 0.14
+    resalted = {r.doc_id: r.split
+                for r in with_split(df, ["doc_id"], salt="v2").collect()}
+    assert resalted != a
+
+def test_range_join_bucketed_matches_naive(spark):
+    """Bucketed interval join equals the naive BETWEEN join for every
+    bucket width, including intervals spanning many buckets."""
+    from arcane_framework_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "pid: long, ts: long"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 5, 25), (200, 240, 490), (300, 480, 485), (400, 600, 700)],
+        "iid: long, s: long, e: long",
+    )
+    expected = {
+        (p, i)
+        for p in range(50)
+        for i, s, e in [(100, 5, 25), (200, 240, 490), (300, 480, 485), (400, 600, 700)]
+        if s <= p * 10 <= e
+    }
+    for width in (7, 100, 1000):
+        got = {
+            (r.pid, r.iid)
+            for r in range_join(points, intervals, "ts", "s", "e", width).collect()
+        }
+        assert got == expected, f"width={width}"

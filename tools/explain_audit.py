@@ -28,7 +28,7 @@ EXPECTED_BNLJ = {
 }
 
 #: Streaming-executed queries — no batch plan to audit.
-SKIP = {"streaming_hourly_rollup"}
+SKIP = {"streaming_hourly_rollup", "streaming_dedup_users"}
 
 
 def _only_scalar_bnlj(executed_plan: str) -> bool:
