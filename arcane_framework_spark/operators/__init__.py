@@ -22,6 +22,27 @@ from arcane_framework_spark.operators.similarity import (  # noqa: F401
     knn_bruteforce,
     lsh_buckets,
 )
+from arcane_framework_spark.operators.cache import (  # noqa: F401
+    cache_scope,
+    scoped_persist,
+)
+from arcane_framework_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    dedup_clusters,
+)
+from arcane_framework_spark.operators.packing import (  # noqa: F401
+    pack_documents,
+    pack_stats,
+)
+from arcane_framework_spark.operators.rangejoin import range_join  # noqa: F401
+from arcane_framework_spark.operators.sampling import (  # noqa: F401
+    split_expr,
+    with_split,
+)
+from arcane_framework_spark.operators.scale import (  # noqa: F401
+    with_broadcast_scalar,
+)
+from arcane_framework_spark.operators.temporal import asof_join  # noqa: F401
 from arcane_framework_spark.operators.text import (  # noqa: F401
     with_fingerprint,
     with_language,

@@ -37,16 +37,25 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     Converges in ``diameter`` rounds; raises if ``max_rounds`` is hit while
     labels are still moving (pathological chain — raise the bound).
     """
+    # Persist the edge list FIRST: the symmetric union below evaluates it
+    # twice, and for pair-generator inputs (MinHash etc.) re-evaluation
+    # means re-running the whole sketch pipeline.
+    edges = edges.select(src, dst).transform(scoped_persist)
     sym = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
         .distinct()
         .transform(scoped_persist)
     )
+    # Seed with the 1-hop minimum (folds the would-be first round into the
+    # init aggregation — one fewer driver-synchronized round).
     labels = (
-        sym.select("node")
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy("node")
+        .agg(F.min("nbr").alias("__mn"))
+        .select(
+            "node",
+            F.least(F.col("node"), F.col("__mn")).alias("component"),
+        )
         .transform(scoped_persist)
     )
     labels.count()

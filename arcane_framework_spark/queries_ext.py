@@ -778,6 +778,139 @@ FROM local l JOIN offsets o USING (grp)
 """
 
 
+#: Per-source document cap for the stratified-cap query.
+SOURCE_CAP = 20
+
+
+def source_capped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep the SOURCE_CAP longest docs per source
+    (ties by doc_id) — the standard domain-rebalancing step before training.
+
+    Scale: one shuffle on source; rank ≤ k plans as WindowGroupLimit
+    (partial top-k map-side), so the shuffle carries at most k rows per
+    source per input partition — never the full corpus.
+    """
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SOURCE_CAP)
+        .select("doc_id", "source", "n_chars", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_SOURCE_CAP_SQL = f"""
+SELECT doc_id, source, n_chars, CAST(rank AS INT) AS rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents
+) WHERE rank <= {SOURCE_CAP}
+"""
+
+
+def repetition_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition quality metrics per document: fraction of
+    duplicated word 2-grams and the most-frequent-token share — the
+    repetition rules of public LLM data-quality pipelines.
+
+    Shape: the tokens array materializes once behind the _with_tokens
+    Generate barrier; bigram construction reads it row-locally; both
+    aggregations shuffle on doc_id with map-side partial counts — linear in
+    corpus size.
+    """
+    from arcane_framework_spark.operators.dedup import _with_tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    toks = _with_tokens(t["documents"], "text", "doc_id")
+    bg_rows = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.get(F.col("toks"), i), F.get(F.col("toks"), i + 1)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bg_rows.groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "dup_bigram_tokens"
+            ),
+        )
+    )
+    tok_stats = (
+        toks.select("id", F.explode("toks").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_token_count"),
+        )
+    )
+    return bg_stats.join(tok_stats, "id").select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round(
+            F.col("dup_bigram_tokens") / F.greatest(F.col("n_bigrams"), F.lit(1)),
+            4,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.col("top_token_count") / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("top_token_frac"),
+    )
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM toks WHERE len(w) >= 2) t
+),
+bg_stats AS (
+  SELECT doc_id, sum(c) AS n_bigrams,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_bigram_tokens
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+  GROUP BY doc_id
+),
+tok_stats AS (
+  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_token_count
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS tok FROM toks) u
+        GROUP BY doc_id, tok) t
+  GROUP BY doc_id
+)
+SELECT b.doc_id, t.n_tokens::BIGINT AS n_tokens,
+       round(b.dup_bigram_tokens::DOUBLE / greatest(b.n_bigrams, 1), 4)
+         AS dup_bigram_frac,
+       round(t.top_token_count::DOUBLE / greatest(t.n_tokens, 1), 4)
+         AS top_token_frac
+FROM bg_stats b JOIN tok_stats t USING (doc_id)
+"""
+
+
 def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup executed by a REAL Structured Streaming query.
 
@@ -1177,6 +1310,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split_documents": corpus_split_documents,
     "range_join_activation_events": range_join_activation_events,
     "streaming_dedup_users": streaming_dedup_users,
+    "source_capped_documents": source_capped_documents,
+    "repetition_quality_documents": repetition_quality_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1198,6 +1333,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "corpus_split_documents": _corpus_split_sql(),
     "range_join_activation_events": _RANGE_JOIN_SQL,
     "streaming_dedup_users": _STREAMING_DEDUP_SQL,
+    "source_capped_documents": _SOURCE_CAP_SQL,
+    "repetition_quality_documents": _REPETITION_SQL,
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

@@ -24,10 +24,13 @@ from arcane_framework_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
+from arcane_framework_spark.operators.graph import dedup_clusters  # noqa: E402
+from arcane_framework_spark.operators.packing import pack_documents  # noqa: E402
 from arcane_framework_spark.operators.similarity import (  # noqa: E402
     ivf_topk,
     knn_bruteforce,
 )
+from arcane_framework_spark.operators.text import token_count_expr  # noqa: E402
 from arcane_framework_spark.session import get_spark  # noqa: E402
 
 
@@ -94,6 +97,19 @@ def main() -> None:
             lambda: knn_bruteforce(emb, queries, k=5)
         ),
         "ivf_topk_q500": timed(lambda: ivf_topk(emb, centroids, queries, k=5)),
+        # near-dup pairs -> clusters (graph closure on the pair output)
+        "dedup_clusters": timed(
+            lambda: dedup_clusters(minhash_lsh_pairs(docs))
+        ),
+        # distributed-prefix-sum packing over the enlarged corpus
+        "pack_documents": timed(
+            lambda: pack_documents(
+                docs.select(
+                    "doc_id", token_count_expr("text").alias("n_tokens")
+                ),
+                budget=512,
+            )
+        ),
     }
     print(json.dumps(results))
 
