@@ -30,12 +30,15 @@ from arcane_framework_spark.operators.dedup import (
     shingles_from_tokens,
     simhash_expr,
 )
+from arcane_framework_spark.operators.sampling import split_expr
 from arcane_framework_spark.operators.similarity import (
     cosine_expr,
+    dequantize_expr,
     dot_expr,
     hyperplane_weights,
     lsh_signature_expr,
     norm_expr,
+    quantize_expr,
 )
 from arcane_framework_spark.operators.text import (
     bpe_token_count_expr,
@@ -69,6 +72,9 @@ __all__ = [
     "shingles_from_tokens",
     "simhash_expr",
     "cosine_expr",
+    "dequantize_expr",
+    "quantize_expr",
+    "split_expr",
     "dot_expr",
     "hyperplane_weights",
     "lsh_signature_expr",

@@ -209,3 +209,49 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
                      out_col: str = "fingerprint") -> DataFrame:
     """Attach the md5 document fingerprint."""
     return df.withColumn(out_col, fingerprint_expr(text_col))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns: (name, regex, replacement token). Explicit ASCII
+#: classes only — Java regex (Spark) and RE2 (DuckDB) evaluate them
+#: identically, which the oracle depends on.
+REDACTION_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[ .\-]?\(?[0-9]{3}\)?[ .\-]?[0-9]{3}[ .\-]?[0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_expr(text_col: str | Column = "text") -> Column:
+    """Text with emails/phones/IPv4s replaced by typed placeholder tokens.
+
+    One chained regexp_replace per pattern — map-side, codegen, no UDF; at
+    100 TB this is a single scan. Pattern order matters (emails before
+    phones, so digits inside an address are not double-claimed) and is
+    fixed by REDACTION_PATTERNS.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _name, pat, repl in REDACTION_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def redaction_counts_expr(text_col: str | Column = "text") -> dict[str, Column]:
+    """Per-pattern match counts (the audit trail of a scrubbing pass)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for name, pat, _repl in REDACTION_PATTERNS
+    }
+
+
+def with_redaction(df: DataFrame, text_col: str = "text",
+                   out_col: str = "redacted") -> DataFrame:
+    """Attach the redacted text plus per-pattern match-count columns."""
+    out = df.withColumn(out_col, redact_expr(text_col))
+    for name, col in redaction_counts_expr(text_col).items():
+        out = out.withColumn(f"n_{name}", col)
+    return out

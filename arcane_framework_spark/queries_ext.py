@@ -911,6 +911,68 @@ FROM bg_stats b JOIN tok_stats t USING (doc_id)
 """
 
 
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: every 11th doc gets planted
+    email/phone/IP strings; the query emits per-doc redaction counts and
+    the md5 of the REDACTED text, which hash-matches only if both engines
+    replace the exact same spans with the same tokens.
+    """
+    from arcane_framework_spark.operators.text import with_redaction
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat_ws(
+                " ",
+                "text",
+                F.concat(
+                    F.lit("contact user"),
+                    F.col("doc_id"),
+                    F.lit("@example.com or +1 555-123-4567 at 192.168.1.17"),
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = with_redaction(docs)
+    return out.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_md5"),
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+    )
+
+
+def _redact_sql() -> str:
+    from arcane_framework_spark.operators.text import REDACTION_PATTERNS
+
+    pats = {name: pat for name, pat, _ in REDACTION_PATTERNS}
+    repls = {name: repl for name, _, repl in REDACTION_PATTERNS}
+    chain = "text"
+    for name, pat, repl in REDACTION_PATTERNS:
+        chain = f"regexp_replace({chain}, '{pat}', '{repl}', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pats[n]}'))::INT AS n_{n}"
+        for n in ("email", "phone", "ipv4")
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' ' || 'contact user' || doc_id ||
+                   '@example.com or +1 555-123-4567 at 192.168.1.17'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       md5({chain}) AS redacted_md5,
+       {counts}
+FROM docs
+"""
+
+
 def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup executed by a REAL Structured Streaming query.
 
@@ -1312,6 +1374,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_users": streaming_dedup_users,
     "source_capped_documents": source_capped_documents,
     "repetition_quality_documents": repetition_quality_documents,
+    "redact_pii_documents": redact_pii_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1335,6 +1398,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "streaming_dedup_users": _STREAMING_DEDUP_SQL,
     "source_capped_documents": _SOURCE_CAP_SQL,
     "repetition_quality_documents": _REPETITION_SQL,
+    "redact_pii_documents": _redact_sql(),
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

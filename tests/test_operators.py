@@ -640,3 +640,25 @@ def test_range_join_bucketed_matches_naive(spark):
             for r in range_join(points, intervals, "ts", "s", "e", width).collect()
         }
         assert got == expected, f"width={width}"
+
+def test_redaction_patterns_and_counts(spark):
+    """PII scrubbing: emails/phones/IPs replaced by typed tokens, counts
+    recorded, clean text untouched."""
+    from arcane_framework_spark.operators.text import with_redaction
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach a.b-c_d@sub.domain.org and x@y.io today"),
+            (2, "call +44 123 456 7890 or office +1 (555) 123-4567"),
+            (3, "server at 10.0.0.1 and 192.168.255.17"),
+            (4, "no pii here at all"),
+        ],
+        "id: int, text: string",
+    )
+    rows = {r.id: r for r in with_redaction(df).collect()}
+    assert rows[1].n_email == 2 and "<EMAIL>" in rows[1].redacted
+    assert "@" not in rows[1].redacted
+    assert rows[2].n_phone == 2 and rows[2].redacted.count("<PHONE>") == 2
+    assert rows[3].n_ipv4 == 2 and "<IP>" in rows[3].redacted
+    assert rows[4].redacted == "no pii here at all"
+    assert (rows[4].n_email, rows[4].n_phone, rows[4].n_ipv4) == (0, 0, 0)
