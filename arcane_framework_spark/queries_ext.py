@@ -911,6 +911,44 @@ FROM bg_stats b JOIN tok_stats t USING (doc_id)
 """
 
 
+def frame_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: binary assets → one row per
+    sampled "frame" (sha256 of each 64-byte slice, ≤8 frames/asset) via
+    Arrow-batched mapInPandas — the one-to-many fan-out a real video
+    decoder plugs into. Deterministic byte slicing, so the oracle replays
+    it with blob substrings.
+    """
+    from arcane_framework_spark.operators.multimodal import (
+        documents_as_assets,
+        sample_frames,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    assets = documents_as_assets(t["documents"])
+    return sample_frames(assets, every_n_bytes=64, max_frames=8).select(
+        "doc_id", "frame_index", "frame_sha256"
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+-- DuckDB has no blob slicing; the corpus is pure ASCII (verified:
+-- octet_length(encode(text)) == length(text) for every doc), so slicing the
+-- VARCHAR by characters and encoding each slice equals python byte slicing.
+WITH a AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         unnest(range(0, least(8, greatest(n, 1) // 64 + 1))) AS i
+  FROM a
+)
+SELECT doc_id, i::INT AS frame_index,
+       sha256(substring(text, (i * 64 + 1)::INT, 64)) AS frame_sha256
+FROM f
+"""
+
+
 def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over the corpus: every 11th doc gets planted
     email/phone/IP strings; the query emits per-doc redaction counts and
@@ -1375,6 +1413,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_capped_documents": source_capped_documents,
     "repetition_quality_documents": repetition_quality_documents,
     "redact_pii_documents": redact_pii_documents,
+    "frame_sample_documents": frame_sample_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1399,6 +1438,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "source_capped_documents": _SOURCE_CAP_SQL,
     "repetition_quality_documents": _REPETITION_SQL,
     "redact_pii_documents": _redact_sql(),
+    "frame_sample_documents": _FRAME_SAMPLE_SQL,
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }
