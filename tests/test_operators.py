@@ -662,3 +662,55 @@ def test_redaction_patterns_and_counts(spark):
     assert rows[3].n_ipv4 == 2 and "<IP>" in rows[3].redacted
     assert rows[4].redacted == "no pii here at all"
     assert (rows[4].n_email, rows[4].n_phone, rows[4].n_ipv4) == (0, 0, 0)
+
+def test_resize_assets_plumbing(spark):
+    """Resize stub: payload passes through, declared dims change, schema
+    stable — the contract a real resampler plugs into."""
+    from arcane_framework_spark.operators.multimodal import (
+        documents_as_assets,
+        resize_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text payload"), (2, "x")], "doc_id: long, text: string"
+    )
+    out = resize_assets(documents_as_assets(docs), width=224, height=224)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert out.columns == ["doc_id", "content", "width", "height"]
+    assert bytes(rows[1].content) == b"some text payload"
+    assert rows[1].width == 224 and rows[2].height == 224
+
+
+def test_asof_join_matches_naive_on_random_data(spark):
+    """Property: the union-tag as-of join equals the brute-force
+    latest-right-at-or-before computation on randomized inputs."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        left = [(rng.randrange(5), rng.randrange(100), f"L{i}")
+                for i in range(40)]
+        right = [(rng.randrange(5), rng.randrange(100), f"R{i}")
+                 for i in range(40)]
+        ldf = spark.createDataFrame(left, "k: long, ts: long, lid: string")
+        rdf = spark.createDataFrame(right, "k: long, ts: long, rid: string")
+
+        from arcane_framework_spark.operators.temporal import asof_join
+
+        got = {
+            r.lid: r.rid_right
+            for r in asof_join(ldf, rdf, on="k",
+                               right_payload=["rid"]).collect()
+        }
+        for k, lts, lid in left:
+            cands = [(rts, rid) for rk, rts, rid in right
+                     if rk == k and rts <= lts]
+            # tie-break on equal right ts: the window orders by (ts, tag)
+            # only, so among same-ts right rows the carried one is the
+            # last in sort order — compare by ts only.
+            want_ts = max((rts for rts, _ in cands), default=None)
+            if want_ts is None:
+                assert got[lid] is None, (trial, lid)
+            else:
+                got_rows = [rid for rts, rid in cands if rts == want_ts]
+                assert got[lid] in got_rows, (trial, lid, got[lid])
