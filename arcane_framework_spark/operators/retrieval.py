@@ -1,0 +1,127 @@
+"""BM25 text retrieval: inverted-index-style scoring as DataFrame ops.
+
+The reference framework has no retrieval surface (it is an ingestion
+library; see SURVEY.md §0) — this is a north-star extension operator for
+training-data curation: given a small set of keyword queries, rank the
+corpus by Okapi BM25 and keep the top-k hits per query.
+
+Shape (the part that must survive 100 TB):
+
+- the corpus side is ``explode → (doc, term) tf`` + a doc-length table —
+  two partial-aggregated shuffles over the token stream, the same shape a
+  distributed inverted-index build uses;
+- the query side (a handful of terms) and the document-frequency table
+  (|vocab| rows) are **broadcast** — the big tf table is never shuffled by
+  anything but its own aggregation keys;
+- per-term score contributions are rounded to fixed-point **before** the
+  per-(query, doc) sum, so the sum is integer arithmetic — associative,
+  order-independent, and bit-identical in any engine (the same trick the
+  TPC-H money sums use; see q9 in queries_tpch.py);
+- top-k per query is a ``row_number`` window over (score desc, doc_id),
+  which Spark executes with a partial WindowGroupLimit before the final
+  exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.operators.cache import scoped_persist
+from arcane_framework_spark.operators.text import tokens_expr
+
+#: Okapi BM25 defaults.
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: Fixed-point scale for per-term contributions (6 decimal places).
+BM25_FP = 1_000_000
+
+#: Keyword queries evaluated by the ``bm25_topk_documents`` catalog entry.
+BM25_QUERIES: dict[int, list[str]] = {
+    1: ["hash", "join", "dup"],
+    2: ["scan", "filter", "vector"],
+    3: ["spark", "window", "group"],
+    4: ["sort", "order", "key"],
+}
+
+
+def term_frequencies(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, term, tf) for every non-empty whitespace token."""
+    terms = docs.select(
+        id_col, F.explode(tokens_expr(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    return terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_topk(spark: SparkSession, docs: DataFrame,
+              queries: dict[int, list[str]] | None = None,
+              k: int = 5, k1: float = BM25_K1, b: float = BM25_B,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-k documents per keyword query under Okapi BM25.
+
+    ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the Lucene-style
+    always-positive variant); ``N`` and ``avgdl`` are both taken over the
+    *indexed* documents (≥1 token), so one aggregate over the persisted tf
+    table yields every plan-time scalar in a single driver action (like the
+    reference's schema-discovery pass —
+    `SqlServerChangeTrackingSource.cs:74-94` runs a query at plan time too).
+
+    Returns ``(query_id, doc_id, score, rank)`` with rank 1..k per query.
+    """
+    queries = queries if queries is not None else BM25_QUERIES
+    # tf feeds three consumers (dl, df, the scored join) — persist it so the
+    # tokenize+explode+aggregate lineage runs once, not three times.
+    tf = scoped_persist(term_frequencies(docs, id_col, text_col))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    agg = dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
+    n_docs = int(agg[1])
+    avgdl = float(agg[0]) / float(agg[1])
+
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
+        "query_id: int, term: string",
+    )
+
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = idf * (tf_d * F.lit(k1 + 1.0)) / denom
+
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(df_tbl), "term")
+        .select(
+            "query_id",
+            id_col,
+            F.floor(contrib * F.lit(float(BM25_FP)) + F.lit(0.5))
+            .cast("long")
+            .alias("contrib_fp"),
+        )
+    )
+    totals = scored.groupBy("query_id", id_col).agg(
+        F.sum("contrib_fp").alias("score_fp")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col(id_col)
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.col("score_fp").cast("double") / F.lit(float(BM25_FP)), 6)
+            .alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

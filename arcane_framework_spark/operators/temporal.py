@@ -84,3 +84,83 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.col("__asof_ts").alias(f"{right_ts}{suffix}"),
         *[F.col(f"__asof_{c}").alias(f"{c}{suffix}") for c in right_payload],
     )
+
+
+def window_funnel(events: DataFrame, steps: list[str],
+                  window_us: int, user_col: str = "user_id",
+                  ts_col: str = "ts_us",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-step funnel: deepest step each user reaches in sequence
+    within ``window_us`` microseconds of their FIRST step-1 event.
+
+    Semantics (ClickHouse ``windowFunnel``-style, anchored at the earliest
+    step-1 event): ``t1 = min ts of steps[0]``; ``t_i = min ts of
+    steps[i-1] with t_{i-1} <= ts <= t1 + window``. Returns one row per
+    user that reached step 1: ``(user, level)`` with level in 1..len(steps).
+
+    Scale: one filtered aggregate per step plus equi-joins on the user key —
+    every join is co-partitioned on ``user_col`` (the aggregates already
+    hash-partition by it), so AQE coalesces this into a single exchange
+    lineage; no windows, no range explosion. Timestamps are integer
+    microseconds to keep the arithmetic engine-portable.
+    """
+    ev = events.select(user_col, type_col, ts_col)
+    reached = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__prev"))
+        .withColumn("__deadline", F.col("__prev") + F.lit(window_us))
+    )
+    # Each step's survivor set is a subset of the previous one, so tagging
+    # every survivor set with its level and taking max(level) per user
+    # yields the deepest step reached.
+    tagged = [reached.select(user_col, F.lit(1).alias("level"))]
+    for i, step in enumerate(steps[1:], start=2):
+        reached = (
+            ev.filter(F.col(type_col) == step)
+            .join(reached, user_col)
+            .filter(
+                (F.col(ts_col) >= F.col("__prev"))
+                & (F.col(ts_col) <= F.col("__deadline"))
+            )
+            .groupBy(user_col)
+            .agg(
+                F.min(ts_col).alias("__prev"),
+                F.max("__deadline").alias("__deadline"),
+            )
+        )
+        tagged.append(reached.select(user_col, F.lit(i).alias("level")))
+    allsets = tagged[0]
+    for t in tagged[1:]:
+        allsets = allsets.unionByName(t)
+    return allsets.groupBy(user_col).agg(F.max("level").alias("level"))
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      date_col: str = "event_date") -> DataFrame:
+    """Classic cohort retention: users bucketed by first-seen date, counted
+    per whole-week offset of each later active day.
+
+    Returns ``(cohort_date, week_offset, n_users)`` where ``n_users`` is the
+    count of distinct cohort members active during that offset week.
+
+    Scale: first-seen is one aggregate by user; the join back is
+    co-partitioned on the user key; the final count-distinct aggregates
+    (cohort, offset, user) partially before the exchange.
+    """
+    first_seen = events.groupBy(user_col).agg(
+        F.min(date_col).alias("cohort_date")
+    )
+    return (
+        events.select(user_col, date_col)
+        .join(first_seen, user_col)
+        .select(
+            "cohort_date",
+            F.floor(
+                F.datediff(F.col(date_col), F.col("cohort_date")) / 7
+            ).cast("int").alias("week_offset"),
+            user_col,
+        )
+        .groupBy("cohort_date", "week_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

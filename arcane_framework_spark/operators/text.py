@@ -255,3 +255,45 @@ def with_redaction(df: DataFrame, text_col: str = "text",
     for name, col in redaction_counts_expr(text_col).items():
         out = out.withColumn(f"n_{name}", col)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter rules (Gopher-style, engine-portable)
+# ---------------------------------------------------------------------------
+
+#: Word-count bounds: documents outside [min, max] tokens are dropped.
+QUALITY_MIN_TOKENS = 15
+QUALITY_MAX_TOKENS = 90
+#: Mean-word-length ceiling (chars per token, whitespace removed).
+QUALITY_MAX_MEAN_WORD_LEN = 4.6
+#: Minimum stopword hits (any language profile's frequent-word list).
+QUALITY_MIN_STOPWORD_HITS = 2
+
+
+def quality_rules_exprs(toks: Column, text_col: str | Column = "text",
+                        stopwords: list[str] | None = None) -> dict[str, "Column"]:
+    """Boolean pass/fail Columns for each Gopher-style quality rule.
+
+    Takes a *materialized* token array (see ``_with_token_barrier``) so the
+    tokenizer regex runs once however many rules reference it. All rules
+    are integer/ratio arithmetic — no transcendental functions — so the
+    DuckDB oracle matches bit-for-bit.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    stopwords = stopwords or STOPWORDS
+    n_tokens = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(toks)
+    ).cast("long")
+    # chars-without-whitespace / tokens: mean word length.
+    squeezed = F.length(F.regexp_replace(F.trim(c), r"\s+", ""))
+    mean_wl = squeezed.cast("double") / F.greatest(n_tokens, F.lit(1)).cast(
+        "double"
+    )
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return {
+        "pass_len": (n_tokens >= QUALITY_MIN_TOKENS)
+        & (n_tokens <= QUALITY_MAX_TOKENS),
+        "pass_wordlen": mean_wl <= F.lit(QUALITY_MAX_MEAN_WORD_LEN),
+        "pass_stop": sw_hits >= QUALITY_MIN_STOPWORD_HITS,
+    }

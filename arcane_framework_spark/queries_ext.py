@@ -1390,6 +1390,249 @@ GROUP BY f.cid
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality funnel, retrieval, and product-analytics operators
+# ---------------------------------------------------------------------------
+
+
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule funnel: per-source pass counts for each
+    rule (word-count bounds, mean-word-length ceiling, stopword floor) and
+    the final keep count.
+
+    Scale: one map-side pass computes all rule booleans off a single
+    materialized token array (tokenizer runs once per row), then one
+    partial-aggregated shuffle on `source`. Pure integer outputs — the
+    most robust oracle contract there is.
+    """
+    from arcane_framework_spark.operators.text import (
+        _with_token_barrier,
+        quality_rules_exprs,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = _with_token_barrier(
+        t["documents"].select("doc_id", "text", "source"), "text"
+    )
+    rules = quality_rules_exprs(F.col("__toks"), "text")
+    flagged = docs.select(
+        "source",
+        *[expr.alias(name) for name, expr in rules.items()],
+    )
+    keep = F.col("pass_len") & F.col("pass_wordlen") & F.col("pass_stop")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pass_len").cast("long")).alias("n_pass_len"),
+        F.sum(F.col("pass_wordlen").cast("long")).alias("n_pass_wordlen"),
+        F.sum(F.col("pass_stop").cast("long")).alias("n_pass_stop"),
+        F.sum(keep.cast("long")).alias("n_keep"),
+    )
+
+
+def _quality_filter_sql() -> str:
+    from arcane_framework_spark.operators.text import (
+        QUALITY_MAX_MEAN_WORD_LEN,
+        QUALITY_MAX_TOKENS,
+        QUALITY_MIN_STOPWORD_HITS,
+        QUALITY_MIN_TOKENS,
+        STOPWORDS,
+    )
+
+    swlist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return rf"""
+WITH feat AS (
+  SELECT source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+         END::BIGINT AS n_tokens,
+         len(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE AS squeezed,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t IN ({swlist}))) AS sw_hits
+  FROM documents
+),
+flags AS (
+  SELECT source,
+         (n_tokens >= {QUALITY_MIN_TOKENS}
+          AND n_tokens <= {QUALITY_MAX_TOKENS}) AS pass_len,
+         (squeezed / greatest(n_tokens, 1)::DOUBLE
+          <= {QUALITY_MAX_MEAN_WORD_LEN}::DOUBLE) AS pass_wordlen,
+         (sw_hits >= {QUALITY_MIN_STOPWORD_HITS}) AS pass_stop
+  FROM feat
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN pass_len THEN 1 ELSE 0 END)::BIGINT AS n_pass_len,
+       sum(CASE WHEN pass_wordlen THEN 1 ELSE 0 END)::BIGINT AS n_pass_wordlen,
+       sum(CASE WHEN pass_stop THEN 1 ELSE 0 END)::BIGINT AS n_pass_stop,
+       sum(CASE WHEN pass_len AND pass_wordlen AND pass_stop
+                THEN 1 ELSE 0 END)::BIGINT AS n_keep
+FROM flags GROUP BY source
+"""
+
+
+BM25_TOP_K = 5
+
+
+def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed keyword-query set
+    (operators/retrieval.py — inverted-index shape, broadcast query/df
+    sides, fixed-point order-independent score sums)."""
+    from arcane_framework_spark.operators.retrieval import bm25_topk
+
+    t = load_tables(spark, sf_dir, "documents")
+    return bm25_topk(spark, t["documents"].select("doc_id", "text"),
+                     k=BM25_TOP_K)
+
+
+def _bm25_sql() -> str:
+    from arcane_framework_spark.operators.retrieval import (
+        BM25_B,
+        BM25_FP,
+        BM25_K1,
+        BM25_QUERIES,
+    )
+
+    # Float literals rendered from the SAME Python doubles the Spark plan
+    # embeds, so both engines multiply identical IEEE values.
+    k1 = repr(float(BM25_K1))
+    k1p1 = repr(float(BM25_K1 + 1.0))
+    one_minus_b = repr(float(1.0 - BM25_B))
+    b = repr(float(BM25_B))
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in sorted(BM25_QUERIES.items())
+        for t in terms
+    )
+    return rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl
+),
+q(query_id, term) AS (VALUES {vals}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(
+           ln((n_docs - df::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE)
+              + 1.0::DOUBLE)
+           * (tf::DOUBLE * {k1p1}::DOUBLE)
+           / (tf::DOUBLE + {k1}::DOUBLE
+              * ({one_minus_b}::DOUBLE
+                 + {b}::DOUBLE * dl::DOUBLE / avgdl))
+           * {float(BM25_FP)!r}::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS contrib_fp
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) JOIN dfs USING (term)
+  CROSS JOIN stats
+),
+totals AS (
+  SELECT query_id, doc_id, sum(contrib_fp)::BIGINT AS score_fp
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_fp DESC, doc_id) AS rank
+  FROM totals
+)
+SELECT query_id, doc_id,
+       round(score_fp::DOUBLE / {float(BM25_FP)!r}::DOUBLE, 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+#: Funnel steps and window for ``window_funnel_events`` (24h in micros).
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_US = 86_400_000_000
+
+
+def window_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel (view → click → purchase within 24h
+    of the first view): distribution of deepest level reached per user.
+    operators/temporal.py `window_funnel` — co-partitioned per-step
+    aggregates, integer-microsecond arithmetic."""
+    from arcane_framework_spark.operators.temporal import window_funnel
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+    )
+    levels = window_funnel(ev, FUNNEL_STEPS, FUNNEL_WINDOW_US)
+    return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_WINDOW_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch_us(ts)) AS BIGINT) AS ts_us
+  FROM events
+),
+t1 AS (
+  SELECT user_id, min(ts_us) AS p,
+         min(ts_us) + {FUNNEL_WINDOW_US}::BIGINT AS dl
+  FROM ev WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(ts_us) AS p, max(dl) AS dl
+  FROM ev e JOIN t1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[1]}' AND ts_us >= t1.p AND ts_us <= dl
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(ts_us) AS p
+  FROM ev e JOIN t2 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[2]}' AND ts_us >= t2.p AND ts_us <= dl
+  GROUP BY e.user_id
+)
+SELECT level, count(*)::BIGINT AS n_users FROM (
+  SELECT t1.user_id,
+         CASE WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS level
+  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+) GROUP BY level
+"""
+
+
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen date, distinct
+    actives per whole-week offset (operators/temporal.py
+    `retention_cohorts`)."""
+    from arcane_framework_spark.operators.temporal import retention_cohorts
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id",
+        F.to_date(F.expr("timestamp_micros(ts div 1000)")).alias("event_date"),
+    )
+    res = retention_cohorts(ev)
+    return res.select(
+        F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+        F.col("week_offset").cast("int").alias("week_offset"),
+        "n_users",
+    )
+
+
+_RETENTION_SQL = """
+WITH ev AS (SELECT user_id, ts::DATE AS d FROM events),
+fs AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY user_id)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+       CAST(floor(date_diff('day', cohort, d) / 7.0) AS INT) AS week_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM ev JOIN fs USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": ngram_jaccard_documents,
     "simhash_neardup_documents": simhash_neardup_documents,
@@ -1414,6 +1657,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality_documents": repetition_quality_documents,
     "redact_pii_documents": redact_pii_documents,
     "frame_sample_documents": frame_sample_documents,
+    "quality_filter_documents": quality_filter_documents,
+    "bm25_topk_documents": bm25_topk_documents,
+    "window_funnel_events": window_funnel_events,
+    "retention_cohorts_events": retention_cohorts_events,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1439,6 +1686,10 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "repetition_quality_documents": _REPETITION_SQL,
     "redact_pii_documents": _redact_sql(),
     "frame_sample_documents": _FRAME_SAMPLE_SQL,
+    "quality_filter_documents": _quality_filter_sql(),
+    "bm25_topk_documents": _bm25_sql(),
+    "window_funnel_events": _WINDOW_FUNNEL_SQL,
+    "retention_cohorts_events": _RETENTION_SQL,
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

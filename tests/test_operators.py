@@ -714,3 +714,102 @@ def test_asof_join_matches_naive_on_random_data(spark):
             else:
                 got_rows = [rid for rts, rid in cands if rts == want_ts]
                 assert got[lid] in got_rows, (trial, lid, got[lid])
+
+
+def test_window_funnel_levels(spark):
+    """Deepest ordered step within the window; out-of-order or late steps
+    don't count."""
+    from arcane_framework_spark.operators.temporal import window_funnel
+
+    W = 100
+    rows = [
+        # u1 completes all three in order within the window
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click before the first view -> level 1
+        (2, "click", 5), (2, "view", 10),
+        # u3: purchase after the deadline -> level 2
+        (3, "view", 0), (3, "click", 50), (3, "purchase", 150),
+        # u4 never views -> absent
+        (4, "click", 10), (4, "purchase", 20),
+        # u5: purchase before the click -> level 2 (order matters)
+        (5, "view", 0), (5, "purchase", 10), (5, "click", 20),
+    ]
+    ev = spark.createDataFrame(rows, "user_id: long, event_type: string, ts_us: long")
+    got = {
+        r.user_id: r.level
+        for r in window_funnel(ev, ["view", "click", "purchase"], W).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 2, 5: 2}
+
+
+def test_retention_cohorts_counts(spark):
+    from datetime import date
+
+    from arcane_framework_spark.operators.temporal import retention_cohorts
+
+    rows = [
+        (1, date(2024, 1, 1)), (1, date(2024, 1, 3)), (1, date(2024, 1, 9)),
+        (2, date(2024, 1, 1)), (2, date(2024, 1, 20)),
+        (3, date(2024, 1, 2)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id: long, event_date: date")
+    got = {
+        (str(r.cohort_date), r.week_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1 (d0, d2), u2 (d0)
+        ("2024-01-01", 1): 1,   # u1 on day 8
+        ("2024-01-01", 2): 1,   # u2 on day 19
+        ("2024-01-02", 0): 1,   # u3
+    }
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from arcane_framework_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash"),
+            (2, "hash only once in a longer document about other things"),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = bm25_topk(spark, docs, queries={1: ["hash", "join"]}, k=3).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.doc_id for r in ranked] == [1, 2]  # doc 3 scores nothing
+    assert ranked[0].score > ranked[1].score > 0
+    assert all(r.query_id == 1 for r in ranked)
+
+
+def test_quality_rules_flags(spark):
+    from pyspark.sql import functions as F
+
+    from arcane_framework_spark.operators.text import (
+        QUALITY_MIN_TOKENS,
+        _with_token_barrier,
+        quality_rules_exprs,
+    )
+
+    long_ok = "the cat sat on a mat " * 5          # 30 tokens, stopwords, short words
+    too_short = "just three tokens"
+    long_words = " ".join(["extraordinarily"] * 20)  # mean word length >> 4.6
+    df = _with_token_barrier(
+        spark.createDataFrame(
+            [(1, long_ok), (2, too_short), (3, long_words)],
+            "doc_id: long, text: string",
+        ),
+        "text",
+    )
+    rules = quality_rules_exprs(F.col("__toks"), "text")
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[e.alias(n) for n, e in rules.items()]
+        ).collect()
+    }
+    assert rows[1].pass_len and rows[1].pass_wordlen and rows[1].pass_stop
+    assert not rows[2].pass_len
+    assert QUALITY_MIN_TOKENS <= 20 and not rows[3].pass_wordlen
+    assert not rows[3].pass_stop
