@@ -168,7 +168,9 @@ def upsert_parquet_snapshot(spark, path: str, changes: DataFrame,
     snapshot-isolated, object-store safe. delta-spark is not installable in
     this environment, so that path ships as documentation + the identical
     fold semantics in ``apply_changes_to_snapshot`` (oracle-checked).
-    Returns the new snapshot.
+    For date-partitioned snapshots, ``upsert_partitioned_snapshot`` below
+    rewrites only the touched partitions — use it whenever the layout
+    allows. Returns the new snapshot.
     """
     import os
     import shutil
@@ -193,4 +195,82 @@ def upsert_parquet_snapshot(spark, path: str, changes: DataFrame,
         os.replace(path, backup)
     os.replace(staging, path)
     shutil.rmtree(backup, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+def upsert_partitioned_snapshot(spark, path: str, changes: DataFrame,
+                                partition_col: str,
+                                merge_key: str | Sequence[str] = ARCANE_MERGE_KEY,
+                                version_column: str = SYS_CHANGE_VERSION,
+                                op_column: str = SYS_CHANGE_OPERATION) -> DataFrame:
+    """Fold a change batch into a *partitioned* parquet snapshot, rewriting
+    only the partitions the batch touches — O(changed partitions) per tick,
+    not O(snapshot) like ``upsert_parquet_snapshot``.
+
+    How the pruning works, end to end:
+
+    1. the snapshot read is semi-joined to the batch's distinct partition
+       values (broadcast) — Spark's dynamic partition pruning turns that
+       into a partition-directory skip at scan time, so untouched
+       partitions are never read;
+    2. the merge itself is ``apply_changes_to_snapshot`` (the oracle-checked
+       R11 fold) over the pruned snapshot only;
+    3. the write uses ``partitionOverwriteMode=dynamic``, Spark's native
+       partition-scoped commit: only partitions present in the merged
+       output are replaced, untouched partition directories are not
+       rewritten (their files keep their identity — asserted in tests);
+    4. partitions whose rows were ALL deleted produce no output rows, which
+       dynamic overwrite would leave stale — they are removed explicitly.
+
+    The partition-value lists collected here are plan-time metadata bounded
+    by the partition layout (the same cardinality a Hive metastore listing
+    returns), never row data — the data path stays fully distributed.
+
+    Requires ``changes`` to carry ``partition_col`` (CDC feeds built by
+    ``with_date_partition`` do; see contracts/columns.py R5). Same
+    honest-atomicity caveats as ``upsert_parquet_snapshot``: per-partition
+    replacement is atomic on POSIX renames, not on S3-style stores — route
+    production through a table format with a real MERGE.
+    """
+    import os
+    import shutil
+
+    affected = changes.select(partition_col).distinct()
+    exists = os.path.isdir(path) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(path)
+    )
+    if exists:
+        current = spark.read.parquet(path).join(
+            F.broadcast(affected), partition_col, "semi"
+        )
+        merged = apply_changes_to_snapshot(
+            current, changes, merge_key, version_column, op_column
+        )
+    else:
+        merged = latest_state(
+            changes, merge_key=merge_key, version_column=version_column,
+            op_column=op_column, drop_deletes=True,
+        )
+
+    merged = merged.persist()
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    # Plan-time metadata (≤ #affected partitions values each, not row data):
+    # partitions that lost all rows must be dropped explicitly, because
+    # dynamic overwrite only replaces partitions it writes. Surviving
+    # partitions come from the MERGED output (computed before looking at
+    # the rewritten directory — a fully-deleted partition's stale files
+    # would otherwise masquerade as survivors).
+    touched = {r[0] for r in affected.collect()}
+    surviving = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    merged.unpersist()
+    for value in touched - surviving:
+        shutil.rmtree(
+            os.path.join(path, f"{partition_col}={value}"), ignore_errors=True
+        )
     return spark.read.parquet(path)

@@ -813,3 +813,51 @@ def test_quality_rules_flags(spark):
     assert not rows[2].pass_len
     assert QUALITY_MIN_TOKENS <= 20 and not rows[3].pass_wordlen
     assert not rows[3].pass_stop
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic-partition-overwrite upsert: untouched partition files keep
+    their identity, updated partitions fold, fully-deleted partitions are
+    dropped from disk."""
+    import glob
+    import os
+    import time as _time
+
+    from arcane_framework_spark.operators.relational import (
+        upsert_partitioned_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    schema = ("ARCANE_MERGE_KEY: string, part: string, "
+              "SYS_CHANGE_VERSION: long, SYS_CHANGE_OPERATION: string, "
+              "val: long")
+    b1 = spark.createDataFrame(
+        [("k1", "A", 1, "I", 10), ("k2", "A", 1, "I", 20),
+         ("k3", "B", 1, "I", 30), ("k4", "C", 1, "I", 40)],
+        schema,
+    )
+    upsert_partitioned_snapshot(spark, path, b1, "part")
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/part=B/*.parquet")
+    }
+    assert before, "partitioned layout expected"
+    _time.sleep(1.1)
+
+    # update k1 (partition A), delete every row of partition C
+    b2 = spark.createDataFrame(
+        [("k1", "A", 2, "U", 11), ("k4", "C", 2, "D", 40)], schema
+    )
+    out = upsert_partitioned_snapshot(spark, path, b2, "part")
+    rows = {r.ARCANE_MERGE_KEY: r for r in out.collect()}
+    assert rows["k1"].val == 11 and rows["k2"].val == 20
+    assert rows["k3"].val == 30 and "k4" not in rows
+
+    # B untouched: same files, same mtimes (never read, never rewritten)
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/part=B/*.parquet")
+    }
+    assert after == before
+    # C dropped entirely
+    assert not os.path.isdir(f"{path}/part=C")
