@@ -1,0 +1,87 @@
+"""Benchmark decontamination: token-n-gram overlap between a small eval
+set and the training corpus.
+
+The standard LLM-training hygiene step (the reference framework has no
+analog — it is an ingestion library, SURVEY.md §0): any training document
+sharing ≥ `min_matches` verbatim token n-grams with an eval/benchmark
+document is flagged as contaminated and dropped before training.
+
+Shape at 100 TB:
+
+- the eval side is tiny (benchmarks are KBs–MBs) → its n-gram table is
+  **broadcast**; the corpus side never shuffles for the probe;
+- corpus n-grams are built map-side (slice + array_join over a
+  materialized token array) and immediately hash-joined against the
+  broadcast probe — no corpus-side n-gram aggregation, no all-pairs;
+- only matching (doc, eval, gram) triples survive the join, so the
+  per-doc aggregation that follows sees a vanishingly small row count;
+- grams are compared via md5 (bit-identical in DuckDB for the oracle);
+  at production scale the hash also keeps the broadcast table compact
+  (16 bytes/gram instead of the gram text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.operators.text import tokens_expr
+
+#: Token n-gram width used for contamination checks (8 is the common
+#: choice in published decontamination pipelines).
+NGRAM_WIDTH = 8
+
+
+def ngram_hashes(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = NGRAM_WIDTH) -> DataFrame:
+    """(id, gram_hash) for every token n-gram — NOT deduplicated: keeping
+    this map-only is the whole scale story; callers needing distinct grams
+    dedup after whatever join has already shrunk the stream.
+
+    The token array is materialized behind a Generate barrier (explode
+    of the start-position sequence) so the tokenizer regex runs once per
+    row, and the md5 runs inside codegen on the joined gram string.
+    """
+    toks = tokens_expr(text_col)
+    with_toks = docs.select(
+        id_col, F.explode(F.array(toks)).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    starts = F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1))
+    grams = with_toks.select(
+        id_col,
+        F.explode(starts).alias("__i"),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        F.md5(F.array_join(F.slice("__toks", F.col("__i"), n), " ")).alias(
+            "gram_hash"
+        ),
+    )
+    return grams
+
+
+def contamination_pairs(corpus: DataFrame, evalset: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = NGRAM_WIDTH,
+                        min_matches: int = 1) -> DataFrame:
+    """(doc_id, eval_id, n_shared) for corpus docs sharing ≥ min_matches
+    distinct token n-grams with an eval document.
+
+    ``n_shared`` counts DISTINCT shared grams. The corpus side stays
+    map-only end-to-end: dedup happens per (doc, eval) pair AFTER the
+    broadcast probe join has discarded every non-matching gram, never as a
+    corpus-wide distinct. ``evalset``'s id column is renamed ``eval_id``
+    in the output; corpus rows whose id equals an eval id are excluded
+    (self-matches are not contamination).
+    """
+    corpus_grams = ngram_hashes(corpus, id_col, text_col, n)
+    eval_grams = ngram_hashes(evalset, id_col, text_col, n).distinct().select(
+        F.col(id_col).alias("eval_id"), "gram_hash"
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram_hash")
+        .filter(F.col(id_col) != F.col("eval_id"))
+        .groupBy(id_col, "eval_id")
+        .agg(F.count_distinct(F.col("gram_hash")).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_matches)
+    )

@@ -1633,6 +1633,76 @@ GROUP BY 1, 2
 """
 
 
+#: Decontamination: flag corpus docs sharing >= this many distinct token
+#: 8-grams with an eval/benchmark document.
+DECONTAM_MIN_MATCHES = 3
+
+#: Every 50th document plays the role of a benchmark/eval document.
+DECONTAM_EVAL_MOD = 50
+
+
+def decontam_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing verbatim token
+    8-grams with a (tiny, broadcast) eval set.
+
+    Every 50th document acts as the eval set; the corpus gets planted
+    contaminated copies (eval text re-inserted under a shifted id) so the
+    probe has guaranteed positives, mirroring the dedup queries' planting
+    scheme. operators/decontam.py `contamination_pairs` — map-only corpus
+    n-grams hash-joined against a broadcast eval n-gram table.
+    """
+    from arcane_framework_spark.operators.decontam import contamination_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    evalset = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    corpus = docs.unionByName(
+        evalset.select(
+            (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    return contamination_pairs(
+        corpus, evalset, min_matches=DECONTAM_MIN_MATCHES
+    )
+
+
+_DECONTAM_SQL = rf"""
+WITH evalset AS (
+  SELECT doc_id AS eval_id, text FROM documents
+  WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT eval_id + {_DUP_OFFSET}, text FROM evalset
+),
+ctoks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM corpus
+),
+cgrams AS (
+  SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gram_hash
+  FROM ctoks, unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8
+),
+etoks AS (
+  SELECT eval_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM evalset
+),
+egrams AS (
+  SELECT DISTINCT eval_id, md5(array_to_string(w[i:i+7], ' ')) AS gram_hash
+  FROM etoks, unnest(range(1, len(w) - 6)) AS t(i)
+  WHERE len(w) >= 8
+)
+SELECT c.doc_id, e.eval_id,
+       count(DISTINCT gram_hash)::BIGINT AS n_shared
+FROM cgrams c JOIN egrams e USING (gram_hash)
+WHERE c.doc_id <> e.eval_id
+GROUP BY 1, 2
+HAVING count(DISTINCT gram_hash) >= {DECONTAM_MIN_MATCHES}
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": ngram_jaccard_documents,
     "simhash_neardup_documents": simhash_neardup_documents,
@@ -1661,6 +1731,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk_documents": bm25_topk_documents,
     "window_funnel_events": window_funnel_events,
     "retention_cohorts_events": retention_cohorts_events,
+    "decontam_overlap_documents": decontam_overlap_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1690,6 +1761,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "bm25_topk_documents": _bm25_sql(),
     "window_funnel_events": _WINDOW_FUNNEL_SQL,
     "retention_cohorts_events": _RETENTION_SQL,
+    "decontam_overlap_documents": _DECONTAM_SQL,
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

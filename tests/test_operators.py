@@ -861,3 +861,30 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert after == before
     # C dropped entirely
     assert not os.path.isdir(f"{path}/part=C")
+
+
+def test_contamination_pairs_finds_planted_overlap(spark):
+    """Decontam: a corpus doc repeating an eval doc's text verbatim is
+    flagged; unrelated docs and self-matches are not."""
+    from arcane_framework_spark.operators.decontam import contamination_pairs
+
+    eval_text = "a b c d e f g h i j"        # 10 tokens -> 3 distinct 8-grams
+    other = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(1, eval_text),                      # verbatim contamination
+         (2, "x y " + eval_text),             # shifted copy still shares grams
+         (3, other),                          # unrelated
+         (100, eval_text)],                   # same id as eval -> self, skip
+        "doc_id: long, text: string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, eval_text)], "doc_id: long, text: string"
+    )
+    got = {(r.doc_id, r.eval_id): r.n_shared
+           for r in contamination_pairs(corpus, evalset,
+                                        min_matches=2).collect()}
+    assert got == {(1, 100): 3, (2, 100): 3}
+
+    # short texts (< n tokens) yield no grams on either side
+    tiny = spark.createDataFrame([(7, "a b c")], "doc_id: long, text: string")
+    assert contamination_pairs(tiny, evalset).count() == 0
