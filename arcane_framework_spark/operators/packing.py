@@ -97,3 +97,53 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
             F.round(F.col("pack_tokens") / budget, 4).alias("fill_ratio"),
         )
     )
+
+
+#: Sliding-window chunking defaults: window width and stride in tokens
+#: (overlap = width - stride). 128/96 keeps the catalog query cheap; real
+#: pipelines use e.g. 2048/1536 — the plan shape is identical.
+CHUNK_WIDTH = 128
+CHUNK_STRIDE = 96
+
+
+def chunk_tokens(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", width: int = CHUNK_WIDTH,
+                 stride: int = CHUNK_STRIDE) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk_hash) sliding token windows per doc.
+
+    RAG / training chunking: overlapping windows of ``width`` tokens every
+    ``stride`` tokens. The number of chunks is closed-form —
+    ``1 + max(0, ceil((n - width) / stride))`` — so chunk ids come from one
+    ``explode(sequence(...))`` with NO window function and no shuffle: the
+    whole operator is map-side (Generate + Project), embarrassingly
+    parallel at any scale. The final (short) chunk covers the tail;
+    documents shorter than ``width`` yield exactly one chunk.
+
+    The token array is materialized behind the explode barrier so the
+    tokenizer regex runs once per document (not once per chunk).
+    """
+    from arcane_framework_spark.operators.text import tokens_expr
+
+    if stride <= 0 or width <= 0:
+        raise ValueError("width and stride must be positive")
+    toks = docs.select(
+        id_col, F.explode(F.array(tokens_expr(text_col))).alias("__toks")
+    )
+    n = F.size("__toks")
+    n_chunks = (
+        F.lit(1)
+        + F.greatest(F.lit(0), F.floor((n - width + stride - 1) / F.lit(stride)))
+    ).cast("int")
+    chunks = toks.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride + 1
+    chunk = F.slice("__toks", start, width)
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )

@@ -1633,6 +1633,52 @@ GROUP BY 1, 2
 """
 
 
+#: Catalog chunking parameters: small enough that the synthetic docs
+#: (avg ~54, max ~99 tokens) actually produce overlapping multi-chunk
+#: output; production uses the operator defaults (128/96) or larger.
+CHUNK_Q_WIDTH = 32
+CHUNK_Q_STRIDE = 24
+
+
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (RAG/training prep): overlapping
+    32-token windows every 24 tokens, one row per chunk with its token
+    count and content hash. operators/packing.py `chunk_tokens` — pure
+    map-side Generate+Project, no shuffle."""
+    from arcane_framework_spark.operators.packing import chunk_tokens
+
+    t = load_tables(spark, sf_dir, "documents")
+    return chunk_tokens(
+        t["documents"].select("doc_id", "text"),
+        width=CHUNK_Q_WIDTH, stride=CHUNK_Q_STRIDE,
+    )
+
+
+def _chunk_sliding_sql() -> str:
+    w, s = CHUNK_Q_WIDTH, CHUNK_Q_STRIDE
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, w, len(w) AS n,
+         1 + greatest(0, CAST(floor((len(w) - {w} + {s - 1}) / {s}.0) AS INT))
+           AS n_chunks
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, w, n, k AS chunk_id, k * {s} + 1 AS start
+  FROM stats, unnest(range(0, n_chunks)) AS t(k)
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       least({w}, n - start + 1)::INT AS n_tokens,
+       md5(array_to_string(w[start:least(start + {w - 1}, n)], ' '))
+         AS chunk_hash
+FROM ch
+"""
+
+
 #: Decontamination: flag corpus docs sharing >= this many distinct token
 #: 8-grams with an eval/benchmark document.
 DECONTAM_MIN_MATCHES = 3
@@ -1732,6 +1778,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_funnel_events": window_funnel_events,
     "retention_cohorts_events": retention_cohorts_events,
     "decontam_overlap_documents": decontam_overlap_documents,
+    "chunk_documents_sliding": chunk_documents_sliding,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1762,6 +1809,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "window_funnel_events": _WINDOW_FUNNEL_SQL,
     "retention_cohorts_events": _RETENTION_SQL,
     "decontam_overlap_documents": _DECONTAM_SQL,
+    "chunk_documents_sliding": _chunk_sliding_sql(),
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

@@ -888,3 +888,25 @@ def test_contamination_pairs_finds_planted_overlap(spark):
     # short texts (< n tokens) yield no grams on either side
     tiny = spark.createDataFrame([(7, "a b c")], "doc_id: long, text: string")
     assert contamination_pairs(tiny, evalset).count() == 0
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    """Chunking: starts every `stride`, width-capped, short tail kept,
+    sub-width and empty docs yield exactly one chunk."""
+    from arcane_framework_spark.operators.packing import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11))), (2, "a b"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    rows = chunk_tokens(docs, width=4, stride=3).orderBy(
+        "doc_id", "chunk_id"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.n_tokens)
+    assert by_doc == {1: [4, 4, 4, 2], 2: [2], 3: [1]}
+    # overlap: chunk k starts at token k*stride -> consecutive chunks share
+    # width - stride tokens; verify via distinct hashes (no duplicate chunks)
+    hashes = [r.chunk_hash for r in rows if r.doc_id == 1]
+    assert len(set(hashes)) == 4
