@@ -297,3 +297,64 @@ def quality_rules_exprs(toks: Column, text_col: str | Column = "text",
         "pass_wordlen": mean_wl <= F.lit(QUALITY_MAX_MEAN_WORD_LEN),
         "pass_stop": sw_hits >= QUALITY_MIN_STOPWORD_HITS,
     }
+
+
+def unigram_nll(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Language-model quality score: per-document mean negative
+    log-likelihood under a unigram LM fitted on the corpus itself.
+
+    The standard cheap perplexity proxy (high mean NLL = rare-token soup,
+    low = repetitive boilerplate). Two aggregation passes, both partial-agg
+    friendly:
+
+    1. per-(doc, token) term frequencies — one shuffle on (doc, token);
+    2. corpus vocabulary from those tf rows (shuffle on token, far smaller
+       than re-scanning occurrences) + a 1-row total via
+       ``with_broadcast_scalar``;
+    3. tf ⋈ vocab on token (vocab has one row per key, so frequent-token
+       skew is benign; Catalyst broadcasts when the vocab fits), then one
+       shuffle back on doc id.
+
+    Cross-engine determinism: each distinct token's NLL is computed ONCE
+    from exact integer counts and fixed-pointed to micro-nats
+    (``floor(-1e6*ln(p)+0.5)``); per-doc sums are exact longs, so the
+    result is independent of row order and partitioning. ``mean_nll`` is
+    micro-nats/1e6 rounded half-up to 4 decimals.
+
+    Returns (id, n_tokens, sum_nll_micro, mean_nll).
+    """
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    tf = (
+        docs.select(id_col, F.explode(tokens_expr(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    vocab = with_broadcast_scalar(vocab, total).select(
+        "tok",
+        F.floor(
+            -F.lit(1e6) * F.log(F.col("cnt") / F.col("total")) + F.lit(0.5)
+        ).cast("long").alias("lp_micro"),
+    )
+    return (
+        tf.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_micro")).alias("sum_nll_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_nll_micro",
+            (
+                F.floor(
+                    F.col("sum_nll_micro") / F.col("n_tokens") / 100.0
+                    + F.lit(0.5)
+                ) / 1e4
+            ).alias("mean_nll"),
+        )
+    )

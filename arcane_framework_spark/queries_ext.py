@@ -1633,6 +1633,40 @@ GROUP BY 1, 2
 """
 
 
+def unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean NLL under a
+    unigram LM fitted on the corpus itself (operators/text.py
+    `unigram_nll`). Fixed-point micro-nat arithmetic keeps both engines
+    bit-identical and order-independent."""
+    from arcane_framework_spark.operators.text import unigram_nll
+
+    t = load_tables(spark, sf_dir, "documents")
+    return unigram_nll(t["documents"].select("doc_id", "text"))
+
+
+_UNIGRAM_NLL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+vocab AS (SELECT tok, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM vocab),
+lp AS (
+  SELECT tok,
+         CAST(floor(-1e6 * ln(cnt / total) + 0.5) AS BIGINT) AS lp_micro
+  FROM vocab, tot
+)
+SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+       sum(tf * lp_micro)::BIGINT AS sum_nll_micro,
+       floor(sum(tf * lp_micro)::DOUBLE / sum(tf) / 100.0 + 0.5) / 1e4
+         AS mean_nll
+FROM tf JOIN lp USING (tok)
+GROUP BY doc_id
+"""
+
+
 #: Catalog chunking parameters: small enough that the synthetic docs
 #: (avg ~54, max ~99 tokens) actually produce overlapping multi-chunk
 #: output; production uses the operator defaults (128/96) or larger.
@@ -1779,6 +1813,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts_events": retention_cohorts_events,
     "decontam_overlap_documents": decontam_overlap_documents,
     "chunk_documents_sliding": chunk_documents_sliding,
+    "unigram_nll_documents": unigram_nll_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1810,6 +1845,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "retention_cohorts_events": _RETENTION_SQL,
     "decontam_overlap_documents": _DECONTAM_SQL,
     "chunk_documents_sliding": _chunk_sliding_sql(),
+    "unigram_nll_documents": _UNIGRAM_NLL_SQL,
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

@@ -910,3 +910,25 @@ def test_chunk_tokens_windows_and_tail(spark):
     # width - stride tokens; verify via distinct hashes (no duplicate chunks)
     hashes = [r.chunk_hash for r in rows if r.doc_id == 1]
     assert len(set(hashes)) == 4
+
+
+def test_unigram_nll_hand_computed(spark):
+    """Unigram NLL: micro-nat fixed point matches a by-hand model."""
+    import math
+
+    from arcane_framework_spark.operators.text import unigram_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id: long, text: string"
+    )
+    # corpus: a:2 b:2 c:1, total 5
+    lp = {t: math.floor(-1e6 * math.log(c / 5) + 0.5)
+          for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    rows = {r.doc_id: r for r in unigram_nll(docs).collect()}
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 2
+    assert rows[1].sum_nll_micro == 2 * lp["a"] + lp["b"]
+    assert rows[2].sum_nll_micro == lp["b"] + lp["c"]
+    want1 = math.floor(rows[1].sum_nll_micro / 3 / 100.0 + 0.5) / 1e4
+    assert rows[1].mean_nll == want1
+    # rare-token doc scores strictly higher (lower quality)
+    assert rows[2].mean_nll > rows[1].mean_nll
