@@ -83,3 +83,69 @@ def split_sql(key_sql: str, splits: dict[str, float] | None = None,
         for name, bound in thresholds[:-1]
     )
     return f"CASE {cases} ELSE '{thresholds[-1][0]}' END"
+
+
+#: 16^8 — the bucket space of the 8-hex-digit md5 prefix.
+_BUCKET_SPACE = float(16 ** 8)
+
+
+def mixture_sample(docs: DataFrame, source_col: str = "source",
+                   weights: dict[str, float] | None = None,
+                   key_cols: Sequence[str] = ("doc_id",),
+                   salt: str = "mix") -> DataFrame:
+    """Downsample each domain so the output approximates a target mixture
+    (uniform across domains when ``weights`` is None) WITHOUT upsampling.
+
+    The limiting domain is kept whole; every other domain is hash-sampled
+    at ``frac_s = w_s * T / n_s`` where ``T = min_s(n_s / w_s)`` is the
+    largest output size the corpus supports at the target weights. The
+    sample itself is the deterministic md5-prefix filter from
+    ``split_expr`` — stable across runs, partitionings, and engines — with
+    the per-domain threshold attached via one broadcast join of a
+    domains-sized table. Map-side otherwise: no corpus shuffle.
+
+    Double arithmetic is ordered identically to the documented DuckDB
+    oracle (``(w*T)/n`` then ``*16^8`` then floor), so thresholds are
+    bit-identical cross-engine.
+    """
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    if weights is None:
+        # Uniform target: frac_s = min(n)/n_s exactly.
+        from arcane_framework_spark.operators.scale import (
+            with_broadcast_scalar,
+        )
+
+        mn = counts.agg(F.min("__n").alias("__mn"))
+        frac = F.col("__mn") / F.col("__n")
+        fr = with_broadcast_scalar(counts, mn)
+    else:
+        spark = docs.sparkSession
+        wdf = spark.createDataFrame(
+            list(weights.items()), f"{source_col}: string, __w: double"
+        )
+        fr = counts.join(F.broadcast(wdf), source_col)
+        t_df = fr.select(
+            F.min(F.col("__n") / F.col("__w")).alias("__t")
+        )
+        from arcane_framework_spark.operators.scale import (
+            with_broadcast_scalar,
+        )
+
+        fr = with_broadcast_scalar(fr, t_df)
+        frac = F.least(
+            F.lit(1.0), F.col("__w") * F.col("__t") / F.col("__n")
+        )
+    fr = fr.select(
+        source_col,
+        F.floor(frac * F.lit(_BUCKET_SPACE)).cast("long").alias("__thr"),
+    )
+    cols = [F.col(c).cast("string") for c in key_cols]
+    bucket = F.substring(
+        F.md5(F.concat_ws("#", F.lit(salt), *cols)), 1, 8
+    )
+    thr_hex = F.lower(F.lpad(F.hex(F.col("__thr")), 8, "0"))
+    return (
+        docs.join(F.broadcast(fr), source_col)
+        .filter((F.col("__thr") >= F.lit(16 ** 8)) | (bucket < thr_hex))
+        .drop("__thr")
+    )

@@ -1633,6 +1633,52 @@ GROUP BY 1, 2
 """
 
 
+#: Target mixture for the catalog query: source i weighted ∝ i+1, so the
+#: keep-fraction sweeps 5%…100% across the 20 (balanced) synthetic sources.
+#: Weights need not be normalized — frac = w·T/n with T = min(n/w) is
+#: scale-invariant in w.
+MIX_WEIGHTS: dict[str, float] = {f"src{i}": (i + 1) / 210 for i in range(20)}
+
+
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture rebalancing: hash-downsample each source toward a
+    target mixture without upsampling (operators/sampling.py
+    `mixture_sample`). Returns the surviving (doc_id, source) rows."""
+    from arcane_framework_spark.operators.sampling import mixture_sample
+
+    t = load_tables(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        t["documents"].select("doc_id", "source"), weights=MIX_WEIGHTS
+    )
+    return kept.select("doc_id", "source")
+
+
+def _mixture_sample_sql() -> str:
+    values = ", ".join(
+        f"('{s}', {w!r})" for s, w in MIX_WEIGHTS.items()
+    )
+    # Double-op order mirrors mixture_sample exactly: t = min(n / w);
+    # frac = least(1.0, (w * t) / n); thr = floor(frac * 16^8).
+    return rf"""
+WITH w(source, w) AS (SELECT * FROM (VALUES {values})),
+counts AS (
+  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1
+),
+t AS (SELECT min(n / w) AS t FROM counts JOIN w USING (source)),
+fr AS (
+  SELECT source,
+         CAST(floor(least(1.0, (w * t) / n) * 4294967296.0) AS BIGINT)
+           AS thr
+  FROM counts JOIN w USING (source), t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN fr USING (source)
+WHERE thr >= 4294967296
+   OR substr(md5('mix' || '#' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < lower(lpad(to_hex(thr), 8, '0'))
+"""
+
+
 def unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score: per-document mean NLL under a
     unigram LM fitted on the corpus itself (operators/text.py
@@ -1814,6 +1860,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_overlap_documents": decontam_overlap_documents,
     "chunk_documents_sliding": chunk_documents_sliding,
     "unigram_nll_documents": unigram_nll_documents,
+    "mixture_sample_documents": mixture_sample_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1846,6 +1893,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "decontam_overlap_documents": _DECONTAM_SQL,
     "chunk_documents_sliding": _chunk_sliding_sql(),
     "unigram_nll_documents": _UNIGRAM_NLL_SQL,
+    "mixture_sample_documents": _mixture_sample_sql(),
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

@@ -932,3 +932,41 @@ def test_unigram_nll_hand_computed(spark):
     assert rows[1].mean_nll == want1
     # rare-token doc scores strictly higher (lower quality)
     assert rows[2].mean_nll > rows[1].mean_nll
+
+
+def test_mixture_sample_uniform_and_weighted(spark):
+    """Mixture sampling: limiting domain kept whole, others downsampled
+    near their target fraction, assignment stable under repartition."""
+    from arcane_framework_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, source: string")
+
+    # uniform: small (the min) kept whole; big sampled at ~100/400
+    uni = mixture_sample(docs)
+    by_src = {r.source: r.n for r in
+              uni.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["small"] == 100
+    assert 60 <= by_src["big"] <= 140  # ~100 expected, md5-uniform
+
+    # weighted 3:1 toward big: T = min(400/0.75, 100/0.25) = 400
+    # -> big frac = 0.75*400/400 = 0.75, small frac = 1.0
+    wtd = mixture_sample(docs, weights={"big": 0.75, "small": 0.25})
+    by_src_w = {r.source: r.n for r in
+                wtd.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src_w["small"] == 100
+    assert 250 <= by_src_w["big"] <= 350  # ~300 expected
+
+    # deterministic: same kept set after an arbitrary repartition
+    again = mixture_sample(docs.repartition(13), weights={"big": 0.75,
+                                                          "small": 0.25})
+    assert sorted(r.doc_id for r in wtd.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+
+    # unknown domain (no weight) is dropped entirely
+    extra = docs.union(spark.createDataFrame([(5000, "other")],
+                                             "doc_id: long, source: string"))
+    assert mixture_sample(extra, weights={"big": 0.75, "small": 0.25}).filter(
+        F.col("source") == "other").count() == 0
