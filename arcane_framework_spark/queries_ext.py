@@ -1633,6 +1633,65 @@ GROUP BY 1, 2
 """
 
 
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed by an actual Structured
+    Streaming query: clicks attributed to same-user purchases within 30
+    minutes (streaming/stateful.py `interval_join_stream`). Both sides are
+    branches of one replayed file stream; the time-bounded condition keeps
+    join state watermark-evictable. The oracle is the equivalent batch
+    join — identical results prove the streaming path agrees with batch
+    semantics."""
+    from arcane_framework_spark.streaming.stateful import interval_join_stream
+
+    t = load_tables(spark, sf_dir, "events")
+    schema = t["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.select(
+        "event_id", "user_id", "event_type",
+        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = interval_join_stream(clicks, purchases, max_delay="30 minutes")
+    out = joined.select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.expr("(unix_micros(r_ts) - unix_micros(l_ts)) div 1000000")
+        .alias("delay_sec"),
+    )
+    name = "streaming_attribution_join_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAMING_ATTRIBUTION_SQL = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+       (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS delay_sec
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL '30 minutes'
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 #: Target mixture for the catalog query: source i weighted ∝ i+1, so the
 #: keep-fraction sweeps 5%…100% across the 20 (balanced) synthetic sources.
 #: Weights need not be normalized — frac = w·T/n with T = min(n/w) is
@@ -1861,6 +1920,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents_sliding": chunk_documents_sliding,
     "unigram_nll_documents": unigram_nll_documents,
     "mixture_sample_documents": mixture_sample_documents,
+    "streaming_attribution_join": streaming_attribution_join,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1894,6 +1954,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "chunk_documents_sliding": _chunk_sliding_sql(),
     "unigram_nll_documents": _UNIGRAM_NLL_SQL,
     "mixture_sample_documents": _mixture_sample_sql(),
+    "streaming_attribution_join": _STREAMING_ATTRIBUTION_SQL,
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

@@ -173,3 +173,41 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         key: str = "user_id", ts_col: str = "ts",
+                         max_delay: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner interval join: each left event matched to right
+    events of the same key with ``left.ts <= right.ts <= left.ts +
+    max_delay`` (attribution joins: click→purchase, impression→install).
+
+    Both sides carry watermarks, and the join condition bounds right
+    relative to left, so Spark derives a state-eviction horizon for BOTH
+    join buffers — state stays bounded forever (the unbounded-state
+    stream-stream join trap is exactly what the time bound avoids). One
+    shuffle on the key each side; append output mode.
+
+    Column names are prefixed ``l_``/``r_`` (except the shared key) so the
+    joined schema never collides.
+    """
+    lw = left.withWatermark(ts_col, watermark)
+    rw = right.withWatermark(ts_col, watermark)
+    lsel = lw.select(
+        F.col(key),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key],
+    )
+    rsel = rw.select(
+        F.col(key).alias("__rkey"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(f"r_{ts_col}") >= F.col(f"l_{ts_col}"))
+        & (
+            F.col(f"r_{ts_col}")
+            <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lsel.join(rsel, cond, "inner").drop("__rkey")

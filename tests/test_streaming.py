@@ -404,3 +404,44 @@ def test_sessionize_stream_accepts_timestamp_column(spark, tmp_path):
     start2, end2 = by_n[2]
     assert (start2.year, start2.hour, start2.minute) == (2024, 10, 0)
     assert (end2.hour, end2.minute) == (10, 1)
+
+
+def test_interval_join_stream_real_streaming(spark, tmp_path):
+    """interval_join_stream on a replayed file stream: only same-key
+    right events inside [l_ts, l_ts + delay] match; append sink drains."""
+    import datetime as dt
+
+    from arcane_framework_spark.streaming.stateful import interval_join_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # (event_id, user, kind, ts)
+        (1, 1, "a", t0),
+        (2, 1, "b", t0 + dt.timedelta(minutes=5)),    # match of 1
+        (3, 1, "b", t0 + dt.timedelta(minutes=40)),   # outside 30min
+        (4, 2, "b", t0 + dt.timedelta(minutes=5)),    # other user
+        (5, 3, "a", t0 + dt.timedelta(hours=1)),
+        (6, 3, "b", t0 + dt.timedelta(hours=1)),      # zero-delay match
+    ]
+    src = str(tmp_path / "ev")
+    batch = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, kind: string, ts: timestamp"
+    )
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    left = stream.filter("kind = 'a'").select("user_id", "event_id", "ts")
+    right = stream.filter("kind = 'b'").select("user_id", "event_id", "ts")
+    joined = interval_join_stream(left, right, max_delay="30 minutes")
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.l_event_id, r.r_event_id)
+           for r in spark.table("ivj_sink").collect()}
+    assert got == {(1, 2), (5, 6)}
