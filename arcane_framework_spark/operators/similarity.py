@@ -470,3 +470,63 @@ def ann_lsh_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def centroid_outliers(vectors: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      group_col: str = "label") -> DataFrame:
+    """Semantic outlier scoring: Euclidean distance of each vector to its
+    group's mean vector (the SemDeDup/mislabel-screening primitive —
+    far-from-centroid rows are label noise or semantic outliers).
+
+    Cross-engine exactness without floating-point order sensitivity:
+    components are fixed-pointed to micro-units (exact longs), centroids
+    are kept as (sum, count) integer pairs instead of divided means, and
+    the squared distance is assembled from ``(e*cnt - sum)²`` summed as
+    DECIMAL(38,0) — exact integer algebra end-to-end, so any row order and
+    partitioning gives bit-identical results (DuckDB replays it in
+    HUGEINT). Only the final sqrt/normalize happens in doubles, computed
+    once from exact integers.
+
+    Scale shape: one shuffle to the (group, dim) centroid table (tiny:
+    groups × dims rows, broadcast back), one shuffle back per id — both
+    partial-agg friendly. Returns (id, group, dist) with dist rounded
+    half-up to 6 decimals.
+    """
+    base = vectors.select(
+        id_col,
+        group_col,
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5))
+            .cast("long"),
+        ).alias("__e"),
+    )
+    dims = base.select(
+        id_col, group_col, F.posexplode("__e").alias("pos", "v")
+    )
+    cent = dims.groupBy(group_col, "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    diff = (F.col("v") * F.col("cnt") - F.col("s")).cast("decimal(19,0)")
+    return (
+        dims.join(F.broadcast(cent), [group_col, "pos"])
+        .groupBy(id_col, group_col)
+        .agg(
+            F.sum(diff * diff).alias("__ss"),
+            F.max("cnt").alias("__cnt"),
+        )
+        .select(
+            id_col,
+            group_col,
+            (
+                F.floor(
+                    F.sqrt(F.col("__ss").cast("double"))
+                    / (F.col("__cnt") * F.lit(1000000)).cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("dist"),
+        )
+    )

@@ -1633,6 +1633,50 @@ GROUP BY 1, 2
 """
 
 
+def centroid_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier scoring: per-vector distance to its label's
+    centroid via exact integer algebra (operators/similarity.py
+    `centroid_outliers`)."""
+    from arcane_framework_spark.operators.similarity import centroid_outliers
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    return centroid_outliers(
+        t["embeddings"].select("vec_id", "embedding", "label")
+    )
+
+
+_CENTROID_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(
+           embedding,
+           x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
+         ) AS ei
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, label, i AS pos, ei[i] AS v
+  FROM e, unnest(range(1, len(ei) + 1)) AS t(i)
+),
+cent AS (
+  SELECT label, pos, sum(v)::BIGINT AS s, count(*)::BIGINT AS cnt
+  FROM dims GROUP BY 1, 2
+),
+terms AS (
+  SELECT d.vec_id, d.label,
+         (d.v * c.cnt - c.s)::HUGEINT * (d.v * c.cnt - c.s)::HUGEINT AS term,
+         c.cnt AS cnt
+  FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+)
+SELECT vec_id, label,
+       floor(
+         sqrt(sum(term)::DOUBLE) / ((max(cnt) * 1000000)::DOUBLE) * 1000000.0
+         + 0.5
+       ) / 1000000.0 AS dist
+FROM terms GROUP BY 1, 2
+"""
+
+
 def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join executed by an actual Structured
     Streaming query: clicks attributed to same-user purchases within 30
@@ -1921,6 +1965,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_nll_documents": unigram_nll_documents,
     "mixture_sample_documents": mixture_sample_documents,
     "streaming_attribution_join": streaming_attribution_join,
+    "centroid_outliers_embeddings": centroid_outliers_embeddings,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -1955,6 +2000,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "unigram_nll_documents": _UNIGRAM_NLL_SQL,
     "mixture_sample_documents": _mixture_sample_sql(),
     "streaming_attribution_join": _STREAMING_ATTRIBUTION_SQL,
+    "centroid_outliers_embeddings": _CENTROID_OUTLIERS_SQL,
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

@@ -970,3 +970,19 @@ def test_mixture_sample_uniform_and_weighted(spark):
                                              "doc_id: long, source: string"))
     assert mixture_sample(extra, weights={"big": 0.75, "small": 0.25}).filter(
         F.col("source") == "other").count() == 0
+
+
+def test_centroid_outliers_hand_computed(spark):
+    """Centroid distance: exact micro-unit algebra reproduces the by-hand
+    Euclidean distance; singleton groups score 0."""
+    import math
+
+    from arcane_framework_spark.operators.similarity import centroid_outliers
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [2.0, 2.0], 0), (3, [5.0, 5.0], 1)],
+        "vec_id: long, embedding: array<float>, label: int",
+    )
+    got = {r.vec_id: r.dist for r in centroid_outliers(vecs).collect()}
+    want = math.floor(math.sqrt(2) * 1e6 + 0.5) / 1e6
+    assert got == {1: want, 2: want, 3: 0.0}
