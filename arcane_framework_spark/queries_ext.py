@@ -35,6 +35,30 @@ from arcane_framework_spark.operators.text import (
     token_count_expr,
 )
 from arcane_framework_spark.session import load_tables
+from contextlib import contextmanager
+
+
+#: State partitions for the catalog's streaming twins. Streaming state
+#: lives per shuffle partition and every micro-batch commits every
+#: partition's store, so the partition count should track stream VOLUME —
+#: at catalog scale the batch default (32) just multiplies state-commit
+#: overhead ~4x. Production streams set spark.sql.shuffle.partitions per
+#: job before start (the knob is fixed at stream start by the checkpoint).
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def stream_conf(spark: SparkSession,
+                partitions: int = STREAM_STATE_PARTITIONS):
+    """Scope spark.sql.shuffle.partitions around starting a streaming
+    query; the batch value is restored afterwards (the stream keeps the
+    value it started with)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 _DUP_OFFSET = 100_000
 
@@ -391,14 +415,15 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = windowed_rollup(ev, window="1 hour", watermark="2 hours")
     name = "streaming_hourly_rollup_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:00:00").alias("hour"),
         "event_type",
@@ -1039,14 +1064,15 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["user_id", "event_type"], watermark="1000 hours"
     )
     name = "streaming_dedup_users_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -1713,14 +1739,15 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delay_sec"),
     )
     name = "streaming_attribution_join_sink"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
