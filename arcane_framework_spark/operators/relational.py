@@ -274,3 +274,60 @@ def upsert_partitioned_snapshot(spark, path: str, changes: DataFrame,
             os.path.join(path, f"{partition_col}={value}"), ignore_errors=True
         )
     return spark.read.parquet(path)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  keys: Sequence[str],
+                  compare_cols: Sequence[str] | None = None) -> DataFrame:
+    """Derive a change feed by diffing two snapshots of the same table:
+    one row per inserted / deleted / updated key (unchanged rows are
+    dropped). The inverse of `apply_changes_to_snapshot` — produces the
+    change stream the reference *consumes* (SqlServerChangeTrackingSource,
+    `src/Sources/SqlServer/SqlServerChangeTrackingSource.cs`) when the
+    upstream system can't emit one itself.
+
+    Output: key columns, ``change_type`` ('insert'|'update'|'delete'),
+    then the compared columns valued from NEW for insert/update and OLD
+    for delete.
+
+    Scale shape: ONE full-outer shuffle join co-partitioned on the key —
+    the minimum possible data movement for a diff; AQE handles skewed
+    keys. Column comparison is null-safe (`eqNullSafe` / IS NOT DISTINCT
+    FROM) and happens post-join in codegen.
+    """
+    compare_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
+    o = old.select(*keys, *compare_cols).alias("o")
+    n = new.select(*keys, *compare_cols).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    old_present = F.col(f"o.{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change_type = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+            *[
+                F.when(new_present, F.col(f"n.{c}"))
+                .otherwise(F.col(f"o.{c}"))
+                .alias(c)
+                for c in compare_cols
+            ],
+        )
+    )

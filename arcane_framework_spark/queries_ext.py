@@ -1659,6 +1659,60 @@ GROUP BY 1, 2
 """
 
 
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed derivation: diff the orders snapshot against a
+    deterministically mutated copy (drop keys %101, bump price on %97,
+    insert shifted copies of %103) and emit insert/update/delete rows
+    (operators/relational.py `snapshot_diff`)."""
+    from arcane_framework_spark.operators.relational import snapshot_diff
+
+    t = load_tables(spark, sf_dir, "orders")
+    old = t["orders"].select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = old.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    ).unionByName(
+        old.filter(F.col("o_orderkey") % 103 == 0).select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+),
+newt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 103 = 0
+)
+SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+            ELSE o.o_totalprice END AS o_totalprice,
+       CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+            ELSE o.o_orderstatus END AS o_orderstatus
+FROM old o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+"""
+
+
 def centroid_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic outlier scoring: per-vector distance to its label's
     centroid via exact integer algebra (operators/similarity.py
@@ -1993,6 +2047,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample_documents": mixture_sample_documents,
     "streaming_attribution_join": streaming_attribution_join,
     "centroid_outliers_embeddings": centroid_outliers_embeddings,
+    "snapshot_diff_orders": snapshot_diff_orders,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -2028,6 +2083,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "mixture_sample_documents": _mixture_sample_sql(),
     "streaming_attribution_join": _STREAMING_ATTRIBUTION_SQL,
     "centroid_outliers_embeddings": _CENTROID_OUTLIERS_SQL,
+    "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

@@ -986,3 +986,27 @@ def test_centroid_outliers_hand_computed(spark):
     got = {r.vec_id: r.dist for r in centroid_outliers(vecs).collect()}
     want = math.floor(math.sqrt(2) * 1e6 + 0.5) / 1e6
     assert got == {1: want, 2: want, 3: 0.0}
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    """snapshot_diff: insert/update/delete classified; unchanged dropped;
+    null-safe value comparison."""
+    from arcane_framework_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k: long, s: string, v: double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b", 20.0),        # null -> value: update
+         (4, "D", 40.0),        # string change: update
+         (5, "e", 50.0)],       # insert
+        "k: long, s: string, v: double",
+    )
+    rows = {r.k: r for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert set(rows) == {2, 3, 4, 5}
+    assert rows[2].change_type == "update" and rows[2].v == 20.0
+    assert rows[3].change_type == "delete" and rows[3].s == "c"
+    assert rows[4].change_type == "update" and rows[4].s == "D"
+    assert rows[5].change_type == "insert" and rows[5].v == 50.0
