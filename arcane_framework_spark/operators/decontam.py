@@ -85,3 +85,30 @@ def contamination_pairs(corpus: DataFrame, evalset: DataFrame,
         .agg(F.count_distinct(F.col("gram_hash")).alias("n_shared"))
         .filter(F.col("n_shared") >= min_matches)
     )
+
+
+def repeated_spans(corpus: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", n: int = 16,
+                   min_docs: int = 2) -> DataFrame:
+    """(gram_hash, n_docs, example_doc) for verbatim token n-grams that
+    appear in at least ``min_docs`` DISTINCT documents — the counting side
+    of exact-substring dedup (Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better" screens exactly these spans).
+
+    One shuffle of the gram table keyed by gram hash — the information-
+    theoretic minimum for cross-document span counting. ``count_distinct``
+    plans as a two-phase aggregate, so per-partition partial aggregation
+    still compacts the stream before the exchange; at 100 TB the gram
+    table is the corpus ×≈n tokens, so use a wide ``n`` (16+) and consider
+    pre-filtering docs (this module's `contamination_pairs` broadcast
+    probe shape is the cheap alternative when one side is small).
+    """
+    grams = ngram_hashes(corpus, id_col, text_col, n)
+    return (
+        grams.groupBy("gram_hash")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(id_col).alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -1659,6 +1659,52 @@ GROUP BY 1, 2
 """
 
 
+#: Repeated-span detection: span width in tokens.
+SPAN_N = 16
+
+
+def repeated_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim repeated spans: token 16-grams appearing in >= 2 distinct
+    documents of a corpus with planted duplicates (every 7th doc
+    re-inserted, mirroring the MinHash planting so positives exist).
+    operators/decontam.py `repeated_spans`."""
+    from arcane_framework_spark.operators.decontam import repeated_spans
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"), "text"
+        )
+    )
+    return repeated_spans(corpus, n=SPAN_N)
+
+
+_REPEATED_SPANS_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id,
+         md5(array_to_string(w[i:i+{SPAN_N - 1}], ' ')) AS gram_hash
+  FROM toks, unnest(range(1, len(w) - {SPAN_N - 2})) AS t(i)
+  WHERE len(w) >= {SPAN_N}
+)
+SELECT gram_hash,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       min(doc_id) AS example_doc
+FROM grams
+GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-feed derivation: diff the orders snapshot against a
     deterministically mutated copy (drop keys %101, bump price on %97,
@@ -2048,6 +2094,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_attribution_join": streaming_attribution_join,
     "centroid_outliers_embeddings": centroid_outliers_embeddings,
     "snapshot_diff_orders": snapshot_diff_orders,
+    "repeated_spans_documents": repeated_spans_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -2084,6 +2131,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "streaming_attribution_join": _STREAMING_ATTRIBUTION_SQL,
     "centroid_outliers_embeddings": _CENTROID_OUTLIERS_SQL,
     "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
+    "repeated_spans_documents": _REPEATED_SPANS_SQL,
     # dedup_clusters_documents is registered by queries.py (its oracle embeds
     # _minhash_sql, which is defined after this module loads).
 }

@@ -1010,3 +1010,20 @@ def test_snapshot_diff_classifies_changes(spark):
     assert rows[3].change_type == "delete" and rows[3].s == "c"
     assert rows[4].change_type == "update" and rows[4].s == "D"
     assert rows[5].change_type == "insert" and rows[5].v == 50.0
+
+
+def test_repeated_spans_cross_doc_only(spark):
+    """repeated_spans: counts distinct docs (an in-doc repeat is not a
+    cross-doc span); below-width docs contribute nothing."""
+    from arcane_framework_spark.operators.decontam import repeated_spans
+
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [(1, shared), (2, shared),
+         (3, "five six " + "seven eight " * 2 + "seven eight"),  # in-doc rep
+         (4, "too short")],
+        "doc_id: long, text: string",
+    )
+    rows = repeated_spans(docs, n=4).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 2 and rows[0].example_doc == 1
