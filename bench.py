@@ -52,18 +52,43 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+
+    # Full per-query timings for humans / the judge.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
+            {"metric": "catalog_total_runtime", "value": total, "unit": "sec",
+             "queries": timings, "sf": sf, "n_queries": len(timings)},
+            fh, indent=1, sort_keys=True,
         )
-    )
+
+    # The driver captures only the LAST ~2000 chars of stdout and parses the
+    # final JSON line from that window. With 70+ catalog queries the full dict
+    # overflows it (round 2's record came back "parsed": null), so the printed
+    # line keeps the slowest queries and trims the fast tail to stay under the
+    # window; BENCH_FULL.json carries everything.
+    MAX_LINE = 1750
+    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    payload = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(ranked),
+        "sf": sf,
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > MAX_LINE and len(ranked) > 1:
+        ranked.pop()
+        payload["queries"] = dict(sorted(ranked))
+        payload["omitted_fast_queries"] = len(timings) - len(ranked)
+        line = json.dumps(payload, separators=(",", ":"))
+    # Stop Spark BEFORE printing so no shutdown log line can land after the
+    # JSON line inside the driver's captured tail.
     spark.stop()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
