@@ -42,7 +42,7 @@ from arcane_framework_spark.operators.text import (
 )
 from arcane_framework_spark.queries_ext import EXT_ORACLE_SQL, EXT_QUERIES
 from arcane_framework_spark.queries_tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
-from arcane_framework_spark.session import load_tables
+from arcane_framework_spark.session import load_tables, ts_micros, ts_timestamp
 
 EMBEDDING_DIM = 64
 KNN_K = 5
@@ -659,15 +659,15 @@ FROM embeddings
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window (hourly) rollup per event type.
 
-    Batch shape of the streaming `F.window` aggregation; events.ts arrives as
-    long nanos (see session.load_tables).
+    Batch shape of the streaming `F.window` aggregation; events.ts dtype is
+    normalized by session.ts_timestamp (timestamp[us] or legacy long nanos).
     """
     t = load_tables(spark, sf_dir, "events")
     return (
         t["events"]
         .select(
             F.date_format(
-                F.expr("timestamp_micros(ts div 1000)"), "yyyy-MM-dd HH:00:00"
+                ts_timestamp(t["events"]), "yyyy-MM-dd HH:00:00"
             ).alias("hour"),
             "event_type",
             "value",

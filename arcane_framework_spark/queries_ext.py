@@ -34,7 +34,7 @@ from arcane_framework_spark.operators.text import (
     bpe_token_count_expr,
     token_count_expr,
 )
-from arcane_framework_spark.session import load_tables
+from arcane_framework_spark.session import load_tables, ts_micros, ts_timestamp
 from contextlib import contextmanager
 
 
@@ -409,7 +409,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     ev = stream.select(
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        ts_timestamp(schema).alias("ts"),
         "event_type",
         "value",
     )
@@ -706,11 +706,9 @@ def asof_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcane_framework_spark.operators.temporal import asof_join
 
     t = load_tables(spark, sf_dir, "events")
-    # events.ts arrives as long NANOS (session.load_tables nanosAsLong);
-    # truncate to micros like DuckDB's TIMESTAMP read of the same parquet.
-    ev = t["events"].withColumn(
-        "ts", F.expr("timestamp_micros(ts div 1000)")
-    )
+    # ts dtype normalized by session.ts_timestamp (timestamp[us] today;
+    # legacy long-nanos testdata truncates to micros like DuckDB's read).
+    ev = t["events"].withColumn("ts", ts_timestamp(t["events"]))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -1056,7 +1054,7 @@ def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     ev = stream.select(
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        ts_timestamp(schema).alias("ts"),
         "user_id",
         "event_type",
     )
@@ -1128,13 +1126,11 @@ def range_join_activation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcane_framework_spark.operators.rangejoin import range_join
 
     t = load_tables(spark, sf_dir, "events")
-    # micros since epoch (events.ts is long nanos)
+    # micros since epoch, dtype-dispatched (session.ts_micros)
     ev = t["events"].select(
         "event_id",
         "user_id",
-        # integer div nanos -> micros (matches DuckDB's truncating
-        # TIMESTAMP read; a float division would lose ULPs at e18)
-        F.expr("ts div 1000").alias("ts_us"),
+        ts_micros(t["events"]).alias("ts_us"),
     )
     windows = ev.groupBy(F.col("user_id").alias("w_user")).agg(
         F.min("ts_us").alias("w_start")
@@ -1590,7 +1586,7 @@ def window_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "events")
     ev = t["events"].select(
-        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us")
+        "user_id", "event_type", ts_micros(t["events"]).alias("ts_us")
     )
     levels = window_funnel(ev, FUNNEL_STEPS, FUNNEL_WINDOW_US)
     return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
@@ -1638,7 +1634,7 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "events")
     ev = t["events"].select(
         "user_id",
-        F.to_date(F.expr("timestamp_micros(ts div 1000)")).alias("event_date"),
+        F.to_date(ts_timestamp(t["events"])).alias("event_date"),
     )
     res = retention_cohorts(ev)
     return res.select(
@@ -1822,7 +1818,7 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = stream.select(
         "event_id", "user_id", "event_type",
-        F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        ts_timestamp(schema).alias("ts"),
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "event_id", "ts"

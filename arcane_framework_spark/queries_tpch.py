@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from arcane_framework_spark.session import load_tables
+from arcane_framework_spark.session import load_tables, ts_micros, ts_timestamp
 
 # q18 threshold chosen so the result is non-empty from sf0.001 upward.
 Q18_MIN_QTY = 300.0
@@ -787,13 +787,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id for the window sort; the rollup rides the same
     partitioning (no second exchange of fact rows).
 
-    events.ts arrives as long nanoseconds (TESTDATA nanos-as-long); both
-    engines compare microsecond integers, so boundaries are exact.
+    events.ts dtype is normalized to microsecond integers by
+    session.ts_micros; both engines compare micros, so boundaries are exact.
     """
     t = load_tables(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     ev = t["events"].select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("ts_us")
+        "user_id", "event_id", ts_micros(t["events"]).alias("ts_us")
     )
     marked = ev.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
         "is_new",

@@ -9,7 +9,14 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 #: Scale-oriented Spark SQL defaults. All of these matter more at 100 TB than
 #: at test scale: AQE re-plans joins/skew at runtime, partition coalescing
@@ -62,10 +69,13 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     )
-    # events.parquet carries nanosecond timestamps, which Spark's parquet
-    # reader rejects by default; read them as long (nanos since epoch) and
-    # convert with timestamp_micros(ts div 1000) where needed. Runtime-settable,
-    # so this also works on driver-owned sessions.
+    # Schema-drift tolerance for timestamp columns: testdata has shipped
+    # events.ts both as timestamp[ns] (which Spark's parquet reader rejects
+    # unless read as long) and as timestamp[us]. nanosAsLong is a no-op for
+    # non-nano columns, so setting it unconditionally makes either shape load;
+    # consumers normalize via ts_micros()/ts_timestamp() below, which dispatch
+    # on the dtype actually read. Runtime-settable, so this also works on
+    # driver-owned sessions.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Spark 4 defaults ANSI on; conditional expressions here guard their
     # error branches semantically but ANSI does not guarantee lazy branch
@@ -78,3 +88,43 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def ts_micros(source: DataFrame | StructType, col: str = "ts") -> Column:
+    """Epoch-microseconds ``long`` Column for a timestamp-ish column.
+
+    Dispatches on the dtype actually present so queries survive testdata
+    schema drift (the SURVEY §1.3 theme applied to our own inputs):
+
+    - ``TimestampType`` / ``TimestampNTZType`` → ``unix_micros`` (session tz
+      is pinned UTC, so NTZ and instant semantics agree);
+    - ``LongType`` → treated as epoch NANOS (the ``nanosAsLong`` legacy read
+      of ``timestamp[ns]`` parquet) and integer-divided to micros — a
+      truncating div, matching DuckDB's truncating TIMESTAMP read of the
+      same file;
+    - anything else is an explicit error rather than a silently-wrong cast
+      (a bare ``cast('long')`` on a timestamp yields SECONDS in Spark).
+    """
+    schema = source.schema if isinstance(source, DataFrame) else source
+    dt = schema[col].dataType
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(col))
+    if isinstance(dt, TimestampNTZType):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    if isinstance(dt, LongType):
+        return F.expr(f"{col} div 1000")
+    raise TypeError(f"column {col!r} has unsupported dtype {dt}")
+
+
+def ts_timestamp(source: DataFrame | StructType, col: str = "ts") -> Column:
+    """``TimestampType`` Column for a timestamp-ish column (same dispatch
+    as :func:`ts_micros`; long inputs are taken as epoch nanos)."""
+    schema = source.schema if isinstance(source, DataFrame) else source
+    dt = schema[col].dataType
+    if isinstance(dt, TimestampType):
+        return F.col(col)
+    if isinstance(dt, TimestampNTZType):
+        return F.col(col).cast("timestamp")
+    if isinstance(dt, LongType):
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    raise TypeError(f"column {col!r} has unsupported dtype {dt}")

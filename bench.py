@@ -36,20 +36,29 @@ def main() -> None:
 
     # Warm up the JVM/codegen paths once so per-query timings measure the
     # engine, not classloading.
-    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass  # warm-up is best-effort; the timed loop records real failures
 
     from arcane_framework_spark.operators.cache import cache_scope
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         start = time.perf_counter()
-        # cache_scope releases each query's persisted intermediates after
-        # its action — block-manager storage stays flat across the catalog.
-        with cache_scope():
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        # Per-query isolation: one failing query must not abort the run
+        # (round 3 recorded zero timings because one query raised).
+        try:
+            # cache_scope releases each query's persisted intermediates after
+            # its action — block-manager storage stays flat across the catalog.
+            with cache_scope():
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
 
@@ -58,7 +67,8 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(
             {"metric": "catalog_total_runtime", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf, "n_queries": len(timings)},
+             "queries": timings, "errors": errors, "sf": sf,
+             "n_queries": len(timings)},
             fh, indent=1, sort_keys=True,
         )
 
@@ -78,15 +88,27 @@ def main() -> None:
         "n_queries": len(timings),
         "full": "BENCH_FULL.json",
     }
+    if errors:
+        payload["errors"] = {k: v[:80] for k, v in errors.items()}
     line = json.dumps(payload, separators=(",", ":"))
     while len(line) > MAX_LINE and len(ranked) > 1:
         ranked.pop()
-        payload["queries"] = dict(sorted(ranked))
+        payload["queries"] = dict(ranked)  # keep descending-by-time ordering
         payload["omitted_fast_queries"] = len(timings) - len(ranked)
         line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > MAX_LINE:
+        # Last-resort fallback: summary fields only, never an unparseable line.
+        payload.pop("queries", None)
+        payload.pop("errors", None)
+        payload["omitted_fast_queries"] = len(timings)
+        line = json.dumps(payload, separators=(",", ":"))
     # Stop Spark BEFORE printing so no shutdown log line can land after the
-    # JSON line inside the driver's captured tail.
-    spark.stop()
+    # JSON line inside the driver's captured tail — but never let a shutdown
+    # hiccup swallow the result line.
+    try:
+        spark.stop()
+    except Exception:
+        pass
     print(line)
     sys.stdout.flush()
 

@@ -1,0 +1,71 @@
+"""Catalog smoke test against the REAL driver testdata.
+
+Round 3 regressed silently: every unit test builds its own synthetic
+fixtures, so when the testdata's ``events.ts`` dtype changed from int64
+nanos to ``timestamp[us]``, pytest stayed green while 9 catalog queries
+failed analysis. This module closes that hole — it builds every catalog
+DataFrame against ``/root/testdata/sf0.001`` (cheap: Spark analyzes
+eagerly, so a dtype/column drift fails here without executing the plan)
+and runs a handful of representative queries to completion.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _catalog():
+    from arcane_framework_spark.queries import QUERIES
+
+    return QUERIES
+
+
+# Streaming entries execute a memory-sink stream inside the builder —
+# correct but slow for a smoke pass; they still run in the "execute"
+# subset below via their cheapest member.
+_STREAMING = {
+    "streaming_hourly_rollup",
+    "streaming_dedup_users",
+    "streaming_attribution_join",
+}
+
+# Iterative / heavy entries worth skipping in analysis-only mode is empty:
+# everything non-streaming analyzes in milliseconds at sf0.001.
+
+
+@pytest.mark.parametrize("name", sorted(_catalog().keys() - _STREAMING))
+def test_catalog_analyzes_on_real_testdata(spark, name):
+    """Building the DataFrame forces analysis against the real schemas."""
+    df = _catalog()[name](spark, SF_DIR)
+    assert len(df.schema.fields) > 0
+
+
+# A cross-section of families: TPC-H agg, events-time (the r3 breakage
+# class), text, dedup, ANN — executed to completion, not just analyzed.
+_EXECUTE = [
+    "q1_pricing_summary",
+    "events_hourly_rollup",
+    "asof_attribution_events",
+    "window_funnel_events",
+    "dedup_exact_documents",
+]
+
+
+@pytest.mark.parametrize("name", _EXECUTE)
+def test_catalog_executes_on_real_testdata(spark, name):
+    df = _catalog()[name](spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_streaming_entry_runs_on_real_testdata(spark):
+    """One streaming twin end-to-end (the other two share the same ts path)."""
+    df = _catalog()["streaming_dedup_users"](spark, SF_DIR)
+    assert df.count() >= 0
