@@ -41,10 +41,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # twice, and for pair-generator inputs (MinHash etc.) re-evaluation
     # means re-running the whole sketch pipeline.
     edges = edges.select(src, dst).transform(scoped_persist)
+    # Hash-partition the symmetric adjacency on the per-round join key:
+    # InMemoryTableScan preserves outputPartitioning, so every round's
+    # sym⋈labels join reuses this layout instead of re-exchanging the (much
+    # larger) edge side — labels are the only thing that moves per round.
+    # No distinct(): duplicate edges cannot change a min-aggregation, and
+    # dropping it removes a full shuffle of the edge set from the setup.
     sym = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
-        .distinct()
+        .repartition("nbr")
         .transform(scoped_persist)
     )
     # Seed with the 1-hop minimum (folds the would-be first round into the
@@ -58,26 +64,46 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         )
         .transform(scoped_persist)
     )
-    labels.count()
-    for _ in range(max_rounds):
-        neighbor_labels = sym.join(
-            labels.select(
-                F.col("node").alias("nbr"), F.col("component")
-            ),
+    id_type = dict(labels.dtypes)["component"]
+
+    def _propagate(cur: DataFrame) -> DataFrame:
+        # Each node takes the min label among itself and its neighbors. The
+        # node's OLD label rides through the same min-aggregation (neighbor
+        # rows contribute null old; min ignores nulls) so the convergence
+        # probe reads the cached result — ONE driver-synchronized action per
+        # round, no labels-vs-labels join. Labels only ever decrease, so
+        # moved == any component < old.
+        nbr_labels = sym.join(
+            cur.select(F.col("node").alias("nbr"), F.col("component")),
             "nbr",
         ).select("node", "component")
-        new_labels = (
-            neighbor_labels.union(labels.select("node", "component"))
+        return (
+            nbr_labels.select(
+                "node", "component",
+                F.lit(None).cast(id_type).alias("old"),
+            )
+            .union(
+                cur.select(
+                    "node", "component", F.col("component").alias("old")
+                )
+            )
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("old").alias("old"),
+            )
             .transform(scoped_persist)
         )
-        moved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+
+    # Fold one propagation lazily into the first probed round's job: no
+    # action runs until the first probe, which materializes seed + sym +
+    # TWO propagations in a single pipelined job. Shallow graphs (near-dup
+    # clusters are cliques-ish, diameter ≤ 2) then converge with a single
+    # driver sync instead of three.
+    labels = _propagate(labels)
+    for _ in range(max_rounds):
+        new_labels = _propagate(labels)
+        moved = new_labels.filter(F.col("component") < F.col("old")).count()
         labels.unpersist()
         labels = new_labels
         if moved == 0:
@@ -87,7 +113,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             f"connected_components did not converge in {max_rounds} rounds"
         )
     sym.unpersist()
-    return labels
+    return labels.select("node", "component")
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
