@@ -536,22 +536,29 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
     from arcane_framework_spark.operators.text import tokens_expr
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"].select("doc_id", "text")
-    n_docs = docs.count()  # plan-time scalar, like the reference's schema pass
+    # n_docs stays IN-PLAN as a broadcast 1-row aggregate — no driver
+    # .count() action, so the whole query is a single job.
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
     terms = docs.select(
         "doc_id", F.explode(tokens_expr("text")).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
+    scored = with_broadcast_scalar(
+        tf.join(F.broadcast(df_tbl), "term"), n_docs_df
+    ).select(
         "doc_id",
         "term",
         (
             F.col("tf").cast("double")
-            * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0)))
+            * F.log(
+                (F.col("__n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+            )
         ).alias("__score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("__score").desc(), "term")

@@ -101,3 +101,38 @@ def test_cdc_partition_expression_flows_through(spark, tmp_path):
     assert row.DATE_PARTITION_KEY is not None
     assert len(row.DATE_PARTITION_KEY) == 6
     assert row.SYS_CHANGE_VERSION == 0 and row.SYS_CHANGE_OPERATION == "I"
+
+
+def test_delta_merge_gating(spark, tmp_path):
+    """The Delta MERGE consumer is import-gated: available() reports the
+    truth and the upsert raises ImportError (not something weirder) when
+    delta-spark is absent. When delta IS present, two CDC ticks folded via
+    MERGE must equal the window-fold path."""
+    from arcane_framework_spark.operators.relational import (
+        apply_changes_to_snapshot,
+        delta_merge_available,
+        upsert_delta_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 0, "I"), (2, "b", 0, "I"), (3, "c", 0, "I")],
+        "id long, v string, sys_change_version long, sys_change_operation string",
+    )
+    batch = spark.createDataFrame(
+        [(2, "b2", 10, "U"), (3, None, 11, "D"), (4, "d", 12, "I")],
+        "id long, v string, sys_change_version long, sys_change_operation string",
+    )
+    if not delta_merge_available():
+        import pytest
+
+        with pytest.raises(ImportError):
+            upsert_delta_snapshot(spark, str(tmp_path / "tbl"), base, "id")
+        return
+
+    path = str(tmp_path / "tbl")
+    upsert_delta_snapshot(spark, path, base, merge_key="id")
+    merged = upsert_delta_snapshot(spark, path, batch, merge_key="id")
+    expected = apply_changes_to_snapshot(base, batch, merge_key="id")
+    assert {(r.id, r.v) for r in merged.collect()} == {
+        (r.id, r.v) for r in expected.collect()
+    }
