@@ -50,6 +50,39 @@ def classify_exception(exc: BaseException) -> tuple[int, dict[str, str]]:
     return EXIT_FATAL, {}
 
 
+class FileAnnotationWriter:
+    """Concrete ``annotate`` callback: merge annotations into a JSON file.
+
+    The reference patches its own K8s Job object with ``arcane/state=...``
+    (src/Services/ArcaneExceptionHandler.cs:41-47, Contracts/Annotations.cs:
+    14-21) so the operator reacts to the next restart. Without a K8s API in
+    reach, the durable analog is a JSON file at a well-known path (mount it
+    where the supervisor looks — the downward-API pattern); each call merges
+    so repeated runs accumulate the latest state per key. Atomic
+    write-then-rename so a crashed writer can't leave a torn file.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, annotations: dict[str, str]) -> None:
+        import json
+        import os
+
+        current: dict[str, str] = {}
+        try:
+            with open(self.path, encoding="utf-8") as fh:
+                current = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        current.update(annotations)
+        tmp = f"{self.path}.tmp"
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(current, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+
+
 @dataclass
 class RunResult:
     exit_code: int

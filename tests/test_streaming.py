@@ -445,3 +445,32 @@ def test_interval_join_stream_real_streaming(spark, tmp_path):
     got = {(r.l_event_id, r.r_event_id)
            for r in spark.table("ivj_sink").collect()}
     assert got == {(1, 2), (5, 6)}
+
+
+def test_file_annotation_writer_merges_and_survives(tmp_path):
+    """Schema-mismatch path writes arcane/state to the annotation file; a
+    second run merges (latest value per key wins), and a torn temp file
+    never reaches the final path (atomic rename)."""
+    import json
+
+    from arcane_framework_spark.contracts.schema import SchemaMismatchError
+    from arcane_framework_spark.streaming.runner import (
+        EXIT_SUCCESS,
+        FileAnnotationWriter,
+        StreamRunner,
+    )
+
+    path = str(tmp_path / "annotations" / "job.json")
+    runner = StreamRunner(annotate=FileAnnotationWriter(path))
+
+    def raise_mismatch():
+        raise SchemaMismatchError("drift")
+
+    result = runner.run_batch(raise_mismatch)
+    assert result.exit_code == EXIT_SUCCESS  # restart-in-backfill signal
+    with open(path) as fh:
+        assert json.load(fh) == {"arcane/state": "schema-mismatch"}
+
+    FileAnnotationWriter(path)({"arcane/state": "ok", "other": "x"})
+    with open(path) as fh:
+        assert json.load(fh) == {"arcane/state": "ok", "other": "x"}
