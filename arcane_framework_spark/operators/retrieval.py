@@ -62,13 +62,13 @@ def bm25_topk(spark: SparkSession, docs: DataFrame,
 
     ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the Lucene-style
     always-positive variant); ``N`` and ``avgdl`` are both taken over the
-    *indexed* documents (≥1 token), so one aggregate over the persisted tf
-    table yields every plan-time scalar in a single driver action (like the
-    reference's schema-discovery pass —
-    `SqlServerChangeTrackingSource.cs:74-94` runs a query at plan time too).
+    *indexed* documents (≥1 token) and stay IN-PLAN as a broadcast 1-row
+    aggregate — the whole ranking is a single job with no driver action.
 
     Returns ``(query_id, doc_id, score, rank)`` with rank 1..k per query.
     """
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
     queries = queries if queries is not None else BM25_QUERIES
     # tf feeds three consumers (dl, df, the scored join) — persist it so the
     # tokenize+explode+aggregate lineage runs once, not three times.
@@ -76,9 +76,10 @@ def bm25_topk(spark: SparkSession, docs: DataFrame,
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    agg = dl.agg(F.sum("dl"), F.count(F.lit(1))).first()
-    n_docs = int(agg[1])
-    avgdl = float(agg[0]) / float(agg[1])
+    scalars = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+    )
 
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
@@ -86,27 +87,28 @@ def bm25_topk(spark: SparkSession, docs: DataFrame,
     )
 
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        (F.col("__n_docs") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
         + F.lit(1.0)
     )
     tf_d = F.col("tf").cast("double")
     denom = tf_d + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl").cast("double") / F.col("__avgdl")
     )
     contrib = idf * (tf_d * F.lit(k1 + 1.0)) / denom
 
-    scored = (
+    scored = with_broadcast_scalar(
         tf.join(F.broadcast(qterms), "term")
         .join(dl, id_col)
-        .join(F.broadcast(df_tbl), "term")
-        .select(
-            "query_id",
-            id_col,
-            F.floor(contrib * F.lit(float(BM25_FP)) + F.lit(0.5))
-            .cast("long")
-            .alias("contrib_fp"),
-        )
+        .join(F.broadcast(df_tbl), "term"),
+        scalars,
+    ).select(
+        "query_id",
+        id_col,
+        F.floor(contrib * F.lit(float(BM25_FP)) + F.lit(0.5))
+        .cast("long")
+        .alias("contrib_fp"),
     )
     totals = scored.groupBy("query_id", id_col).agg(
         F.sum("contrib_fp").alias("score_fp")
