@@ -28,10 +28,13 @@ def with_broadcast_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
     derived stride) to every row of ``df``.
 
     Implemented as an equi-join on a constant literal key rather than a
-    bare ``crossJoin``: the cost is identical (the scalar side broadcasts
-    either way), but Catalyst plans a BroadcastHashJoin instead of a
-    BroadcastNestedLoopJoin — so plan audits can keep flagging *real*
-    nested loops without whitelisting this pattern.
+    bare ``crossJoin``. Catalyst's constant folding still collapses the
+    ``1 = 1`` condition, so the physical plan is a
+    BroadcastNestedLoopJoin — but against a 1-ROW build side, which costs
+    the same as a broadcast hash join. The plan audit
+    (tools/explain_audit.py) recognizes the pattern structurally (a global
+    aggregate inside the BNLJ subtree) so *real* nested loops are still
+    flagged.
     """
     return (
         df.withColumn(_SCALAR_KEY, F.lit(1))

@@ -31,22 +31,36 @@ EXPECTED_BNLJ = {
 SKIP = {"streaming_hourly_rollup", "streaming_dedup_users"}
 
 
+def _tree_depth(line: str) -> int:
+    """Nesting depth of a physical-plan toString line (length of the
+    ``:  +- `` decoration before the operator name)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
 def _only_scalar_bnlj(executed_plan: str) -> bool:
-    """True if every BroadcastNestedLoopJoin's build side is a 1-row global
-    aggregate (``HashAggregate(keys=[]``/``SortAggregate(key=[]`` under a
-    SinglePartition exchange)."""
+    """True if every BroadcastNestedLoopJoin's subtree contains a 1-row
+    global aggregate (``HashAggregate(keys=[]``/``SortAggregate(key=[]`` or
+    a SinglePartition exchange) — the scalar-attach pattern. Walks the
+    join's actual indented subtree, so probe-side depth can't push the
+    build side out of a fixed window."""
     import re
 
+    scalar_sig = re.compile(
+        r"(HashAggregate|SortAggregate)\s*\((keys|key)=\[\]"
+    )
     lines = executed_plan.splitlines()
     for i, line in enumerate(lines):
         if "BroadcastNestedLoopJoin" not in line:
             continue
-        # The build subtree follows the join node; a global aggregate
-        # signature within the next indented block marks it scalar.
-        window = "\n".join(lines[i:i + 40])
-        if not re.search(
-            r"(HashAggregate|SortAggregate)\s*\((keys|key)=\[\]", window
-        ) and "Exchange SinglePartition" not in window:
+        depth = _tree_depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and _tree_depth(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        block = "\n".join(subtree)
+        if not scalar_sig.search(block) and \
+                "Exchange SinglePartition" not in block:
             return False
     return True
 
