@@ -32,6 +32,23 @@ BAND_SIZE = 4
 NUM_BANDS = NUM_HASHES // BAND_SIZE
 SHINGLE_WORDS = 3
 
+#: Universal-hash family for MinHash permutations: each shingle is hashed
+#: ONCE (first 8 md5 hex digits as an int, reduced into Z_P), then
+#: permutation i is the affine map ``(A[i]*h + B[i]) mod P`` over the field
+#: Z_P with P = 2^31 − 1 (Mersenne prime). This is the standard Broder
+#: construction; vs salting md5 per permutation it cuts hashing cost
+#: NUM_HASHES× — the dominant map-side cost of a 100 TB dedup scan. The
+#: modulus must sit just above the base-hash range so ``a*h`` wraps it many
+#: times (a map that never wraps is monotonic in h, all permutations pick
+#: the same min shingle, and banding floods with false candidates).
+#: ``A[i]*h + B[i] ≤ (P−1)² + (P−1) < 2^62`` — never overflows signed
+#: 64-bit in either engine (Spark would wrap silently, DuckDB would raise;
+#: neither happens).
+MINHASH_P = (1 << 31) - 1
+MINHASH_A = [((i * 2654435761 + 1) % (MINHASH_P - 1)) + 1
+             for i in range(NUM_HASHES)]
+MINHASH_B = [(i * 1779033703 + 144) % MINHASH_P for i in range(NUM_HASHES)]
+
 #: SimHash parameters: 32 bits, one per md5 hex digit of each token.
 #: 16 bits saturates already at a few thousand same-vocabulary docs
 #: (measured: 89k spurious hamming-0 pairs over 5.7k docs); 32 bits keeps
@@ -83,23 +100,39 @@ def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def shingle_hash_expr(s: Column) -> Column:
+    """Base hash of one shingle in Z_P: first 8 md5 hex digits as an int,
+    reduced mod ``MINHASH_P``. The single md5 all ``NUM_HASHES``
+    permutations derive from.
+    """
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+
+
 def minhash_signature_expr(text_col: str | Column = "text",
                            num_hashes: int = NUM_HASHES) -> Column:
-    """MinHash signature: for hash i, ``min(md5(i || ':' || shingle))``.
+    """MinHash signature array: permutation i = ``min((A[i]*h + B[i]) % P)``
+    over shingle base hashes ``h`` (see ``MINHASH_A``).
 
-    Simulated permutations via salted md5 (public-standard construction);
-    min over hex strings is a plain ASCII min, identical across engines.
+    Expression (HOF) form for per-row use; NOTE the base-hash transform is
+    re-inlined per permutation by CollapseProject here, so the hot dedup
+    path uses the exploded ``minhash_signatures`` DataFrame form, which
+    computes the md5 once per shingle inside codegen.
     """
     sh = shingles_expr(text_col)
+    hashes = F.transform(sh, shingle_hash_expr)
 
-    def salted(salt: str):
+    def perm(i: int):
         # NB: a closure, not a default arg — PySpark infers higher-order-fn
-        # arity from the lambda signature, so `lambda s, i=i` would be treated
-        # as the binary (element, index) form.
-        return lambda s: F.md5(F.concat(F.lit(salt), s))
+        # arity from the lambda signature, so `lambda h, i=i` would be
+        # treated as the binary (element, index) form.
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
     sigs = [
-        F.array_min(F.transform(sh, salted(f"{i}:"))) for i in range(num_hashes)
+        F.array_min(F.transform(hashes, perm(i))) for i in range(num_hashes)
     ]
     return F.array(*sigs)
 
@@ -161,16 +194,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     Implemented explode-then-aggregate rather than with array higher-order
     functions: HOFs are evaluated interpreted (outside whole-stage codegen),
     and a signature expression referenced N times is recomputed N times. The
-    exploded form keeps all K md5 calls inside codegen and computes mins via
-    map-side partial aggregation — at 100 TB this is one scan + one shuffle
-    of (id, K hashes), the canonical signature-table build.
+    exploded form computes ONE md5 per shingle inside codegen, derives the
+    K permutations as integer multiply-add-mod (see ``MINHASH_A``), and
+    takes mins via map-side partial aggregation — at 100 TB this is one
+    scan + one shuffle of (id, K longs), the canonical signature-table
+    build, with md5 cost independent of K.
     """
     exploded = _with_tokens(df, text_col, id_col).select(
         "id", F.explode(shingles_from_tokens(F.col("toks"))).alias("s")
     )
-    return exploded.groupBy("id").agg(
+    hashed = exploded.select("id", shingle_hash_expr(F.col("s")).alias("h"))
+    return hashed.groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"s{i}")
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P)
+            ).alias(f"s{i}")
             for i in range(num_hashes)
         ]
     )

@@ -508,9 +508,19 @@ def minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    from arcane_framework_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
     k = 3  # SHINGLE_WORDS
+    # Same universal-hash family as minhash_signatures: one md5 per shingle
+    # (first 8 hex digits as int), then (A[i]*h + B[i]) mod P per
+    # permutation — constants are shared so signatures match bit-for-bit.
     sig_items = ",\n      ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')"
+        f"list_aggregate(list_transform(hs, h -> "
+        f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}), 'min')"
         for i in range(NUM_HASHES)
     )
     band_selects = []
@@ -542,10 +552,19 @@ sh AS (
          ) AS shingles
   FROM toks
 ),
-sig AS (
-  SELECT doc_id, shingles,
-    [ {sig_items} ] AS sig
+hashed AS (
+  SELECT doc_id,
+         list_transform(
+           shingles,
+           s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT)
+                % {MINHASH_P}
+         ) AS hs
   FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    [ {sig_items} ] AS sig
+  FROM hashed
 ),
 bands AS (
   {bands_sql}

@@ -100,11 +100,27 @@ def test_minhash_identical_docs_pair_with_jaccard_one(spark):
 
 
 def test_minhash_signature_shape(spark):
+    from arcane_framework_spark.operators.dedup import MINHASH_P
+
     df = spark.createDataFrame([(1, "a b c d e")], "doc_id: long, text: string")
     row = minhash_signatures(df).head()
     sig = [row[f"s{i}"] for i in range(16)]
-    assert all(len(h) == 32 for h in sig)  # md5 hex
-    assert len(set(sig)) > 1  # salts differ
+    assert all(0 <= v < MINHASH_P for v in sig)  # affine-permuted base hash
+    assert len(set(sig)) > 1  # permutations differ
+
+
+def test_minhash_expr_matches_dataframe_form(spark):
+    """The HOF expression form and the exploded DataFrame form must agree
+    (same universal-hash family, same constants)."""
+    from arcane_framework_spark.operators.dedup import minhash_signature_expr
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id: long, text: string",
+    )
+    via_expr = df.select(minhash_signature_expr("text").alias("sig")).head().sig
+    row = minhash_signatures(df).head()
+    assert via_expr == [row[f"s{i}"] for i in range(16)]
 
 
 def test_simhash_identical_texts_equal(spark):
