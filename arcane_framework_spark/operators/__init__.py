@@ -36,6 +36,7 @@ from arcane_framework_spark.operators.packing import (  # noqa: F401
 )
 from arcane_framework_spark.operators.rangejoin import range_join  # noqa: F401
 from arcane_framework_spark.operators.sampling import (  # noqa: F401
+    leakage_guarded_split,
     split_expr,
     with_split,
 )

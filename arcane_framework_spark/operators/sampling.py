@@ -72,6 +72,40 @@ def with_split(df: DataFrame, key_cols: Sequence[str],
     return df.withColumn(column_name, split_expr(key_cols, splits, salt))
 
 
+def leakage_guarded_split(docs: DataFrame, pairs: DataFrame,
+                          id_col: str = "doc_id",
+                          splits: dict[str, float] | None = None,
+                          salt: str = "split",
+                          column_name: str = "split") -> DataFrame:
+    """Hash split where near-duplicate CLUSTERS move as one unit.
+
+    Plain hash splitting leaks: a document in train and its near-duplicate
+    in test is an eval contamination the split hash cannot see. Here each
+    doc's split is hashed from its cluster key — the canonical (min) id of
+    its connected component in the near-dup ``pairs`` graph — so a
+    train/test boundary can never separate two near-duplicates. Docs
+    outside any pair hash their own id (identical to ``with_split``).
+
+    Scale: the component table is proportional to the number of PAIRED
+    docs (usually a small fraction of the corpus), joined once to the
+    corpus on the id; the split itself stays a map-side hash. Returns
+    ``docs`` + (cluster_key, split).
+    """
+    from arcane_framework_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("component").alias("__cluster")
+    )
+    return (
+        docs.join(comp, id_col, "left")
+        .withColumn(
+            "cluster_key", F.coalesce(F.col("__cluster"), F.col(id_col))
+        )
+        .drop("__cluster")
+        .withColumn(column_name, split_expr(["cluster_key"], splits, salt))
+    )
+
+
 def split_sql(key_sql: str, splits: dict[str, float] | None = None,
               salt: str = "split") -> str:
     """The identical assignment as a SQL CASE (the DuckDB oracle half)."""

@@ -611,6 +611,67 @@ FROM toks
 """
 
 
+def leakage_guarded_split_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Train/val/test split that can't leak near-duplicates across splits.
+
+    Same planted corpus as minhash_pairs_documents; each doc is assigned by
+    hashing its near-dup CLUSTER key (min doc id of its connected
+    component), so a planted near-dup always lands in its original's split.
+    The oracle replays the pair graph closure + the identical md5 CASE.
+    """
+    from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
+    from arcane_framework_spark.operators.sampling import (
+        leakage_guarded_split,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    pairs = minhash_lsh_pairs(corpus)
+    return leakage_guarded_split(corpus.select("doc_id"), pairs)
+
+
+def _leakage_split_sql() -> str:
+    from arcane_framework_spark.operators.sampling import split_sql
+
+    case = split_sql("CAST(cluster_key AS VARCHAR)")
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a, id_b FROM ({_minhash_sql()}) mh
+),
+sym AS (
+  SELECT id_a AS node, id_b AS nbr FROM edges
+  UNION
+  SELECT id_b AS node, id_a AS nbr FROM edges
+),
+reach(node, r) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT reach.node, sym.nbr FROM reach JOIN sym ON reach.r = sym.node
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+),
+corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET} FROM documents WHERE doc_id % 7 = 0
+),
+assigned AS (
+  SELECT corpus.doc_id,
+         coalesce(comp.component, corpus.doc_id) AS cluster_key
+  FROM corpus LEFT JOIN comp ON comp.node = corpus.doc_id
+)
+SELECT doc_id, cluster_key, {case} AS split
+FROM assigned
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (north-star, over `embeddings`)
 # ---------------------------------------------------------------------------
@@ -759,6 +820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_documents": fingerprint_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "minhash_pairs_documents": minhash_pairs_documents,
+    "leakage_guarded_split_documents": leakage_guarded_split_documents,
     "simhash_documents": simhash_documents,
     "knn_bruteforce_embeddings": knn_bruteforce_embeddings,
     "ann_lsh_buckets_embeddings": ann_lsh_buckets_embeddings,
@@ -782,6 +844,7 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprint_documents": _FINGERPRINT_SQL,
     "dedup_exact_documents": _DEDUP_EXACT_SQL,
     "minhash_pairs_documents": _minhash_sql(),
+    "leakage_guarded_split_documents": _leakage_split_sql(),
     "simhash_documents": _simhash_sql(),
     "knn_bruteforce_embeddings": _KNN_SQL,
     "ann_lsh_buckets_embeddings": _ann_buckets_sql(),

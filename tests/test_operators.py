@@ -1043,3 +1043,31 @@ def test_repeated_spans_cross_doc_only(spark):
     rows = repeated_spans(docs, n=4).collect()
     assert len(rows) == 1
     assert rows[0].n_docs == 2 and rows[0].example_doc == 1
+
+
+def test_leakage_guarded_split_keeps_clusters_together(spark):
+    """Near-dup cluster members always land in the same split; singletons
+    match the plain doc-id hash split exactly."""
+    from arcane_framework_spark.operators.sampling import (
+        leakage_guarded_split,
+        with_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 21)], "doc_id: long"
+    )
+    # two clusters: {1,7,13} (a chain) and {2,5}; the rest are singletons
+    pairs = spark.createDataFrame(
+        [(1, 7), (7, 13), (2, 5)], "id_a: long, id_b: long"
+    )
+    out = leakage_guarded_split(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 20
+    assert {by_id[i].split for i in (1, 7, 13)} == {by_id[1].split}
+    assert {by_id[i].cluster_key for i in (1, 7, 13)} == {1}
+    assert by_id[2].split == by_id[5].split and by_id[2].cluster_key == 2
+
+    plain = {r.doc_id: r.split for r in with_split(docs, ["doc_id"]).collect()}
+    for i in by_id:
+        if i not in (1, 7, 13, 2, 5):
+            assert by_id[i].split == plain[i]  # singleton = plain hash
