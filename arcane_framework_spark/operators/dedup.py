@@ -230,13 +230,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     side table).
     """
     sig = minhash_signatures(df, text_col, id_col)
-    band_cols = []
-    for b in range(NUM_BANDS):
-        parts = [F.col(f"s{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)))
-    bands = sig.select(
-        "id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash")
-    ).transform(scoped_persist)
+    bands = minhash_band_rows(sig).transform(scoped_persist)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, on=["band_id", "band_hash"])
@@ -268,6 +262,97 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             / (F.col("__na") + F.col("__nb") - F.col("__ni")).cast("double"),
             6,
         ).alias("jaccard"),
+    )
+
+
+def minhash_band_rows(sig: DataFrame, num_bands: int = NUM_BANDS,
+                      band_size: int = BAND_SIZE) -> DataFrame:
+    """Exploded LSH band rows (id, band_id, band_hash) from a signature
+    table (the ``minhash_signatures`` layout ``id, s0..s{K-1}``)."""
+    band_cols = []
+    for b in range(num_bands):
+        parts = [F.col(f"s{b * band_size + j}") for j in range(band_size)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)))
+    return sig.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash")
+    )
+
+
+def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              min_est: float = 0.5) -> DataFrame:
+    """Incremental dedup: near-dup pairs of a NEW batch against an existing
+    corpus — without touching the corpus text.
+
+    The continuous-ingest shape: a production pipeline materializes the
+    corpus's signature table once (``minhash_signatures`` → parquet/Delta
+    side table, O(K·longs) per doc); each arriving batch is signed, banded,
+    and joined against the stored bands. Verification uses the MinHash
+    Jaccard ESTIMATOR — the fraction of agreeing signature components —
+    so the old corpus is never re-tokenized (its text may be long gone).
+    Estimator resolution is 1/K; with K=16, ``min_est=0.5`` keeps pairs
+    sharing ≥8 components.
+
+    Output: (id_a, id_b, pair_type, est_jaccard) with id_a < id_b and
+    pair_type ∈ {'new_old', 'new_new'} — new batches can contain their own
+    duplicates, which a corpus-only join would miss.
+
+    Scale: both joins shuffle on (band_id, band_hash) only; the per-pair
+    estimate is K integer equality checks in codegen. Nothing rescans
+    corpus text; the signature side table is the only corpus state.
+    """
+    new_sigs = scoped_persist(
+        minhash_signatures(new_docs, text_col, id_col)
+    )
+    nb = minhash_band_rows(new_sigs)
+    cb = minhash_band_rows(corpus_sigs)
+    cross = (
+        nb.alias("n")
+        .join(cb.alias("c"), ["band_id", "band_hash"])
+        .filter(F.col("n.id") != F.col("c.id"))
+        .select(
+            F.least("n.id", "c.id").alias("id_a"),
+            F.greatest("n.id", "c.id").alias("id_b"),
+            F.lit("new_old").alias("pair_type"),
+        )
+    )
+    self_pairs = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.lit("new_new").alias("pair_type"),
+        )
+    )
+    cand = cross.unionByName(self_pairs).distinct()
+    all_sigs = corpus_sigs.unionByName(new_sigs)
+    sig_a = all_sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"s{i}").alias(f"__a{i}") for i in range(NUM_HASHES)],
+    )
+    sig_b = all_sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"s{i}").alias(f"__b{i}") for i in range(NUM_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "pair_type",
+            F.round(
+                agree.cast("double") / F.lit(float(NUM_HASHES)), 6
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= F.lit(min_est))
     )
 
 

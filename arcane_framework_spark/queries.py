@@ -672,6 +672,128 @@ FROM assigned
 """
 
 
+def incremental_dedup_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new batch (the planted near-dups) against the
+    existing corpus's MATERIALIZED signature table — the continuous-ingest
+    shape. Corpus text is never re-tokenized; pairs are verified by the
+    K-component MinHash Jaccard estimator.
+    """
+    from arcane_framework_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    corpus_sigs = minhash_signatures(docs)
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    return incremental_minhash_pairs(batch, corpus_sigs)
+
+
+def _incremental_dedup_sql() -> str:
+    from arcane_framework_spark.operators.dedup import (
+        BAND_SIZE,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_BANDS,
+        NUM_HASHES,
+    )
+
+    k = 3  # SHINGLE_WORDS
+    sig_items = ",\n      ".join(
+        f"list_aggregate(list_transform(hs, h -> "
+        f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}), 'min')"
+        for i in range(NUM_HASHES)
+    )
+
+    def sig_chain(p: str) -> str:
+        return f"""
+{p}toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM {p}corpus
+),
+{p}sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= {k}
+                THEN list_transform(range(1, len(w) - {k - 2}),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END
+         ) AS shingles
+  FROM {p}toks
+),
+{p}hashed AS (
+  SELECT doc_id,
+         list_transform(
+           shingles,
+           s -> CAST(concat('0x', substring(md5(s), 1, 8)) AS BIGINT)
+                % {MINHASH_P}
+         ) AS hs
+  FROM {p}sh
+),
+{p}sig AS (
+  SELECT doc_id, [ {sig_items} ] AS sig FROM {p}hashed
+)"""
+
+    def band_rows(p: str) -> str:
+        selects = []
+        for b in range(NUM_BANDS):
+            parts = " || '|' || ".join(
+                f"sig[{b * BAND_SIZE + j + 1}]" for j in range(BAND_SIZE)
+            )
+            selects.append(
+                f"SELECT doc_id, {b} AS band_id, md5({parts}) AS band_hash "
+                f"FROM {p}sig"
+            )
+        return "\n  UNION ALL\n  ".join(selects)
+
+    est = " + ".join(
+        f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH ccorpus AS (
+  SELECT doc_id, text FROM documents
+),
+bcorpus AS (
+  SELECT doc_id + {_DUP_OFFSET} AS doc_id, text || ' ' || text AS text
+  FROM documents WHERE doc_id % 7 = 0
+),{sig_chain("c")},{sig_chain("b")},
+cbands AS (
+  {band_rows("c")}
+),
+bbands AS (
+  {band_rows("b")}
+),
+cand AS (
+  SELECT DISTINCT least(n.doc_id, c.doc_id) AS id_a,
+                  greatest(n.doc_id, c.doc_id) AS id_b,
+                  'new_old' AS pair_type
+  FROM bbands n JOIN cbands c
+    ON n.band_id = c.band_id AND n.band_hash = c.band_hash
+   AND n.doc_id <> c.doc_id
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, 'new_new'
+  FROM bbands a JOIN bbands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+allsig AS (
+  SELECT * FROM csig UNION ALL SELECT * FROM bsig
+)
+SELECT id_a, id_b, pair_type,
+       round(({est})::DOUBLE / {NUM_HASHES}, 6) AS est_jaccard
+FROM cand
+JOIN allsig sa ON sa.doc_id = id_a
+JOIN allsig sb ON sb.doc_id = id_b
+WHERE ({est})::DOUBLE / {NUM_HASHES} >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (north-star, over `embeddings`)
 # ---------------------------------------------------------------------------
@@ -821,6 +943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact_documents": dedup_exact_documents,
     "minhash_pairs_documents": minhash_pairs_documents,
     "leakage_guarded_split_documents": leakage_guarded_split_documents,
+    "incremental_dedup_documents": incremental_dedup_documents,
     "simhash_documents": simhash_documents,
     "knn_bruteforce_embeddings": knn_bruteforce_embeddings,
     "ann_lsh_buckets_embeddings": ann_lsh_buckets_embeddings,
@@ -845,6 +968,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_exact_documents": _DEDUP_EXACT_SQL,
     "minhash_pairs_documents": _minhash_sql(),
     "leakage_guarded_split_documents": _leakage_split_sql(),
+    "incremental_dedup_documents": _incremental_dedup_sql(),
     "simhash_documents": _simhash_sql(),
     "knn_bruteforce_embeddings": _KNN_SQL,
     "ann_lsh_buckets_embeddings": _ann_buckets_sql(),

@@ -1071,3 +1071,33 @@ def test_leakage_guarded_split_keeps_clusters_together(spark):
     for i in by_id:
         if i not in (1, 7, 13, 2, 5):
             assert by_id[i].split == plain[i]  # singleton = plain hash
+
+
+def test_incremental_minhash_pairs_types_and_estimates(spark):
+    """New batch vs materialized corpus signatures: finds the near-dup of a
+    corpus doc (new_old), finds duplicates inside the batch (new_new), and
+    never re-reads corpus text (operator takes signatures only)."""
+    from arcane_framework_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely here")],
+        "doc_id: long, text: string",
+    )
+    corpus_sigs = minhash_signatures(corpus)
+    batch = spark.createDataFrame(
+        [(100, base + " " + base), (101, base + " " + base),
+         (102, "unrelated fresh content nothing shared")],
+        "doc_id: long, text: string",
+    )
+    out = incremental_minhash_pairs(batch, corpus_sigs).collect()
+    got = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 100) in got and got[(1, 100)].pair_type == "new_old"
+    assert (1, 101) in got
+    assert (100, 101) in got and got[(100, 101)].pair_type == "new_new"
+    assert got[(100, 101)].est_jaccard == 1.0  # identical batch docs
+    assert all(0.5 <= r.est_jaccard <= 1.0 for r in out)
+    assert not any(102 in (a, b) for (a, b) in got)  # fresh doc pairs nothing
