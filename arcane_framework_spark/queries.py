@@ -794,6 +794,113 @@ WHERE ({est})::DOUBLE / {NUM_HASHES} >= 0.5
 """
 
 
+def streaming_incremental_dedup(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental dedup: arriving documents are signed
+    PER-ROW (the HOF signature expression — no stateful aggregation),
+    banded map-side, and stream-static joined against the corpus's
+    materialized band+signature table. The only stateful op is the final
+    pair dedup, so the whole match path is stateless and watermark-free —
+    the shape a production firehose-ingest dedup runs. Cross (new-vs-old)
+    pairs only; intra-batch pairs need the batch operator's self-join.
+    """
+    from arcane_framework_spark.operators.dedup import (
+        BAND_SIZE,
+        NUM_BANDS,
+        NUM_HASHES,
+        minhash_band_rows,
+        minhash_signature_expr,
+        minhash_signatures,
+    )
+    from arcane_framework_spark.queries_ext import stream_conf
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    corpus_sigs = minhash_signatures(docs)
+    static_side = minhash_band_rows(corpus_sigs).join(
+        corpus_sigs.select(
+            "id",
+            F.array(*[f"s{i}" for i in range(NUM_HASHES)]).alias(
+                "corpus_sig"
+            ),
+        ),
+        "id",
+    ).withColumnsRenamed({"id": "corpus_id"})
+
+    schema = t["documents"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    batch = stream.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        minhash_signature_expr(
+            F.concat_ws(" ", "text", "text")
+        ).alias("sig"),
+    )
+    band_cols = []
+    for b in range(NUM_BANDS):
+        parts = [
+            F.element_at("sig", b * BAND_SIZE + j + 1)
+            for j in range(BAND_SIZE)
+        ]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)))
+    banded = batch.select(
+        "doc_id", "sig",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+    )
+    agree = sum(
+        F.when(
+            F.element_at("sig", i + 1) == F.element_at("corpus_sig", i + 1),
+            1,
+        ).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    pairs = (
+        banded.join(static_side, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") != F.col("corpus_id"))
+        .select(
+            F.least("doc_id", "corpus_id").alias("id_a"),
+            F.greatest("doc_id", "corpus_id").alias("id_b"),
+            F.lit("new_old").alias("pair_type"),
+            F.round(
+                agree.cast("double") / F.lit(float(NUM_HASHES)), 6
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    name = "streaming_incremental_dedup_sink"
+    with stream_conf(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def _streaming_incremental_sql() -> str:
+    # Cross-pairs slice of the incremental-dedup oracle: identical
+    # signature machinery, new_old candidates only.
+    full = _incremental_dedup_sql()
+    out = full.replace(
+        """  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, 'new_new'
+  FROM bbands a JOIN bbands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+""",
+        "",
+    )
+    assert "new_new" not in out, "oracle slice failed to drop self-pairs"
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (north-star, over `embeddings`)
 # ---------------------------------------------------------------------------
@@ -944,6 +1051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs_documents": minhash_pairs_documents,
     "leakage_guarded_split_documents": leakage_guarded_split_documents,
     "incremental_dedup_documents": incremental_dedup_documents,
+    "streaming_incremental_dedup": streaming_incremental_dedup,
     "simhash_documents": simhash_documents,
     "knn_bruteforce_embeddings": knn_bruteforce_embeddings,
     "ann_lsh_buckets_embeddings": ann_lsh_buckets_embeddings,
@@ -969,6 +1077,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_pairs_documents": _minhash_sql(),
     "leakage_guarded_split_documents": _leakage_split_sql(),
     "incremental_dedup_documents": _incremental_dedup_sql(),
+    "streaming_incremental_dedup": _streaming_incremental_sql(),
     "simhash_documents": _simhash_sql(),
     "knn_bruteforce_embeddings": _KNN_SQL,
     "ann_lsh_buckets_embeddings": _ann_buckets_sql(),

@@ -35,6 +35,7 @@ _STREAMING = {
     "streaming_hourly_rollup",
     "streaming_dedup_users",
     "streaming_attribution_join",
+    "streaming_incremental_dedup",
 }
 
 # Iterative / heavy entries worth skipping in analysis-only mode is empty:

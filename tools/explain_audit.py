@@ -28,7 +28,11 @@ EXPECTED_BNLJ = {
 }
 
 #: Streaming-executed queries — no batch plan to audit.
-SKIP = {"streaming_hourly_rollup", "streaming_dedup_users"}
+SKIP = {
+    "streaming_hourly_rollup",
+    "streaming_dedup_users",
+    "streaming_incremental_dedup",
+}
 
 
 def _tree_depth(line: str) -> int:
