@@ -141,3 +141,35 @@ def test_cdm_attributes_to_schema():
     )
     assert [f.name for f in schema.fields] == ["RECID", "NAME"]
     assert all(f.nullable for f in schema.fields)
+
+
+def test_ts_helpers_dispatch_on_dtype(spark):
+    """ts_micros/ts_timestamp normalize timestamp[us], timestamp_ntz and
+    legacy long-nanos columns to identical values (the r3 schema-drift
+    class: testdata shipped both int64-nanos and timestamp[us])."""
+    import datetime
+
+    import pytest
+
+    from arcane_framework_spark.session import ts_micros, ts_timestamp
+
+    epoch_us = 1_700_000_000_123_456
+    dt = datetime.datetime.fromtimestamp(
+        epoch_us / 1e6, tz=datetime.timezone.utc
+    )
+    as_ts = spark.createDataFrame([(dt,)], "ts: timestamp")
+    as_ntz = spark.createDataFrame(
+        [(dt.replace(tzinfo=None),)], "ts: timestamp_ntz"
+    )
+    as_nanos = spark.createDataFrame([(epoch_us * 1000,)], "ts: long")
+
+    for df in (as_ts, as_ntz, as_nanos):
+        assert df.select(ts_micros(df).alias("us")).head().us == epoch_us
+        got = df.select(ts_timestamp(df).alias("t")).head().t
+        assert got.replace(tzinfo=datetime.timezone.utc) == dt
+
+    bad = spark.createDataFrame([("x",)], "ts: string")
+    with pytest.raises(TypeError):
+        ts_micros(bad)
+    with pytest.raises(TypeError):
+        ts_timestamp(bad)
