@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import urllib.request
 from collections.abc import Iterator, Sequence
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -85,36 +86,93 @@ class RestReader(DataSourceReader):
 
 
 class RestStreamReader(SimpleDataSourceStreamReader):
-    """Streaming face: one page per micro-batch, page cursor as the offset.
+    """Streaming face: page cursor — optionally a date-range sweep — as the
+    checkpointed offset.
 
-    The offset dict {"page": N} is checkpointed by Structured Streaming, so
-    a restarted query resumes at the exact page — the page-token analog of
+    Page mode (default): offset {"page": N}; one page per micro-batch. A
+    restarted query resumes at the exact page — the page-token analog of
     the reference's ChangeTrackingVersion watermark (T2). An empty page
     leaves the offset unchanged (the next trigger re-polls, matching the
     reference's empty-batch-then-retry behavior).
+
+    Date-range mode (``range_start`` + ``range_step_seconds`` options, with
+    ``@from``/``@to``/``@page`` in the template): offset
+    {"slice": S, "page": P} — the streaming form of the reference's
+    PagedUriProvider date sweep (PagedUriProvider.cs:119-146): pages
+    advance within a slice; an exhausted slice advances the slice cursor;
+    a slice whose end is still in the future is not read (no partial
+    slices). Both cursors live in the stream checkpoint, so kill/restart
+    resumes mid-slice, mid-page.
     """
 
     def __init__(self, schema: StructType, options: dict):
         self.inner = RestReader(schema, options)
+        self.range_start: datetime | None = None
+        if "range_start" in options:
+            self.range_start = datetime.fromisoformat(options["range_start"])
+            if self.range_start.tzinfo is None:
+                self.range_start = self.range_start.replace(
+                    tzinfo=timezone.utc
+                )
+            self.range_step = timedelta(
+                seconds=float(options.get("range_step_seconds", "86400"))
+            )
+            self.date_format = options.get("date_format", "%Y-%m-%dT%H:%M:%S")
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API)
+        if self.range_start is not None:
+            return {"slice": 0, "page": 0}
         return {"page": 0}
 
     def read(self, start: dict) -> tuple:
+        if self.range_start is not None:
+            return self._read_range(start)
         next_page = int(start["page"]) + 1
         rows = self._rows_for(next_page)
         if not rows:
             return iter([]), start
         return iter(rows), {"page": next_page}
 
+    def _read_range(self, start: dict) -> tuple:
+        slice_idx, page = int(start["slice"]), int(start["page"])
+        slice_from = self.range_start + slice_idx * self.range_step
+        slice_to = slice_from + self.range_step
+        if slice_to > datetime.now(timezone.utc):
+            return iter([]), start  # slice incomplete — re-poll next trigger
+        rows = self._rows_for(page + 1, slice_from, slice_to)
+        if rows:
+            return iter(rows), {"slice": slice_idx, "page": page + 1}
+        # slice exhausted → advance the date cursor, restart page numbering
+        return iter([]), {"slice": slice_idx + 1, "page": 0}
+
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        rows: list[tuple] = []
+        if self.range_start is not None:
+            # Replay by stepping the same cursor logic until `end`; pages
+            # are deterministic for completed slices, so the replayed batch
+            # matches what was originally read.
+            rows: list[tuple] = []
+            cur = dict(start)
+            while (int(cur["slice"]), int(cur["page"])) < (
+                int(end["slice"]), int(end["page"])
+            ):
+                batch, nxt = self._read_range(cur)
+                rows.extend(batch)
+                if nxt == cur:
+                    break  # incomplete slice mid-replay — stop, don't spin
+                cur = nxt
+            return iter(rows)
+        rows = []
         for page in range(int(start["page"]) + 1, int(end["page"]) + 1):
             rows.extend(self._rows_for(page))
         return iter(rows)
 
-    def _rows_for(self, page: int) -> list[tuple]:
+    def _rows_for(self, page: int, slice_from: datetime | None = None,
+                  slice_to: datetime | None = None) -> list[tuple]:
         url = self.inner.url_template.replace("@page", str(page))
+        if slice_from is not None:
+            url = url.replace(
+                "@from", slice_from.strftime(self.date_format)
+            ).replace("@to", slice_to.strftime(self.date_format))
         return [
             tuple(row.get(name) for name in self.inner.schema_fields)
             for row in _fetch_rows(

@@ -953,3 +953,86 @@ def test_rest_datasource_stream_restart_resumes_pages(spark, tmp_path):
         assert got == sorted(set(got))  # exactly-once: no page refetched
     finally:
         server.shutdown()
+
+
+def test_rest_datasource_stream_date_range_sweep(spark, tmp_path):
+    """Date-range streaming mode: the offset is (slice, page) — pages drain
+    within each completed date slice, the cursor then advances to the next
+    slice, and slices whose end is in the future are not read (reference
+    PagedUriProvider date sweep, PagedUriProvider.cs:119-146, as a
+    checkpointed Structured Streaming offset)."""
+    import http.server
+    import json as _json
+    import threading
+    import time as _time
+    import urllib.parse
+    from datetime import datetime, timedelta, timezone
+
+    # 3 complete hourly slices ending in the past; slice 3 is still open.
+    now = datetime.now(timezone.utc).replace(minute=0, second=0, microsecond=0)
+    range_start = now - timedelta(hours=3)
+    pages_per_slice = {0: 2, 1: 1, 2: 3}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            frm = datetime.fromisoformat(qs["from"][0]).replace(
+                tzinfo=timezone.utc
+            )
+            page = int(qs["page"][0])
+            s = int((frm - range_start) / timedelta(hours=1))
+            n = pages_per_slice.get(s, 0)
+            items = [{"id": s * 100 + page}] if page <= n else []
+            body = _json.dumps({"items": items}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        from arcane_framework_spark.sources.rest_datasource import RestDataSource
+
+        spark.dataSource.register(RestDataSource)
+        stream = (
+            spark.readStream.format("arcane_rest")
+            .schema("id LONG")
+            .option(
+                "url_template",
+                f"http://127.0.0.1:{port}/d?page=@page&from=@from&to=@to",
+            )
+            .option("key_chain", "items")
+            .option("range_start", range_start.strftime("%Y-%m-%dT%H:%M:%S"))
+            .option("range_step_seconds", "3600")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory").queryName("rest_range_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        expected = {
+            s * 100 + p
+            for s, n in pages_per_slice.items()
+            for p in range(1, n + 1)
+        }
+        try:
+            deadline = _time.time() + 90
+            got = set()
+            while _time.time() < deadline:
+                got = {r.id for r in spark.table("rest_range_t").collect()}
+                if got == expected:
+                    break
+                _time.sleep(1)
+        finally:
+            q.stop()
+        assert got == expected  # all completed slices drained, no dupes
+    finally:
+        server.shutdown()
