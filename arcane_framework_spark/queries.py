@@ -797,35 +797,52 @@ WHERE ({est})::DOUBLE / {NUM_HASHES} >= 0.5
 def streaming_incremental_dedup(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Streaming twin of incremental dedup: arriving documents are signed
-    PER-ROW (the HOF signature expression — no stateful aggregation),
-    banded map-side, and stream-static joined against the corpus's
-    materialized band+signature table. The only stateful op is the final
-    pair dedup, so the whole match path is stateless and watermark-free —
-    the shape a production firehose-ingest dedup runs. Cross (new-vs-old)
-    pairs only; intra-batch pairs need the batch operator's self-join.
+    PER-ROW (no stateful aggregation), banded map-side, and stream-static
+    joined against the corpus's materialized band+signature table. The
+    only stateful op is the final pair dedup, so the whole match path is
+    stateless and watermark-free — the shape a production firehose-ingest
+    dedup runs. Cross (new-vs-old) pairs only; intra-batch pairs need the
+    batch operator's self-join.
+
+    Per-row signing keeps the one-md5-per-shingle property by
+    materializing the base-hash array behind ``explode(array(...))``
+    Generate barriers (CollapseProject would otherwise re-inline the md5
+    per permutation — measured 16×); the 16 permutations are then integer
+    HOF mins over a long array. The static side is persisted: a stream
+    re-evaluates its static plan per micro-batch otherwise.
     """
     from arcane_framework_spark.operators.dedup import (
         BAND_SIZE,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
         NUM_BANDS,
         NUM_HASHES,
         minhash_band_rows,
-        minhash_signature_expr,
         minhash_signatures,
+        shingle_hash_expr,
+        shingles_from_tokens,
     )
+    from arcane_framework_spark.operators.text import tokens_expr
     from arcane_framework_spark.queries_ext import stream_conf
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"].select("doc_id", "text")
     corpus_sigs = minhash_signatures(docs)
-    static_side = minhash_band_rows(corpus_sigs).join(
-        corpus_sigs.select(
-            "id",
-            F.array(*[f"s{i}" for i in range(NUM_HASHES)]).alias(
-                "corpus_sig"
+    static_side = (
+        minhash_band_rows(corpus_sigs)
+        .join(
+            corpus_sigs.select(
+                "id",
+                F.array(*[f"s{i}" for i in range(NUM_HASHES)]).alias(
+                    "corpus_sig"
+                ),
             ),
-        ),
-        "id",
-    ).withColumnsRenamed({"id": "corpus_id"})
+            "id",
+        )
+        .withColumnsRenamed({"id": "corpus_id"})
+        .persist()
+    )
 
     schema = t["documents"].schema
     stream = (
@@ -833,11 +850,41 @@ def streaming_incremental_dedup(spark: SparkSession,
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    batch = stream.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-        minhash_signature_expr(
-            F.concat_ws(" ", "text", "text")
-        ).alias("sig"),
+
+    def perm(i: int):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    batch = (
+        stream.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+            F.explode(
+                F.array(
+                    tokens_expr(F.concat_ws(" ", "text", "text"))
+                )
+            ).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.transform(
+                        shingles_from_tokens(F.col("toks")),
+                        shingle_hash_expr,
+                    )
+                )
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.array(
+                *[
+                    F.array_min(F.transform("hs", perm(i)))
+                    for i in range(NUM_HASHES)
+                ]
+            ).alias("sig"),
+        )
     )
     band_cols = []
     for b in range(NUM_BANDS):
@@ -872,15 +919,18 @@ def streaming_incremental_dedup(spark: SparkSession,
         .dropDuplicates(["id_a", "id_b"])
     )
     name = "streaming_incremental_dedup_sink"
-    with stream_conf(spark):
-        q = (
-            pairs.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    try:
+        with stream_conf(spark):
+            q = (
+                pairs.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        static_side.unpersist()
     return spark.table(name)
 
 
