@@ -77,7 +77,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             cur.select(F.col("node").alias("nbr"), F.col("component")),
             "nbr",
         ).select("node", "component")
-        return (
+        propagated = (
             nbr_labels.select(
                 "node", "component",
                 F.lit(None).cast(id_type).alias("old"),
@@ -92,8 +92,36 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                 F.min("component").alias("component"),
                 F.min("old").alias("old"),
             )
+            # consumed twice below (probe side + jump mapping)
             .transform(scoped_persist)
         )
+        # Pointer jumping: component := label(component). Plain min-label
+        # needs diameter rounds — a 50-doc near-dup CHAIN (drifting text)
+        # would exhaust max_rounds; the jump doubles the reach per round,
+        # so rounds are O(log diameter) (max_rounds=20 covers ~2^20). Every
+        # component value is a node id (it is some endpoint's id), so the
+        # self-join always matches; labels only decrease, making the
+        # jumped label safe to take directly. The probe still compares
+        # against the PRE-round label: moved=0 ⇒ propagation is at its
+        # fixpoint ⇒ the jump is the identity too.
+        mapping = propagated.select(
+            F.col("node").alias("component"), F.col("component").alias("__jmp")
+        )
+        jumped = propagated.join(mapping, "component", "left").select(
+            "node",
+            F.coalesce("__jmp", "component").alias("component"),
+            "old",
+        )
+        # Lineage truncation (lazy localCheckpoint): the jump references
+        # `propagated` twice, so without truncation each round's LOGICAL
+        # plan embeds the previous round's tree twice — exponential plan
+        # growth that OOMs the driver at plan stringification around round
+        # 8 even though execution is fine. The checkpoint collapses the
+        # round's result to a LogicalRDD when the probe materializes it,
+        # keeping every round's plan constant-size. (RDD-level cache is
+        # reclaimed by the ContextCleaner once the round's reference
+        # drops.)
+        return jumped.localCheckpoint(eager=False)
 
     # Fold one propagation lazily into the first probed round's job: no
     # action runs until the first probe, which materializes seed + sym +
@@ -104,7 +132,6 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     for _ in range(max_rounds):
         new_labels = _propagate(labels)
         moved = new_labels.filter(F.col("component") < F.col("old")).count()
-        labels.unpersist()
         labels = new_labels
         if moved == 0:
             break

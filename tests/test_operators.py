@@ -1101,3 +1101,18 @@ def test_incremental_minhash_pairs_types_and_estimates(spark):
     assert got[(100, 101)].est_jaccard == 1.0  # identical batch docs
     assert all(0.5 <= r.est_jaccard <= 1.0 for r in out)
     assert not any(102 in (a, b) for (a, b) in got)  # fresh doc pairs nothing
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-node chain has diameter 199 — plain min-label propagation
+    would exhaust max_rounds=20; pointer jumping converges in O(log n)
+    rounds and labels every node with the chain's minimum id."""
+    from arcane_framework_spark.operators.graph import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    )
+    comp = connected_components(edges).collect()
+    assert len(comp) == n
+    assert {r.component for r in comp} == {0}
