@@ -136,3 +136,43 @@ def test_delta_merge_gating(spark, tmp_path):
     assert {(r.id, r.v) for r in merged.collect()} == {
         (r.id, r.v) for r in expected.collect()
     }
+
+
+def test_apply_changes_batch_split_invariance(spark):
+    """R11 fold law: folding one big change batch equals folding it as two
+    version-ordered batches — the property that makes tick-by-tick CDC
+    equal a full replay (delete→reinsert and update chains included)."""
+    import random
+
+    from arcane_framework_spark.operators.relational import (
+        apply_changes_to_snapshot,
+        latest_state,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    version = 0
+    for key in range(1, 30):
+        alive = False
+        for _ in range(rng.randint(1, 6)):
+            version += 1
+            if not alive:
+                rows.append((key, f"v{version}", version, "I")); alive = True
+            elif rng.random() < 0.3:
+                rows.append((key, None, version, "D")); alive = False
+            else:
+                rows.append((key, f"v{version}", version, "U"))
+    schema = ("id long, payload string, sys_change_version long, "
+              "sys_change_operation string")
+    all_changes = spark.createDataFrame(rows, schema)
+    cut = version // 2
+    b1 = all_changes.filter(F.col("sys_change_version") <= cut)
+    b2 = all_changes.filter(F.col("sys_change_version") > cut)
+
+    replay = latest_state(all_changes, merge_key="id").select("id", "payload")
+    snap1 = apply_changes_to_snapshot(
+        latest_state(b1, merge_key="id"), b2, merge_key="id"
+    ).select("id", "payload")
+    assert {tuple(r) for r in replay.collect()} == {
+        tuple(r) for r in snap1.collect()
+    }
