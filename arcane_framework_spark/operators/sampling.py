@@ -119,6 +119,86 @@ def split_sql(key_sql: str, splits: dict[str, float] | None = None,
     return f"CASE {cases} ELSE '{thresholds[-1][0]}' END"
 
 
+def pps_systematic_sample(df: DataFrame, n: int,
+                          id_col: str = "doc_id",
+                          weight_col: str = "n_tokens",
+                          num_groups: int = 64) -> DataFrame:
+    """Deterministic probability-proportional-to-size systematic sampling.
+
+    Classic PPS: lay the documents out on a line in a deterministic order
+    (``(id % num_groups, id)`` — the distributed-prefix-sum order packing
+    uses), each occupying an integer-weight-length interval, then take the
+    ``n`` evenly spaced ticks ``tick_j = ⌊(2j+1)·T / (2n)⌋``. A document is
+    picked once per tick inside its interval, so E[picks] = n·w/T exactly —
+    weighted sampling with NO floating point: every engine computes the
+    identical sample (pow/ln-based weighted reservoirs are not
+    bit-reproducible across libms). Documents heavier than T/n can be
+    picked multiple times (reported in ``n_picks``; standard PPS
+    semantics). Requires ``2·n·T < 2^63`` (n ≤ 1e5 with T ≤ 1e13 tokens).
+
+    Scale: per-group prefix windows + one broadcast of G group offsets +
+    one broadcast total — the pack_documents shape; no global sort, no
+    single-partition data window. Returns picked rows only:
+    (id, weight, n_picks).
+    """
+    from arcane_framework_spark.operators.packing import pack_documents
+
+    cum = pack_documents(
+        df.select(id_col, weight_col), budget=1, id_col=id_col,
+        tokens_col=weight_col, num_groups=num_groups,
+    ).select(
+        F.col(id_col),
+        F.col("n_tokens").alias("__w"),
+        F.col("fill_before").alias("__c"),
+    )
+    total = cum.agg(F.sum("__w").cast("long").alias("__total"))
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    # A(x) = #ticks below x = clamp(⌊(2n·x + T − 1) / (2T)⌋, ·, n);
+    # picks = A(c + w) − A(c). Pure int64 arithmetic in both engines.
+    below = (
+        f"least(cast({n} as bigint), "
+        f"(2*{n}*__x + __total - 1) div (2*__total))"
+    )
+    out = (
+        with_broadcast_scalar(cum, total)
+        .withColumn("__hi", F.expr(below.replace("__x", "(__c + __w)")))
+        .withColumn("__lo", F.expr(below.replace("__x", "__c")))
+        .select(
+            F.col(id_col),
+            F.col("__w").alias(weight_col),
+            (F.col("__hi") - F.col("__lo")).cast("int").alias("n_picks"),
+        )
+        .filter(F.col("n_picks") >= 1)
+    )
+    return out
+
+
+def pps_sample_sql(n: int, weight_sql: str, id_sql: str = "doc_id",
+                   num_groups: int = 64, table: str = "documents") -> str:
+    """The identical PPS selection as DuckDB SQL (integer window cumsum)."""
+    return f"""
+WITH w AS (
+  SELECT {id_sql} AS id, CAST({weight_sql} AS BIGINT) AS wt FROM {table}
+),
+cum AS (
+  SELECT id, wt,
+         coalesce(SUM(wt) OVER (
+           ORDER BY id % {num_groups}, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS c,
+         SUM(wt) OVER () AS t
+  FROM w
+)
+SELECT id AS {id_sql}, wt AS n_tokens,
+       CAST(least({n}, (2*{n}*(c + wt) + t - 1) // (2*t))
+            - least({n}, (2*{n}*c + t - 1) // (2*t)) AS INT) AS n_picks
+FROM cum
+WHERE least({n}, (2*{n}*(c + wt) + t - 1) // (2*t))
+      - least({n}, (2*{n}*c + t - 1) // (2*t)) >= 1
+"""
+
+
 #: 16^8 — the bucket space of the 8-hex-digit md5 prefix.
 _BUCKET_SPACE = float(16 ** 8)
 

@@ -1091,6 +1091,35 @@ FROM events GROUP BY event_type
 """
 
 
+PPS_SAMPLE_N = 50
+
+
+def pps_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS systematic sample: 50 picks proportional to token
+    count, pure integer arithmetic (identical sample in every engine —
+    float-based weighted reservoirs are not reproducible across libms)."""
+    from arcane_framework_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+    from arcane_framework_spark.operators.text import token_count_expr
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id", token_count_expr("text").alias("n_tokens")
+    )
+    return pps_systematic_sample(docs, n=PPS_SAMPLE_N)
+
+
+def _pps_sample_sql() -> str:
+    from arcane_framework_spark.operators.sampling import pps_sample_sql
+
+    weight = (
+        "CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END"
+    )
+    return pps_sample_sql(PPS_SAMPLE_N, weight)
+
+
 def corpus_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by doc-id hash.
 
@@ -2080,6 +2109,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents_512": pack_documents_query,
     "quantization_recall_embeddings": quantization_recall_embeddings,
     "corpus_split_documents": corpus_split_documents,
+    "pps_sample_documents": pps_sample_documents,
     "range_join_activation_events": range_join_activation_events,
     "streaming_dedup_users": streaming_dedup_users,
     "source_capped_documents": source_capped_documents,
@@ -2117,6 +2147,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "pack_documents_512": _PACK_SQL,
     "quantization_recall_embeddings": _quant_recall_sql(),
     "corpus_split_documents": _corpus_split_sql(),
+    "pps_sample_documents": _pps_sample_sql(),
     "range_join_activation_events": _RANGE_JOIN_SQL,
     "streaming_dedup_users": _STREAMING_DEDUP_SQL,
     "source_capped_documents": _SOURCE_CAP_SQL,

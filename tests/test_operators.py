@@ -1116,3 +1116,22 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(edges).collect()
     assert len(comp) == n
     assert {r.component for r in comp} == {0}
+
+
+def test_pps_systematic_sample_properties(spark):
+    """Integer PPS: exactly n picks in total, multiplicity for docs heavier
+    than T/n, zero-weight docs never picked, fully deterministic."""
+    from arcane_framework_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    rows = [(1, 100), (2, 0), (3, 1), (4, 899)]  # T = 1000
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: long")
+    out = {r.doc_id: r.n_picks for r in
+           pps_systematic_sample(df, n=10).collect()}
+    assert sum(out.values()) == 10          # systematic: exactly n ticks
+    assert 2 not in out                     # zero weight -> never picked
+    assert out.get(4, 0) >= 8               # ~weight share of 899/1000
+    again = {r.doc_id: r.n_picks for r in
+             pps_systematic_sample(df, n=10).collect()}
+    assert out == again                     # deterministic
