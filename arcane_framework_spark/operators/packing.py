@@ -82,6 +82,67 @@ def pack_documents(df: DataFrame, budget: int,
     )
 
 
+def select_by_budget(df: DataFrame, budget: int,
+                     score_col: str = "score",
+                     id_col: str = "doc_id",
+                     tokens_col: str = "n_tokens") -> DataFrame:
+    """Budget-capped corpus selection: take documents in (score DESC, id)
+    order until the token budget fills — "the best N-tokens worth of the
+    corpus", the final step of a quality-ranked data mix.
+
+    No global sort: ``score_col`` must be INTEGER (fixed-point a caller's
+    quality metric — ints keep the order identical in every engine), and
+    each distinct score is a contiguous band of the global order. Per-band
+    window prefix sums + one broadcast of band totals therefore reproduce
+    the exact global cumulative sum, the same two-phase shape as
+    ``pack_documents`` but ordered by (score desc, id). A document is kept
+    while the tokens BEFORE it fit the budget (the straddling doc is
+    kept — budgets are lower bounds in practice); zero remaining budget
+    excludes everything else deterministically.
+
+    Returns (id, score, n_tokens, fill_before) for the selected docs.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("long").alias("score"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    w_band = (
+        Window.partitionBy("score")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "__band_before",
+        F.coalesce(F.sum("n_tokens").over(w_band), F.lit(0)),
+    )
+    # Band totals: one row per distinct score; the only single-partition
+    # window runs over those (≤ |score domain|, metadata-scale).
+    w_bands = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("score")
+        .agg(F.sum("n_tokens").alias("__band_total"))
+        .withColumn(
+            "__offset",
+            F.coalesce(F.sum("__band_total").over(w_bands), F.lit(0)),
+        )
+        .select("score", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "score")
+        .select(
+            F.col("id").alias(id_col),
+            "score",
+            "n_tokens",
+            (F.col("__band_before") + F.col("__offset")).alias("fill_before"),
+        )
+        .filter(F.col("fill_before") < budget)
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Per-pack aggregate: docs, tokens, and fill ratio vs the budget."""
     return (

@@ -1091,6 +1091,56 @@ FROM events GROUP BY event_type
 """
 
 
+BUDGET_TOKENS = 5000
+
+
+def budget_selection_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked budget selection: keep the most lexically diverse
+    documents (distinct-token count as the integer score) until a 5000-token
+    budget fills — the final cut of a curated data mix, with no global sort
+    (score-band prefix sums, operators/packing.py)."""
+    from arcane_framework_spark.operators.packing import select_by_budget
+    from arcane_framework_spark.operators.text import (
+        token_count_expr,
+        tokens_expr,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.array_distinct(tokens_expr("text"))))
+        .cast("long")
+        .alias("score"),
+        token_count_expr("text").alias("n_tokens"),
+    )
+    return select_by_budget(docs, BUDGET_TOKENS)
+
+
+_BUDGET_SELECTION_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+         END::BIGINT AS score,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+         END::BIGINT AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (
+           ORDER BY score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS fill_before
+  FROM scored
+)
+SELECT doc_id, score, n_tokens, fill_before
+FROM cum WHERE fill_before < {BUDGET_TOKENS}
+"""
+
+
 PPS_SAMPLE_N = 50
 
 
@@ -2110,6 +2160,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantization_recall_embeddings": quantization_recall_embeddings,
     "corpus_split_documents": corpus_split_documents,
     "pps_sample_documents": pps_sample_documents,
+    "budget_selection_documents": budget_selection_documents,
     "range_join_activation_events": range_join_activation_events,
     "streaming_dedup_users": streaming_dedup_users,
     "source_capped_documents": source_capped_documents,
@@ -2148,6 +2199,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "quantization_recall_embeddings": _quant_recall_sql(),
     "corpus_split_documents": _corpus_split_sql(),
     "pps_sample_documents": _pps_sample_sql(),
+    "budget_selection_documents": _BUDGET_SELECTION_SQL,
     "range_join_activation_events": _RANGE_JOIN_SQL,
     "streaming_dedup_users": _STREAMING_DEDUP_SQL,
     "source_capped_documents": _SOURCE_CAP_SQL,

@@ -1135,3 +1135,21 @@ def test_pps_systematic_sample_properties(spark):
     again = {r.doc_id: r.n_picks for r in
              pps_systematic_sample(df, n=10).collect()}
     assert out == again                     # deterministic
+
+
+def test_select_by_budget_order_and_cutoff(spark):
+    """Selection order is (score desc, id); the straddling doc is kept;
+    later docs are excluded even if tiny."""
+    from arcane_framework_spark.operators.packing import select_by_budget
+
+    rows = [  # (id, score, tokens)
+        (1, 5, 40), (2, 9, 30), (3, 9, 50), (4, 7, 20), (5, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, score: long, n_tokens: long")
+    out = {r.doc_id: r.fill_before for r in
+           select_by_budget(df, budget=100).collect()}
+    # order: 2(0) -> 3(30) -> 4(80) -> 1(100, excluded) -> 5(140, excluded)
+    assert out == {2: 0, 3: 30, 4: 80}
+    # budget 101 admits the straddling doc 1
+    out2 = {r.doc_id for r in select_by_budget(df, budget=101).collect()}
+    assert out2 == {2, 3, 4, 1}
