@@ -951,6 +951,134 @@ def _streaming_incremental_sql() -> str:
     return out
 
 
+LSH_RECALL_MOD = 21
+LSH_RECALL_MIN_J = 0.5
+
+
+def lsh_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality measurement: MinHash-LSH recall against exact
+    all-pairs Jaccard on a deterministic sample — the evaluation loop a
+    pipeline runs to TUNE band/row parameters before a full-corpus dedup.
+
+    Sample = every 21st doc plus its planted near-dup (both pair ends
+    always sampled, so ground-truth positives exist). Ground truth =
+    all-pairs shingle Jaccard ≥ 0.5 (quadratic, but on the sample only —
+    the measurement stays O((corpus/21)²) while the production path stays
+    banded). Output: one row (n_true, n_found, recall).
+    """
+    from arcane_framework_spark.operators.dedup import (
+        _with_tokens,
+        minhash_lsh_pairs,
+        shingles_from_tokens,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % LSH_RECALL_MOD == 0)
+    planted = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % LSH_RECALL_MOD == 0)
+    ).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    sample = base.unionByName(planted)
+
+    sh = _with_tokens(sample, "text", "doc_id").select(
+        "id", shingles_from_tokens(F.col("toks")).alias("shingles")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).alias("__ni"),
+            (F.size("sa") + F.size("sb")).alias("__ns"),
+        )
+        .filter(
+            F.col("__ni").cast("double")
+            / (F.col("__ns") - F.col("__ni")).cast("double")
+            >= LSH_RECALL_MIN_J
+        )
+        .select("id_a", "id_b")
+    )
+    found = minhash_lsh_pairs(sample).filter(
+        F.col("jaccard") >= LSH_RECALL_MIN_J
+    ).select("id_a", "id_b")
+    hit = exact.join(found, ["id_a", "id_b"], "semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_true",
+            "n_found",
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    k = 3  # SHINGLE_WORDS
+    pairs_sql = _minhash_sql().replace(
+        f"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text || ' ' || text
+  FROM documents WHERE doc_id % 7 = 0
+),""",
+        f"""WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {LSH_RECALL_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text || ' ' || text
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % {LSH_RECALL_MOD} = 0
+),""",
+    )
+    assert f"% {LSH_RECALL_MOD} = 0" in pairs_sql, "sample rewrite failed"
+    return f"""
+WITH scorpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {LSH_RECALL_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text || ' ' || text
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % {LSH_RECALL_MOD} = 0
+),
+stoks AS (
+  SELECT doc_id, {_TOKS_SQL} AS w FROM scorpus
+),
+ssh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) >= {k}
+                THEN list_transform(range(1, len(w) - {k - 2}),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                ELSE [array_to_string(w, ' ')] END
+         ) AS shingles
+  FROM stoks
+),
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)))::DOUBLE
+        >= {LSH_RECALL_MIN_J}
+),
+found AS (
+  SELECT id_a, id_b FROM ({pairs_sql}) p WHERE jaccard >= {LSH_RECALL_MIN_J}
+),
+hit AS (
+  SELECT exact.id_a FROM exact SEMI JOIN found USING (id_a, id_b)
+)
+SELECT (SELECT count(*) FROM exact) AS n_true,
+       (SELECT count(*) FROM hit) AS n_found,
+       round((SELECT count(*) FROM hit)::DOUBLE
+             / (SELECT count(*) FROM exact), 6) AS recall
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (north-star, over `embeddings`)
 # ---------------------------------------------------------------------------
@@ -1102,6 +1230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_guarded_split_documents": leakage_guarded_split_documents,
     "incremental_dedup_documents": incremental_dedup_documents,
     "streaming_incremental_dedup": streaming_incremental_dedup,
+    "lsh_recall_documents": lsh_recall_documents,
     "simhash_documents": simhash_documents,
     "knn_bruteforce_embeddings": knn_bruteforce_embeddings,
     "ann_lsh_buckets_embeddings": ann_lsh_buckets_embeddings,
@@ -1128,6 +1257,7 @@ ORACLE_SQL: dict[str, str] = {
     "leakage_guarded_split_documents": _leakage_split_sql(),
     "incremental_dedup_documents": _incremental_dedup_sql(),
     "streaming_incremental_dedup": _streaming_incremental_sql(),
+    "lsh_recall_documents": _lsh_recall_sql(),
     "simhash_documents": _simhash_sql(),
     "knn_bruteforce_embeddings": _KNN_SQL,
     "ann_lsh_buckets_embeddings": _ann_buckets_sql(),
