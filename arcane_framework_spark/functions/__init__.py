@@ -26,11 +26,13 @@ from arcane_framework_spark.operators.dedup import (
     band_hashes_expr,
     char_ngrams_from_norm,
     minhash_signature_expr,
+    shingle_hash_expr,
     shingles_expr,
     shingles_from_tokens,
     simhash_expr,
 )
 from arcane_framework_spark.operators.sampling import split_expr
+from arcane_framework_spark.session import ts_micros, ts_timestamp
 from arcane_framework_spark.operators.similarity import (
     cosine_expr,
     dequantize_expr,
@@ -75,6 +77,9 @@ __all__ = [
     "dequantize_expr",
     "quantize_expr",
     "split_expr",
+    "shingle_hash_expr",
+    "ts_micros",
+    "ts_timestamp",
     "dot_expr",
     "hyperplane_weights",
     "lsh_signature_expr",

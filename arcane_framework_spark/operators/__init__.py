@@ -2,6 +2,8 @@
 
 from arcane_framework_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
+    incremental_minhash_pairs,
+    minhash_band_rows,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -33,10 +35,12 @@ from arcane_framework_spark.operators.graph import (  # noqa: F401
 from arcane_framework_spark.operators.packing import (  # noqa: F401
     pack_documents,
     pack_stats,
+    select_by_budget,
 )
 from arcane_framework_spark.operators.rangejoin import range_join  # noqa: F401
 from arcane_framework_spark.operators.sampling import (  # noqa: F401
     leakage_guarded_split,
+    pps_systematic_sample,
     split_expr,
     with_split,
 )
