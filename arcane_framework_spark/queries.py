@@ -951,6 +951,98 @@ def _streaming_incremental_sql() -> str:
     return out
 
 
+MODALITY_MIN_COSINE = 0.8
+
+
+def neardup_modality_agreement(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Cross-modal audit: every text near-dup pair checked against the
+    embedding space — a text-duplicate whose vectors disagree signals a
+    corrupted or mis-joined embedding (the curation-pipeline sanity pass
+    before embeddings drive dedup or retrieval).
+
+    Planted near-dups reuse their original's vector; every 3rd planted doc
+    gets a REVERSED vector (deterministic corruption), so the catalog
+    exercises both verdicts. Output: (id_a, id_b, jaccard, cosine, agree).
+    """
+    from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
+    from arcane_framework_spark.operators.similarity import (
+        dot_expr,
+        norm_expr,
+    )
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    docs = t["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(docs.unionByName(planted))
+
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted_emb = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + F.lit(_DUP_OFFSET)).alias("vec_id"),
+        F.when(F.col("vec_id") % 21 == 0, F.reverse("v"))
+        .otherwise(F.col("v"))
+        .alias("v"),
+    )
+    all_emb = emb.unionByName(planted_emb)
+    ea = all_emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        norm_expr(F.col("v")).alias("__na"),
+    )
+    eb = all_emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        norm_expr(F.col("v")).alias("__nb"),
+    )
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(
+                dot_expr(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("agree", F.col("cosine") >= MODALITY_MIN_COSINE)
+    )
+
+
+def _modality_agreement_sql() -> str:
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+all_emb AS (
+  SELECT vec_id, v FROM emb
+  UNION ALL
+  SELECT vec_id + {_DUP_OFFSET},
+         CASE WHEN vec_id % 21 = 0 THEN list_reverse(v) ELSE v END
+  FROM emb WHERE vec_id % 7 = 0
+)
+SELECT id_a, id_b, jaccard,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6)
+         >= {MODALITY_MIN_COSINE} AS agree
+FROM pairs
+JOIN all_emb a ON a.vec_id = id_a
+JOIN all_emb b ON b.vec_id = id_b
+"""
+
+
 LSH_RECALL_MOD = 21
 LSH_RECALL_MIN_J = 0.5
 
@@ -1231,6 +1323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup_documents": incremental_dedup_documents,
     "streaming_incremental_dedup": streaming_incremental_dedup,
     "lsh_recall_documents": lsh_recall_documents,
+    "neardup_modality_agreement": neardup_modality_agreement,
     "simhash_documents": simhash_documents,
     "knn_bruteforce_embeddings": knn_bruteforce_embeddings,
     "ann_lsh_buckets_embeddings": ann_lsh_buckets_embeddings,
@@ -1258,6 +1351,7 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_dedup_documents": _incremental_dedup_sql(),
     "streaming_incremental_dedup": _streaming_incremental_sql(),
     "lsh_recall_documents": _lsh_recall_sql(),
+    "neardup_modality_agreement": _modality_agreement_sql(),
     "simhash_documents": _simhash_sql(),
     "knn_bruteforce_embeddings": _KNN_SQL,
     "ann_lsh_buckets_embeddings": _ann_buckets_sql(),
