@@ -198,6 +198,32 @@ def upsert_parquet_snapshot(spark, path: str, changes: DataFrame,
     return spark.read.parquet(path)
 
 
+def scd2_history(changes: DataFrame,
+                 merge_key: str | Sequence[str] = ARCANE_MERGE_KEY,
+                 version_column: str = SYS_CHANGE_VERSION,
+                 op_column: str = SYS_CHANGE_OPERATION) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change feed.
+
+    The canonical warehouse CONSUMER of the reference's merge-key contract
+    (§1.4): every non-delete change becomes a history row valid over
+    ``[valid_from, valid_to)`` in version space; the next change for the
+    key (update OR delete) closes the interval; ``valid_to`` null marks
+    the current row, and a closing delete leaves the key with no current
+    row. One shuffle (the per-key version window) regardless of history
+    depth.
+    """
+    keys = [merge_key] if isinstance(merge_key, str) else list(merge_key)
+    w = Window.partitionBy(*keys).orderBy(version_column)
+    return (
+        changes.withColumn(
+            "valid_from", F.col(version_column)
+        )
+        .withColumn("valid_to", F.lead(version_column).over(w))
+        .filter(F.col(op_column) != "D")
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def delta_merge_available() -> bool:
     """True when the delta-spark package (and its JVM jars) are importable."""
     try:

@@ -298,6 +298,45 @@ WHERE rn = 1 AND sys_change_operation <> 'D'
 """
 
 
+def scd2_history_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history from the events change feed: every
+    non-delete change becomes a row valid over [valid_from, valid_to) in
+    version space; deletes close intervals without opening one."""
+    from arcane_framework_spark.operators.relational import scd2_history
+
+    changes = _events_as_changes(spark, sf_dir)
+    hist = scd2_history(
+        changes,
+        merge_key="user_id",
+        version_column="sys_change_version",
+        op_column="sys_change_operation",
+    )
+    return hist.select(
+        "user_id",
+        F.round("value", 2).alias("value"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+_SCD2_SQL = f"""
+WITH ops AS ({_OPS_SQL}),
+hist AS (
+  SELECT user_id, value, sys_change_operation,
+         sys_change_version AS valid_from,
+         lead(sys_change_version) OVER (
+           PARTITION BY user_id ORDER BY sys_change_version
+         ) AS valid_to
+  FROM ops
+)
+SELECT user_id, round(value, 2) AS value, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM hist
+WHERE sys_change_operation <> 'D'
+"""
+
+
 def cdc_delta_join_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 — delete-preserving delta join of a change feed back to the table."""
     t = load_tables(spark, sf_dir, "customer")
@@ -1312,6 +1351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_key_lineitem": merge_key_lineitem,
     "date_partition_orders": date_partition_orders,
     "cdc_latest_state_events": cdc_latest_state_events,
+    "scd2_history_events": scd2_history_events,
     "cdc_delta_join_customer": cdc_delta_join_customer,
     "text_stats_documents": text_stats_documents,
     "lang_id_documents": lang_id_documents,
@@ -1340,6 +1380,7 @@ ORACLE_SQL: dict[str, str] = {
     "merge_key_lineitem": _MERGE_KEY_SQL,
     "date_partition_orders": _DATE_PARTITION_SQL,
     "cdc_latest_state_events": _CDC_LATEST_SQL,
+    "scd2_history_events": _SCD2_SQL,
     "cdc_delta_join_customer": _CDC_DELTA_JOIN_SQL,
     "text_stats_documents": _TEXT_STATS_SQL,
     "lang_id_documents": _lang_id_sql(),

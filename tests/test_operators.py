@@ -1153,3 +1153,24 @@ def test_select_by_budget_order_and_cutoff(spark):
     # budget 101 admits the straddling doc 1
     out2 = {r.doc_id for r in select_by_budget(df, budget=101).collect()}
     assert out2 == {2, 3, 4, 1}
+
+
+def test_scd2_history_intervals_and_deletes(spark):
+    """Every non-delete change opens an interval, the next change (update
+    OR delete) closes it, and a closing delete leaves no current row."""
+    from arcane_framework_spark.operators.relational import scd2_history
+
+    rows = [
+        (1, 10, "I", "a0"), (1, 20, "U", "a1"), (1, 30, "D", None),
+        (2, 15, "I", "b0"), (2, 25, "U", "b1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, sys_change_version long, sys_change_operation string, v string"
+    )
+    hist = scd2_history(df, merge_key="k").collect()
+    by = {(r.k, r.valid_from): r for r in hist}
+    assert set(by) == {(1, 10), (1, 20), (2, 15), (2, 25)}  # deletes dropped
+    assert by[(1, 10)].valid_to == 20
+    assert by[(1, 20)].valid_to == 30          # closed by the delete
+    assert not by[(1, 20)].is_current          # key 1 has NO current row
+    assert by[(2, 25)].valid_to is None and by[(2, 25)].is_current
