@@ -22,6 +22,7 @@ from arcane_framework_spark.operators.similarity import (  # noqa: F401
     ann_banded_pairs,
     ivf_topk,
     knn_bruteforce,
+    knn_bruteforce_vectorized,
     lsh_buckets,
 )
 from arcane_framework_spark.operators.cache import (  # noqa: F401

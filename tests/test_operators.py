@@ -1174,3 +1174,21 @@ def test_scd2_history_intervals_and_deletes(spark):
     assert by[(1, 20)].valid_to == 30          # closed by the delete
     assert not by[(1, 20)].is_current          # key 1 has NO current row
     assert by[(2, 25)].valid_to is None and by[(2, 25)].is_current
+
+
+def test_knn_vectorized_matches_hof_baseline(spark):
+    """The Arrow/numpy GEMM path returns the same neighbors and ranks as
+    the oracle-gated HOF baseline on the real embeddings table."""
+    from arcane_framework_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_bruteforce_vectorized,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    base = {(r.query_id, r.rank): r.neighbor_id
+            for r in knn_bruteforce(emb, queries, k=3).collect()}
+    fast = {(r.query_id, r.rank): r.neighbor_id
+            for r in knn_bruteforce_vectorized(emb, queries, k=3).collect()}
+    assert base == fast

@@ -29,6 +29,7 @@ from arcane_framework_spark.operators.packing import pack_documents  # noqa: E40
 from arcane_framework_spark.operators.similarity import (  # noqa: E402
     ivf_topk,
     knn_bruteforce,
+    knn_bruteforce_vectorized,
 )
 from arcane_framework_spark.operators.text import token_count_expr  # noqa: E402
 from arcane_framework_spark.session import get_spark  # noqa: E402
@@ -95,6 +96,9 @@ def main() -> None:
         ),
         "knn_bruteforce_q500": timed(
             lambda: knn_bruteforce(emb, queries, k=5)
+        ),
+        "knn_vectorized_q500": timed(
+            lambda: knn_bruteforce_vectorized(emb, queries, k=5)
         ),
         "ivf_topk_q500": timed(lambda: ivf_topk(emb, centroids, queries, k=5)),
         # near-dup pairs -> clusters (graph closure on the pair output)
