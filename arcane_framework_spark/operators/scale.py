@@ -46,6 +46,34 @@ def with_broadcast_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
     )
 
 
+def zorder_key_sql(x_sql: str, y_sql: str) -> str:
+    """Z-order (Morton) key of two 16-bit values as ONE SQL expression
+    valid in both Spark SQL and DuckDB (``<<``/``&``/``|`` only — pure
+    int64, bit-identical everywhere).
+
+    Interleaves the low 16 bits of each input so rows close in BOTH
+    dimensions land close in the sort order — the data-layout key behind
+    multi-column file skipping (write sorted by z, and min/max pruning
+    works for either predicate column). Standard magic-number bit spread.
+    """
+
+    def spread(v: str) -> str:
+        e = f"(({v}) & 65535)"
+        for shift, mask in ((8, 16711935), (4, 252645135),
+                            (2, 858993459), (1, 1431655765)):
+            e = f"((({e}) | (({e}) << {shift})) & {mask})"
+        return e
+
+    return f"({spread(x_sql)} | ({spread(y_sql)} << 1))"
+
+
+def with_zorder_key(df: DataFrame, x_col: str, y_col: str,
+                    out_col: str = "zkey") -> DataFrame:
+    """Attach the Morton key column (map-side; repartitionByRange on it to
+    lay files out for two-column skipping)."""
+    return df.withColumn(out_col, F.expr(zorder_key_sql(x_col, y_col)))
+
+
 def salted_join(skewed: DataFrame, small: DataFrame, on: str,
                 num_salts: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join with the skewed side salted across ``num_salts`` buckets.

@@ -990,6 +990,29 @@ def _streaming_incremental_sql() -> str:
     return out
 
 
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) locality key over (user_id, event_id low bits) —
+    the layout key a lakehouse writer range-partitions on so min/max file
+    skipping works for either column. Pure int64 bit arithmetic; the SAME
+    expression string runs in Spark SQL and DuckDB."""
+    from arcane_framework_spark.operators.scale import with_zorder_key
+
+    t = load_tables(spark, sf_dir, "events")
+    return with_zorder_key(
+        t["events"].select("event_id", "user_id"), "user_id", "event_id"
+    )
+
+
+def _zorder_sql() -> str:
+    from arcane_framework_spark.operators.scale import zorder_key_sql
+
+    return f"""
+SELECT event_id, user_id,
+       {zorder_key_sql("user_id", "event_id")} AS zkey
+FROM events
+"""
+
+
 MODALITY_MIN_COSINE = 0.8
 
 
@@ -1364,6 +1387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_incremental_dedup": streaming_incremental_dedup,
     "lsh_recall_documents": lsh_recall_documents,
     "neardup_modality_agreement": neardup_modality_agreement,
+    "zorder_key_events": zorder_key_events,
     "simhash_documents": simhash_documents,
     "knn_bruteforce_embeddings": knn_bruteforce_embeddings,
     "ann_lsh_buckets_embeddings": ann_lsh_buckets_embeddings,
@@ -1393,6 +1417,7 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_incremental_dedup": _streaming_incremental_sql(),
     "lsh_recall_documents": _lsh_recall_sql(),
     "neardup_modality_agreement": _modality_agreement_sql(),
+    "zorder_key_events": _zorder_sql(),
     "simhash_documents": _simhash_sql(),
     "knn_bruteforce_embeddings": _KNN_SQL,
     "ann_lsh_buckets_embeddings": _ann_buckets_sql(),

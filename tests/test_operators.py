@@ -1192,3 +1192,19 @@ def test_knn_vectorized_matches_hof_baseline(spark):
     fast = {(r.query_id, r.rank): r.neighbor_id
             for r in knn_bruteforce_vectorized(emb, queries, k=3).collect()}
     assert base == fast
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from arcane_framework_spark.operators.scale import with_zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x: long, y: long"
+    )
+    out = {(r.x, r.y): r.zkey for r in
+           with_zorder_key(df, "x", "y").collect()}
+    # morton(x, y) with x in even bits, y in odd bits
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1
+    assert out[(0, 1)] == 2
+    assert out[(3, 5)] == 0b100111          # x=11, y=101 -> 1 00 1 11
+    assert out[(65535, 65535)] == (1 << 32) - 1
