@@ -305,6 +305,13 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
     new_sigs = scoped_persist(
         minhash_signatures(new_docs, text_col, id_col)
     )
+    # A re-signed doc (same id in batch and corpus) takes its NEW
+    # signature everywhere: anti-join the stale corpus row out, so the
+    # id spaces are disjoint by construction and the signature lookup
+    # below cannot duplicate pairs.
+    corpus_sigs = corpus_sigs.join(
+        new_sigs.select("id"), "id", "anti"
+    )
     nb = minhash_band_rows(new_sigs)
     cb = minhash_band_rows(corpus_sigs)
     cross = (
