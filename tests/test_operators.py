@@ -1208,3 +1208,28 @@ def test_zorder_key_interleaves_bits(spark):
     assert out[(0, 1)] == 2
     assert out[(3, 5)] == 0b100111          # x=11, y=101 -> 1 00 1 11
     assert out[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_incremental_minhash_resigned_doc_uses_new_signature(spark):
+    """A doc re-ingested under its existing id replaces its corpus
+    signature: it no longer pairs with itself, and pairs against the
+    corpus reflect the NEW text."""
+    from arcane_framework_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words entirely here")],
+        "doc_id: long, text: string",
+    )
+    corpus_sigs = minhash_signatures(corpus)
+    # doc 2 is re-ingested with text near-identical to doc 1
+    batch = spark.createDataFrame(
+        [(2, base + " " + base)], "doc_id: long, text: string"
+    )
+    out = incremental_minhash_pairs(batch, corpus_sigs).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in got      # new text pairs with doc 1
+    assert (2, 2) not in got  # never pairs with its own stale signature
