@@ -77,22 +77,32 @@ def knn_bruteforce(candidates: DataFrame, queries: DataFrame, k: int,
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, self-matches
     excluded, ties broken by neighbor_id. The query side is broadcast —
     at scale this is one pass over the candidate corpus.
+
+    Zero-norm vectors score 0.0 against everything (the norm is clamped to
+    1 before dividing; the dot product is already 0) instead of NaN — NaN
+    sorts above every real cosine under ``desc``, which would rank a
+    degenerate vector as everyone's best neighbor.
     """
     from pyspark.sql import Window
 
     query_id_col = query_id_col or id_col
+
+    def safe_norm(col: Column) -> Column:
+        n = norm_expr(col)
+        return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
     # Norms are precomputed per side so each pair costs one dot product
     # instead of three array folds; dot/(qn*cn) is bitwise-identical to
     # dot/(sqrt(dot_qq)*sqrt(dot_cc)) — oracle parity preserved.
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        norm_expr(F.col(vec_col)).alias("__qn"),
+        safe_norm(F.col(vec_col)).alias("__qn"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        norm_expr(F.col(vec_col)).alias("__cn"),
+        safe_norm(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q))
@@ -243,12 +253,29 @@ def knn_bruteforce_vectorized(candidates: DataFrame, queries: DataFrame,
     unaffected except for exact float ties, which the neighbor_id
     tiebreak resolves. The SQL-oracle-gated exact baseline remains
     ``knn_bruteforce``; this is the scale path.
+
+    Scale: the query matrix is pre-normalized on the driver and shipped
+    via ``SparkContext.broadcast`` — one torrent transfer per executor,
+    unpickled once per worker — rather than closure capture (which would
+    re-ship and re-deserialize the matrix per task). The query set must
+    fit in driver + executor memory: at 8 bytes × dim doubles per vector,
+    ~1M 128-d queries ≈ 1 GiB, which is the practical bound; beyond that,
+    block the queries and union the results. Zero-norm vectors (query or
+    candidate) score 0.0 against everything, matching ``knn_bruteforce``'s
+    null-safe contract, instead of producing NaN.
     """
+    import numpy as np
+
     from pyspark.sql import Window
 
     query_id_col = query_id_col or id_col
     qrows = queries.select(query_id_col, vec_col).collect()
-    qids_list = [int(r[0]) for r in qrows]
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(qn == 0.0, 1.0, qn)  # zero-norm queries score 0
+    qids_arr = np.asarray([int(r[0]) for r in qrows], dtype=np.int64)
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast((Qn, qids_arr))
 
     out_schema = "query_id long, neighbor_id long, cosine double"
 
@@ -256,9 +283,7 @@ def knn_bruteforce_vectorized(candidates: DataFrame, queries: DataFrame,
         import numpy as np
         import pandas as pd
 
-        Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
-        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-        qids = np.asarray(qids_list, dtype=np.int64)
+        Qn, qids = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -266,7 +291,8 @@ def knn_bruteforce_vectorized(candidates: DataFrame, queries: DataFrame,
             C = np.asarray(
                 [list(v) for v in pdf[vec_col]], dtype=np.float64
             )
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / np.where(cn == 0.0, 1.0, cn)
             scores = Cn @ Qn.T  # (n_candidates, n_queries)
             scores[ids[:, None] == qids[None, :]] = -np.inf  # self-matches
             top = min(k, len(ids))

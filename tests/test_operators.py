@@ -1194,6 +1194,30 @@ def test_knn_vectorized_matches_hof_baseline(spark):
     assert base == fast
 
 
+def test_knn_zero_norm_scores_zero_both_paths(spark):
+    """A zero vector must score 0.0 against everything (not NaN, which
+    sorts above every real cosine under desc), in BOTH the HOF baseline
+    and the vectorized GEMM path."""
+    from arcane_framework_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_bruteforce_vectorized,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+        (4, [0.0, 0.0]),  # degenerate
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") == 1)
+    for fn in (knn_bruteforce, knn_bruteforce_vectorized):
+        out = {r.rank: (r.neighbor_id, r.cosine)
+               for r in fn(df, queries, k=3).collect()}
+        # 2 (≈0.994) > 4 and 3 tie at 0.0, broken by neighbor_id
+        assert out[1][0] == 2
+        assert out[2] == (3, 0.0)
+        assert out[3] == (4, 0.0)
+
+
 def test_zorder_key_interleaves_bits(spark):
     from arcane_framework_spark.operators.scale import with_zorder_key
 
