@@ -1105,8 +1105,20 @@ JOIN all_emb b ON b.vec_id = id_b
 """
 
 
-LSH_RECALL_MOD = 21
 LSH_RECALL_MIN_J = 0.5
+#: Target size of the exact-ground-truth sample (base docs, before the
+#: planted near-dups). The sampling modulus is DERIVED from the corpus
+#: count — ``mod = greatest(1, n_docs // TARGET)`` — so the sample (and
+#: the quadratic exact-pairs ground truth) stays ~fixed-size no matter
+#: how big the corpus grows: a recall measurement needs a fixed-SIZE
+#: sample, not a fixed-FRACTION one.
+LSH_RECALL_TARGET = 256
+
+#: The modulus as a scalar subquery — the oracle's twin of the in-plan
+#: broadcast aggregate on the Spark side.
+_LSH_MOD_SQL = (
+    f"(SELECT greatest(1, count(*) // {LSH_RECALL_TARGET}) FROM documents)"
+)
 
 
 def lsh_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,23 +1126,38 @@ def lsh_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs Jaccard on a deterministic sample — the evaluation loop a
     pipeline runs to TUNE band/row parameters before a full-corpus dedup.
 
-    Sample = every 21st doc plus its planted near-dup (both pair ends
-    always sampled, so ground-truth positives exist). Ground truth =
-    all-pairs shingle Jaccard ≥ 0.5 (quadratic, but on the sample only —
-    the measurement stays O((corpus/21)²) while the production path stays
-    banded). Output: one row (n_true, n_found, recall).
+    Sample = every ``mod``-th doc plus its planted near-dup (both pair
+    ends always sampled, so ground-truth positives exist), where
+    ``mod = greatest(1, n_docs // LSH_RECALL_TARGET)`` is computed
+    IN-PLAN from a 1-row count aggregate (broadcast-attached, no driver
+    action). Ground truth = all-pairs shingle Jaccard ≥ 0.5 — quadratic,
+    but in the FIXED sample size only: at 100× the corpus the modulus
+    grows 100× and the pair count stays ~TARGET², while the production
+    path stays banded. The pairing is a broadcast non-equi join (the
+    sample is bounded by construction), not a CartesianProduct.
+    Output: one row (n_true, n_found, recall).
     """
     from arcane_framework_spark.operators.dedup import (
         _with_tokens,
         minhash_lsh_pairs,
         shingles_from_tokens,
     )
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"].select("doc_id", "text")
-    base = docs.filter(F.col("doc_id") % LSH_RECALL_MOD == 0)
-    planted = docs.filter(
-        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % LSH_RECALL_MOD == 0)
+    mod_df = docs.agg(F.count(F.lit(1)).alias("__n")).select(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("__n") / LSH_RECALL_TARGET).cast("long"),
+        ).alias("__mod")
+    )
+    sampled = with_broadcast_scalar(docs, mod_df)
+    base = sampled.filter(F.col("doc_id") % F.col("__mod") == 0).select(
+        "doc_id", "text"
+    )
+    planted = sampled.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % F.col("__mod") == 0)
     ).select(
         (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
         F.concat_ws(" ", "text", "text").alias("text"),
@@ -1143,8 +1170,7 @@ def lsh_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
     exact = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
@@ -1185,19 +1211,19 @@ def _lsh_recall_sql() -> str:
   FROM documents WHERE doc_id % 7 = 0
 ),""",
         f"""WITH corpus AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % {LSH_RECALL_MOD} = 0
+  SELECT doc_id, text FROM documents WHERE doc_id % {_LSH_MOD_SQL} = 0
   UNION ALL
   SELECT doc_id + {_DUP_OFFSET}, text || ' ' || text
-  FROM documents WHERE doc_id % 7 = 0 AND doc_id % {LSH_RECALL_MOD} = 0
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % {_LSH_MOD_SQL} = 0
 ),""",
     )
-    assert f"% {LSH_RECALL_MOD} = 0" in pairs_sql, "sample rewrite failed"
+    assert f"% {_LSH_MOD_SQL} = 0" in pairs_sql, "sample rewrite failed"
     return f"""
 WITH scorpus AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % {LSH_RECALL_MOD} = 0
+  SELECT doc_id, text FROM documents WHERE doc_id % {_LSH_MOD_SQL} = 0
   UNION ALL
   SELECT doc_id + {_DUP_OFFSET}, text || ' ' || text
-  FROM documents WHERE doc_id % 7 = 0 AND doc_id % {LSH_RECALL_MOD} = 0
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % {_LSH_MOD_SQL} = 0
 ),
 stoks AS (
   SELECT doc_id, {_TOKS_SQL} AS w FROM scorpus

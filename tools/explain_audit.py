@@ -25,13 +25,13 @@ EXPECTED_BNLJ = {
     "ivf_topk_embeddings",         # corpus × broadcast centroids
     "kmeans_embeddings",           # corpus × broadcast centroids per Lloyd pass
     "q22_inactive_customers",      # scalar threshold broadcast
-    "lsh_recall_documents",        # exact all-pairs ground truth on a SAMPLE
+    "lsh_recall_documents",        # exact ground truth on a FIXED-SIZE sample
 }
 
-#: Queries where a cartesian product is the point: exact all-pairs ground
-#: truth on a deterministic SAMPLE (quadratic only in the sample size; the
-#: production path stays banded).
-EXPECTED_CARTESIAN = {"lsh_recall_documents"}
+#: No query is allowed a CartesianProduct: lsh_recall's exact all-pairs
+#: ground truth (the one former occupant) now runs as a broadcast
+#: non-equi join over a count-derived fixed-size sample.
+EXPECTED_CARTESIAN: set[str] = set()
 
 #: Streaming-executed queries — no batch plan to audit.
 SKIP = {
