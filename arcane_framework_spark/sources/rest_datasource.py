@@ -14,6 +14,21 @@ Options:
 - ``key_chain``      dot-path to the row array in the response (F4)
 - ``header.<Name>``  static request headers (P6)
 - ``timeout_seconds`` per-request timeout
+- ``max_retry_attempts`` / ``retry_backoff_seconds`` — transient-retry
+  policy (C11): timeouts, connection errors, and HTTP 5xx are retried
+  with fixed backoff, matching the driver-loop source's ``with_retry``
+  wrapping (reference RestApiSource.cs:444-447). Other 4xx raise.
+- ``requests_per_second`` — executor-side token-bucket rate limit (T5).
+  The bucket is shared per Python worker PROCESS (module-level, keyed by
+  the configured rate), so with ``E`` concurrent executor workers the
+  fleet-wide ceiling is ``E × requests_per_second``; size the option as
+  ``api_budget / expected_concurrent_tasks``. HTTP 429/408 are retried
+  with backoff like other transients (reference RestApiSource.cs:
+  355-361); if still throttled after all attempts, the STREAMING reader
+  returns an empty batch with the offset UNCHANGED (re-polled next
+  trigger, and never mistaken for an exhausted date-range slice), while
+  the BATCH reader fails the task — an empty page there would silently
+  truncate the result.
 
 Usage::
 
@@ -28,6 +43,7 @@ Usage::
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 from collections.abc import Iterator, Sequence
 from datetime import datetime, timedelta, timezone
@@ -46,11 +62,81 @@ class _PagePartition(InputPartition):
         self.page = page
 
 
+#: Per-process rate-limiter registry. The reader object is re-deserialized
+#: per task, but the Python worker process survives across tasks — keying
+#: the bucket on the configured rate makes every task in the same worker
+#: share one bucket, which is the tightest coordination available without
+#: an external service.
+_RATE_LIMITERS: dict = {}
+
+
+def _limiter_for(requests_per_second: float | None):
+    if not requests_per_second:
+        return None
+    limiter = _RATE_LIMITERS.get(requests_per_second)
+    if limiter is None:
+        from arcane_framework_spark.sources.rest import TokenBucketRateLimiter
+
+        # rate/per expressed as (N per 1s) for rps >= 1, else (1 per 1/rps).
+        if requests_per_second >= 1:
+            limiter = TokenBucketRateLimiter(rate=int(requests_per_second))
+        else:
+            limiter = TokenBucketRateLimiter(
+                rate=1, per_seconds=1.0 / requests_per_second
+            )
+        _RATE_LIMITERS[requests_per_second] = limiter
+    return limiter
+
+
+class RateLimitedError(Exception):
+    """HTTP 408/429 persisted across every retry attempt."""
+
+
+def _http_transient(exc: BaseException) -> bool:
+    """Retry decider: throttle statuses, HTTP 5xx, and transport-level
+    errors are transient; other HTTP statuses are not (HTTPError ⊂
+    OSError, so it must be checked before the generic transient tuple)."""
+    from arcane_framework_spark.streaming.retry import is_transient
+
+    if isinstance(exc, RateLimitedError):
+        return True
+    if isinstance(exc, urllib.error.HTTPError):
+        return exc.code >= 500
+    return is_transient(exc)
+
+
 def _fetch_rows(url: str, headers: dict[str, str], timeout: float,
-                key_chain: Sequence[str]) -> list[dict]:
-    req = urllib.request.Request(url, headers=headers)
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        body = resp.read().decode("utf-8")
+                key_chain: Sequence[str], *,
+                max_attempts: int = 3, backoff_seconds: float = 1.0,
+                requests_per_second: float | None = None) -> list[dict]:
+    """One page fetch with the same resilience contract as the driver-loop
+    source: token-bucket acquire before each attempt, bounded fixed-backoff
+    retry on transient failures (timeouts, connection errors, 5xx, and
+    throttle statuses 408/429 — reference RestApiSource.cs:355-361,
+    503-515). A still-throttled fetch raises :class:`RateLimitedError`
+    so callers can tell "no data" from "no progress"."""
+    from arcane_framework_spark.streaming.retry import with_retry
+
+    limiter = _limiter_for(requests_per_second)
+
+    def once() -> str:
+        if limiter is not None:
+            limiter.acquire()
+        req = urllib.request.Request(url, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.read().decode("utf-8")
+        except urllib.error.HTTPError as exc:
+            if exc.code in (408, 429):
+                raise RateLimitedError(f"HTTP {exc.code}: {url}") from exc
+            raise
+
+    body = with_retry(
+        once,
+        max_attempts=max_attempts,
+        backoff_seconds=backoff_seconds,
+        decider=_http_transient,
+    )
     doc = json.loads(body) if body else {}
     for key in key_chain:
         if not isinstance(doc, dict) or key not in doc:
@@ -70,6 +156,10 @@ class RestReader(DataSourceReader):
             k for k in options.get("key_chain", "").split(".") if k
         ]
         self.timeout = float(options.get("timeout_seconds", "30"))
+        self.max_attempts = int(options.get("max_retry_attempts", "3"))
+        self.backoff = float(options.get("retry_backoff_seconds", "1"))
+        rps = options.get("requests_per_second")
+        self.requests_per_second = float(rps) if rps else None
         self.headers = {
             name[len("header."):]: value
             for name, value in options.items()
@@ -79,9 +169,17 @@ class RestReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         return [_PagePartition(p) for p in range(1, self.num_pages + 1)]
 
+    def _fetch(self, url: str) -> list[dict]:
+        return _fetch_rows(
+            url, self.headers, self.timeout, self.key_chain,
+            max_attempts=self.max_attempts,
+            backoff_seconds=self.backoff,
+            requests_per_second=self.requests_per_second,
+        )
+
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
         url = self.url_template.replace("@page", str(partition.page))
-        for row in _fetch_rows(url, self.headers, self.timeout, self.key_chain):
+        for row in self._fetch(url):
             yield tuple(row.get(name) for name in self.schema_fields)
 
 
@@ -125,10 +223,16 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         return {"page": 0}
 
     def read(self, start: dict) -> tuple:
-        if self.range_start is not None:
-            return self._read_range(start)
-        next_page = int(start["page"]) + 1
-        rows = self._rows_for(next_page)
+        try:
+            if self.range_start is not None:
+                return self._read_range(start)
+            next_page = int(start["page"]) + 1
+            rows = self._rows_for(next_page)
+        except RateLimitedError:
+            # Throttled through every retry: emit nothing and leave the
+            # offset UNCHANGED — distinct from an empty page, which in
+            # range mode would (wrongly) advance the slice cursor.
+            return iter([]), start
         if not rows:
             return iter([]), start
         return iter(rows), {"page": next_page}
@@ -175,9 +279,7 @@ class RestStreamReader(SimpleDataSourceStreamReader):
             ).replace("@to", slice_to.strftime(self.date_format))
         return [
             tuple(row.get(name) for name in self.inner.schema_fields)
-            for row in _fetch_rows(
-                url, self.inner.headers, self.inner.timeout, self.inner.key_chain
-            )
+            for row in self.inner._fetch(url)
         ]
 
 

@@ -635,6 +635,170 @@ def test_rest_datasource_streaming_page_cursor(spark, tmp_path):
         server.shutdown()
 
 
+def _counting_rest_server(fail_plan):
+    """Stub REST server whose behavior per request is scripted by
+    ``fail_plan(path, hit_count) -> status | None`` (None = 200 with one
+    item ``{"id": page}``). Returns (server, port, hits dict)."""
+    import http.server
+    import json as _json
+    import threading
+    from collections import defaultdict
+
+    hits: dict = defaultdict(int)
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                hits[self.path] += 1
+                n = hits[self.path]
+            status = fail_plan(self.path, n)
+            if status is not None:
+                self.send_response(status)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            page = int(self.path.split("page=")[1])
+            body = _json.dumps({"items": [{"id": page}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, port, hits
+
+
+def test_rest_datasource_batch_retries_transient_5xx(spark):
+    """A page that 500s once then succeeds is retried inside the executor
+    fetch — the batch read sees every row (reference wraps every HTTP call
+    in the transient-retry policy, RestApiSource.cs:444-447)."""
+    server, port, hits = _counting_rest_server(
+        lambda path, n: 500 if ("page=2" in path and n == 1) else None
+    )
+    try:
+        from arcane_framework_spark.sources.rest_datasource import RestDataSource
+
+        spark.dataSource.register(RestDataSource)
+        df = (
+            spark.read.format("arcane_rest")
+            .schema("id LONG")
+            .option("url_template", f"http://127.0.0.1:{port}/d?page=@page")
+            .option("pages", "3")
+            .option("key_chain", "items")
+            .option("retry_backoff_seconds", "0")
+            .load()
+        )
+        assert {r.id for r in df.collect()} == {1, 2, 3}
+        assert hits["/d?page=2"] == 2  # failed once, retried once
+    finally:
+        server.shutdown()
+
+
+def test_rest_datasource_batch_fails_on_persistent_429(spark):
+    """A page throttled through every retry attempt FAILS the batch read —
+    an empty page there would silently truncate the result."""
+    import pytest as _pytest
+
+    server, port, hits = _counting_rest_server(
+        lambda path, n: 429 if "page=2" in path else None
+    )
+    try:
+        from arcane_framework_spark.sources.rest_datasource import RestDataSource
+
+        spark.dataSource.register(RestDataSource)
+        df = (
+            spark.read.format("arcane_rest")
+            .schema("id LONG")
+            .option("url_template", f"http://127.0.0.1:{port}/d?page=@page")
+            .option("pages", "2")
+            .option("key_chain", "items")
+            .option("max_retry_attempts", "2")
+            .option("retry_backoff_seconds", "0")
+            .load()
+        )
+        with _pytest.raises(Exception, match="RateLimited|429"):
+            df.collect()
+        assert hits["/d?page=2"] >= 2  # throttle WAS retried before failing
+    finally:
+        server.shutdown()
+
+
+def test_rest_datasource_stream_429_holds_offset_no_dup_no_drop(spark, tmp_path):
+    """A still-throttled micro-batch emits nothing and leaves the page
+    cursor unchanged; once the API recovers, the stream delivers every
+    page exactly once (no dup from the re-poll, no dropped page)."""
+    import time as _time
+
+    # page 2: 429 for the first four hits (= two triggers at two attempts
+    # each), then healthy — the stream must re-poll page 2, not skip it.
+    server, port, hits = _counting_rest_server(
+        lambda path, n: 429 if ("page=2" in path and n <= 4) else None
+    )
+    try:
+        from arcane_framework_spark.sources.rest_datasource import RestDataSource
+
+        spark.dataSource.register(RestDataSource)
+        stream = (
+            spark.readStream.format("arcane_rest")
+            .schema("id LONG")
+            .option("url_template", f"http://127.0.0.1:{port}/d?page=@page")
+            .option("key_chain", "items")
+            .option("max_retry_attempts", "2")
+            .option("retry_backoff_seconds", "0")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory").queryName("rest_429_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 90
+            rows = []
+            while _time.time() < deadline:
+                rows = [r.id for r in spark.table("rest_429_t").collect()]
+                if set(rows) == {1, 2, 3}:
+                    break
+                _time.sleep(1)
+        finally:
+            q.stop()
+        assert sorted(rows) == [1, 2, 3]  # exactly once each
+        assert hits["/d?page=2"] >= 5  # throttled 4×, then served
+    finally:
+        server.shutdown()
+
+
+def test_rest_datasource_fetch_rate_limiter_spaces_requests():
+    """The executor-side token bucket spaces fetches beyond the initial
+    burst: 12 calls at 10 rps (burst capacity 10) must wait for ≥ 2
+    refills (the driver-loop source's T5 contract, now on the parallel
+    path too)."""
+    import time as _time
+
+    server, port, _ = _counting_rest_server(lambda path, n: None)
+    try:
+        from arcane_framework_spark.sources.rest_datasource import _fetch_rows
+
+        url = f"http://127.0.0.1:{port}/d?page=1"
+        t0 = _time.monotonic()
+        for _ in range(12):
+            rows = _fetch_rows(url, {}, 5.0, ["items"],
+                               requests_per_second=10.0)
+            assert rows == [{"id": 1}]
+        elapsed = _time.monotonic() - t0
+        assert elapsed >= 0.15  # ≥2 refill waits at 0.1 s (tolerance)
+    finally:
+        server.shutdown()
+
+
 # ---------------------------------------------------------------------------
 # S1 polling source + C11 transient retry deciders
 # ---------------------------------------------------------------------------
