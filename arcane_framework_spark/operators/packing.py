@@ -85,20 +85,26 @@ def pack_documents(df: DataFrame, budget: int,
 def select_by_budget(df: DataFrame, budget: int,
                      score_col: str = "score",
                      id_col: str = "doc_id",
-                     tokens_col: str = "n_tokens") -> DataFrame:
-    """Budget-capped corpus selection: take documents in (score DESC, id)
+                     tokens_col: str = "n_tokens",
+                     num_groups: int = DEFAULT_PREFIX_GROUPS) -> DataFrame:
+    """Budget-capped corpus selection: take documents in descending-score
     order until the token budget fills — "the best N-tokens worth of the
     corpus", the final step of a quality-ranked data mix.
 
     No global sort: ``score_col`` must be INTEGER (fixed-point a caller's
-    quality metric — ints keep the order identical in every engine), and
-    each distinct score is a contiguous band of the global order. Per-band
-    window prefix sums + one broadcast of band totals therefore reproduce
-    the exact global cumulative sum, the same two-phase shape as
-    ``pack_documents`` but ordered by (score desc, id). A document is kept
-    while the tokens BEFORE it fit the budget (the straddling doc is
-    kept — budgets are lower bounds in practice); zero remaining budget
-    excludes everything else deterministically.
+    quality metric — ints keep the order identical in every engine). The
+    effective document order is ``(score DESC, id % num_groups, id)``:
+    within a score band the hash-group sub-order is arbitrary but
+    deterministic, which is all a budget cut needs. Fixed-point scores
+    are coarse by design, so one hot band (think "score=0") can hold most
+    of the corpus — partitioning the local window by (score, group)
+    bounds the worst task at ``band/num_groups`` rows, the same two-level
+    shape as ``pack_documents``. Sub-band totals (≤ |score domain| × G
+    rows, metadata-scale) get the only single-partition window, then a
+    broadcast join attaches the offsets. A document is kept while the
+    tokens BEFORE it fit the budget (the straddling doc is kept — budgets
+    are lower bounds in practice); zero remaining budget excludes
+    everything else deterministically.
 
     Returns (id, score, n_tokens, fill_before) for the selected docs.
     """
@@ -106,38 +112,39 @@ def select_by_budget(df: DataFrame, budget: int,
         F.col(id_col).alias("id"),
         F.col(score_col).cast("long").alias("score"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
+        (F.col(id_col) % num_groups).alias("__grp"),
     )
-    w_band = (
-        Window.partitionBy("score")
+    w_local = (
+        Window.partitionBy("score", "__grp")
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = base.withColumn(
-        "__band_before",
-        F.coalesce(F.sum("n_tokens").over(w_band), F.lit(0)),
+        "__local_before",
+        F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)),
     )
-    # Band totals: one row per distinct score; the only single-partition
-    # window runs over those (≤ |score domain|, metadata-scale).
-    w_bands = (
-        Window.orderBy(F.col("score").desc())
+    # Sub-band totals: one row per (score, group); the only
+    # single-partition window runs over those (metadata-scale).
+    w_subs = (
+        Window.orderBy(F.col("score").desc(), F.col("__grp"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        base.groupBy("score")
-        .agg(F.sum("n_tokens").alias("__band_total"))
+        base.groupBy("score", "__grp")
+        .agg(F.sum("n_tokens").alias("__sub_total"))
         .withColumn(
             "__offset",
-            F.coalesce(F.sum("__band_total").over(w_bands), F.lit(0)),
+            F.coalesce(F.sum("__sub_total").over(w_subs), F.lit(0)),
         )
-        .select("score", "__offset")
+        .select("score", "__grp", "__offset")
     )
     return (
-        local.join(F.broadcast(offsets), "score")
+        local.join(F.broadcast(offsets), ["score", "__grp"])
         .select(
             F.col("id").alias(id_col),
             "score",
             "n_tokens",
-            (F.col("__band_before") + F.col("__offset")).alias("fill_before"),
+            (F.col("__local_before") + F.col("__offset")).alias("fill_before"),
         )
         .filter(F.col("fill_before") < budget)
     )

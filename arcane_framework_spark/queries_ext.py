@@ -1129,9 +1129,11 @@ WITH scored AS (
   FROM documents
 ),
 cum AS (
+  -- effective order (score DESC, doc_id % G, doc_id): the oracle twin of
+  -- the two-level de-skewed prefix sum in operators/packing.py
   SELECT doc_id, score, n_tokens,
          CAST(coalesce(SUM(n_tokens) OVER (
-           ORDER BY score DESC, doc_id
+           ORDER BY score DESC, doc_id % 32, doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
          ), 0) AS BIGINT) AS fill_before
   FROM scored

@@ -1138,11 +1138,11 @@ def test_pps_systematic_sample_properties(spark):
 
 
 def test_select_by_budget_order_and_cutoff(spark):
-    """Selection order is (score desc, id); the straddling doc is kept;
-    later docs are excluded even if tiny."""
+    """Selection order is (score desc, id % G, id); the straddling doc is
+    kept; later docs are excluded even if tiny."""
     from arcane_framework_spark.operators.packing import select_by_budget
 
-    rows = [  # (id, score, tokens)
+    rows = [  # (id, score, tokens) — ids < 32, so id % G order == id order
         (1, 5, 40), (2, 9, 30), (3, 9, 50), (4, 7, 20), (5, 1, 1),
     ]
     df = spark.createDataFrame(rows, "doc_id: long, score: long, n_tokens: long")
@@ -1153,6 +1153,34 @@ def test_select_by_budget_order_and_cutoff(spark):
     # budget 101 admits the straddling doc 1
     out2 = {r.doc_id for r in select_by_budget(df, budget=101).collect()}
     assert out2 == {2, 3, 4, 1}
+
+
+def test_select_by_budget_hot_band_deskewed(spark):
+    """A dominant score band (90% of docs share score 0) must neither
+    change the deterministic result nor run as one single-task window:
+    the local prefix window is partitioned by (score, id % G)."""
+    from arcane_framework_spark.operators.packing import select_by_budget
+
+    G = 4
+    rows = [(i, 7, 10) for i in range(10)] + \
+           [(i, 0, 10) for i in range(10, 100)]  # hot band: score 0
+    df = spark.createDataFrame(rows, "doc_id: long, score: long, n_tokens: long")
+    picked = select_by_budget(df, budget=300, num_groups=G)
+
+    # reference: exact prefix order computed in plain Python
+    order = sorted(rows, key=lambda r: (-r[1], r[0] % G, r[0]))
+    fill, expect = 0, {}
+    for doc_id, _score, toks in order:
+        if fill < 300:
+            expect[doc_id] = fill
+        fill += toks
+    got = {r.doc_id: r.fill_before for r in picked.collect()}
+    assert got == expect
+    assert len(got) == 30  # 300 budget / 10 tokens
+
+    # plan shape: the data-scale window partitions by score AND group
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(score" in plan and "__grp" in plan
 
 
 def test_scd2_history_intervals_and_deletes(spark):
