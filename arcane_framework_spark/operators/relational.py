@@ -241,9 +241,14 @@ def upsert_delta_snapshot(spark, path: str, changes: DataFrame,
 
     The (merge_key, version, op) contract maps 1:1 onto Delta's MERGE:
 
-    - matched ∧ op='D'  → DELETE
-    - matched ∧ newer version → UPDATE SET *
+    - matched ∧ op='D' ∧ newer-or-equal version → DELETE
+    - matched ∧ newer-or-equal version → UPDATE SET *
     - not matched ∧ op≠'D' → INSERT *
+
+    BOTH matched clauses carry the version guard: a replayed or
+    out-of-order batch containing a stale delete must not remove a row a
+    newer batch already wrote — the higher version wins, exactly as in
+    ``latest_state``/``apply_changes_to_snapshot``.
 
     Unlike ``upsert_parquet_snapshot`` (full rewrite, POSIX-rename
     atomicity) this is O(changed files), snapshot-isolated, and
@@ -275,7 +280,12 @@ def upsert_delta_snapshot(spark, path: str, changes: DataFrame,
     (
         target.alias("t")
         .merge(batch.alias("s"), cond)
-        .whenMatchedDelete(condition=f"s.`{op_column}` = 'D'")
+        .whenMatchedDelete(
+            condition=(
+                f"s.`{op_column}` = 'D'"
+                f" AND s.`{version_column}` >= t.`{version_column}`"
+            )
+        )
         .whenMatchedUpdateAll(
             condition=f"s.`{version_column}` >= t.`{version_column}`"
         )

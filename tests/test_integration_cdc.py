@@ -136,6 +136,15 @@ def test_delta_merge_gating(spark, tmp_path):
     assert {(r.id, r.v) for r in merged.collect()} == {
         (r.id, r.v) for r in expected.collect()
     }
+    # replayed/out-of-order STALE delete (version 5 < the v10 update
+    # already applied) must NOT remove the newer row — both matched
+    # clauses carry the version guard, so the higher version wins.
+    stale = spark.createDataFrame(
+        [(2, None, 5, "D")],
+        "id long, v string, sys_change_version long, sys_change_operation string",
+    )
+    replayed = upsert_delta_snapshot(spark, path, stale, merge_key="id")
+    assert (2, "b2") in {(r.id, r.v) for r in replayed.collect()}
 
 
 def test_apply_changes_batch_split_invariance(spark):

@@ -879,6 +879,66 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert not os.path.isdir(f"{path}/part=C")
 
 
+def test_partitioned_upsert_crash_mid_rewrite_loses_nothing(spark, tmp_path):
+    """Atomicity under a mid-write failure: a batch whose write job dies
+    after some tasks succeed must leave the ORIGINAL snapshot fully
+    intact (dynamic partition overwrite only swaps directories at job
+    commit), and retrying the same batch converges to the correct
+    state — the delta-less stand-in for a real MERGE's transactionality."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from arcane_framework_spark.operators.relational import (
+        upsert_partitioned_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    schema = ("ARCANE_MERGE_KEY: string, part: string, "
+              "SYS_CHANGE_VERSION: long, SYS_CHANGE_OPERATION: string, "
+              "val: long")
+    b1 = spark.createDataFrame(
+        [("k1", "A", 1, "I", 10), ("k2", "B", 1, "I", 20),
+         ("k3", "C", 1, "I", 30)],
+        schema,
+    )
+    upsert_partitioned_snapshot(spark, path, b1, "part")
+    baseline = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=*/*.parquet")
+    }
+    assert len(baseline) >= 3
+
+    # poison ONE partition's rows: tasks for A succeed and stage output,
+    # the C task dies -> the job aborts before the overwrite commits
+    @F.udf("long")
+    def boom(v):
+        if v == 31:
+            raise ValueError("injected mid-write crash")
+        return v
+
+    b2 = spark.createDataFrame(
+        [("k1", "A", 2, "U", 11), ("k3", "C", 2, "U", 31)], schema
+    )
+    with _pytest.raises(Exception, match="injected mid-write crash"):
+        upsert_partitioned_snapshot(
+            spark, path, b2.withColumn("val", boom("val")), "part"
+        )
+
+    # every original file still present, byte-identical mtimes; data reads
+    after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=*/*.parquet")
+    }
+    assert after == baseline
+    rows = {r.ARCANE_MERGE_KEY: r.val for r in spark.read.parquet(path).collect()}
+    assert rows == {"k1": 10, "k2": 20, "k3": 30}
+
+    # retrying the same (un-poisoned) batch converges
+    out = upsert_partitioned_snapshot(spark, path, b2, "part")
+    rows = {r.ARCANE_MERGE_KEY: r.val for r in out.collect()}
+    assert rows == {"k1": 11, "k2": 20, "k3": 31}
+
+
 def test_contamination_pairs_finds_planted_overlap(spark):
     """Decontam: a corpus doc repeating an eval doc's text verbatim is
     flagged; unrelated docs and self-matches are not."""
