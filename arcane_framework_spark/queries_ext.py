@@ -380,7 +380,8 @@ SELECT doc_id,
        octet_length(encode(text))::BIGINT  AS n_bytes,
        sha256(text)                        AS sha256,
        (octet_length(encode(text)) % 640 + 16)::INT     AS width,
-       (octet_length(encode(text)) * 7 % 480 + 16)::INT AS height
+       (octet_length(encode(text)) * 7 % 480 + 16)::INT AS height,
+       CAST(NULL AS DOUBLE)                AS pixel_mean
 FROM documents
 """
 

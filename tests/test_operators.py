@@ -286,6 +286,77 @@ def test_multimodal_decode_is_stubbed():
         decode_image(b"\x89PNG")
 
 
+def _make_bmp(pixels, bottom_up=True):
+    """Encode a list-of-rows of (r, g, b) tuples as an uncompressed
+    24-bit BMP (rows padded to 4 bytes, BGR order, standard 54-byte
+    header)."""
+    import struct as _struct
+
+    height, width = len(pixels), len(pixels[0])
+    stride = (width * 3 + 3) & ~3
+    rows = pixels[::-1] if bottom_up else pixels
+    body = b"".join(
+        b"".join(bytes([b, g, r]) for (r, g, b) in row)
+        + b"\x00" * (stride - width * 3)
+        for row in rows
+    )
+    header = _struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + _struct.pack(
+        "<IiiHHIIiiII", 40, width, height if bottom_up else -height,
+        1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def test_decode_bmp_pure_numpy():
+    """The no-deps BMP decoder returns exact RGB pixels for both row
+    orders (positive height = bottom-up) and honest errors otherwise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from arcane_framework_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+    )
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],   # top row
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    for bottom_up in (True, False):
+        img = decode_bmp(_make_bmp(pixels, bottom_up=bottom_up))
+        assert img.shape == (2, 3, 3)
+        assert np.array_equal(img, np.asarray(pixels, dtype=np.uint8))
+    # decode_image routes BMP to the native decoder (no PIL needed)
+    assert decode_image(_make_bmp(pixels)).shape == (2, 3, 3)
+    with _pytest.raises(ValueError):
+        decode_bmp(b"BMtruncated")
+    with _pytest.raises(NotImplementedError):
+        # 8-bit payload: header parses, bit depth unsupported
+        bad = bytearray(_make_bmp(pixels))
+        bad[28] = 8
+        decode_bmp(bytes(bad))
+
+
+def test_extract_features_decodes_real_bmp(spark):
+    """An asset row carrying a real BMP reports header dimensions and the
+    true pixel mean; non-BMP rows keep byte-derived dims and null mean."""
+    from arcane_framework_spark.operators.multimodal import extract_features
+
+    bmp = _make_bmp([[(10, 20, 30), (40, 50, 60)]])  # 2x1, mean = 35.0
+    assets = spark.createDataFrame(
+        [(1, bytearray(bmp), "image/bmp"),
+         (2, bytearray(b"plain text"), "text/plain")],
+        "doc_id: long, content: binary, mime: string",
+    )
+    by_id = {r.doc_id: r for r in extract_features(assets).collect()}
+    assert (by_id[1].width, by_id[1].height) == (2, 1)
+    assert by_id[1].pixel_mean == 35.0
+    assert by_id[2].pixel_mean is None
+    assert by_id[2].width == len(b"plain text") % 640 + 16
+
+
 def test_bpe_token_count(spark):
     from arcane_framework_spark.operators.text import bpe_token_count_expr
 
