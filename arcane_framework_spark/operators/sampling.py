@@ -134,7 +134,11 @@ def pps_systematic_sample(df: DataFrame, n: int,
     identical sample (pow/ln-based weighted reservoirs are not
     bit-reproducible across libms). Documents heavier than T/n can be
     picked multiple times (reported in ``n_picks``; standard PPS
-    semantics). Requires ``2·n·T < 2^63`` (n ≤ 1e5 with T ≤ 1e13 tokens).
+    semantics). Requires ``2·n·T < 2^63`` (n ≤ 1e5 with T ≤ 1e13 tokens) —
+    ASSERTED in-plan against the computed total (`raise_error`, no driver
+    action); a zero total weight (all-zero or empty input) returns an
+    EMPTY sample in both engines rather than engine-divergent
+    null-vs-error division behavior.
 
     Scale: per-group prefix windows + one broadcast of G group offsets +
     one broadcast total — the pack_documents shape; no global sort, no
@@ -143,6 +147,8 @@ def pps_systematic_sample(df: DataFrame, n: int,
     """
     from arcane_framework_spark.operators.packing import pack_documents
 
+    if n < 1:
+        raise ValueError(f"sample size n must be >= 1, got {n}")
     cum = pack_documents(
         df.select(id_col, weight_col), budget=1, id_col=id_col,
         tokens_col=weight_col, num_groups=num_groups,
@@ -154,6 +160,18 @@ def pps_systematic_sample(df: DataFrame, n: int,
     total = cum.agg(F.sum("__w").cast("long").alias("__total"))
     from arcane_framework_spark.operators.scale import with_broadcast_scalar
 
+    # Overflow precondition rearranged division-free: T < 2^63 / (2n).
+    max_total = (2**63 - 1) // (2 * n)
+    guard = (
+        F.when(
+            F.col("__total") > max_total,
+            F.expr(
+                "raise_error('pps_systematic_sample: 2*n*T overflows "
+                f"int64 (total weight > {max_total})')"
+            ).cast("boolean"),
+        ).otherwise(F.col("__total") > 0)  # zero/null total -> empty
+    )
+
     # A(x) = #ticks below x = clamp(⌊(2n·x + T − 1) / (2T)⌋, ·, n);
     # picks = A(c + w) − A(c). Pure int64 arithmetic in both engines.
     below = (
@@ -162,6 +180,7 @@ def pps_systematic_sample(df: DataFrame, n: int,
     )
     out = (
         with_broadcast_scalar(cum, total)
+        .filter(guard)
         .withColumn("__hi", F.expr(below.replace("__x", "(__c + __w)")))
         .withColumn("__lo", F.expr(below.replace("__x", "__c")))
         .select(
@@ -176,24 +195,33 @@ def pps_systematic_sample(df: DataFrame, n: int,
 
 def pps_sample_sql(n: int, weight_sql: str, id_sql: str = "doc_id",
                    num_groups: int = 64, table: str = "documents") -> str:
-    """The identical PPS selection as DuckDB SQL (integer window cumsum)."""
+    """The identical PPS selection as DuckDB SQL (integer window cumsum),
+    including the degenerate-input contract: zero total weight selects
+    nothing (instead of a division error), an overflowing total errors."""
+    max_total = (2**63 - 1) // (2 * n)
     return f"""
 WITH w AS (
   SELECT {id_sql} AS id, CAST({weight_sql} AS BIGINT) AS wt FROM {table}
 ),
 cum AS (
   SELECT id, wt,
-         coalesce(SUM(wt) OVER (
+         CAST(coalesce(SUM(wt) OVER (
            ORDER BY id % {num_groups}, id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS c,
-         SUM(wt) OVER () AS t
+         ), 0) AS BIGINT) AS c,
+         CAST(SUM(wt) OVER () AS BIGINT) AS t
   FROM w
+),
+valid AS (
+  SELECT * FROM cum
+  WHERE CASE WHEN t > {max_total}
+             THEN error('pps_systematic_sample: 2*n*T overflows int64')
+             ELSE t > 0 END
 )
 SELECT id AS {id_sql}, wt AS n_tokens,
        CAST(least({n}, (2*{n}*(c + wt) + t - 1) // (2*t))
             - least({n}, (2*{n}*c + t - 1) // (2*t)) AS INT) AS n_picks
-FROM cum
+FROM valid
 WHERE least({n}, (2*{n}*(c + wt) + t - 1) // (2*t))
       - least({n}, (2*{n}*c + t - 1) // (2*t)) >= 1
 """

@@ -1268,6 +1268,48 @@ def test_pps_systematic_sample_properties(spark):
     assert out == again                     # deterministic
 
 
+def test_pps_degenerate_inputs_agree_across_engines(spark):
+    """Zero total weight (all-zero or empty input) returns an EMPTY
+    sample in BOTH engines — not Spark-null-silence vs DuckDB
+    division-by-zero — and an overflowing total raises in both."""
+    import duckdb
+    import pytest as _pytest
+
+    from arcane_framework_spark.operators.sampling import (
+        pps_sample_sql,
+        pps_systematic_sample,
+    )
+
+    # all-zero weights
+    zero = spark.createDataFrame(
+        [(1, 0), (2, 0)], "doc_id: long, n_tokens: long"
+    )
+    assert pps_systematic_sample(zero, n=5).count() == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, n_tokens BIGINT)")
+    con.execute("INSERT INTO t VALUES (1, 0), (2, 0)")
+    sql = pps_sample_sql(5, "n_tokens", table="t")
+    assert con.execute(sql).fetchall() == []
+
+    # empty input
+    assert pps_systematic_sample(zero.limit(0), n=5).count() == 0
+    con.execute("DELETE FROM t")
+    assert con.execute(sql).fetchall() == []
+
+    # 2*n*T >= 2^63: both engines fail fast instead of wrapping
+    big = spark.createDataFrame(
+        [(1, 2**62), (2, 2**62 - 1)], "doc_id: long, n_tokens: long"
+    )
+    with _pytest.raises(Exception, match="overflows int64"):
+        pps_systematic_sample(big, n=2).count()
+    con.execute(f"INSERT INTO t VALUES (1, {2**62}), (2, {2**62 - 1})")
+    with _pytest.raises(Exception, match="overflows int64"):
+        con.execute(pps_sample_sql(2, "n_tokens", table="t")).fetchall()
+    # n must be positive
+    with _pytest.raises(ValueError):
+        pps_systematic_sample(zero, n=0)
+
+
 def test_select_by_budget_order_and_cutoff(spark):
     """Selection order is (score desc, id % G, id); the straddling doc is
     kept; later docs are excluded even if tiny."""
