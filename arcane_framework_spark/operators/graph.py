@@ -36,6 +36,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     Converges in ``diameter`` rounds; raises if ``max_rounds`` is hit while
     labels are still moving (pathological chain — raise the bound).
+
+    Cache lifecycle: each round persists one intermediate (the propagated
+    label table); once the round's convergence probe has materialized the
+    checkpointed result, that cache is explicitly dropped — a
+    slow-converging graph holds at most ONE round's cache, not one per
+    round. Fault-tolerance caveat: rounds end in ``localCheckpoint``
+    (lineage truncation, required to stop exponential plan growth), and
+    localCheckpoint blocks are NOT recoverable after executor loss — an
+    executor failure mid-computation fails the job, and the caller
+    re-runs it. For multi-hour graphs on preemptible hardware, swap in a
+    reliable ``checkpoint()`` directory; for dedup-scale graphs
+    (seconds-to-minutes), rerun-on-failure is the right trade.
     """
     # Persist the edge list FIRST: the symmetric union below evaluates it
     # twice, and for pair-generator inputs (MinHash etc.) re-evaluation
@@ -66,7 +78,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     )
     id_type = dict(labels.dtypes)["component"]
 
-    def _propagate(cur: DataFrame) -> DataFrame:
+    def _propagate(cur: DataFrame) -> tuple[DataFrame, DataFrame]:
         # Each node takes the min label among itself and its neighbors. The
         # node's OLD label rides through the same min-aggregation (neighbor
         # rows contribute null old; min ignores nulls) so the convergence
@@ -120,18 +132,29 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # round's result to a LogicalRDD when the probe materializes it,
         # keeping every round's plan constant-size. (RDD-level cache is
         # reclaimed by the ContextCleaner once the round's reference
-        # drops.)
-        return jumped.localCheckpoint(eager=False)
+        # drops.) The persisted `propagated` handle is returned so the
+        # loop can drop it once the probe materializes the checkpoint.
+        return jumped.localCheckpoint(eager=False), propagated
 
     # Fold one propagation lazily into the first probed round's job: no
     # action runs until the first probe, which materializes seed + sym +
     # TWO propagations in a single pipelined job. Shallow graphs (near-dup
     # clusters are cliques-ish, diameter ≤ 2) then converge with a single
     # driver sync instead of three.
-    labels = _propagate(labels)
+    seed = labels
+    labels, pending = _propagate(labels)
+    to_release = [seed, pending]
     for _ in range(max_rounds):
-        new_labels = _propagate(labels)
+        new_labels, pending = _propagate(labels)
+        to_release.append(pending)
         moved = new_labels.filter(F.col("component") < F.col("old")).count()
+        # The probe materialized every checkpoint up to and including
+        # new_labels; the per-round caches backing them are dead weight
+        # now — release them so long convergence holds O(1) cache, not
+        # O(rounds).
+        for handle in to_release:
+            handle.unpersist()
+        to_release = []
         labels = new_labels
         if moved == 0:
             break
@@ -140,6 +163,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
             f"connected_components did not converge in {max_rounds} rounds"
         )
     sym.unpersist()
+    edges.unpersist()
     return labels.select("node", "component")
 
 

@@ -1249,6 +1249,31 @@ def test_connected_components_long_chain_converges(spark):
     assert {r.component for r in comp} == {0}
 
 
+def test_connected_components_releases_round_caches(spark):
+    """Per-round persisted intermediates are dropped as rounds complete:
+    a multi-round (long-chain) run must not leave one cached dataset per
+    round in the block manager."""
+    from arcane_framework_spark.operators.graph import connected_components
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a: long, id_b: long"
+    )
+    labels = connected_components(edges)
+    # edges+sym+seed and every round's propagated table were released;
+    # what may remain are the rounds' localCheckpoint RDDs, which the
+    # ContextCleaner reclaims once their references drop. Nothing
+    # DataFrame-persisted (non-checkpoint) may survive.
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+    leaked = []
+    while it.hasNext():
+        rdd = it.next()
+        if not rdd.isLocallyCheckpointed():
+            leaked.append(rdd.toString())
+    assert not leaked, f"leaked DataFrame persists: {leaked}"
+    assert {r.component for r in labels.collect()} == {0}
+
+
 def test_pps_systematic_sample_properties(spark):
     """Integer PPS: exactly n picks in total, multiplicity for docs heavier
     than T/n, zero-weight docs never picked, fully deterministic."""
