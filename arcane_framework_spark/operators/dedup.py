@@ -298,9 +298,14 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
     pair_type ∈ {'new_old', 'new_new'} — new batches can contain their own
     duplicates, which a corpus-only join would miss.
 
-    Scale: both joins shuffle on (band_id, band_hash) only; the per-pair
-    estimate is K integer equality checks in codegen. Nothing rescans
-    corpus text; the signature side table is the only corpus state.
+    Scale: the two candidate-generation joins shuffle on
+    (band_id, band_hash); the estimator stage then looks up signatures
+    by id, with the signature table SEMI-FILTERED to candidate ids first
+    (a broadcast of the distinct candidate ids — batch-proportional by
+    construction) so the id-keyed joins shuffle a candidate-proportional
+    slice, never the corpus-wide signature table. The per-pair estimate
+    is K integer equality checks in codegen. Nothing rescans corpus
+    text; the signature side table is the only corpus state.
     """
     new_sigs = scoped_persist(
         minhash_signatures(new_docs, text_col, id_col)
@@ -334,8 +339,18 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
             F.lit("new_new").alias("pair_type"),
         )
     )
-    cand = cross.unionByName(self_pairs).distinct()
-    all_sigs = corpus_sigs.unionByName(new_sigs)
+    cand = scoped_persist(cross.unionByName(self_pairs).distinct())
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # Candidate-proportional signature lookup: without this filter the two
+    # id-keyed joins below would shuffle the FULL corpus∪batch signature
+    # table twice.
+    all_sigs = corpus_sigs.unionByName(new_sigs).join(
+        F.broadcast(cand_ids), "id", "semi"
+    )
     sig_a = all_sigs.select(
         F.col("id").alias("id_a"),
         *[F.col(f"s{i}").alias(f"__a{i}") for i in range(NUM_HASHES)],
