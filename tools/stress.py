@@ -21,11 +21,20 @@ from pyspark.sql import functions as F
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from arcane_framework_spark.operators.dedup import (  # noqa: E402
+    incremental_minhash_pairs,
     minhash_lsh_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
 )
 from arcane_framework_spark.operators.graph import dedup_clusters  # noqa: E402
-from arcane_framework_spark.operators.packing import pack_documents  # noqa: E402
+from arcane_framework_spark.operators.packing import (  # noqa: E402
+    pack_documents,
+    select_by_budget,
+)
+from arcane_framework_spark.operators.sampling import (  # noqa: E402
+    leakage_guarded_split,
+    pps_systematic_sample,
+)
 from arcane_framework_spark.operators.similarity import (  # noqa: E402
     ivf_topk,
     knn_bruteforce,
@@ -112,6 +121,46 @@ def main() -> None:
                     "doc_id", token_count_expr("text").alias("n_tokens")
                 ),
                 budget=512,
+            )
+        ),
+        # r4 operators on the 10x corpus
+        # incremental: a ~10%-of-corpus batch vs the materialized 10x
+        # signature table (corpus text never rescanned)
+        "incremental_minhash_pairs": timed(
+            lambda: incremental_minhash_pairs(
+                docs.filter(F.col("doc_id") % 10 == 3).select(
+                    (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+                    F.concat_ws(" ", "text", "text").alias("text"),
+                ),
+                minhash_signatures(docs),
+            )
+        ),
+        # cluster-keyed split over the full 10x corpus + its pair graph
+        "leakage_guarded_split": timed(
+            lambda: leakage_guarded_split(docs, minhash_lsh_pairs(docs))
+        ),
+        # integer PPS ticks over the 10x corpus
+        "pps_systematic_sample": timed(
+            lambda: pps_systematic_sample(
+                docs.select(
+                    "doc_id", token_count_expr("text").alias("n_tokens")
+                ),
+                n=5000,
+            )
+        ),
+        # budget cut with a deliberately HOT score band: score = token
+        # count clamped into [0, 8] so one band holds most of the corpus —
+        # the two-level prefix sum must not single-task it
+        "select_by_budget_hot_band": timed(
+            lambda: select_by_budget(
+                docs.select(
+                    "doc_id",
+                    F.least(
+                        F.floor(token_count_expr("text") / 64), F.lit(8)
+                    ).cast("long").alias("score"),
+                    token_count_expr("text").alias("n_tokens"),
+                ),
+                budget=2_000_000,
             )
         ),
     }
