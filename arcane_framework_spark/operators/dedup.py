@@ -266,15 +266,28 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def minhash_band_rows(sig: DataFrame, num_bands: int = NUM_BANDS,
-                      band_size: int = BAND_SIZE) -> DataFrame:
+                      band_size: int = BAND_SIZE,
+                      with_signature: bool = False) -> DataFrame:
     """Exploded LSH band rows (id, band_id, band_hash) from a signature
-    table (the ``minhash_signatures`` layout ``id, s0..s{K-1}``)."""
+    table (the ``minhash_signatures`` layout ``id, s0..s{K-1}``).
+
+    ``with_signature=True`` additionally carries the full K-component
+    signature as an array column ``sig`` on every band row — a map-side
+    attach (~K·8 bytes/row) that lets a downstream band join compute the
+    Jaccard ESTIMATOR in place instead of re-joining signatures by id.
+    """
     band_cols = []
     for b in range(num_bands):
         parts = [F.col(f"s{b * band_size + j}") for j in range(band_size)]
         band_cols.append(F.md5(F.concat_ws("|", *parts)))
+    extra = (
+        [F.array(*[F.col(f"s{i}") for i in range(
+            num_bands * band_size)]).alias("sig")]
+        if with_signature else []
+    )
     return sig.select(
-        "id", F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash")
+        "id", *extra,
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
     )
 
 
@@ -298,27 +311,36 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
     pair_type ∈ {'new_old', 'new_new'} — new batches can contain their own
     duplicates, which a corpus-only join would miss.
 
-    Scale: the two candidate-generation joins shuffle on
-    (band_id, band_hash); the estimator stage then looks up signatures
-    by id, with the signature table SEMI-FILTERED to candidate ids first
-    (a broadcast of the distinct candidate ids — batch-proportional by
-    construction) so the id-keyed joins shuffle a candidate-proportional
-    slice, never the corpus-wide signature table. The per-pair estimate
-    is K integer equality checks in codegen. Nothing rescans corpus
-    text; the signature side table is the only corpus state.
+    Scale: ONE pipelined job whose only shuffles are keyed on
+    (band_id, band_hash) — each band row carries its doc's K-long
+    signature array (map-side attach, ~K·8 bytes per row), so the
+    estimator is computed directly inside the band join (K integer
+    equalities in codegen) and no id-keyed join over the signature
+    table exists at all. The de-signed-doc anti-join broadcasts the
+    batch ids (batch-proportional). Nothing rescans corpus text; the
+    signature side table is the only corpus state.
     """
     new_sigs = scoped_persist(
         minhash_signatures(new_docs, text_col, id_col)
     )
     # A re-signed doc (same id in batch and corpus) takes its NEW
     # signature everywhere: anti-join the stale corpus row out, so the
-    # id spaces are disjoint by construction and the signature lookup
-    # below cannot duplicate pairs.
+    # id spaces are disjoint by construction and the band join below
+    # cannot duplicate pairs.
     corpus_sigs = corpus_sigs.join(
-        new_sigs.select("id"), "id", "anti"
+        F.broadcast(new_sigs.select("id")), "id", "anti"
     )
-    nb = minhash_band_rows(new_sigs)
-    cb = minhash_band_rows(corpus_sigs)
+    nb = minhash_band_rows(new_sigs, with_signature=True)
+    cb = minhash_band_rows(corpus_sigs, with_signature=True)
+
+    def est(sa, sb) -> Column:
+        agree = F.size(
+            F.filter(F.zip_with(sa, sb, lambda x, y: x == y), lambda v: v)
+        )
+        return F.round(
+            agree.cast("double") / F.lit(float(NUM_HASHES)), 6
+        )
+
     cross = (
         nb.alias("n")
         .join(cb.alias("c"), ["band_id", "band_hash"])
@@ -327,6 +349,7 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
             F.least("n.id", "c.id").alias("id_a"),
             F.greatest("n.id", "c.id").alias("id_b"),
             F.lit("new_old").alias("pair_type"),
+            est(F.col("n.sig"), F.col("c.sig")).alias("est_jaccard"),
         )
     )
     self_pairs = (
@@ -337,44 +360,15 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.lit("new_new").alias("pair_type"),
+            est(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
         )
     )
-    cand = scoped_persist(cross.unionByName(self_pairs).distinct())
-    cand_ids = (
-        cand.select(F.col("id_a").alias("id"))
-        .unionByName(cand.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    # Candidate-proportional signature lookup: without this filter the two
-    # id-keyed joins below would shuffle the FULL corpus∪batch signature
-    # table twice.
-    all_sigs = corpus_sigs.unionByName(new_sigs).join(
-        F.broadcast(cand_ids), "id", "semi"
-    )
-    sig_a = all_sigs.select(
-        F.col("id").alias("id_a"),
-        *[F.col(f"s{i}").alias(f"__a{i}") for i in range(NUM_HASHES)],
-    )
-    sig_b = all_sigs.select(
-        F.col("id").alias("id_b"),
-        *[F.col(f"s{i}").alias(f"__b{i}") for i in range(NUM_HASHES)],
-    )
-    agree = sum(
-        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
-        for i in range(NUM_HASHES)
-    )
+    # filter first (band collisions below the threshold never shuffle),
+    # then one distinct to fold multi-band collisions of the same pair
     return (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "pair_type",
-            F.round(
-                agree.cast("double") / F.lit(float(NUM_HASHES)), 6
-            ).alias("est_jaccard"),
-        )
+        cross.unionByName(self_pairs)
         .filter(F.col("est_jaccard") >= F.lit(min_est))
+        .distinct()
     )
 
 

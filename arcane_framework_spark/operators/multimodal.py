@@ -133,11 +133,13 @@ def extract_features(assets: DataFrame) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        def features(b: bytes) -> tuple[int, int, float | None]:
-            raw = bytes(b)
-            if raw[:2] == b"BM":
+        def features(b) -> tuple[int, int, float | None]:
+            # b is bytes/bytearray straight from Arrow — no copy needed;
+            # slicing, len, struct.unpack_from, and np.frombuffer all
+            # take the buffer as-is.
+            if b[:2] == b"BM":
                 try:
-                    img = decode_bmp(raw)
+                    img = decode_bmp(b)
                     return (
                         img.shape[1],
                         img.shape[0],
@@ -145,7 +147,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     )
                 except (ValueError, NotImplementedError):
                     pass  # malformed/unsupported: byte-derived fallback
-            w, h = fake_dimensions(len(raw))
+            w, h = fake_dimensions(len(b))
             return w, h, None
 
         for pdf in it:

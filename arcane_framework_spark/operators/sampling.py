@@ -119,6 +119,64 @@ def split_sql(key_sql: str, splits: dict[str, float] | None = None,
     return f"CASE {cases} ELSE '{thresholds[-1][0]}' END"
 
 
+def stratified_sample(df: DataFrame, strata_col: str, fraction: float,
+                      id_col: str = "vec_id", salt: str = "strat",
+                      num_groups: int = 32) -> DataFrame:
+    """Exact deterministic stratified sample: the first
+    ``floor(n_s · fraction)`` rows of every stratum in hash order — the
+    class-balanced subsample a labeled-embedding pipeline takes without a
+    seed-dependent ``sampleBy`` (whose output moves when partitioning
+    changes).
+
+    The per-stratum order is ``(id % num_groups, md5(salt#id), id)`` —
+    hash-random but reproducible anywhere md5 exists. EXACT per-stratum
+    counts need a per-stratum rank; ranking a 100 TB stratum in one
+    window task is the skew trap, so the rank is two-level, the
+    ``pack_documents`` shape: a local rank within (stratum, id-group) +
+    broadcast offsets of preceding groups' row counts (|strata| × G
+    rows, metadata-scale, the only single-partition window). Fractions
+    should be binary-exact (0.25, 0.5, …) so ``floor(n·f)`` matches
+    across engines bit-for-bit.
+
+    Returns the sampled rows of ``df`` (all original columns).
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    bucket = F.md5(
+        F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    base = df.withColumn("__grp", F.col(id_col) % num_groups).withColumn(
+        "__bk", bucket
+    )
+    w_local = Window.partitionBy(strata_col, "__grp").orderBy("__bk", id_col)
+    local = base.withColumn("__rk", F.row_number().over(w_local))
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("__grp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(strata_col)
+    counts = (
+        base.groupBy(strata_col, "__grp")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        )
+        .withColumn("__tot", F.sum("__cnt").over(w_tot))
+        .select(strata_col, "__grp", "__off", "__tot")
+    )
+    return (
+        local.join(F.broadcast(counts), [strata_col, "__grp"])
+        .filter(
+            F.col("__off") + F.col("__rk")
+            <= F.floor(F.col("__tot") * F.lit(fraction))
+        )
+        .drop("__grp", "__bk", "__rk", "__off", "__tot")
+    )
+
+
 def pps_systematic_sample(df: DataFrame, n: int,
                           id_col: str = "doc_id",
                           weight_col: str = "n_tokens",

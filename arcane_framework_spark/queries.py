@@ -1304,6 +1304,66 @@ def ann_lsh_buckets_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(t["embeddings"], dim=EMBEDDING_DIM)
 
 
+def knn_label_purity_embeddings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Embedding-space label consistency: for each kNN query vector, the
+    fraction of its k exact-cosine neighbors sharing its label — the
+    quality probe a pipeline runs on an embedding table before trusting
+    it for clustering/dedup (low purity = the space doesn't separate the
+    labels). Output (query_id, query_label, n_matching, purity).
+
+    Scale: the kNN result (num_queries × k rows) is the BROADCAST side
+    of both label lookups — the corpus-sized label table is never
+    shuffled.
+    """
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    knn = knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < KNN_NUM_QUERIES), k=KNN_K
+    )
+    lab = emb.select("vec_id", "label")
+    with_qlabel = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    ).join(F.broadcast(knn), "query_id")
+    scored = lab.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("__nlabel"),
+    ).join(F.broadcast(with_qlabel), "neighbor_id")
+    n_matching = F.sum(
+        F.when(F.col("__nlabel") == F.col("query_label"), 1).otherwise(0)
+    )
+    return (
+        scored.groupBy("query_id", "query_label")
+        .agg(n_matching.cast("int").alias("n_matching"))
+        .select(
+            "query_id",
+            "query_label",
+            "n_matching",
+            (
+                F.floor(
+                    F.col("n_matching") / F.lit(KNN_K) * 10000 + F.lit(0.5)
+                ) / 10000
+            ).alias("purity"),
+        )
+    )
+
+
+_KNN_PURITY_SQL = f"""
+WITH knn AS ({_KNN_SQL}),
+lab AS (SELECT vec_id, label FROM embeddings)
+SELECT k.query_id,
+       ql.label AS query_label,
+       CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS INT)
+         AS n_matching,
+       floor(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)::DOUBLE
+             / {KNN_K} * 10000 + 0.5) / 10000 AS purity
+FROM knn k
+JOIN lab ql ON ql.vec_id = k.query_id
+JOIN lab nl ON nl.vec_id = k.neighbor_id
+GROUP BY 1, 2
+"""
+
+
 def _ann_buckets_sql() -> str:
     weights = hyperplane_weights(NUM_PLANES, EMBEDDING_DIM)
     bits = " || ".join(
@@ -1417,6 +1477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_documents": simhash_documents,
     "knn_bruteforce_embeddings": knn_bruteforce_embeddings,
     "ann_lsh_buckets_embeddings": ann_lsh_buckets_embeddings,
+    "knn_label_purity_embeddings": knn_label_purity_embeddings,
     "events_hourly_rollup": events_hourly_rollup,
     "events_json_extract": events_json_extract,
     **TPCH_QUERIES,
@@ -1447,14 +1508,20 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_documents": _simhash_sql(),
     "knn_bruteforce_embeddings": _KNN_SQL,
     "ann_lsh_buckets_embeddings": _ann_buckets_sql(),
+    "knn_label_purity_embeddings": _KNN_PURITY_SQL,
     "events_hourly_rollup": _EVENTS_HOURLY_SQL,
     "events_json_extract": _EVENTS_JSON_SQL,
     **TPCH_ORACLE_SQL,
     **EXT_ORACLE_SQL,
 }
 
-# Registered here (not in queries_ext) because its oracle embeds the MinHash
-# pairs SQL defined above — queries_ext loads before _minhash_sql exists.
-from arcane_framework_spark.queries_ext import _dedup_clusters_sql  # noqa: E402
+# Registered here (not in queries_ext) because their oracles embed the
+# MinHash pairs SQL defined above — queries_ext loads before _minhash_sql
+# exists.
+from arcane_framework_spark.queries_ext import (  # noqa: E402
+    _dedup_canonical_sql,
+    _dedup_clusters_sql,
+)
 
 ORACLE_SQL["dedup_clusters_documents"] = _dedup_clusters_sql(_minhash_sql())
+ORACLE_SQL["dedup_canonical_documents"] = _dedup_canonical_sql(_minhash_sql())

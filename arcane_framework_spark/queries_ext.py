@@ -2144,6 +2144,130 @@ HAVING count(DISTINCT gram_hash) >= {DECONTAM_MIN_MATCHES}
 """
 
 
+STRATIFIED_FRACTION = 0.25  # binary-exact: floor(n*f) matches bit-for-bit
+
+
+def stratified_sample_embeddings(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Class-balanced subsample: exactly floor(n_label · 0.25) vectors per
+    label, picked in deterministic hash order (operators/sampling.py
+    ``stratified_sample`` — the two-level de-skewed rank, no seed, no
+    partition-order sensitivity). Returns (vec_id, label)."""
+    from arcane_framework_spark.operators.sampling import stratified_sample
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select("vec_id", "label")
+    return stratified_sample(
+        emb, strata_col="label", fraction=STRATIFIED_FRACTION
+    ).select("vec_id", "label")
+
+
+_STRATIFIED_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label,
+         vec_id % 32 AS grp,
+         md5('strat' || '#' || CAST(vec_id AS VARCHAR)) AS bk
+  FROM embeddings
+),
+rk AS (
+  -- single-window twin of the Spark two-level rank: same effective
+  -- per-stratum order (id % G, md5, id)
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label ORDER BY grp, bk, vec_id
+         ) AS r,
+         count(*) OVER (PARTITION BY label) AS tot
+  FROM base
+)
+SELECT vec_id, label FROM rk WHERE r <= floor(tot * {STRATIFIED_FRACTION})
+"""
+
+
+def dedup_canonical_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The corpus AFTER near-dup removal, reported per source: every doc
+    outside the pair graph survives, paired docs survive only as their
+    cluster's canonical (min-id) member — the accounting a curation run
+    publishes alongside the deduped corpus. Same planted corpus as
+    minhash_pairs_documents."""
+    from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
+    from arcane_framework_spark.operators.graph import dedup_clusters
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text", "source")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+        "source",
+    )
+    corpus = docs.unionByName(planted)
+    clusters = dedup_clusters(
+        minhash_lsh_pairs(corpus.select("doc_id", "text"))
+    )
+    keep = F.coalesce(F.col("is_canonical"), F.lit(True))
+    kept_flag = F.when(keep, 1).otherwise(0)
+    return (
+        corpus.join(
+            clusters.select("doc_id", "is_canonical"), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept_flag).cast("long").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (
+                F.floor(
+                    F.col("n_kept") / F.col("n_docs") * 10000 + F.lit(0.5)
+                ) / 10000
+            ).alias("kept_ratio"),
+        )
+    )
+
+
+def _dedup_canonical_sql(minhash_pairs_sql: str) -> str:
+    """Oracle: recursive-CTE closure → per-source survivor accounting.
+    Parameterized on the pairs SQL like ``_dedup_clusters_sql``."""
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a, id_b FROM ({minhash_pairs_sql}) mh
+),
+sym AS (
+  SELECT id_a AS node, id_b AS nbr FROM edges
+  UNION
+  SELECT id_b AS node, id_a AS nbr FROM edges
+),
+reach(node, r) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT reach.node, sym.nbr FROM reach JOIN sym ON reach.r = sym.node
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+),
+corpus AS (
+  SELECT doc_id, source FROM documents
+  UNION ALL
+  SELECT doc_id + {{dup_offset}}, source FROM documents WHERE doc_id % 7 = 0
+),
+flags AS (
+  SELECT corpus.doc_id, corpus.source,
+         CASE WHEN comp.node IS NULL THEN TRUE
+              ELSE comp.node = comp.component END AS keep
+  FROM corpus LEFT JOIN comp ON comp.node = corpus.doc_id
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       floor(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 10000 + 0.5) / 10000 AS kept_ratio
+FROM flags GROUP BY source
+""".replace("{dup_offset}", str(_DUP_OFFSET))
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": ngram_jaccard_documents,
     "simhash_neardup_documents": simhash_neardup_documents,
@@ -2182,6 +2306,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centroid_outliers_embeddings": centroid_outliers_embeddings,
     "snapshot_diff_orders": snapshot_diff_orders,
     "repeated_spans_documents": repeated_spans_documents,
+    "stratified_sample_embeddings": stratified_sample_embeddings,
+    "dedup_canonical_documents": dedup_canonical_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -2221,6 +2347,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "centroid_outliers_embeddings": _CENTROID_OUTLIERS_SQL,
     "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
     "repeated_spans_documents": _REPEATED_SPANS_SQL,
-    # dedup_clusters_documents is registered by queries.py (its oracle embeds
-    # _minhash_sql, which is defined after this module loads).
+    "stratified_sample_embeddings": _STRATIFIED_SQL,
+    # dedup_clusters_documents and dedup_canonical_documents are
+    # registered by queries.py (their oracles embed _minhash_sql, which
+    # is defined after this module loads).
 }
