@@ -24,6 +24,7 @@ from arcane_framework_spark.operators.similarity import (  # noqa: F401
     knn_bruteforce,
     knn_bruteforce_vectorized,
     lsh_buckets,
+    semantic_dedup,
 )
 from arcane_framework_spark.operators.cache import (  # noqa: F401
     cache_scope,

@@ -637,3 +637,90 @@ def centroid_outliers(vectors: DataFrame, id_col: str = "vec_id",
             ).alias("dist"),
         )
     )
+
+
+def semantic_dedup(vectors: DataFrame, k: int, threshold: float,
+                   iterations: int = 3, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   init_stride: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    The SemDeDup recipe (Abbas et al. 2023): cluster the corpus with
+    k-means, then look for near-duplicate pairs ONLY inside each cluster —
+    the cells bound the quadratic pairwise work that makes global
+    all-pairs cosine impossible at corpus scale. Within a cell, a vector
+    is PRUNED when some cell-mate with cosine >= ``threshold`` dominates
+    it: the keeper is the one closer to the cell centroid (rounded cosine
+    to centroid, ties broken by lower id) — a deterministic local-maxima
+    rule that needs no connected-components pass and is expressible in
+    plain SQL for the oracle.
+
+    Returns one row per vector: (id, cid, cent_cos, pruned).
+
+    Scale: k-means is O(iters) shuffles of N rows (see ``kmeans_fit``);
+    assignment broadcasts k centroids; the dedup probe is ONE
+    sort-merge self-join keyed on ``cid`` — per-cell pairwise, so cost is
+    sum(cell²) not N², and growing ``k`` with the corpus keeps cells
+    bounded. The dominance probe is a left-semi join: no pair
+    materialization survives the exchange, Spark emits at most one match
+    per probe row. Rounding cent_cos to 6 decimals before comparing makes
+    the dominance decision bit-stable across engines.
+
+    Reference parity: the reference has no semantic dedup; this extends
+    the dedup family (X1-X5) to the embedding modality the way a
+    training-data pipeline needs at 100 TB.
+    """
+    centroids = kmeans_fit(
+        vectors, k=k, iterations=iterations, id_col=id_col,
+        vec_col=vec_col, init_stride=init_stride,
+    )
+    cent = centroids.select(
+        "cid", "cvec", norm_expr(F.col("cvec")).alias("__cn")
+    )
+    assigned = (
+        ivf_assign(vectors, centroids, id_col, vec_col)
+        .join(F.broadcast(cent), "cid")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            "vec",
+            # 5 decimals, not 6: cent_cos feeds an exact dominance
+            # comparison, and the centroid components are summation-order-
+            # sensitive means — one extra digit of slack keeps the decision
+            # bit-stable across engines.
+            F.round(
+                dot_expr(F.col("vec"), F.col("cvec"))
+                / (norm_expr(F.col("vec")) * F.col("__cn")),
+                5,
+            ).alias("cent_cos"),
+        )
+        .transform(scoped_persist)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = F.round(
+        dot_expr(F.col("a.vec"), F.col("b.vec"))
+        / (norm_expr(F.col("a.vec")) * norm_expr(F.col("b.vec"))),
+        6,
+    )
+    dominates = (F.col("b.cent_cos") > F.col("a.cent_cos")) | (
+        (F.col("b.cent_cos") == F.col("a.cent_cos"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+    )
+    pruned = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        & dominates
+        & (pair_cos >= F.lit(threshold)),
+        "left_semi",
+    ).select(F.col(f"a.{id_col}").alias(id_col), F.lit(True).alias("pruned"))
+    return (
+        assigned.select(id_col, "cid", "cent_cos")
+        .join(pruned, id_col, "left")
+        .select(
+            id_col,
+            "cid",
+            "cent_cos",
+            F.coalesce("pruned", F.lit(False)).alias("pruned"),
+        )
+    )

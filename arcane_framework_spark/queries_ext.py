@@ -1450,13 +1450,41 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     Spark-side ordered fold, so cosines agree to well under the round-4
     tolerance of the emitted stats.
     """
+    ctes, prev, cos = _kmeans_ctes(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        k, iters, dim,
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+final_scored AS (
+  SELECT e.vec_id, c.cid, {cos} AS cos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM e CROSS JOIN {prev} c
+)
+SELECT f.cid, count(*) AS n_points,
+       round(avg(f.cos), 4) AS avg_cosine,
+       round(any_value(sqrt(list_dot_product(c.cvec, c.cvec))), 4)
+         AS centroid_norm
+FROM (SELECT vec_id, cid, cos FROM final_scored WHERE rn = 1) f
+JOIN {prev} c USING (cid)
+GROUP BY f.cid
+"""
+
+
+def _kmeans_ctes(src_select: str, k: int, iters: int,
+                 dim: int) -> tuple[list[str], str, str]:
+    """Reusable unrolled-Lloyd CTE list over an arbitrary (vec_id, v)
+    source select. Returns (ctes, final_centroid_cte_name, cos_template)
+    where cos_template scores ``e`` rows against centroid alias ``c``."""
     cos = (
         "list_dot_product(e.v, c.cvec) / "
         "(sqrt(list_dot_product(e.v, e.v)) * "
         "sqrt(list_dot_product(c.cvec, c.cvec)))"
     )
     ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"e AS ({src_select})",
         f"""c0 AS (
   SELECT vec_id AS cid, v AS cvec FROM e,
        (SELECT greatest(1, CAST(floor(count(*)::DOUBLE / {k}) AS BIGINT))
@@ -1482,23 +1510,7 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
   ) GROUP BY cid
 )""")
         prev = f"c{i}"
-    joined = ",\n".join(ctes)
-    return f"""
-WITH {joined},
-final_scored AS (
-  SELECT e.vec_id, c.cid, {cos} AS cos,
-         row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY {cos} DESC, c.cid) AS rn
-  FROM e CROSS JOIN {prev} c
-)
-SELECT f.cid, count(*) AS n_points,
-       round(avg(f.cos), 4) AS avg_cosine,
-       round(any_value(sqrt(list_dot_product(c.cvec, c.cvec))), 4)
-         AS centroid_norm
-FROM (SELECT vec_id, cid, cos FROM final_scored WHERE rn = 1) f
-JOIN {prev} c USING (cid)
-GROUP BY f.cid
-"""
+    return ctes, prev, cos
 
 
 # ---------------------------------------------------------------------------
@@ -2268,6 +2280,71 @@ FROM flags GROUP BY source
 """.replace("{dup_offset}", str(_DUP_OFFSET))
 
 
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 2
+SEMDEDUP_TAU = 0.8
+
+
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus with planted near-duplicates:
+    deterministic k-means cells bound the pairwise work, then each vector
+    is pruned when a same-cell mate with cosine >= 0.8 sits closer to the
+    cell centroid. Returns the full per-vector decision table
+    (vec_id, cid, cent_cos, pruned) so the oracle checks every individual
+    keep/prune call, not just aggregates."""
+    from arcane_framework_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _neardup_corpus(spark, sf_dir),
+        k=SEMDEDUP_K,
+        threshold=SEMDEDUP_TAU,
+        iterations=SEMDEDUP_ITERS,
+    )
+
+
+def _semantic_dedup_sql(k: int = SEMDEDUP_K, iters: int = SEMDEDUP_ITERS,
+                        tau: float = SEMDEDUP_TAU,
+                        dim: int = EMBEDDING_DIM) -> str:
+    """Oracle: same planted corpus, same unrolled Lloyd iterations
+    (shared ``_kmeans_ctes`` builder), then the same dominance rule —
+    cent_cos rounded to 5 decimals before comparison in both engines so
+    the prune decision is bit-stable across summation order."""
+    src = f"""SELECT vec_id, v FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_DUP_OFFSET},
+           list_concat([v2[1] + {NEARDUP_DELTA}], v2[2:]) FROM (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v2 FROM embeddings
+      WHERE vec_id % {NEARDUP_EVERY} = 0))"""
+    ctes, prev, cos = _kmeans_ctes(src, k, iters, dim)
+    joined = ",\n".join(ctes)
+    pair_cos = (
+        "round(list_dot_product(x.v, y.v) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * "
+        "sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+WITH {joined},
+scored AS (
+  SELECT e.vec_id, e.v, c.cid, round({cos}, 5) AS cent_cos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos} DESC, c.cid) AS rn
+  FROM e CROSS JOIN {prev} c
+),
+cc AS (SELECT vec_id, v, cid, cent_cos FROM scored WHERE rn = 1),
+pruned AS (
+  SELECT DISTINCT x.vec_id FROM cc x JOIN cc y
+    ON x.cid = y.cid AND x.vec_id <> y.vec_id
+   AND (y.cent_cos > x.cent_cos
+        OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id))
+   AND {pair_cos} >= {tau}
+)
+SELECT cc.vec_id, cc.cid, cc.cent_cos,
+       (pruned.vec_id IS NOT NULL) AS pruned
+FROM cc LEFT JOIN pruned USING (vec_id)
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": ngram_jaccard_documents,
     "simhash_neardup_documents": simhash_neardup_documents,
@@ -2308,6 +2385,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repeated_spans_documents": repeated_spans_documents,
     "stratified_sample_embeddings": stratified_sample_embeddings,
     "dedup_canonical_documents": dedup_canonical_documents,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -2348,6 +2426,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
     "repeated_spans_documents": _REPEATED_SPANS_SQL,
     "stratified_sample_embeddings": _STRATIFIED_SQL,
+    "semantic_dedup_embeddings": _semantic_dedup_sql(),
     # dedup_clusters_documents and dedup_canonical_documents are
     # registered by queries.py (their oracles embed _minhash_sql, which
     # is defined after this module loads).

@@ -1483,3 +1483,42 @@ def test_incremental_minhash_resigned_doc_uses_new_signature(spark):
     got = {(r.id_a, r.id_b) for r in out}
     assert (1, 2) in got      # new text pairs with doc 1
     assert (2, 2) not in got  # never pairs with its own stale signature
+
+
+def test_semantic_dedup_prunes_planted_neighbor(spark):
+    """Two tight groups of near-identical vectors plus one isolated vector:
+    within each group only the centroid-closest survives; the isolated
+    vector is never pruned."""
+    import math
+
+    from arcane_framework_spark.operators.similarity import semantic_dedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        # group A: three vectors within ~2 degrees of each other
+        (0, unit(0.00)),
+        (1, unit(0.02)),
+        (2, unit(0.04)),
+        # group B: two vectors near 90 degrees
+        (10, unit(math.pi / 2)),
+        (11, unit(math.pi / 2 + 0.02)),
+        # isolated: opposite direction, alone in its cell
+        (20, unit(math.pi)),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(
+        df, k=3, threshold=0.95, iterations=2, init_stride=10
+    ).orderBy("vec_id")
+    got = {r.vec_id: r.pruned for r in out.collect()}
+    assert got[20] is False
+    # each multi-member cell keeps exactly one representative
+    cells = {r.vec_id: r.cid for r in out.collect()}
+    for cell in set(cells.values()):
+        members = [v for v, c in cells.items() if c == cell]
+        kept = [v for v in members if not got[v]]
+        if len(members) > 1:
+            assert len(kept) == 1, (cell, members, kept)
+    # every vector appears exactly once
+    assert sorted(cells) == [0, 1, 2, 10, 11, 20]
