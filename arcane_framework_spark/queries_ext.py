@@ -2280,6 +2280,72 @@ FROM flags GROUP BY source
 """.replace("{dup_offset}", str(_DUP_OFFSET))
 
 
+COMPACT_TARGET = 1024
+COMPACT_THRESHOLD = 512
+COMPACT_GROUPS = 32
+
+
+def compaction_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over synthetic file metadata: each doc
+    stands in for a sink-written file (partition=source, size=byte
+    length); files >= 512 B are already 'compact', the rest are grouped
+    into ~1 KiB rewrite tasks per partition. Exercises the maintenance
+    planner end-to-end (operators/maintenance.py)."""
+    from arcane_framework_spark.operators.maintenance import plan_compaction
+
+    t = load_tables(spark, sf_dir, "documents")
+    files = t["documents"].select(
+        "source", "doc_id", F.length("text").alias("size")
+    )
+    return plan_compaction(
+        files,
+        target_bytes=COMPACT_TARGET,
+        partition_col="source",
+        id_col="doc_id",
+        size_col="size",
+        small_file_threshold=COMPACT_THRESHOLD,
+        num_groups=COMPACT_GROUPS,
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH base AS (
+  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS size,
+         doc_id % {COMPACT_GROUPS} AS grp
+  FROM documents WHERE length(text) < {COMPACT_THRESHOLD}
+),
+local AS (
+  SELECT *, COALESCE(SUM(size) OVER (
+      PARTITION BY source, grp ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS local_before
+  FROM base
+),
+offsets AS (
+  SELECT source, grp, COALESCE(SUM(grp_total) OVER (
+      PARTITION BY source ORDER BY grp
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT source, grp, SUM(size) AS grp_total
+        FROM base GROUP BY source, grp)
+),
+assigned AS (
+  SELECT l.source, l.doc_id, l.size,
+         CAST(floor((l.local_before + o.off) / {COMPACT_TARGET}.0) AS BIGINT)
+           AS compaction_group
+  FROM local l JOIN offsets o ON l.source = o.source AND l.grp = o.grp
+),
+groups AS (
+  SELECT source, compaction_group,
+         CAST(count(*) AS BIGINT) AS group_files,
+         CAST(SUM(size) AS BIGINT) AS group_bytes
+  FROM assigned GROUP BY source, compaction_group
+)
+SELECT a.source, a.doc_id, a.size, a.compaction_group,
+       g.group_files, g.group_bytes
+FROM assigned a JOIN groups g USING (source, compaction_group)
+WHERE g.group_files > 1
+"""
+
+
 SEMDEDUP_K = 8
 SEMDEDUP_ITERS = 2
 SEMDEDUP_TAU = 0.8
@@ -2386,6 +2452,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_embeddings": stratified_sample_embeddings,
     "dedup_canonical_documents": dedup_canonical_documents,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "compaction_plan_documents": compaction_plan_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -2427,6 +2494,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "repeated_spans_documents": _REPEATED_SPANS_SQL,
     "stratified_sample_embeddings": _STRATIFIED_SQL,
     "semantic_dedup_embeddings": _semantic_dedup_sql(),
+    "compaction_plan_documents": _COMPACTION_SQL,
     # dedup_clusters_documents and dedup_canonical_documents are
     # registered by queries.py (their oracles embed _minhash_sql, which
     # is defined after this module loads).

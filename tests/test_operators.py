@@ -1522,3 +1522,35 @@ def test_semantic_dedup_prunes_planted_neighbor(spark):
             assert len(kept) == 1, (cell, members, kept)
     # every vector appears exactly once
     assert sorted(cells) == [0, 1, 2, 10, 11, 20]
+
+
+def test_plan_compaction_groups_small_files(spark):
+    from arcane_framework_spark.operators.maintenance import plan_compaction
+
+    rows = [
+        # partition p1: six 300-byte files -> two ~1KiB groups
+        *[("p1", i, 300) for i in range(6)],
+        # one already-compact file: excluded
+        ("p1", 6, 5000),
+        # partition p2: a single small file -> singleton group, dropped
+        ("p2", 7, 100),
+    ]
+    files = spark.createDataFrame(rows, ["part", "file_id", "size"])
+    plan = plan_compaction(
+        files, target_bytes=1024, small_file_threshold=1024, num_groups=4
+    )
+    got = plan.collect()
+    # the compact file and the singleton partition are not rewritten
+    assert all(r.file_id not in (6, 7) for r in got)
+    # all six small p1 files are planned, in >1-file groups
+    assert sorted(r.file_id for r in got) == [0, 1, 2, 3, 4, 5]
+    by_group = {}
+    for r in got:
+        by_group.setdefault((r.part, r.compaction_group), []).append(r)
+    for (part, _), members in by_group.items():
+        assert part == "p1"
+        assert len(members) > 1
+        assert members[0].group_files == len(members)
+        assert members[0].group_bytes == sum(m.size for m in members)
+    # prefix bucketing: total bytes / target bounds the group count
+    assert len(by_group) == 2
