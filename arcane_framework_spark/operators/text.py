@@ -358,3 +358,56 @@ def unigram_nll(docs: DataFrame, id_col: str = "doc_id",
             ).alias("mean_nll"),
         )
     )
+
+
+def frequent_ngrams(docs: DataFrame, n: int, top_k: int,
+                    group_col: str = "lang", text_col: str = "text",
+                    min_count: int = 2) -> DataFrame:
+    """Corpus-wide heavy hitters: the ``top_k`` most frequent word
+    ``n``-grams per ``group_col`` — the boilerplate/template detector a
+    web-scale corpus needs before training (repeated headers, cookie
+    banners, license blurbs surface instantly at the top).
+
+    Returns (group, ngram, cnt, rank), rank 1..top_k per group ordered
+    by (count DESC, ngram ASC).
+
+    Scale: tokens are materialized once per row behind a Generate
+    barrier (the CollapseProject trap), each doc emits T-n+1 n-gram
+    rows, and the count is ONE shuffle keyed (group, ngram) with
+    map-side partial aggregation. ``min_count`` drops the long tail —
+    the overwhelming majority of n-grams are singletons — BEFORE the
+    rank exchange, so the window sorts only plausibly-frequent rows;
+    Spark further caps it with a partial WindowGroupLimit on the map
+    side. No collect, no global sort.
+    """
+    from pyspark.sql import Window
+
+    base = _with_token_barrier(docs, text_col)
+    t = F.col("__toks")
+    # sequence(1, size-(n-1)) is DESCENDING when size < n (negative
+    # default step) — guard empties explicitly.
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(group_col).alias("group"),
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+        ).alias("ngram"),
+    )
+    counts = (
+        grams.groupBy("group", "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    w = Window.partitionBy("group").orderBy(F.col("cnt").desc(), "ngram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("group").alias(group_col),
+            "ngram",
+            "cnt",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -2280,6 +2280,53 @@ FROM flags GROUP BY source
 """.replace("{dup_offset}", str(_DUP_OFFSET))
 
 
+NGRAM_HH_N = 3
+NGRAM_HH_TOP_K = 10
+NGRAM_HH_MIN_COUNT = 2
+
+
+def frequent_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter boilerplate detector: top-10 most frequent word
+    trigrams per language across the corpus (operators/text.py
+    frequent_ngrams)."""
+    from arcane_framework_spark.operators.text import frequent_ngrams
+
+    t = load_tables(spark, sf_dir, "documents")
+    return frequent_ngrams(
+        t["documents"].select("lang", "text"),
+        n=NGRAM_HH_N,
+        top_k=NGRAM_HH_TOP_K,
+        min_count=NGRAM_HH_MIN_COUNT,
+    )
+
+
+_FREQUENT_NGRAMS_SQL = rf"""
+WITH toks AS (
+  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT lang, array_to_string(t[i:i + {NGRAM_HH_N - 1}], ' ') AS ngram
+  FROM (SELECT lang, t,
+               unnest(generate_series(1, len(t) - {NGRAM_HH_N - 1})) AS i
+        FROM toks)
+),
+counts AS (
+  SELECT lang, ngram, CAST(count(*) AS BIGINT) AS cnt
+  FROM grams GROUP BY lang, ngram
+  HAVING count(*) >= {NGRAM_HH_MIN_COUNT}
+),
+ranked AS (
+  SELECT lang, ngram, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, ngram) AS rank
+  FROM counts
+)
+SELECT lang, ngram, cnt, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {NGRAM_HH_TOP_K}
+"""
+
+
 COMPACT_TARGET = 1024
 COMPACT_THRESHOLD = 512
 COMPACT_GROUPS = 32
@@ -2453,6 +2500,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical_documents": dedup_canonical_documents,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "compaction_plan_documents": compaction_plan_documents,
+    "frequent_ngrams_documents": frequent_ngrams_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -2495,6 +2543,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "stratified_sample_embeddings": _STRATIFIED_SQL,
     "semantic_dedup_embeddings": _semantic_dedup_sql(),
     "compaction_plan_documents": _COMPACTION_SQL,
+    "frequent_ngrams_documents": _FREQUENT_NGRAMS_SQL,
     # dedup_clusters_documents and dedup_canonical_documents are
     # registered by queries.py (their oracles embed _minhash_sql, which
     # is defined after this module loads).

@@ -1554,3 +1554,22 @@ def test_plan_compaction_groups_small_files(spark):
         assert members[0].group_bytes == sum(m.size for m in members)
     # prefix bucketing: total bytes / target bounds the group count
     assert len(by_group) == 2
+
+
+def test_frequent_ngrams_finds_planted_boilerplate(spark):
+    from arcane_framework_spark.operators.text import frequent_ngrams
+
+    banner = "accept all cookies"
+    rows = (
+        [(i, "en", f"doc {i} body {banner} tail words") for i in range(5)]
+        + [(10, "en", "one two"), (11, "de", "kurz")]  # too short for trigrams
+        + [(12, "de", "alle rechte vorbehalten hier"),
+           (13, "de", "alle rechte vorbehalten dort")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = frequent_ngrams(df, n=3, top_k=2, min_count=2).collect()
+    top = {(r.lang, r.rank): (r.ngram, r.cnt) for r in out}
+    assert top[("en", 1)] == (banner, 5)
+    assert top[("de", 1)] == ("alle rechte vorbehalten", 2)
+    # min_count prunes singletons: nothing with cnt < 2 survives
+    assert all(r.cnt >= 2 for r in out)
