@@ -188,3 +188,62 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
             (F.col("node") == F.col("component")).alias("is_canonical"),
         )
     )
+
+
+def incremental_components(assignment: DataFrame, new_edges: DataFrame,
+                           node_col: str = "node",
+                           comp_col: str = "component",
+                           src: str = "id_a", dst: str = "id_b",
+                           max_rounds: int = 20) -> DataFrame:
+    """Merge a batch of NEW edges into an existing (node, component)
+    assignment without re-running connected components over the corpus.
+
+    The continuous-ingest closure step: ``incremental_minhash_pairs``
+    emits the new batch's near-dup edges; this folds them into the
+    materialized cluster table. Contract: ``assignment`` is a fixpoint of
+    ``connected_components`` — every component id is the MINIMUM node id
+    of its members (which makes the (node → component) rows themselves a
+    spanning star of each old component).
+
+    Only components actually touched by a new edge are recomputed:
+
+    1. touched nodes = the batch's edge endpoints (batch-proportional);
+    2. touched components = their assignment rows (broadcast semi-join —
+       the full assignment is scanned but never shuffled);
+    3. the touched components' star edges ∪ the new edges feed the
+       regular pointer-jumping ``connected_components`` — a graph
+       proportional to the batch plus the components it touches, NOT the
+       corpus;
+    4. untouched assignment rows pass through via a broadcast anti-join.
+
+    Union of (3) and (4) equals a full recompute over (old edges ∪ new
+    edges): new edges cannot create paths through untouched components,
+    and each old component's star preserves both its connectivity and
+    its min id. Output: (node, component), same contract as the input —
+    the operator composes with itself batch after batch.
+    """
+    new_edges = new_edges.select(src, dst).transform(scoped_persist)
+    touched_nodes = (
+        new_edges.select(F.col(src).alias(node_col))
+        .union(new_edges.select(F.col(dst).alias(node_col)))
+        .distinct()
+    )
+    touched_comps = (
+        assignment.join(F.broadcast(touched_nodes), node_col)
+        .select(comp_col)
+        .distinct()
+        .transform(scoped_persist)
+    )
+    sub_star = assignment.join(F.broadcast(touched_comps), comp_col).select(
+        F.col(node_col).alias(src), F.col(comp_col).alias(dst)
+    )
+    recomputed = connected_components(
+        sub_star.unionByName(new_edges), src=src, dst=dst,
+        max_rounds=max_rounds,
+    ).select(
+        F.col("node").alias(node_col), F.col("component").alias(comp_col)
+    )
+    untouched = assignment.join(
+        F.broadcast(touched_comps), comp_col, "anti"
+    ).select(node_col, comp_col)
+    return untouched.unionByName(recomputed)

@@ -684,6 +684,11 @@ def semantic_dedup(vectors: DataFrame, k: int, threshold: float,
             F.col("id").alias(id_col),
             "cid",
             "vec",
+            # Norm precomputed ONCE per row: the pairwise probe below reads
+            # it from both sides instead of re-folding vec·vec per PAIR —
+            # same doubles as computing it in place (norm is per-row
+            # deterministic), a third of the per-pair HOF work.
+            norm_expr(F.col("vec")).alias("__n"),
             # 5 decimals, not 6: cent_cos feeds an exact dominance
             # comparison, and the centroid components are summation-order-
             # sensitive means — one extra digit of slack keeps the decision
@@ -699,7 +704,7 @@ def semantic_dedup(vectors: DataFrame, k: int, threshold: float,
     a, b = assigned.alias("a"), assigned.alias("b")
     pair_cos = F.round(
         dot_expr(F.col("a.vec"), F.col("b.vec"))
-        / (norm_expr(F.col("a.vec")) * norm_expr(F.col("b.vec"))),
+        / (F.col("a.__n") * F.col("b.__n")),
         6,
     )
     dominates = (F.col("b.cent_cos") > F.col("a.cent_cos")) | (

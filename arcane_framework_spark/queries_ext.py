@@ -2280,6 +2280,71 @@ FROM flags GROUP BY source
 """.replace("{dup_offset}", str(_DUP_OFFSET))
 
 
+INC_CC_GROUP = 5
+INC_CC_BRIDGE_EVERY = 35
+INC_CC_NEWNODE_EVERY = 50
+INC_CC_NEW_OFFSET = 200_000
+
+
+def incremental_clusters_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance: a prior (node, component)
+    assignment — groups of 5 consecutive doc ids, component = group min —
+    absorbs a batch of new edges (bridges merging adjacent groups, plus
+    brand-new docs attaching to existing ones) via
+    operators/graph.py incremental_components. Only touched components
+    are recomputed; the oracle replays a FULL recursive-CTE closure over
+    (star edges ∪ new edges), so the hash match proves the incremental
+    path equals a from-scratch recompute."""
+    from arcane_framework_spark.operators.graph import incremental_components
+
+    t = load_tables(spark, sf_dir, "documents")
+    ids = t["documents"].select("doc_id")
+    assignment = ids.select(
+        F.col("doc_id").alias("node"),
+        (F.col("doc_id") - F.col("doc_id") % INC_CC_GROUP).alias("component"),
+    )
+    bridges = ids.filter(F.col("doc_id") % INC_CC_BRIDGE_EVERY == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + INC_CC_GROUP).alias("id_b"),
+    )
+    attaches = ids.filter(F.col("doc_id") % INC_CC_NEWNODE_EVERY == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + INC_CC_NEW_OFFSET).alias("id_b"),
+    )
+    return incremental_components(
+        assignment, bridges.unionByName(attaches)
+    )
+
+
+_INC_CC_SQL = f"""
+WITH RECURSIVE base AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_id AS id_a, doc_id - doc_id % {INC_CC_GROUP} AS id_b FROM base
+  UNION ALL
+  SELECT doc_id, doc_id + {INC_CC_GROUP} FROM base
+  WHERE doc_id % {INC_CC_BRIDGE_EVERY} = 0
+  UNION ALL
+  SELECT doc_id, doc_id + {INC_CC_NEW_OFFSET} FROM base
+  WHERE doc_id % {INC_CC_NEWNODE_EVERY} = 0
+),
+sym AS (
+  SELECT id_a AS node, id_b AS nbr FROM edges
+  UNION
+  SELECT id_b AS node, id_a AS nbr FROM edges
+),
+reach(node, r) AS (
+  SELECT node, nbr FROM sym
+  UNION
+  SELECT reach.node, sym.nbr FROM reach JOIN sym ON reach.r = sym.node
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+)
+SELECT node, component FROM comp
+"""
+
+
 NGRAM_HH_N = 3
 NGRAM_HH_TOP_K = 10
 NGRAM_HH_MIN_COUNT = 2
@@ -2501,6 +2566,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "compaction_plan_documents": compaction_plan_documents,
     "frequent_ngrams_documents": frequent_ngrams_documents,
+    "incremental_clusters_documents": incremental_clusters_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -2544,6 +2610,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "semantic_dedup_embeddings": _semantic_dedup_sql(),
     "compaction_plan_documents": _COMPACTION_SQL,
     "frequent_ngrams_documents": _FREQUENT_NGRAMS_SQL,
+    "incremental_clusters_documents": _INC_CC_SQL,
     # dedup_clusters_documents and dedup_canonical_documents are
     # registered by queries.py (their oracles embed _minhash_sql, which
     # is defined after this module loads).

@@ -1573,3 +1573,36 @@ def test_frequent_ngrams_finds_planted_boilerplate(spark):
     assert top[("de", 1)] == ("alle rechte vorbehalten", 2)
     # min_count prunes singletons: nothing with cnt < 2 survives
     assert all(r.cnt >= 2 for r in out)
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from arcane_framework_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    new_edges = [(3, 10), (40, 41), (21, 50)]
+    prior = connected_components(
+        spark.createDataFrame(old_edges, ["id_a", "id_b"])
+    )
+    inc = incremental_components(
+        prior, spark.createDataFrame(new_edges, ["id_a", "id_b"])
+    )
+    full = connected_components(
+        spark.createDataFrame(old_edges + new_edges, ["id_a", "id_b"])
+    )
+    got = {r.node: r.component for r in inc.collect()}
+    want = {r.node: r.component for r in full.collect()}
+    assert got == want
+    # untouched component {30, 31} flowed through unchanged
+    assert got[30] == 30 and got[31] == 30
+    # merged chain 1-2-3-10-11 collapsed to min id 1
+    assert got[11] == 1
+    # output composes: result is a valid min-id assignment, so a second
+    # batch can be folded into it the same way
+    second = incremental_components(
+        inc, spark.createDataFrame([(11, 30)], ["id_a", "id_b"])
+    )
+    got2 = {r.node: r.component for r in second.collect()}
+    assert got2[31] == 1 and got2[50] == 20
