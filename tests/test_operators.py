@@ -1606,3 +1606,62 @@ def test_incremental_components_equals_full_recompute(spark):
     )
     got2 = {r.node: r.component for r in second.collect()}
     assert got2[31] == 1 and got2[50] == 20
+
+
+def test_incremental_components_random_graphs_match_full(spark):
+    """Randomized (fixed-seed) equivalence: fold a random edge batch into
+    the CC of a random base graph == CC over the union."""
+    import random
+
+    from arcane_framework_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        base = [(rng.randrange(60), rng.randrange(60)) for _ in range(40)]
+        base = [(a, b) for a, b in base if a != b]
+        batch = [(rng.randrange(80), rng.randrange(80)) for _ in range(15)]
+        batch = [(a, b) for a, b in batch if a != b]
+        prior = connected_components(
+            spark.createDataFrame(base, ["id_a", "id_b"])
+        )
+        inc = incremental_components(
+            prior, spark.createDataFrame(batch, ["id_a", "id_b"])
+        )
+        full = connected_components(
+            spark.createDataFrame(base + batch, ["id_a", "id_b"])
+        )
+        got = {r.node: r.component for r in inc.collect()}
+        want = {r.node: r.component for r in full.collect()}
+        assert got == want, f"seed {seed}"
+
+
+def test_plan_compaction_group_size_bounds(spark):
+    """Every group's bytes stay below target + one file, and all but the
+    last group per partition reach the target (prefix-bucketing bound)."""
+    import random
+
+    rng = random.Random(11)
+    target = 1000
+    rows = [
+        (f"p{i % 3}", i, rng.randrange(1, 400)) for i in range(90)
+    ]
+    from arcane_framework_spark.operators.maintenance import plan_compaction
+
+    plan = plan_compaction(
+        spark.createDataFrame(rows, ["part", "file_id", "size"]),
+        target_bytes=target, num_groups=8,
+    ).collect()
+    max_size = max(s for _, _, s in rows)
+    groups = {}
+    for r in plan:
+        groups.setdefault((r.part, r.compaction_group), r)
+    for (part, gid), r in groups.items():
+        assert r.group_bytes < target + max_size
+        last = max(g for p, g in groups if p == part)
+        if gid < last:
+            # a non-final group spans at least the target once its
+            # straddling file (counted into the next group) is included
+            assert r.group_bytes + max_size >= target

@@ -26,6 +26,8 @@ EXPECTED_BNLJ = {
     "kmeans_embeddings",           # corpus × broadcast centroids per Lloyd pass
     "q22_inactive_customers",      # scalar threshold broadcast
     "lsh_recall_documents",        # exact ground truth on a FIXED-SIZE sample
+    "knn_label_purity_embeddings",  # composes knn_bruteforce (query × scan)
+    "semantic_dedup_embeddings",   # corpus × broadcast centroids (kmeans/IVF)
 }
 
 #: No query is allowed a CartesianProduct: lsh_recall's exact all-pairs

@@ -26,7 +26,13 @@ from arcane_framework_spark.operators.dedup import (  # noqa: E402
     minhash_signatures,
     ngram_jaccard_pairs,
 )
-from arcane_framework_spark.operators.graph import dedup_clusters  # noqa: E402
+from arcane_framework_spark.operators.graph import (  # noqa: E402
+    dedup_clusters,
+    incremental_components,
+)
+from arcane_framework_spark.operators.maintenance import (  # noqa: E402
+    plan_compaction,
+)
 from arcane_framework_spark.operators.packing import (  # noqa: E402
     pack_documents,
     select_by_budget,
@@ -39,8 +45,12 @@ from arcane_framework_spark.operators.similarity import (  # noqa: E402
     ivf_topk,
     knn_bruteforce,
     knn_bruteforce_vectorized,
+    semantic_dedup,
 )
-from arcane_framework_spark.operators.text import token_count_expr  # noqa: E402
+from arcane_framework_spark.operators.text import (  # noqa: E402
+    frequent_ngrams,
+    token_count_expr,
+)
 from arcane_framework_spark.session import get_spark  # noqa: E402
 
 
@@ -161,6 +171,45 @@ def main() -> None:
                     token_count_expr("text").alias("n_tokens"),
                 ),
                 budget=2_000_000,
+            )
+        ),
+        # r5 operators on the 10x corpus
+        # semantic dedup: k grows with the corpus (10x vectors -> 40
+        # cells) so per-cell pairwise work stays bounded
+        "semantic_dedup": timed(
+            lambda: semantic_dedup(emb, k=40, threshold=0.9, iterations=2)
+        ),
+        # fold a batch of new edges into the 10x corpus's cluster table:
+        # only touched components recompute
+        "incremental_components": timed(
+            lambda: incremental_components(
+                dedup_clusters(minhash_lsh_pairs(docs)).select(
+                    F.col("doc_id").alias("node"),
+                    F.col("cluster_id").alias("component"),
+                ),
+                docs.filter(F.col("doc_id") % 1000 == 7).select(
+                    F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + F.lit(77_000_000)).alias("id_b"),
+                ),
+            )
+        ),
+        # heavy-hitter trigrams across the 10x corpus (planted copymarker
+        # tails are the hot grams)
+        "frequent_ngrams": timed(
+            lambda: frequent_ngrams(
+                docs.select(F.lit("all").alias("lang"), "text"),
+                n=3, top_k=20, min_count=2,
+            )
+        ),
+        # compaction plan over 10x file metadata (400 partitions)
+        "plan_compaction": timed(
+            lambda: plan_compaction(
+                docs.select(
+                    (F.col("doc_id") % 400).alias("part"),
+                    F.col("doc_id").alias("file_id"),
+                    F.length("text").alias("size"),
+                ),
+                target_bytes=16_384,
             )
         ),
     }
