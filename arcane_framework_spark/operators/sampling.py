@@ -349,3 +349,58 @@ def mixture_sample(docs: DataFrame, source_col: str = "source",
         .filter((F.col("__thr") >= F.lit(16 ** 8)) | (bucket < thr_hex))
         .drop("__thr")
     )
+
+
+def top_fraction_per_group(df: DataFrame, group_col: str, score_col: str,
+                           fraction: float, id_col: str = "doc_id",
+                           num_groups: int = 32) -> DataFrame:
+    """Per-group quality gate: keep the best ``floor(n_g · fraction)``
+    rows of every group, ranked by an INTEGER score — "the top quartile
+    of each source by quality", the per-domain counterpart of the global
+    ``select_by_budget`` cut.
+
+    ``score_col`` must be integral (fixed-point a float metric first):
+    integer scores give identical ordering in every engine, and the
+    effective per-group order is ``(score DESC, id % num_groups, id)`` —
+    deterministic, with the hash-group term breaking up the one-task
+    window a raw per-group rank would need. Ranking is two-level like
+    ``stratified_sample``: a local row_number within (group, score,
+    id-group), plus broadcast offsets from the (group, score, id-group)
+    count table (metadata-scale — its window partitions per group).
+    Fractions should be binary-exact (0.25, 0.5) so ``floor(n·f)``
+    agrees across engines bit-for-bit.
+
+    Returns the surviving rows of ``df`` (original columns).
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    base = df.withColumn("__grp", F.col(id_col) % num_groups)
+    w_local = Window.partitionBy(group_col, score_col, "__grp").orderBy(
+        id_col
+    )
+    local = base.withColumn("__rk", F.row_number().over(w_local))
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), "__grp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(group_col)
+    counts = (
+        base.groupBy(group_col, score_col, "__grp")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        )
+        .withColumn("__tot", F.sum("__cnt").over(w_tot))
+        .select(group_col, score_col, "__grp", "__off", "__tot")
+    )
+    return (
+        local.join(F.broadcast(counts), [group_col, score_col, "__grp"])
+        .filter(
+            F.col("__off") + F.col("__rk")
+            <= F.floor(F.col("__tot") * F.lit(fraction))
+        )
+        .drop("__grp", "__rk", "__off", "__tot")
+    )

@@ -127,3 +127,62 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     return spark.table(left_table).join(
         spark.table(right_table), on=list(on), how=how
     )
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the ``top_k`` hottest keys
+    with their share of the table and their skew factor vs a perfectly
+    uniform key distribution.
+
+    The operational pre-flight check before shuffling 100 TB on a key:
+    a skew factor of 500 on one key means one reducer gets 500x the
+    average partition and the stage runs at the speed of that straggler
+    — the signal to salt (``salted``), broadcast, or AQE-split before
+    launching the real job.
+
+    Output (key, cnt, share, skew) where share = cnt/n_rows and
+    skew = cnt/(n_rows/n_keys), both rounded half-up to 4 decimals.
+
+    Scale: per-key counts are ONE shuffle with map-side partial
+    aggregation (cached — both consumers read the same materialization);
+    the global (n_rows, n_keys) pair rides in as a 1-row broadcast
+    scalar computed FROM the counts (no second table scan); the rank ≤ k
+    filter plans as a distributed ``TakeOrderedAndProject(limit=k)`` —
+    per-partition top-k then a k-row merge — so the window itself ranks
+    only k rows. The report is top_k rows — driver-safe at any corpus
+    size.
+    """
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    # counts feeds both the totals scalar and the rank — persist so the
+    # table is scanned once, not twice.
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(scoped_persist)
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__n_rows"),
+        F.count(F.lit(1)).alias("__n_keys"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "key")
+    # Rank+filter FIRST (bare window+filter is what Spark rewrites into a
+    # map-side WindowGroupLimit), then attach the scalar to the top_k
+    # survivors only.
+    ranked = with_broadcast_scalar(
+        counts.withColumn("__rk", F.row_number().over(w)).filter(
+            F.col("__rk") <= top_k
+        ),
+        totals,
+    )
+    half_up = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return ranked.select(
+        F.col("key").alias(key_col),
+        "cnt",
+        half_up(F.col("cnt") / F.col("__n_rows")).alias("share"),
+        half_up(
+            F.col("cnt") * F.col("__n_keys") / F.col("__n_rows")
+        ).alias("skew"),
+    )

@@ -2280,6 +2280,77 @@ FROM flags GROUP BY source
 """.replace("{dup_offset}", str(_DUP_OFFSET))
 
 
+SKEW_TOP_K = 10
+TOP_FRACTION = 0.25
+TOP_FRACTION_GROUPS = 32
+
+
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnostic on the events join key: the 10
+    hottest user_ids with their table share and skew factor vs a uniform
+    key distribution (operators/scale.py skew_report)."""
+    from arcane_framework_spark.operators.scale import skew_report
+
+    t = load_tables(spark, sf_dir, "events")
+    return skew_report(t["events"], "user_id", top_k=SKEW_TOP_K)
+
+
+_SKEW_REPORT_SQL = f"""
+WITH counts AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+totals AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM counts
+),
+ranked AS (
+  SELECT key, cnt,
+         row_number() OVER (ORDER BY cnt DESC, key) AS rk
+  FROM counts
+)
+SELECT r.key AS user_id, r.cnt,
+       floor(r.cnt::DOUBLE / t.n_rows * 10000 + 0.5) / 10000 AS share,
+       floor(r.cnt::DOUBLE * t.n_keys / t.n_rows * 10000 + 0.5) / 10000
+         AS skew
+FROM ranked r CROSS JOIN totals t
+WHERE r.rk <= {SKEW_TOP_K}
+"""
+
+
+def top_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gate: the longest 25% of every source's docs
+    (n_chars standing in for any fixed-point quality score), via the
+    two-level de-skewed per-group rank (operators/sampling.py
+    top_fraction_per_group). Returns (doc_id, source, n_chars)."""
+    from arcane_framework_spark.operators.sampling import (
+        top_fraction_per_group,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "source", "n_chars")
+    return top_fraction_per_group(
+        docs, group_col="source", score_col="n_chars",
+        fraction=TOP_FRACTION, num_groups=TOP_FRACTION_GROUPS,
+    ).select("doc_id", "source", "n_chars")
+
+
+_TOP_FRACTION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY n_chars DESC, doc_id % {TOP_FRACTION_GROUPS}, doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY source) AS tot
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM base
+WHERE rk <= floor(tot * {TOP_FRACTION})
+"""
+
+
 INC_CC_GROUP = 5
 INC_CC_BRIDGE_EVERY = 35
 INC_CC_NEWNODE_EVERY = 50
@@ -2567,6 +2638,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compaction_plan_documents": compaction_plan_documents,
     "frequent_ngrams_documents": frequent_ngrams_documents,
     "incremental_clusters_documents": incremental_clusters_documents,
+    "skew_report_events": skew_report_events,
+    "top_fraction_documents": top_fraction_documents,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -2611,6 +2684,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "compaction_plan_documents": _COMPACTION_SQL,
     "frequent_ngrams_documents": _FREQUENT_NGRAMS_SQL,
     "incremental_clusters_documents": _INC_CC_SQL,
+    "skew_report_events": _SKEW_REPORT_SQL,
+    "top_fraction_documents": _TOP_FRACTION_SQL,
     # dedup_clusters_documents and dedup_canonical_documents are
     # registered by queries.py (their oracles embed _minhash_sql, which
     # is defined after this module loads).

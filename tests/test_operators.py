@@ -1665,3 +1665,42 @@ def test_plan_compaction_group_size_bounds(spark):
             # a non-final group spans at least the target once its
             # straddling file (counted into the next group) is included
             assert r.group_bytes + max_size >= target
+
+
+def test_skew_report_hot_key(spark):
+    from arcane_framework_spark.operators.scale import skew_report
+
+    rows = [(1,)] * 80 + [(2,)] * 10 + [(3,)] * 5 + [(4,)] * 5
+    df = spark.createDataFrame(rows, ["k"])
+    out = skew_report(df, "k", top_k=2).collect()
+    assert [r.k for r in out] == [1, 2]
+    hot = out[0]
+    assert hot.cnt == 80 and hot.share == 0.8
+    # uniform share would be 25 rows/key -> skew 80/25 = 3.2
+    assert hot.skew == 3.2
+
+
+def test_top_fraction_per_group_exact_counts(spark):
+    from arcane_framework_spark.operators.sampling import (
+        top_fraction_per_group,
+    )
+
+    rows = [("a", i, i * 10) for i in range(8)] + [
+        ("b", 100 + i, 5) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["src", "doc_id", "score"])
+    out = top_fraction_per_group(
+        df, group_col="src", score_col="score", fraction=0.5
+    ).collect()
+    got = sorted((r.src, r.doc_id) for r in out)
+    # group a: floor(8*0.5)=4 best scores -> ids 4..7
+    # group b: floor(5*0.5)=2, all tied at score 5 -> lowest (grp, id)
+    a = [d for s, d in got if s == "a"]
+    b = [d for s, d in got if s == "b"]
+    assert a == [4, 5, 6, 7]
+    assert len(b) == 2
+    # deterministic under different parallelism
+    out2 = top_fraction_per_group(
+        df.repartition(7), group_col="src", score_col="score", fraction=0.5
+    ).collect()
+    assert sorted((r.src, r.doc_id) for r in out2) == got
