@@ -729,3 +729,65 @@ def semantic_dedup(vectors: DataFrame, k: int, threshold: float,
             F.coalesce("pruned", F.lit(False)).alias("pruned"),
         )
     )
+
+
+def embedding_dispersion(vectors: DataFrame, group_col: str = "label",
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Per-group embedding diversity: the EXACT mean squared Euclidean
+    distance over all ordered pairs within each group — without forming
+    a single pair.
+
+    The variance identity makes the O(N²) quantity a one-pass
+    aggregation: sum over i≠j of ||xi−xj||² = 2N·Σ||xi||² − 2·||Σxi||².
+    A diversity collapse (mode-collapsed embeddings, over-deduped data)
+    shows up as a dispersion drop long before any pairwise audit could
+    run at corpus scale.
+
+    Cross-engine exactness: components are fixed-pointed to micro-units
+    (exact longs), per-dimension sums and sums of squares accumulate as
+    DECIMAL(38,0) integers (HUGEINT in the DuckDB oracle), so any row
+    order and partitioning gives bit-identical integers; the single
+    division to float happens once at the end. Output
+    (group, n_vectors, dispersion) with dispersion rounded half-up to 6.
+
+    Scale: posexplode to (group, dim) → ONE shuffle with map-side
+    partial aggregation over group×dim keys → a groups-sized rollup.
+    No pairs, no windows, no collect.
+    """
+    base = vectors.select(
+        F.col(group_col).alias("group"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5))
+                .cast("decimal(38,0)"),
+            )
+        ).alias("pos", "e"),
+    )
+    per_dim = base.groupBy("group", "pos").agg(
+        F.sum("e").alias("s"),
+        F.sum(F.col("e") * F.col("e")).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_group = per_dim.groupBy("group").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+        F.sum("q").alias("qq"),
+        F.max("n").alias("n"),
+    )
+    pair_sum = (
+        F.lit(2).cast("decimal(38,0)") * F.col("n") * F.col("qq")
+        - F.lit(2).cast("decimal(38,0)") * F.col("ss")
+    )
+    mean_sq = pair_sum.cast("double") / (
+        F.col("n").cast("double")
+        * (F.col("n") - F.lit(1)).cast("double")
+        * F.lit(1e12)
+    )
+    return per_group.filter(F.col("n") > 1).select(
+        F.col("group").alias(group_col),
+        F.col("n").cast("long").alias("n_vectors"),
+        (F.floor(mean_sq * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "dispersion"
+        ),
+    )

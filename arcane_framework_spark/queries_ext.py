@@ -2280,6 +2280,44 @@ FROM flags GROUP BY source
 """.replace("{dup_offset}", str(_DUP_OFFSET))
 
 
+def embedding_dispersion_labels(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-label embedding diversity: exact mean pairwise squared
+    distance via the one-pass variance identity — the
+    diversity-collapse monitor (operators/similarity.py
+    embedding_dispersion)."""
+    from arcane_framework_spark.operators.similarity import (
+        embedding_dispersion,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    return embedding_dispersion(t["embeddings"])
+
+
+_DISPERSION_SQL = """
+WITH comp AS (
+  SELECT label, i.pos,
+         CAST(floor(v[i.pos] * 1000000 + 0.5) AS HUGEINT) AS e
+  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       (SELECT unnest(generate_series(1, 64)) AS pos) i
+),
+per_dim AS (
+  SELECT label, pos, SUM(e) AS s, SUM(e * e) AS q, count(*) AS n
+  FROM comp GROUP BY label, pos
+),
+per_group AS (
+  SELECT label, SUM(s * s) AS ss, SUM(q) AS qq, MAX(n) AS n
+  FROM per_dim GROUP BY label
+)
+SELECT label,
+       CAST(n AS BIGINT) AS n_vectors,
+       floor((2 * n * qq - 2 * ss)::DOUBLE
+             / (n::DOUBLE * (n - 1)::DOUBLE * 1e12) * 1e6 + 0.5) / 1e6
+         AS dispersion
+FROM per_group WHERE n > 1
+"""
+
+
 SKEW_TOP_K = 10
 TOP_FRACTION = 0.25
 TOP_FRACTION_GROUPS = 32
@@ -2640,6 +2678,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_clusters_documents": incremental_clusters_documents,
     "skew_report_events": skew_report_events,
     "top_fraction_documents": top_fraction_documents,
+    "embedding_dispersion_labels": embedding_dispersion_labels,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -2686,6 +2725,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "incremental_clusters_documents": _INC_CC_SQL,
     "skew_report_events": _SKEW_REPORT_SQL,
     "top_fraction_documents": _TOP_FRACTION_SQL,
+    "embedding_dispersion_labels": _DISPERSION_SQL,
     # dedup_clusters_documents and dedup_canonical_documents are
     # registered by queries.py (their oracles embed _minhash_sql, which
     # is defined after this module loads).

@@ -1704,3 +1704,33 @@ def test_top_fraction_per_group_exact_counts(spark):
         df.repartition(7), group_col="src", score_col="score", fraction=0.5
     ).collect()
     assert sorted((r.src, r.doc_id) for r in out2) == got
+
+
+def test_embedding_dispersion_matches_bruteforce(spark):
+    """The one-pass variance identity equals the explicit all-pairs mean
+    squared distance."""
+    import itertools
+    import random
+
+    from arcane_framework_spark.operators.similarity import (
+        embedding_dispersion,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, "g%d" % (i % 2), [round(rng.uniform(-1, 1), 3) for _ in range(4)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    got = {
+        r.label: r.dispersion
+        for r in embedding_dispersion(df, vec_col="embedding").collect()
+    }
+    for g in ("g0", "g1"):
+        vecs = [v for _, lab, v in rows if lab == g]
+        pairs = [
+            sum((a - b) ** 2 for a, b in zip(x, y))
+            for x, y in itertools.permutations(vecs, 2)
+        ]
+        want = sum(pairs) / len(pairs)
+        assert abs(got[g] - want) < 1e-4, (g, got[g], want)
