@@ -496,6 +496,99 @@ SELECT doc_id,
 FROM documents
 """
 
+_DATACARD_DUP_OFFSET = 300_000
+
+
+def corpus_datacard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datacard: the summary table a curation run
+    publishes next to the dataset — doc count, language spread, token
+    volume, mean quality, exact-duplicate rate. Exact copies are planted
+    (every 11th doc re-emitted) so the dup-rate column is non-trivial.
+
+    Determinism: quality is fixed-pointed per row (floor(q·1e4 + 0.5) as
+    a long) BEFORE the mean so the sum is order-independent integer
+    arithmetic; dup rate counts distinct md5 fingerprints. One shuffle
+    (the per-source aggregate, count-distinct two-phase), map-side
+    feature extraction only.
+    """
+    from arcane_framework_spark.operators.text import (
+        fingerprint_expr,
+        quality_score_expr,
+        token_count_expr,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text", "lang", "source")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + F.lit(_DATACARD_DUP_OFFSET)).alias("doc_id"),
+            "text", "lang", "source",
+        )
+    )
+    feat = corpus.select(
+        "source",
+        "lang",
+        fingerprint_expr("text").alias("fp"),
+        token_count_expr("text").alias("n_tokens"),
+        F.floor(quality_score_expr("text") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    return feat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.floor(F.sum("q") / F.count(F.lit(1)) + F.lit(0.5)) / 10000
+        ).alias("avg_quality"),
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.countDistinct("fp") / F.count(F.lit(1))
+                )
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("dup_rate"),
+    )
+
+
+_DATACARD_SQL = rf"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + {_DATACARD_DUP_OFFSET}, text, lang, source
+  FROM documents WHERE doc_id % 11 = 0
+),
+feat0 AS (
+  SELECT source, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS_SQL}) END::BIGINT AS n_tokens,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE (len(text) - len(regexp_replace(text,
+                    '{_SQL_PUNCT_CLASS}', '', 'g')))::DOUBLE
+                   / len(text)::DOUBLE END AS praw
+  FROM corpus
+),
+feat AS (
+  SELECT source, lang, fp, n_tokens,
+         CAST(floor(least(1.0, n_tokens::DOUBLE / 100.0) * (1.0 - praw)
+                    * 10000 + 0.5) AS BIGINT) AS q
+  FROM feat0
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       SUM(n_tokens)::BIGINT AS total_tokens,
+       floor(SUM(q)::DOUBLE / count(*) + 0.5) / 10000 AS avg_quality,
+       floor((1.0 - count(DISTINCT fp)::DOUBLE / count(*)) * 10000 + 0.5)
+         / 10000 AS dup_rate
+FROM feat GROUP BY source
+"""
+
 
 # ---------------------------------------------------------------------------
 # Deduplication (north-star). The corpus has no exact dupes, so the exact-
@@ -1466,6 +1559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_documents": lang_id_documents,
     "token_count_by_source": token_count_by_source,
     "fingerprint_documents": fingerprint_documents,
+    "corpus_datacard_documents": corpus_datacard_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "minhash_pairs_documents": minhash_pairs_documents,
     "leakage_guarded_split_documents": leakage_guarded_split_documents,
@@ -1497,6 +1591,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id_documents": _lang_id_sql(),
     "token_count_by_source": _TOKEN_COUNT_SQL,
     "fingerprint_documents": _FINGERPRINT_SQL,
+    "corpus_datacard_documents": _DATACARD_SQL,
     "dedup_exact_documents": _DEDUP_EXACT_SQL,
     "minhash_pairs_documents": _minhash_sql(),
     "leakage_guarded_split_documents": _leakage_split_sql(),
