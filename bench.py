@@ -43,6 +43,26 @@ def main() -> None:
     except Exception:
         pass  # warm-up is best-effort; the timed loop records real failures
 
+    # Warm the Python worker pool + Arrow serialization path as well: the
+    # first mapInPandas in a session forks one Python worker per core and
+    # imports pandas/numpy inside each (~4-5s on local[32]) — without this,
+    # whichever Pandas-UDF query happens to run first absorbs that one-off
+    # cost into its timing.
+    try:
+        import pandas as pd  # noqa: F401
+
+        def _warm(batches):
+            import numpy as np  # executor-side import, cached by worker reuse
+            for b in batches:
+                yield b
+
+        warm_df = spark.range(0, 256, 1, int(cpus))
+        warm_df.mapInPandas(_warm, warm_df.schema).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+
     from arcane_framework_spark.operators.cache import cache_scope
 
     timings: dict[str, float] = {}
