@@ -112,3 +112,66 @@ def repeated_spans(corpus: DataFrame, id_col: str = "doc_id",
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+#: N-gram width for the cross-source overlap matrix. Narrower than the
+#: decontamination width (8): the matrix measures stylistic/content
+#: similarity between whole sources, where 3-grams give a dense, stable
+#: signal; 8-grams would measure only verbatim duplication.
+OVERLAP_NGRAM_WIDTH = 3
+
+
+def source_overlap(docs: DataFrame, group_col: str = "source",
+                   text_col: str = "text",
+                   n: int = OVERLAP_NGRAM_WIDTH) -> DataFrame:
+    """Pairwise corpus-overlap matrix: (source_a, source_b, shared_ngrams,
+    overlap_frac) for every unordered source pair, where ``overlap_frac``
+    = |shared distinct n-grams| / min(|A|, |B|) (containment of the
+    smaller side).
+
+    Scale shape: the corpus collapses to DISTINCT (source, gram_hash)
+    first — ONE shuffle with two-phase aggregation, output is
+    gram-TYPE x source scale. The pair join then keys on gram_hash; a
+    gram present in g sources expands to C(g,2) <= C(S,2) pairs, so the
+    join fan-out is bounded by the (small, fixed) source count S, never
+    by corpus size. Per-source distinct totals are S rows -> broadcast.
+    """
+    grams = (
+        ngram_hashes(docs, id_col=group_col, text_col=text_col, n=n)
+        .select(F.col(group_col).alias("src"), "gram_hash")
+        .distinct()
+    )
+    totals = grams.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    a = grams.select(F.col("src").alias("source_a"), "gram_hash")
+    b = grams.select(F.col("src").alias("source_b"), "gram_hash")
+    shared = (
+        a.join(b, "gram_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+    )
+    ta = totals.select(
+        F.col("src").alias("source_a"), F.col("n_grams").alias("__na")
+    )
+    tb = totals.select(
+        F.col("src").alias("source_b"), F.col("n_grams").alias("__nb")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_ngrams",
+            (
+                F.floor(
+                    F.col("shared_ngrams")
+                    / F.least("__na", "__nb") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("overlap_frac"),
+        )
+    )

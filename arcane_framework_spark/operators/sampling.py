@@ -404,3 +404,128 @@ def top_fraction_per_group(df: DataFrame, group_col: str, score_col: str,
         )
         .drop("__grp", "__rk", "__off", "__tot")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic interleaved training order
+# ---------------------------------------------------------------------------
+
+#: Hash-bucket fan-out for the distributed within-source rank. Correctness
+#: is independent of the value; at 100 TB raise toward O(cluster cores).
+ORDER_BUCKETS = 16
+
+
+def interleaved_order(docs: DataFrame, id_col: str = "doc_id",
+                      group_col: str = "source",
+                      seed: str = "epoch0") -> DataFrame:
+    """Deterministic, source-interleaved global training order:
+    (position, id, source).
+
+    Within each source, docs are shuffled by ``md5(seed # id)``; global
+    ``position = (rank_within_source - 1) * S + source_index`` strictly
+    round-robins the S sources (a training run reading by ``position``
+    never sees long single-source stretches), is unique, and is a pure
+    function of (seed, id, source) — rerunnable and engine-portable.
+
+    Scale shape — NO corpus-scale single-partition window anywhere:
+    the within-source rank uses the two-level scheme (cf.
+    ``packing.pack_documents``): rows get a local rank inside
+    (source, hash-bucket) windows; per-(source, bucket) counts (S x B
+    rows, metadata-scale) produce bucket offsets via a tiny window;
+    rank = offset + local rank. The source index / source count ride the
+    same broadcast S-row dimension.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat(F.lit(seed), F.lit("#"), F.col(id_col).cast("string"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("source"),
+        key.alias("__key"),
+    ).withColumn("__bkt", F.substring("__key", 1, 1))
+    # Local rank inside (source, first-hex-digit bucket); bucket prefixes
+    # order lexically, so offset(bucket) + local rank == rank over __key.
+    w_local = Window.partitionBy("source", "__bkt").orderBy("__key", "id")
+    local = base.withColumn("__lrk", F.row_number().over(w_local))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("source", "__bkt")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .select("source", "__bkt", "__off")
+    )
+    # S-row source dimension: alphabetical index + source count.
+    w_src = Window.orderBy("source")
+    srcs = (
+        docs.select(F.col(group_col).alias("source")).distinct()
+        .withColumn("__sidx", F.row_number().over(w_src) - 1)
+        .withColumn("__n_src", F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ))
+    )
+    return (
+        local.join(F.broadcast(offsets), ["source", "__bkt"])
+        .join(F.broadcast(srcs), "source")
+        .select(
+            (
+                (F.col("__off") + F.col("__lrk") - 1) * F.col("__n_src")
+                + F.col("__sidx")
+            ).cast("long").alias("position"),
+            F.col("id").alias(id_col),
+            "source",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled epoch allocation (data-mixture budgeting)
+# ---------------------------------------------------------------------------
+
+def epoch_allocation(docs: DataFrame, budget_tokens: int,
+                     source_col: str = "source",
+                     tokens_col: str = "n_tokens") -> DataFrame:
+    """Per-source token budget under temperature-0.5 sampling:
+    (source, n_tokens, weight, target_tokens, repeat_factor).
+
+    The standard multi-source mixing rule (cf. multilingual-LM sampling,
+    alpha-weighted): sampling weight proportional to n_tokens^alpha with
+    alpha = 0.5 — up-weights small sources relative to proportional
+    sampling without letting any source dominate. alpha is pinned at 0.5
+    because sqrt is IEEE-exactly-rounded in every engine, while pow(x, a)
+    is not — the DuckDB oracle matches bit-for-bit. The sqrt is snapped to
+    integer milli-units before the normalizing sum so the sum is exact
+    integer arithmetic (order-independent under Spark's partial aggs).
+
+    ``repeat_factor`` > 1 means the source must be epoched (seen more
+    than once) to fill its slice of the budget. One corpus-scale
+    aggregation; everything after runs on S rows.
+    """
+    per_src = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("n_tokens")
+    )
+    milli = F.floor(F.sqrt(F.col("n_tokens")) * 1000 + F.lit(0.5)).cast(
+        "long"
+    )
+    with_m = per_src.withColumn("__m", milli)
+    from pyspark.sql import Window
+
+    total_m = F.sum("__m").over(Window.partitionBy())
+    w = F.col("__m") / total_m
+    target = F.floor(w * F.lit(float(budget_tokens)) + F.lit(0.5)).cast(
+        "long"
+    )
+    return with_m.select(
+        "source",
+        "n_tokens",
+        (F.floor(w * 1e6 + F.lit(0.5)) / 1e6).alias("weight"),
+        target.alias("target_tokens"),
+        (
+            F.floor(target / F.col("n_tokens") * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("repeat_factor"),
+    )

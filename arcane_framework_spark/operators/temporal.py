@@ -164,3 +164,74 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
         .groupBy("cohort_date", "week_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly volume anomaly detection
+# ---------------------------------------------------------------------------
+
+ANOMALY_TOP_K = 3
+
+
+def hourly_anomaly(events: DataFrame, ts_col, type_col: str = "event_type",
+                   top_k: int = ANOMALY_TOP_K) -> DataFrame:
+    """Per-type hourly volume anomalies: the ``top_k`` hours whose event
+    count deviates most (|z-score|) from that type's hourly mean:
+    (event_type, hour, n_events, z_score, rank).
+
+    ``ts_col`` is a timestamp Column (callers pass ``ts_timestamp(df)`` so
+    the dtype dispatch survives testdata drift).
+
+    The z-score is computed from exact integer moments, not
+    stddev_samp/avg doubles: with n hours, S = sum(count), Q =
+    sum(count^2), ``z = (c*n - S) / sqrt(n*Q - S*S)`` — algebraically
+    (c - mean)/std_pop, but every intermediate is a 64-bit integer, so
+    Spark and DuckDB agree bit-for-bit where float accumulation order
+    would not.
+
+    Scale shape: the corpus-scale work is ONE groupBy(type, hour) with
+    map-side combine; everything downstream (per-type windows, the top-k
+    rank) runs on the hourly rollup, which is metadata-scale (hours x
+    types) by construction.
+    """
+    hourly = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", ts_col).alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w_type = Window.partitionBy("event_type")
+    stats = (
+        hourly.withColumn("__n", F.count(F.lit(1)).over(w_type))
+        .withColumn("__s", F.sum("n_events").over(w_type))
+        .withColumn(
+            "__q", F.sum(F.col("n_events") * F.col("n_events")).over(w_type)
+        )
+    )
+    denom = F.sqrt(
+        (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")).cast(
+            "double"
+        )
+    )
+    z = F.when(
+        denom > 0,
+        (F.col("n_events") * F.col("__n") - F.col("__s")).cast("double")
+        / denom,
+    ).otherwise(F.lit(0.0))
+    scored = stats.withColumn("__z", z)
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("__z")).desc(), "hour"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            (F.floor(F.col("__z") * 1e4 + F.lit(0.5)) / 1e4).alias("z_score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

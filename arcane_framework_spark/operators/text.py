@@ -411,3 +411,163 @@ def frequent_ngrams(docs: DataFrame, n: int, top_k: int,
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level boilerplate removal (C4/RefinedWeb-style line dedup)
+# ---------------------------------------------------------------------------
+
+#: Width (in tokens) of the non-overlapping segments that stand in for
+#: "lines" — the corpus carries no newlines, so boilerplate detection
+#: operates on fixed-width token windows, the same unit C4 uses after
+#: normalizing whitespace.
+SEGMENT_WIDTH = 8
+
+#: A segment is boilerplate when it appears in at least this many DISTINCT
+#: documents (C4 removes any line occurring >= 3 times in the corpus).
+BOILERPLATE_MIN_DOCS = 3
+
+
+def segment_hashes(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   width: int = SEGMENT_WIDTH) -> DataFrame:
+    """(id, seg_hash, seg_tokens) for NON-overlapping token segments.
+
+    Tokens materialize once behind a Generate barrier; each doc emits
+    ceil(T/width) rows (vs T-n+1 for the overlapping n-gram table), so the
+    segment table is ~width x smaller than the shingle table — this is what
+    makes corpus-wide line counting affordable at 100 TB. md5 keeps the
+    grouped key 16 bytes and is bit-identical in DuckDB (oracle parity).
+    """
+    # Blank text would tokenize to [''] (split of the empty string), which
+    # is not a segment — drop it before the barrier, same as the oracle.
+    base = _with_token_barrier(
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0), text_col
+    )
+    t = F.col("__toks")
+    idx = F.when(
+        F.size(t) > 0,
+        F.sequence(F.lit(0), F.ceil(F.size(t) / width).cast("int") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(idx, lambda i: F.slice(t, i * width + 1, width))
+        ).alias("__seg"),
+    ).select(
+        id_col,
+        F.md5(F.array_join(F.col("__seg"), " ")).alias("seg_hash"),
+        F.size("__seg").cast("long").alias("seg_tokens"),
+    )
+
+
+def boilerplate_segment_stats(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              width: int = SEGMENT_WIDTH,
+                              min_docs: int = BOILERPLATE_MIN_DOCS) -> DataFrame:
+    """Per-doc boilerplate accounting: (id, n_segments, n_boiler_segments,
+    boiler_token_frac, kept_tokens).
+
+    Two shuffles, both on the 16-byte segment hash / the doc id:
+
+    1. corpus-wide frequency: groupBy(seg_hash) -> count DISTINCT docs
+       (two-phase agg, partial map-side combine);
+    2. flag-join the (much smaller) boilerplate hash set back onto the
+       segment table — left join so unique segments survive — then
+       re-aggregate per doc.
+
+    The boilerplate set after the >= min_docs filter is tiny relative to
+    the corpus (boilerplate is by definition repeated), so AQE turns the
+    flag join into a broadcast at any realistic scale. ``boiler_token_frac``
+    is fixed-point rounded (floor(x*1e4+0.5)/1e4) for oracle parity.
+    """
+    segs = segment_hashes(docs, id_col, text_col, width)
+    boiler = (
+        segs.groupBy("seg_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("seg_hash", F.lit(True).alias("__is_boiler"))
+    )
+    flagged = segs.join(boiler, "seg_hash", "left")
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(F.col("__is_boiler"), 1).otherwise(0)).cast("long").alias(
+            "n_boiler_segments"
+        ),
+        F.sum(F.when(F.col("__is_boiler"), F.col("seg_tokens")).otherwise(0))
+        .cast("long").alias("__boiler_tokens"),
+        F.sum("seg_tokens").cast("long").alias("__total_tokens"),
+    )
+    frac = F.col("__boiler_tokens") / F.col("__total_tokens")
+    return per_doc.select(
+        id_col,
+        "n_segments",
+        "n_boiler_segments",
+        (F.floor(frac * 1e4 + F.lit(0.5)) / 1e4).alias("boiler_token_frac"),
+        (F.col("__total_tokens") - F.col("__boiler_tokens")).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction + per-source coverage
+# ---------------------------------------------------------------------------
+
+#: Induced vocabulary size for coverage accounting. Real pipelines use
+#: 32k-256k; the synthetic corpus has ~31 token types, so the knob is set
+#: low enough (16) that the top-V cut actually discriminates and
+#: per-source coverage varies.
+VOCAB_SIZE = 16
+
+
+def vocab_coverage(docs: DataFrame, source_col: str = "source",
+                   text_col: str = "text",
+                   vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """Per-source coverage of the corpus-induced top-V vocabulary:
+    (source, total_tokens, vocab_tokens, coverage).
+
+    The vocabulary is the ``vocab_size`` most frequent token TYPES
+    (ties broken by token asc). Scale shape:
+
+    - token explosion is map-side; the (token -> count) aggregate is ONE
+      shuffle with partial combine, and its output is word-TYPE-scale
+      (Heaps' law: ~1M types at 100 TB), not corpus-scale;
+    - the top-V cut is TakeOrderedAndProject over the type table — no
+      full global sort materializes;
+    - the coverage probe joins the corpus token stream against the
+      BROADCAST vocabulary, so the stream is never shuffled a second
+      time; per-source totals ride the same aggregation.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens_expr(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), "token")
+        .limit(vocab_size)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("__in_vocab"), 1).otherwise(0)).cast("long")
+            .alias("vocab_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "vocab_tokens",
+            (
+                F.floor(
+                    F.col("vocab_tokens") / F.col("total_tokens") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("coverage"),
+        )
+    )

@@ -41,6 +41,10 @@ from arcane_framework_spark.operators.text import (
     with_text_stats,
 )
 from arcane_framework_spark.queries_ext import EXT_ORACLE_SQL, EXT_QUERIES
+from arcane_framework_spark.queries_pipeline import (
+    PIPELINE_ORACLE_SQL,
+    PIPELINE_QUERIES,
+)
 from arcane_framework_spark.queries_tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from arcane_framework_spark.session import load_tables, ts_micros, ts_timestamp
 
@@ -1576,6 +1580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json_extract": events_json_extract,
     **TPCH_QUERIES,
     **EXT_QUERIES,
+    **PIPELINE_QUERIES,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1608,6 +1613,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_json_extract": _EVENTS_JSON_SQL,
     **TPCH_ORACLE_SQL,
     **EXT_ORACLE_SQL,
+    **PIPELINE_ORACLE_SQL,
 }
 
 # Registered here (not in queries_ext) because their oracles embed the

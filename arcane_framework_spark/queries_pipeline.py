@@ -1,0 +1,285 @@
+"""Round-5 training-pipeline queries: corpus boilerplate accounting,
+cross-source overlap, deterministic training order, vocabulary coverage,
+volume anomaly detection, and mixture epoch budgeting.
+
+Same contract as queries.py: every Spark query has a DuckDB oracle with
+identical column names, rounding (floor(x*10^n + 0.5)/10^n), and hash
+functions (md5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.operators.decontam import (
+    OVERLAP_NGRAM_WIDTH,
+    source_overlap,
+)
+from arcane_framework_spark.operators.sampling import (
+    epoch_allocation,
+    interleaved_order,
+)
+from arcane_framework_spark.operators.temporal import (
+    ANOMALY_TOP_K,
+    hourly_anomaly,
+)
+from arcane_framework_spark.operators.text import (
+    BOILERPLATE_MIN_DOCS,
+    SEGMENT_WIDTH,
+    VOCAB_SIZE,
+    boilerplate_segment_stats,
+    token_count_expr,
+    vocab_coverage,
+)
+from arcane_framework_spark.session import load_tables, ts_timestamp
+
+#: Whitespace tokenizer, DuckDB spelling (mirrors text.tokens_expr).
+_TOKS_SQL = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+#: Training-order shuffle seed (an epoch id in a real pipeline).
+ORDER_SEED = "epoch0"
+
+#: Token budget for the mixture allocation query (~10x the sf0.1 corpus).
+EPOCH_BUDGET_TOKENS = 10_000_000
+
+
+def boilerplate_segments_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate share under C4-style corpus line dedup, with
+    non-overlapping 8-token segments standing in for lines
+    (operators/text.py boilerplate_segment_stats)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return boilerplate_segment_stats(t["documents"])
+
+
+_BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ls FROM documents
+  WHERE length(trim(text)) > 0
+),
+segs AS (
+  SELECT doc_id,
+         md5(array_to_string(ls[(i - 1) * {SEGMENT_WIDTH} + 1 : i * {SEGMENT_WIDTH}], ' ')) AS seg_hash,
+         len(ls[(i - 1) * {SEGMENT_WIDTH} + 1 : i * {SEGMENT_WIDTH}]) AS seg_tokens
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, CAST(ceil(len(ls) / {SEGMENT_WIDTH}.0) AS BIGINT) + 1)) AS i)
+  WHERE len(ls) > 0
+),
+boiler AS (
+  SELECT seg_hash FROM segs GROUP BY seg_hash
+  HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+),
+flagged AS (
+  SELECT s.doc_id, s.seg_tokens, (b.seg_hash IS NOT NULL) AS is_b
+  FROM segs s LEFT JOIN boiler b USING (seg_hash)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_segments,
+       SUM(CASE WHEN is_b THEN 1 ELSE 0 END)::BIGINT AS n_boiler_segments,
+       floor(SUM(CASE WHEN is_b THEN seg_tokens ELSE 0 END)::DOUBLE
+             / SUM(seg_tokens) * 1e4 + 0.5) / 1e4 AS boiler_token_frac,
+       (SUM(seg_tokens)
+        - SUM(CASE WHEN is_b THEN seg_tokens ELSE 0 END))::BIGINT AS kept_tokens
+FROM flagged GROUP BY doc_id
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source 3-gram containment matrix — which corpus
+    slices duplicate each other (operators/decontam.py source_overlap)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return source_overlap(t["documents"])
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT source, {_TOKS_SQL} AS ls FROM documents
+),
+grams AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(ls[i : i + {OVERLAP_NGRAM_WIDTH - 1}], ' ')) AS gram_hash
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, len(ls) - {OVERLAP_NGRAM_WIDTH - 2})) AS i)
+  WHERE len(ls) >= {OVERLAP_NGRAM_WIDTH}
+),
+totals AS (SELECT source, count(*) AS n FROM grams GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS shared_ngrams
+  FROM grams a JOIN grams b USING (gram_hash)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared_ngrams,
+       floor(shared_ngrams::DOUBLE / least(ta.n, tb.n) * 1e6 + 0.5) / 1e6
+         AS overlap_frac
+FROM shared
+JOIN totals ta ON ta.source = shared.source_a
+JOIN totals tb ON tb.source = shared.source_b
+"""
+
+
+def training_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved global training order
+    (operators/sampling.py interleaved_order)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return interleaved_order(t["documents"], seed=ORDER_SEED)
+
+
+_TRAINING_ORDER_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('{ORDER_SEED}#' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk,
+         dense_rank() OVER (ORDER BY source) - 1 AS sidx
+  FROM documents
+)
+SELECT CAST((rk - 1) * (SELECT count(DISTINCT source) FROM documents)
+            + sidx AS BIGINT) AS position,
+       doc_id, source
+FROM ranked
+"""
+
+
+def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source coverage of the corpus-induced top-V vocabulary
+    (operators/text.py vocab_coverage)."""
+    t = load_tables(spark, sf_dir, "documents")
+    return vocab_coverage(t["documents"])
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT source, t.token
+  FROM (SELECT source, {_TOKS_SQL} AS ls FROM documents),
+       LATERAL (SELECT unnest(ls) AS token) t
+  WHERE t.token <> ''
+),
+vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {VOCAB_SIZE}
+)
+SELECT source,
+       count(*)::BIGINT AS total_tokens,
+       SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS vocab_tokens,
+       floor(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 1e6 + 0.5) / 1e6 AS coverage
+FROM toks LEFT JOIN vocab v USING (token)
+GROUP BY source
+"""
+
+
+def event_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anomalous hours per event type by integer-exact z-score
+    (operators/temporal.py hourly_anomaly)."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    out = hourly_anomaly(ev, ts_timestamp(ev))
+    return out.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "n_events",
+        "z_score",
+        "rank",
+    )
+
+
+_EVENT_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, hour, n_events,
+         count(*) OVER w AS n,
+         SUM(n_events) OVER w AS s,
+         SUM(n_events * n_events) OVER w AS q
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+),
+scored AS (
+  SELECT event_type, hour, n_events,
+         CASE WHEN CAST(n AS BIGINT) * CAST(q AS BIGINT)
+                   - CAST(s AS BIGINT) * CAST(s AS BIGINT) > 0
+              THEN (n_events * CAST(n AS BIGINT) - CAST(s AS BIGINT))::DOUBLE
+                   / sqrt((CAST(n AS BIGINT) * CAST(q AS BIGINT)
+                           - CAST(s AS BIGINT) * CAST(s AS BIGINT))::DOUBLE)
+              ELSE 0.0 END AS z
+  FROM stats
+),
+ranked AS (
+  SELECT event_type, hour, n_events, z,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY abs(z) DESC, hour
+         ) AS rank
+  FROM scored
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:00:00') AS hour,
+       n_events,
+       floor(z * 1e4 + 0.5) / 1e4 AS z_score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ANOMALY_TOP_K}
+"""
+
+
+def epoch_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 per-source token budgeting / epoch allocation
+    (operators/sampling.py epoch_allocation)."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].withColumn("n_tokens", token_count_expr("text"))
+    return epoch_allocation(docs, EPOCH_BUDGET_TOKENS)
+
+
+_EPOCH_MIX_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS_SQL}) END AS n_tokens
+  FROM documents
+),
+per_src AS (
+  SELECT source, SUM(n_tokens)::BIGINT AS n_tokens FROM per_doc
+  GROUP BY source
+),
+milli AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(n_tokens::DOUBLE) * 1000 + 0.5) AS BIGINT) AS m
+  FROM per_src
+),
+tot AS (SELECT SUM(m)::BIGINT AS mt FROM milli)
+SELECT source, n_tokens,
+       floor(m::DOUBLE / mt * 1e6 + 0.5) / 1e6 AS weight,
+       CAST(floor(m::DOUBLE / mt * {EPOCH_BUDGET_TOKENS}.0 + 0.5) AS BIGINT)
+         AS target_tokens,
+       floor(CAST(floor(m::DOUBLE / mt * {EPOCH_BUDGET_TOKENS}.0 + 0.5)
+                  AS BIGINT)::DOUBLE
+             / n_tokens * 1e4 + 0.5) / 1e4 AS repeat_factor
+FROM milli, tot
+"""
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "boilerplate_segments_documents": boilerplate_segments_documents,
+    "source_overlap_matrix": source_overlap_matrix,
+    "training_order_documents": training_order_documents,
+    "vocab_coverage_documents": vocab_coverage_documents,
+    "event_anomaly_hours": event_anomaly_hours,
+    "epoch_mix_documents": epoch_mix_documents,
+}
+
+PIPELINE_ORACLE_SQL: dict[str, str] = {
+    "boilerplate_segments_documents": _BOILERPLATE_SQL,
+    "source_overlap_matrix": _SOURCE_OVERLAP_SQL,
+    "training_order_documents": _TRAINING_ORDER_SQL,
+    "vocab_coverage_documents": _VOCAB_COVERAGE_SQL,
+    "event_anomaly_hours": _EVENT_ANOMALY_SQL,
+    "epoch_mix_documents": _EPOCH_MIX_SQL,
+}
