@@ -1,0 +1,69 @@
+"""Distribution-drift monitoring between two time windows of a stream.
+
+The datacard question "did the event mix change?" answered without
+transcendental math: the per-key drift metric is the total-variation
+contribution |p_early - p_late| (KL/PSI need log(), whose last-ulp
+behavior differs across libms and would break oracle parity; TVD is
+exact rational arithmetic until the final fixed-point rounding).
+
+Scale shape: ONE corpus-scale aggregation (groupBy key x window-half
+with map-side combine); the midpoint boundary and the per-half totals
+are computed IN-PLAN (broadcast scalars), so there is no driver-side
+action and the plan is replayable/incremental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+
+def distribution_drift(events: DataFrame, ts_micros_col: Column,
+                       key_col: str = "event_type") -> DataFrame:
+    """Per-key drift between the early and late half of the time range:
+    (key, n_early, n_late, share_early, share_late, tvd_contrib).
+
+    The boundary is the midpoint of [min(ts), max(ts)] in epoch micros —
+    integer arithmetic, so both engines agree exactly. An event at the
+    exact midpoint lands in the late half. ``tvd_contrib`` halves sum to
+    the total-variation distance between the two empirical distributions.
+    """
+    base = events.select(
+        F.col(key_col).alias("key"), ts_micros_col.alias("__us")
+    )
+    bounds = base.select(
+        F.min("__us").alias("__mn"), F.max("__us").alias("__mx")
+    )
+    # 2*us < mn+mx avoids division entirely — pure int64 comparison, no
+    # engine-specific integer-vs-float division semantics in the oracle.
+    halves = with_broadcast_scalar(base, bounds).select(
+        "key",
+        (
+            F.lit(2) * F.col("__us") < F.col("__mn") + F.col("__mx")
+        ).alias("__early"),
+    )
+    counts = halves.groupBy("key").agg(
+        F.sum(F.when(F.col("__early"), 1).otherwise(0)).cast("long").alias(
+            "n_early"
+        ),
+        F.sum(F.when(F.col("__early"), 0).otherwise(1)).cast("long").alias(
+            "n_late"
+        ),
+    )
+    totals = counts.groupBy().agg(
+        F.sum("n_early").alias("__te"), F.sum("n_late").alias("__tl")
+    )
+    p = F.col("n_early") / F.col("__te")
+    q = F.col("n_late") / F.col("__tl")
+    return with_broadcast_scalar(counts, totals).select(
+        F.col("key").alias("event_type"),
+        "n_early",
+        "n_late",
+        (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("share_early"),
+        (F.floor(q * 1e6 + F.lit(0.5)) / 1e6).alias("share_late"),
+        (F.floor(F.abs(p - q) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "tvd_contrib"
+        ),
+    )

@@ -186,3 +186,46 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
             F.col("cnt") * F.col("__n_keys") / F.col("__n_rows")
         ).alias("skew"),
     )
+
+
+def grouped_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact per-group lower median without sorting raw rows:
+    (group, n_rows, median).
+
+    The classic exact-quantile-at-scale shape: collapse the corpus to
+    (group, value) frequency bands — ONE shuffle with map-side combine,
+    output is value-DISTINCT scale, not row scale — then a per-group
+    cumulative sum over the bands finds the first value whose cumulative
+    count covers half the group. The per-group window sorts only the
+    band table (distinct values per group, e.g. a few thousand document
+    lengths), never the 100 TB row stream. Lower-median convention
+    (element at ceil(n/2) in sorted order) keeps everything integer —
+    no cross-engine interpolation semantics.
+    """
+    from pyspark.sql import Window
+
+    bands = df.groupBy(
+        F.col(group_col).alias("group"), F.col(value_col).alias("value")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    w_cum = (
+        Window.partitionBy("group")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("group")
+    cum = bands.withColumn("__cum", F.sum("__cnt").over(w_cum)).withColumn(
+        "__tot", F.sum("__cnt").over(w_tot)
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("__cum") >= F.col("__tot"))
+        .groupBy("group")
+        .agg(
+            F.max("__tot").alias("n_rows"),
+            F.min("value").alias("median"),
+        )
+        .select(
+            F.col("group").alias(group_col),
+            "n_rows",
+            F.col("median").alias(f"median_{value_col}"),
+        )
+    )

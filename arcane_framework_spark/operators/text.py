@@ -571,3 +571,91 @@ def vocab_coverage(docs: DataFrame, source_col: str = "source",
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: adjacent-bigram lift
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOP_K = 20
+BIGRAM_MIN_COUNT = 5
+
+
+def bigram_lift(docs: DataFrame, text_col: str = "text",
+                top_k: int = BIGRAM_TOP_K,
+                min_count: int = BIGRAM_MIN_COUNT) -> DataFrame:
+    """Top-k adjacent-token collocations by LIFT:
+    (w1, w2, n_pair, lift, rank) where
+    ``lift = N * c(w1,w2) / (c(w1) * c(w2))`` and N is the corpus bigram
+    count. Lift > 1 means the pair co-occurs more than independent
+    unigram frequencies predict — the log-free core of PMI (log() is
+    monotone, so the RANKING is identical to PMI's, and staying rational
+    keeps Spark and DuckDB bit-compatible).
+
+    Scale shape: bigram and unigram counting are each ONE shuffle with
+    map-side combine over type-scale outputs; the unigram table joins
+    back BROADCAST (Heaps' law keeps it small relative to the corpus);
+    N rides a 1-row broadcast scalar; the top-k cut is
+    TakeOrderedAndProject — no global sort materializes.
+    """
+    base = _with_token_barrier(
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0), text_col
+    )
+    t = F.col("__toks")
+    idx = F.when(
+        F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__p")
+    ).select("__p.w1", "__p.w2")
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    unigrams = base.select(F.explode(t).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # N = total bigram count: sum of (size-1) per doc, computed in-plan.
+    n_total = base.select(
+        F.sum(F.greatest(F.size(t) - 1, F.lit(0))).cast("long").alias("__n")
+    )
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    scored = (
+        with_broadcast_scalar(pair_counts, n_total)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (
+                F.floor(
+                    F.col("__n") * F.col("n_pair")
+                    / (F.col("__c1") * F.col("__c2"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("lift"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("lift").desc(), "w1", "w2")
+    return (
+        scored.orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

@@ -34,7 +34,7 @@ from arcane_framework_spark.operators.text import (
     token_count_expr,
     vocab_coverage,
 )
-from arcane_framework_spark.session import load_tables, ts_timestamp
+from arcane_framework_spark.session import load_tables, ts_micros, ts_timestamp
 
 #: Whitespace tokenizer, DuckDB spelling (mirrors text.tokens_expr).
 _TOKS_SQL = r"regexp_split_to_array(lower(trim(text)), '\s+')"
@@ -266,6 +266,111 @@ FROM milli, tot
 """
 
 
+
+
+def drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix drift between the early and late half of the stream's
+    time range — total-variation contributions per event type
+    (operators/drift.py distribution_drift)."""
+    from arcane_framework_spark.operators.drift import distribution_drift
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    return distribution_drift(ev, ts_micros(ev))
+
+
+_DRIFT_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(floor(epoch_us(ts)) AS BIGINT) AS us FROM events
+),
+bounds AS (SELECT min(us) AS mn, max(us) AS mx FROM base),
+counts AS (
+  SELECT event_type,
+         SUM(CASE WHEN 2 * us < mn + mx THEN 1 ELSE 0 END)::BIGINT AS n_early,
+         SUM(CASE WHEN 2 * us < mn + mx THEN 0 ELSE 1 END)::BIGINT AS n_late
+  FROM base, bounds GROUP BY event_type
+),
+tot AS (SELECT SUM(n_early)::BIGINT AS te, SUM(n_late)::BIGINT AS tl FROM counts)
+SELECT event_type, n_early, n_late,
+       floor(n_early::DOUBLE / te * 1e6 + 0.5) / 1e6 AS share_early,
+       floor(n_late::DOUBLE / tl * 1e6 + 0.5) / 1e6 AS share_late,
+       floor(abs(n_early::DOUBLE / te - n_late::DOUBLE / tl) * 1e6 + 0.5) / 1e6
+         AS tvd_contrib
+FROM counts, tot
+"""
+
+
+def bigram_lift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-token collocations by lift — the log-free PMI
+    ranking (operators/text.py bigram_lift)."""
+    from arcane_framework_spark.operators.text import bigram_lift
+
+    t = load_tables(spark, sf_dir, "documents")
+    return bigram_lift(t["documents"])
+
+
+_BIGRAM_LIFT_SQL = f"""
+WITH toks AS (
+  SELECT {_TOKS_SQL} AS ls FROM documents WHERE length(trim(text)) > 0
+),
+pairs AS (
+  SELECT ls[i] AS w1, ls[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ls))) AS i)
+  WHERE len(ls) >= 2
+),
+pair_counts AS (
+  SELECT w1, w2, count(*)::BIGINT AS n_pair FROM pairs GROUP BY 1, 2
+  HAVING count(*) >= {5}
+),
+unigrams AS (
+  SELECT t.w, count(*)::BIGINT AS c
+  FROM toks, LATERAL (SELECT unnest(ls) AS w) t GROUP BY t.w
+),
+n_total AS (
+  SELECT SUM(greatest(len(ls) - 1, 0))::BIGINT AS n FROM toks
+),
+scored AS (
+  SELECT w1, w2, n_pair,
+         floor(n::DOUBLE * n_pair / (u1.c * u2.c) * 1e6 + 0.5) / 1e6 AS lift
+  FROM pair_counts
+  JOIN unigrams u1 ON u1.w = pair_counts.w1
+  JOIN unigrams u2 ON u2.w = pair_counts.w2
+  CROSS JOIN n_total
+)
+SELECT w1, w2, n_pair, lift,
+       CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS INT) AS rank
+FROM scored
+ORDER BY lift DESC, w1, w2 LIMIT {20}
+"""
+
+
+def median_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source lower-median document length via value-band
+    cumulative sums (operators/scale.py grouped_median)."""
+    from arcane_framework_spark.operators.scale import grouped_median
+
+    t = load_tables(spark, sf_dir, "documents")
+    return grouped_median(t["documents"], "source", "n_chars")
+
+
+_MEDIAN_SQL = """
+WITH bands AS (
+  SELECT source, n_chars AS value, count(*)::BIGINT AS cnt
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, value, cnt,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY value
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(cnt) OVER (PARTITION BY source) AS t
+  FROM bands
+)
+SELECT source, CAST(max(t) AS BIGINT) AS n_rows,
+       min(value) AS median_n_chars
+FROM cum WHERE 2 * c >= t GROUP BY source
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments_documents": boilerplate_segments_documents,
     "source_overlap_matrix": source_overlap_matrix,
@@ -273,6 +378,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_coverage_documents": vocab_coverage_documents,
     "event_anomaly_hours": event_anomaly_hours,
     "epoch_mix_documents": epoch_mix_documents,
+    "drift_report_events": drift_report_events,
+    "bigram_lift_documents": bigram_lift_documents,
+    "median_chars_by_source": median_chars_by_source,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -282,4 +390,7 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "vocab_coverage_documents": _VOCAB_COVERAGE_SQL,
     "event_anomaly_hours": _EVENT_ANOMALY_SQL,
     "epoch_mix_documents": _EPOCH_MIX_SQL,
+    "drift_report_events": _DRIFT_SQL,
+    "bigram_lift_documents": _BIGRAM_LIFT_SQL,
+    "median_chars_by_source": _MEDIAN_SQL,
 }

@@ -24,7 +24,6 @@ def _docs(spark, rows):
 
 class TestBoilerplateSegments:
     def test_planted_boilerplate_flagged(self, spark):
-        footer = "subscribe to our newsletter for more updates every day"  # 9 tokens -> 2 segs? no: width 8 -> seg0 = 8 tokens
         footer = "subscribe to our newsletter for more updates now"  # exactly 8 tokens
         rows = [
             (i, "s", footer + " " + " ".join(f"w{i}x{j}" for j in range(8)))
@@ -180,3 +179,76 @@ class TestEpochAllocation:
         df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
         out = epoch_allocation(df, 10_000).collect()
         assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+
+
+class TestDistributionDrift:
+    def test_known_shift(self, spark):
+        import datetime as dt
+
+        from arcane_framework_spark.operators.drift import distribution_drift
+
+        base = dt.datetime(2024, 1, 1)
+        # Early half: 3 a, 1 b. Late half: 1 a, 3 b.
+        rows = (
+            [(base, "a")] * 3 + [(base, "b")]
+            + [(base + dt.timedelta(hours=10), "a")]
+            + [(base + dt.timedelta(hours=10), "b")] * 3
+        )
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        out = {r["event_type"]: r
+               for r in distribution_drift(df, F.unix_micros("ts")).collect()}
+        assert out["a"]["n_early"] == 3 and out["a"]["n_late"] == 1
+        assert out["a"]["share_early"] == 0.75
+        assert out["a"]["tvd_contrib"] == 0.5
+        assert out["b"]["tvd_contrib"] == 0.5
+
+    def test_midpoint_lands_late(self, spark):
+        from arcane_framework_spark.operators.drift import distribution_drift
+
+        # Timestamps 0 and 2 us -> midpoint 1 is "late"; row at 1 late.
+        df = spark.createDataFrame(
+            [(0, "a"), (1, "a"), (2, "a")], "us long, event_type string"
+        )
+        out = distribution_drift(df, F.col("us")).collect()[0]
+        assert out["n_early"] == 1 and out["n_late"] == 2
+
+
+class TestBigramLift:
+    def test_collocation_ranked_first(self, spark):
+        from arcane_framework_spark.operators.text import bigram_lift
+
+        # "x y" always adjacent (perfect collocation); filler is diffuse.
+        rows = [(i, "s", "x y " + " ".join(f"f{j % 7} g{i % 5}" for j in range(6)))
+                for i in range(10)]
+        out = bigram_lift(_docs(spark, rows), min_count=5, top_k=5).collect()
+        assert out[0]["rank"] == 1
+        top = (out[0]["w1"], out[0]["w2"])
+        assert top == ("x", "y")
+        # lift of a perfect pair: N * c_xy / (c_x * c_y) = N * 10 / 100.
+        assert out[0]["n_pair"] == 10
+
+    def test_min_count_filters(self, spark):
+        from arcane_framework_spark.operators.text import bigram_lift
+
+        rows = [(1, "s", "a b"), (2, "s", "c d")]
+        assert bigram_lift(_docs(spark, rows), min_count=2).count() == 0
+
+
+class TestGroupedMedian:
+    def test_odd_and_even_groups(self, spark):
+        from arcane_framework_spark.operators.scale import grouped_median
+
+        rows = [("a", v) for v in [1, 3, 5]] + [("b", v) for v in [2, 4, 6, 8]]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {r["g"]: r for r in grouped_median(df, "g", "v").collect()}
+        assert out["a"]["median_v"] == 3       # odd: middle element
+        assert out["b"]["median_v"] == 4       # even: lower median
+        assert out["a"]["n_rows"] == 3 and out["b"]["n_rows"] == 4
+
+    def test_duplicated_values(self, spark):
+        from arcane_framework_spark.operators.scale import grouped_median
+
+        rows = [("a", 7)] * 5 + [("a", 1)] * 2
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = grouped_median(df, "g", "v").collect()[0]
+        assert out["median_v"] == 7
