@@ -48,8 +48,24 @@ from arcane_framework_spark.operators.similarity import (  # noqa: E402
     semantic_dedup,
 )
 from arcane_framework_spark.operators.text import (  # noqa: E402
+    bigram_lift,
+    boilerplate_segment_stats,
     frequent_ngrams,
     token_count_expr,
+    vocab_coverage,
+)
+from arcane_framework_spark.operators.decontam import (  # noqa: E402
+    source_overlap,
+)
+from arcane_framework_spark.operators.drift import (  # noqa: E402
+    distribution_drift,
+)
+from arcane_framework_spark.operators.sampling import (  # noqa: E402
+    interleaved_order,
+)
+from arcane_framework_spark.operators.scale import grouped_median  # noqa: E402
+from arcane_framework_spark.operators.temporal import (  # noqa: E402
+    hourly_anomaly,
 )
 from arcane_framework_spark.session import get_spark  # noqa: E402
 
@@ -124,6 +140,24 @@ def main() -> None:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     prior_assignment = _materialized_assignment(spark, docs)
+    # 40-source view of the 10x corpus for the grouped r5 operators.
+    docs_src = docs.withColumn(
+        "source", F.concat(F.lit("src"), (F.col("doc_id") % 40).cast("string"))
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_parts = [
+        events.select(
+            F.col("event_type"),
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             + F.lit(i * 3_600_000_000)).alias("us"),
+        )
+        for i in range(10)
+    ]
+    ev10 = ev_parts[0]
+    for p in ev_parts[1:]:
+        ev10 = ev10.unionByName(p)
+    ev10 = ev10.persist()
+
     results = {
         "n_docs": n_docs,
         "n_vectors": n_vecs,
@@ -216,6 +250,33 @@ def main() -> None:
             lambda: frequent_ngrams(
                 docs.select(F.lit("all").alias("lang"), "text"),
                 n=3, top_k=20, min_count=2,
+            )
+        ),
+        # r5 round-2 operators on the 10x corpus
+        # corpus line dedup: copies make nearly every segment boilerplate,
+        # which maxes out the flag-join side — the adversarial direction
+        "boilerplate_segments": timed(
+            lambda: boilerplate_segment_stats(docs)
+        ),
+        # 40x40 source-overlap matrix over the 10x corpus
+        "source_overlap": timed(lambda: source_overlap(docs_src)),
+        # deterministic interleave across 40 sources, 10x corpus
+        "interleaved_order": timed(lambda: interleaved_order(docs_src)),
+        "vocab_coverage": timed(lambda: vocab_coverage(docs_src)),
+        "bigram_lift": timed(lambda: bigram_lift(docs)),
+        "grouped_median": timed(
+            lambda: grouped_median(
+                docs_src.withColumn("n_chars", F.length("text")),
+                "source", "n_chars",
+            )
+        ),
+        # 10x events: drift halves + hourly anomaly z-scores
+        "distribution_drift": timed(
+            lambda: distribution_drift(ev10, F.col("us"))
+        ),
+        "hourly_anomaly": timed(
+            lambda: hourly_anomaly(
+                ev10.withColumn("ts", F.timestamp_micros("us")), F.col("ts")
             )
         ),
         # compaction plan over 10x file metadata (400 partitions)
