@@ -371,6 +371,74 @@ FROM cum WHERE 2 * c >= t GROUP BY source
 """
 
 
+
+
+def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``drift_report_events``: the event stream is
+    replayed through readStream and the per-type early/late counts are
+    maintained by a streaming aggregation (complete mode, availableNow);
+    shares and TVD contributions are computed batch-side on the drained
+    S-row sink table. Proves the drift monitor's corpus-scale pass runs
+    under Structured Streaming with identical results.
+
+    The midpoint boundary is resolved BEFORE the stream starts (one
+    metadata-cheap batch aggregate — production would pin it in config):
+    a stream cannot know its own future max(ts).
+    """
+    from arcane_framework_spark.queries_ext import stream_conf
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    schema = ev.schema
+    mn, mx = ev.agg(
+        F.min(ts_micros(ev)), F.max(ts_micros(ev))
+    ).first()
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    early = (F.lit(2) * ts_micros(schema) < F.lit(int(mn) + int(mx)))
+    counts = (
+        stream.select(F.col("event_type"), early.alias("__early"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("__early"), 1).otherwise(0)).cast("long")
+            .alias("n_early"),
+            F.sum(F.when(F.col("__early"), 0).otherwise(1)).cast("long")
+            .alias("n_late"),
+        )
+    )
+    name = "streaming_drift_sink"
+    with stream_conf(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    sink = spark.table(name)
+    totals = sink.groupBy().agg(
+        F.sum("n_early").alias("__te"), F.sum("n_late").alias("__tl")
+    )
+    p = F.col("n_early") / F.col("__te")
+    q_ = F.col("n_late") / F.col("__tl")
+    return with_broadcast_scalar(sink, totals).select(
+        "event_type",
+        "n_early",
+        "n_late",
+        (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("share_early"),
+        (F.floor(q_ * 1e6 + F.lit(0.5)) / 1e6).alias("share_late"),
+        (F.floor(F.abs(p - q_) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "tvd_contrib"
+        ),
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments_documents": boilerplate_segments_documents,
     "source_overlap_matrix": source_overlap_matrix,
@@ -381,6 +449,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_report_events": drift_report_events,
     "bigram_lift_documents": bigram_lift_documents,
     "median_chars_by_source": median_chars_by_source,
+    "streaming_drift_events": streaming_drift_events,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -393,4 +462,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "drift_report_events": _DRIFT_SQL,
     "bigram_lift_documents": _BIGRAM_LIFT_SQL,
     "median_chars_by_source": _MEDIAN_SQL,
+    # Streaming execution, batch semantics: same oracle as the batch twin.
+    "streaming_drift_events": _DRIFT_SQL,
 }
