@@ -274,3 +274,173 @@ def decode_image(content: bytes):
             "available"
         ) from exc
     return Image.open(io.BytesIO(content))  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM16 — real synthesis, real decode, real features
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def synthesize_wav(doc_id: int, n_chars: int) -> bytes:
+    """Deterministic PCM16 mono square-wave WAV derived from (doc_id,
+    n_chars): ``n = 256 + n_chars % 256`` samples at 8 kHz, half-period
+    ``1 + doc_id % 8`` samples, amplitude ``8192 + doc_id % 8192``.
+
+    The closed-form signal is what lets the DuckDB oracle predict the
+    decoded features exactly (rms == amplitude for a square wave;
+    zero crossings == floor((n-1)/half)) — so the WAV writer, the chunk
+    parser, and the feature math are all genuinely exercised end-to-end.
+    """
+    import numpy as np
+
+    n = 256 + (n_chars % 256)
+    half = 1 + (doc_id % 8)
+    amp = 8192 + (doc_id % 8192)
+    i = np.arange(n)
+    samples = np.where((i // half) % 2 == 0, amp, -amp).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = WAV_SAMPLE_RATE * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_SAMPLE_RATE, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(content: bytes):
+    """Parse a RIFF/WAVE container; return (sample_rate, n_channels,
+    int16 numpy samples). Walks the chunk list (not fixed offsets, so
+    files with extra chunks — LIST/INFO metadata — decode too). Raises
+    ``ValueError`` on malformed input, ``NotImplementedError`` for
+    non-PCM16 encodings (those need an audio library)."""
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 supported (got format={audio_format}, bits={bits})"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, channels, samples
+
+
+def documents_as_wav_assets(df: DataFrame, id_col: str = "doc_id",
+                            chars_col: str = "n_chars") -> DataFrame:
+    """(doc_id, content: binary) with a synthesized WAV per document —
+    the audio stand-in for a corpus whose assets live in object storage.
+    Arrow-batched; synthesis is per-row numpy, no driver involvement."""
+    from collections.abc import Iterator as _It  # noqa: F401
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        synthesize_wav(int(d), int(c))
+                        for d, c in zip(pdf[id_col], pdf[chars_col])
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return df.select(id_col, chars_col).mapInPandas(batches, schema)
+
+
+def wav_audio_features(assets: DataFrame) -> DataFrame:
+    """Decode WAV assets and emit per-asset audio statistics:
+    (doc_id, sample_rate, n_samples, duration_ms, rms, zero_crossings).
+
+    All stats are integer-exact for PCM16 input: the squared-sample mean
+    is computed in int64 before the final sqrt, and a square wave's rms
+    is its amplitude exactly (amp < 2^15 so amp^2 fits a double with no
+    rounding) — which is what lets the oracle predict the output to the
+    bit. Arrow-batched mapInPandas; per-batch memory bounded."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        rows: dict[str, list] = {k.name: [] for k in AUDIO_FEATURE_SCHEMA}
+
+        def flush():
+            out = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(
+                        rows["sample_rate"], dtype="int32"
+                    ),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                    "duration_ms": pd.Series(
+                        rows["duration_ms"], dtype="int64"
+                    ),
+                    "rms": pd.Series(rows["rms"], dtype="float64"),
+                    "zero_crossings": pd.Series(
+                        rows["zero_crossings"], dtype="int64"
+                    ),
+                }
+            )
+            for v in rows.values():
+                v.clear()
+            return out
+
+        for pdf in it:
+            import numpy as np
+
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                rate, _, s = decode_wav(bytes(content))
+                n = len(s)
+                s64 = s.astype("int64")
+                mean_sq = int((s64 * s64).sum()) / n if n else 0.0
+                zc = int((np.diff(np.signbit(s)) != 0).sum()) if n else 0
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // rate)
+                rows["rms"].append(
+                    math.floor(math.sqrt(mean_sq) * 1e4 + 0.5) / 1e4
+                )
+                rows["zero_crossings"].append(zc)
+            yield flush()
+
+    return assets.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

@@ -439,6 +439,36 @@ def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def audio_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio path: per-document synthesized PCM16 WAVs are decoded
+    by the RIFF chunk parser and reduced to exact sample statistics
+    (operators/multimodal.py synthesize_wav / decode_wav /
+    wav_audio_features). The oracle predicts every value closed-form
+    from (doc_id, n_chars) because the synthesized signal is a square
+    wave — the decode itself is genuine."""
+    from arcane_framework_spark.operators.multimodal import (
+        documents_as_wav_assets,
+        wav_audio_features,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    return wav_audio_features(documents_as_wav_assets(t["documents"]))
+
+
+_AUDIO_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(256 + n_chars % 256 AS BIGINT) AS n_samples,
+       CAST((256 + n_chars % 256) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(8192 + doc_id % 8192 AS DOUBLE) AS rms,
+       CAST((256 + n_chars % 256 - 1) // (1 + doc_id % 8) AS BIGINT)
+         AS zero_crossings
+FROM documents
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments_documents": boilerplate_segments_documents,
     "source_overlap_matrix": source_overlap_matrix,
@@ -450,6 +480,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lift_documents": bigram_lift_documents,
     "median_chars_by_source": median_chars_by_source,
     "streaming_drift_events": streaming_drift_events,
+    "audio_features_documents": audio_features_documents,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -464,4 +495,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "median_chars_by_source": _MEDIAN_SQL,
     # Streaming execution, batch semantics: same oracle as the batch twin.
     "streaming_drift_events": _DRIFT_SQL,
+    "audio_features_documents": _AUDIO_FEATURES_SQL,
 }

@@ -252,3 +252,52 @@ class TestGroupedMedian:
         df = spark.createDataFrame(rows, "g string, v long")
         out = grouped_median(df, "g", "v").collect()[0]
         assert out["median_v"] == 7
+
+
+class TestWavAudio:
+    def test_roundtrip_and_chunk_walk(self, spark):
+        import struct
+
+        import numpy as np
+
+        from arcane_framework_spark.operators.multimodal import (
+            decode_wav,
+            synthesize_wav,
+        )
+
+        b = synthesize_wav(3, 40)
+        rate, ch, s = decode_wav(b)
+        assert (rate, ch, len(s)) == (8000, 1, 296)
+        # Insert a LIST metadata chunk before data: the parser must walk
+        # chunks, not assume fixed offsets.
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        patched = b[:12] + extra + b[12:]
+        patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+        rate2, _, s2 = decode_wav(patched)
+        assert rate2 == 8000 and np.array_equal(s, s2)
+
+    def test_malformed_rejected(self, spark):
+        from arcane_framework_spark.operators.multimodal import decode_wav
+
+        with pytest.raises(ValueError):
+            decode_wav(b"nope")
+        with pytest.raises(ValueError):
+            decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+
+    def test_features_distributed(self, spark):
+        from arcane_framework_spark.operators.multimodal import (
+            documents_as_wav_assets,
+            wav_audio_features,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 10 + i * 37) for i in range(20)],
+            "doc_id long, n_chars long",
+        )
+        out = wav_audio_features(documents_as_wav_assets(df)).collect()
+        assert len(out) == 20
+        for r in out:
+            n = 256 + (10 + r["doc_id"] * 37) % 256
+            assert r["n_samples"] == n
+            assert r["rms"] == float(8192 + r["doc_id"] % 8192)
+            assert r["duration_ms"] == n * 1000 // 8000
