@@ -52,13 +52,25 @@ def distribution_drift(events: DataFrame, ts_micros_col: Column,
             "n_late"
         ),
     )
+    return drift_finalize(counts.withColumnRenamed("key", key_col), key_col)
+
+
+def drift_finalize(counts: DataFrame,
+                   key_col: str = "event_type") -> DataFrame:
+    """Shares + TVD contributions from a (key, n_early, n_late) table.
+
+    Shared by the batch operator and the streaming twin (whose counts
+    come from a drained streaming aggregation) so the fixed-point
+    contract lives in exactly one place. ``counts`` is key-cardinality
+    rows, so the totals scalar and the final select are metadata-scale.
+    """
     totals = counts.groupBy().agg(
         F.sum("n_early").alias("__te"), F.sum("n_late").alias("__tl")
     )
     p = F.col("n_early") / F.col("__te")
     q = F.col("n_late") / F.col("__tl")
     return with_broadcast_scalar(counts, totals).select(
-        F.col("key").alias("event_type"),
+        F.col(key_col),
         "n_early",
         "n_late",
         (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("share_early"),

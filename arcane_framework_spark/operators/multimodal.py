@@ -339,10 +339,22 @@ def decode_wav(content: bytes):
     while pos + 8 <= len(content):
         cid = content[pos:pos + 4]
         (size,) = struct.unpack_from("<I", content, pos + 4)
+        # Validate the declared size against the buffer BEFORE slicing:
+        # a lying size field must surface as the documented ValueError,
+        # not a silent truncation or a struct/numpy error downstream.
+        if pos + 8 + size > len(content):
+            raise ValueError(
+                f"chunk {cid!r} declares {size} bytes but only "
+                f"{len(content) - pos - 8} remain"
+            )
         body = content[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk shorter than 16 bytes")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
+            if size % 2:
+                raise ValueError("odd-length PCM16 data chunk")
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
@@ -361,8 +373,6 @@ def documents_as_wav_assets(df: DataFrame, id_col: str = "doc_id",
     """(doc_id, content: binary) with a synthesized WAV per document —
     the audio stand-in for a corpus whose assets live in object storage.
     Arrow-batched; synthesis is per-row numpy, no driver involvement."""
-    from collections.abc import Iterator as _It  # noqa: F401
-
     def batches(it):
         import pandas as pd
 

@@ -640,10 +640,14 @@ def bigram_lift(docs: DataFrame, text_col: str = "text",
             "w1",
             "w2",
             "n_pair",
+            # Doubles from the start: int64 products N*c_xy and c1*c2
+            # would wrap at 100 TB (N ~ 1e13 bigrams x hot pair counts),
+            # and the DuckDB oracle multiplies in doubles too — keeping
+            # the operand order identical keeps the fixed point identical.
             (
                 F.floor(
-                    F.col("__n") * F.col("n_pair")
-                    / (F.col("__c1") * F.col("__c2"))
+                    F.col("__n").cast("double") * F.col("n_pair")
+                    / (F.col("__c1").cast("double") * F.col("__c2"))
                     * 1e6
                     + F.lit(0.5)
                 )

@@ -27,6 +27,8 @@ from arcane_framework_spark.operators.temporal import (
     hourly_anomaly,
 )
 from arcane_framework_spark.operators.text import (
+    BIGRAM_MIN_COUNT,
+    BIGRAM_TOP_K,
     BOILERPLATE_MIN_DOCS,
     SEGMENT_WIDTH,
     VOCAB_SIZE,
@@ -320,7 +322,7 @@ pairs AS (
 ),
 pair_counts AS (
   SELECT w1, w2, count(*)::BIGINT AS n_pair FROM pairs GROUP BY 1, 2
-  HAVING count(*) >= {5}
+  HAVING count(*) >= {BIGRAM_MIN_COUNT}
 ),
 unigrams AS (
   SELECT t.w, count(*)::BIGINT AS c
@@ -331,7 +333,7 @@ n_total AS (
 ),
 scored AS (
   SELECT w1, w2, n_pair,
-         floor(n::DOUBLE * n_pair / (u1.c * u2.c) * 1e6 + 0.5) / 1e6 AS lift
+         floor(n::DOUBLE * n_pair / (u1.c::DOUBLE * u2.c) * 1e6 + 0.5) / 1e6 AS lift
   FROM pair_counts
   JOIN unigrams u1 ON u1.w = pair_counts.w1
   JOIN unigrams u2 ON u2.w = pair_counts.w2
@@ -340,7 +342,7 @@ scored AS (
 SELECT w1, w2, n_pair, lift,
        CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS INT) AS rank
 FROM scored
-ORDER BY lift DESC, w1, w2 LIMIT {20}
+ORDER BY lift DESC, w1, w2 LIMIT {BIGRAM_TOP_K}
 """
 
 
@@ -419,24 +421,9 @@ def streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.operators.drift import drift_finalize
 
-    sink = spark.table(name)
-    totals = sink.groupBy().agg(
-        F.sum("n_early").alias("__te"), F.sum("n_late").alias("__tl")
-    )
-    p = F.col("n_early") / F.col("__te")
-    q_ = F.col("n_late") / F.col("__tl")
-    return with_broadcast_scalar(sink, totals).select(
-        "event_type",
-        "n_early",
-        "n_late",
-        (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("share_early"),
-        (F.floor(q_ * 1e6 + F.lit(0.5)) / 1e6).alias("share_late"),
-        (F.floor(F.abs(p - q_) * 1e6 + F.lit(0.5)) / 1e6).alias(
-            "tvd_contrib"
-        ),
-    )
+    return drift_finalize(spark.table(name))
 
 
 

@@ -60,15 +60,16 @@ def get_spark(app_name: str = "arcane-framework-spark", master: str | None = Non
     return builder.getOrCreate()
 
 
-#: Per-session memo of (sf_dir, table) -> DataFrame. A DataFrame is an
-#: immutable logical plan, so handing the same handle to every query is
-#: safe — and skips the per-call parquet footer read + schema inference
-#: that otherwise taxes EVERY catalog query (~100 ms x tables x 100+
-#: queries per bench run). WeakKey so a stopped session's entries die
-#: with it.
-from weakref import WeakKeyDictionary  # noqa: E402
-
-_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+#: Memo of (sf_dir, table) -> DataFrame for the CURRENT session. A
+#: DataFrame is an immutable logical plan, so handing the same handle to
+#: every query is safe — and skips the per-call parquet footer read +
+#: schema inference that otherwise taxes EVERY catalog query (~100 ms x
+#: tables x 100+ queries per bench run). Keyed by applicationId and
+#: reset whenever a different session shows up: a WeakKeyDictionary
+#: cannot evict here (each cached DataFrame strongly references its
+#: session, pinning the weak key), so we keep at most one session's
+#: worth of handles instead.
+_TABLE_CACHE: dict = {"app_id": None, "tables": {}}
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
@@ -96,9 +97,13 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
-        cache = _TABLE_CACHE.setdefault(spark, {})
-    except TypeError:  # session object not weak-referenceable
-        cache = {}
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # e.g. Spark Connect sessions without a local SC
+        app_id = None
+    if app_id is None or _TABLE_CACHE["app_id"] != app_id:
+        _TABLE_CACHE["app_id"] = app_id
+        _TABLE_CACHE["tables"] = {}
+    cache = _TABLE_CACHE["tables"]
     out = {}
     for name in all_names:
         key = (sf_dir, name)

@@ -277,12 +277,23 @@ class TestWavAudio:
         assert rate2 == 8000 and np.array_equal(s, s2)
 
     def test_malformed_rejected(self, spark):
-        from arcane_framework_spark.operators.multimodal import decode_wav
+        import struct
+
+        from arcane_framework_spark.operators.multimodal import (
+            decode_wav,
+            synthesize_wav,
+        )
 
         with pytest.raises(ValueError):
             decode_wav(b"nope")
         with pytest.raises(ValueError):
             decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+        # A lying chunk size must be a ValueError, not silent truncation
+        # or a downstream struct/numpy error.
+        good = synthesize_wav(1, 10)
+        lying = good[:40] + struct.pack("<I", 10_000_000) + good[44:]
+        with pytest.raises(ValueError):
+            decode_wav(lying)
 
     def test_features_distributed(self, spark):
         from arcane_framework_spark.operators.multimodal import (

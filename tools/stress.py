@@ -67,7 +67,11 @@ from arcane_framework_spark.operators.scale import grouped_median  # noqa: E402
 from arcane_framework_spark.operators.temporal import (  # noqa: E402
     hourly_anomaly,
 )
-from arcane_framework_spark.session import get_spark  # noqa: E402
+from arcane_framework_spark.session import (  # noqa: E402
+    get_spark,
+    load_tables,
+    ts_micros,
+)
 
 
 def enlarged_documents(spark, sf_dir: str, copies: int = 10):
@@ -144,12 +148,13 @@ def main() -> None:
     docs_src = docs.withColumn(
         "source", F.concat(F.lit("src"), (F.col("doc_id") % 40).cast("string"))
     )
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts dtype has drifted across rounds (timestamp[us] vs int64-nanos) —
+    # go through load_tables + ts_micros like every other consumer.
+    events = load_tables(spark, sf_dir, "events")["events"]
     ev_parts = [
         events.select(
             F.col("event_type"),
-            (F.unix_micros(F.col("ts").cast("timestamp"))
-             + F.lit(i * 3_600_000_000)).alias("us"),
+            (ts_micros(events) + F.lit(i * 3_600_000_000)).alias("us"),
         )
         for i in range(10)
     ]
