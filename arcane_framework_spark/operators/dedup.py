@@ -337,9 +337,11 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
         agree = F.size(
             F.filter(F.zip_with(sa, sb, lambda x, y: x == y), lambda v: v)
         )
-        return F.round(
-            agree.cast("double") / F.lit(float(NUM_HASHES)), 6
-        )
+        # Denominator = the carried signature's actual component count,
+        # not the global NUM_HASHES: a caller banding a subset of the
+        # components (num_bands*band_size < K) would otherwise cap the
+        # estimator at subset/K and silently drop every true duplicate.
+        return F.round(agree.cast("double") / F.size(sa).cast("double"), 6)
 
     cross = (
         nb.alias("n")

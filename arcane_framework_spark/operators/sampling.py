@@ -218,8 +218,11 @@ def pps_systematic_sample(df: DataFrame, n: int,
     total = cum.agg(F.sum("__w").cast("long").alias("__total"))
     from arcane_framework_spark.operators.scale import with_broadcast_scalar
 
-    # Overflow precondition rearranged division-free: T < 2^63 / (2n).
-    max_total = (2**63 - 1) // (2 * n)
+    # Overflow precondition: the largest intermediate is 2n*x + T - 1
+    # with x <= T, i.e. (2n+1)*T - 1 — so require T <= (2^63-1)/(2n+1).
+    # (A bound of (2^63-1)/(2n) misses the +T-1 term: totals in the gap
+    # pass the guard yet wrap, silently with ANSI off.)
+    max_total = (2**63 - 1) // (2 * n + 1)
     guard = (
         F.when(
             F.col("__total") > max_total,
@@ -256,7 +259,7 @@ def pps_sample_sql(n: int, weight_sql: str, id_sql: str = "doc_id",
     """The identical PPS selection as DuckDB SQL (integer window cumsum),
     including the degenerate-input contract: zero total weight selects
     nothing (instead of a division error), an overflowing total errors."""
-    max_total = (2**63 - 1) // (2 * n)
+    max_total = (2**63 - 1) // (2 * n + 1)
     return f"""
 WITH w AS (
   SELECT {id_sql} AS id, CAST({weight_sql} AS BIGINT) AS wt FROM {table}

@@ -182,8 +182,13 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         F.col("key").alias(key_col),
         "cnt",
         half_up(F.col("cnt") / F.col("__n_rows")).alias("share"),
+        # Double before the multiply: cnt * n_keys as int64 wraps on
+        # extreme-skew tables (cnt ~ 1e10, n_keys ~ 1e9) — exactly the
+        # inputs this diagnostic exists to flag; the DuckDB oracle
+        # multiplies as DOUBLE too.
         half_up(
-            F.col("cnt") * F.col("__n_keys") / F.col("__n_rows")
+            F.col("cnt").cast("double") * F.col("__n_keys")
+            / F.col("__n_rows")
         ).alias("skew"),
     )
 

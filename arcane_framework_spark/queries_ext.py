@@ -2294,12 +2294,12 @@ def embedding_dispersion_labels(spark: SparkSession,
     return embedding_dispersion(t["embeddings"])
 
 
-_DISPERSION_SQL = """
+_DISPERSION_SQL = f"""
 WITH comp AS (
   SELECT label, i.pos,
          CAST(floor(v[i.pos] * 1000000 + 0.5) AS HUGEINT) AS e
   FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       (SELECT unnest(generate_series(1, 64)) AS pos) i
+       (SELECT unnest(generate_series(1, {EMBEDDING_DIM})) AS pos) i
 ),
 per_dim AS (
   SELECT label, pos, SUM(e) AS s, SUM(e * e) AS q, count(*) AS n

@@ -77,13 +77,16 @@ def _limiter_for(requests_per_second: float | None):
     if limiter is None:
         from arcane_framework_spark.sources.rest import TokenBucketRateLimiter
 
-        # rate/per expressed as (N per 1s) for rps >= 1, else (1 per 1/rps).
-        if requests_per_second >= 1:
-            limiter = TokenBucketRateLimiter(rate=int(requests_per_second))
-        else:
-            limiter = TokenBucketRateLimiter(
-                rate=1, per_seconds=1.0 / requests_per_second
-            )
+        # Preserve fractional rates exactly: rate/per_seconds is scaled so
+        # the ratio equals requests_per_second (int(2.5) would silently
+        # throttle at 2 rps and waste 20% of the API budget). Burst size
+        # stays ceil(rps), matching the integer behavior.
+        import math
+
+        burst = max(1, math.ceil(requests_per_second))
+        limiter = TokenBucketRateLimiter(
+            rate=burst, per_seconds=burst / requests_per_second
+        )
         _RATE_LIMITERS[requests_per_second] = limiter
     return limiter
 
