@@ -71,20 +71,11 @@ def plan_compaction(files: DataFrame, target_bytes: int,
     )
     # Per-partition group offsets: G rows per table partition, windowed
     # per partition — parallel across partitions, tiny within one.
-    w_offsets = (
-        Window.partitionBy("part")
-        .orderBy("__grp")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        base.groupBy("part", "__grp")
-        .agg(F.sum("size").alias("__grp_total"))
-        .withColumn(
-            "__offset",
-            F.coalesce(F.sum("__grp_total").over(w_offsets), F.lit(0)),
-        )
-        .select("part", "__grp", "__offset")
-    )
+    from arcane_framework_spark.operators.scale import bucket_offsets
+
+    offsets = bucket_offsets(
+        base, ["part"], ["__grp"], ["__grp"], value=F.col("size")
+    ).withColumnRenamed("__off", "__offset")
     assigned = local.join(F.broadcast(offsets), ["part", "__grp"]).select(
         "part",
         "id",

@@ -57,18 +57,11 @@ def pack_documents(df: DataFrame, budget: int,
         "__local_before", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
     )
     # Group totals: G rows — the only single-partition window, over G rows.
-    w_groups = (
-        Window.orderBy("__grp").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        base.groupBy("__grp")
-        .agg(F.sum("n_tokens").alias("__grp_total"))
-        .withColumn(
-            "__offset",
-            F.coalesce(F.sum("__grp_total").over(w_groups), F.lit(0)),
-        )
-        .select("__grp", "__offset")
-    )
+    from arcane_framework_spark.operators.scale import bucket_offsets
+
+    offsets = bucket_offsets(
+        base, [], ["__grp"], ["__grp"], value=F.col("n_tokens")
+    ).withColumnRenamed("__off", "__offset")
     return (
         local.join(F.broadcast(offsets), "__grp")
         .select(
@@ -125,19 +118,12 @@ def select_by_budget(df: DataFrame, budget: int,
     )
     # Sub-band totals: one row per (score, group); the only
     # single-partition window runs over those (metadata-scale).
-    w_subs = (
-        Window.orderBy(F.col("score").desc(), F.col("__grp"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        base.groupBy("score", "__grp")
-        .agg(F.sum("n_tokens").alias("__sub_total"))
-        .withColumn(
-            "__offset",
-            F.coalesce(F.sum("__sub_total").over(w_subs), F.lit(0)),
-        )
-        .select("score", "__grp", "__offset")
-    )
+    from arcane_framework_spark.operators.scale import bucket_offsets
+
+    offsets = bucket_offsets(
+        base, [], ["score", "__grp"],
+        [F.col("score").desc(), F.col("__grp")], value=F.col("n_tokens"),
+    ).withColumnRenamed("__off", "__offset")
     return (
         local.join(F.broadcast(offsets), ["score", "__grp"])
         .select(

@@ -150,22 +150,12 @@ def stratified_sample(df: DataFrame, strata_col: str, fraction: float,
     base = df.withColumn("__grp", F.col(id_col) % num_groups).withColumn(
         "__bk", bucket
     )
+    from arcane_framework_spark.operators.scale import bucket_offsets
+
     w_local = Window.partitionBy(strata_col, "__grp").orderBy("__bk", id_col)
     local = base.withColumn("__rk", F.row_number().over(w_local))
-    w_off = (
-        Window.partitionBy(strata_col)
-        .orderBy("__grp")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_tot = Window.partitionBy(strata_col)
-    counts = (
-        base.groupBy(strata_col, "__grp")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn(
-            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-        )
-        .withColumn("__tot", F.sum("__cnt").over(w_tot))
-        .select(strata_col, "__grp", "__off", "__tot")
+    counts = bucket_offsets(
+        base, [strata_col], ["__grp"], ["__grp"], with_total=True
     )
     return (
         local.join(F.broadcast(counts), [strata_col, "__grp"])
@@ -384,20 +374,11 @@ def top_fraction_per_group(df: DataFrame, group_col: str, score_col: str,
         id_col
     )
     local = base.withColumn("__rk", F.row_number().over(w_local))
-    w_off = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(score_col).desc(), "__grp")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_tot = Window.partitionBy(group_col)
-    counts = (
-        base.groupBy(group_col, score_col, "__grp")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn(
-            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
-        )
-        .withColumn("__tot", F.sum("__cnt").over(w_tot))
-        .select(group_col, score_col, "__grp", "__off", "__tot")
+    from arcane_framework_spark.operators.scale import bucket_offsets
+
+    counts = bucket_offsets(
+        base, [group_col], [score_col, "__grp"],
+        [F.col(score_col).desc(), "__grp"], with_total=True,
     )
     return (
         local.join(F.broadcast(counts), [group_col, score_col, "__grp"])
@@ -452,17 +433,9 @@ def interleaved_order(docs: DataFrame, id_col: str = "doc_id",
     # order lexically, so offset(bucket) + local rank == rank over __key.
     w_local = Window.partitionBy("source", "__bkt").orderBy("__key", "id")
     local = base.withColumn("__lrk", F.row_number().over(w_local))
-    w_off = (
-        Window.partitionBy("source")
-        .orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        base.groupBy("source", "__bkt")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
-        .select("source", "__bkt", "__off")
-    )
+    from arcane_framework_spark.operators.scale import bucket_offsets
+
+    offsets = bucket_offsets(base, ["source"], ["__bkt"], ["__bkt"])
     # S-row source dimension: alphabetical index + source count.
     w_src = Window.orderBy("source")
     srcs = (

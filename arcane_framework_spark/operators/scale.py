@@ -46,6 +46,53 @@ def with_broadcast_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
     )
 
 
+def bucket_offsets(df: DataFrame, part_cols: Sequence[str],
+                   bucket_cols: Sequence[str],
+                   offset_order: Sequence,
+                   value: "F.Column | None" = None,
+                   with_total: bool = False) -> DataFrame:
+    """The shared middle stage of every two-level distributed rank /
+    prefix sum in this package: per-(partition, bucket) totals with an
+    EXCLUSIVE running offset over the buckets.
+
+    Returns (part_cols + bucket_cols, __off [, __tot]): ``__off`` is the
+    sum of all preceding buckets' totals in ``offset_order`` (within the
+    partition), ``__tot`` the partition total. ``value=None`` counts
+    rows (rank offsets); a Column prefix-sums it (token/byte fill
+    offsets). The output is bucket-cardinality — metadata-scale — so the
+    offset window is cheap and the caller broadcasts the result back
+    onto per-row local ranks. Used by stratified_sample,
+    top_fraction_per_group, interleaved_order, pack_documents,
+    select_by_budget, and plan_compaction; keeping the offset semantics
+    here means a fix lands in all of them at once.
+    """
+    from pyspark.sql import Window
+
+    agg = (F.count(F.lit(1)) if value is None else F.sum(value)).alias(
+        "__cnt"
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*offset_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        df.groupBy(*part_cols, *bucket_cols)
+        .agg(agg)
+        .withColumn(
+            "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+        )
+    )
+    if with_total:
+        out = out.withColumn(
+            "__tot", F.sum("__cnt").over(Window.partitionBy(*part_cols))
+        )
+    keep = [*part_cols, *bucket_cols, "__off"] + (
+        ["__tot"] if with_total else []
+    )
+    return out.select(*keep)
+
+
 def zorder_key_sql(x_sql: str, y_sql: str) -> str:
     """Z-order (Morton) key of two 16-bit values as ONE SQL expression
     valid in both Spark SQL and DuckDB (``<<``/``&``/``|`` only — pure
