@@ -95,3 +95,50 @@ def test_rest_template_substitutes_all_declared_fields(values):
     resolved = t.resolve()
     for k, v in values.items():
         assert f"{k}={v}" in resolved or v == ""
+
+
+# ---------------------------------------------------------------------------
+# WAV codec properties (pure Python/numpy — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+from arcane_framework_spark.operators.multimodal import (  # noqa: E402
+    decode_wav,
+    synthesize_wav,
+)
+
+
+@settings(max_examples=200)
+@given(st.integers(min_value=0, max_value=10**12),
+       st.integers(min_value=0, max_value=10**9))
+def test_wav_roundtrip_property(doc_id, n_chars):
+    import numpy as np
+
+    rate, channels, s = decode_wav(synthesize_wav(doc_id, n_chars))
+    n = 256 + (n_chars % 256)
+    half = 1 + (doc_id % 8)
+    amp = 8192 + (doc_id % 8192)
+    assert (rate, channels, len(s)) == (8000, 1, n)
+    # Every sample is exactly +/-amp and blocks alternate every `half`.
+    assert set(np.unique(np.abs(s.astype("int64")))) == {amp}
+    i = np.arange(n)
+    expected_sign = np.where((i // half) % 2 == 0, 1, -1)
+    assert np.array_equal(np.sign(s.astype("int64")), expected_sign)
+
+
+@settings(max_examples=300)
+@given(st.integers(min_value=0, max_value=500),
+       st.integers(min_value=0, max_value=255),
+       st.integers(min_value=0, max_value=400))
+def test_wav_decode_never_crashes_on_mutation(pos, value, truncate):
+    """Any single-byte mutation or truncation of a valid WAV either still
+    decodes or raises the documented errors — never struct.error,
+    IndexError, or a numpy buffer error (the chunk-walk contract)."""
+    good = bytearray(synthesize_wav(7, 100))
+    if truncate:
+        good = good[:max(0, len(good) - truncate)]
+    if pos < len(good):
+        good[pos] = value
+    try:
+        decode_wav(bytes(good))
+    except (ValueError, NotImplementedError):
+        pass  # the documented failure modes
