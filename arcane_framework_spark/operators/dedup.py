@@ -600,3 +600,90 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         for p in range(1, bits + 1)
     ]
     return votes.select("id", F.concat(*bit_cols).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken local fingerprinting)
+# ---------------------------------------------------------------------------
+
+#: Token k-gram width for winnowing (the unit of local similarity).
+WINNOW_K = 4
+#: Window of consecutive gram hashes a fingerprint is selected from.
+#: Guarantee: any shared token run of >= K + W - 1 tokens yields at least
+#: one shared fingerprint (the winnowing theorem).
+WINNOW_W = 5
+#: Stop-fingerprint cap: a fingerprint present in more docs than this is
+#: boilerplate, not similarity signal, and would explode the pair join.
+WINNOW_MAX_DOCS_PER_FP = 50
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = WINNOW_K,
+                        w: int = WINNOW_W) -> DataFrame:
+    """(id, fp): DISTINCT winnowing fingerprints per document.
+
+    The MOSS selection scheme: hash every token k-gram, slide a window
+    of ``w`` hashes, keep each window's minimum — documents sharing any
+    sufficiently long run share a fingerprint with certainty (unlike
+    MinHash's probabilistic bands), while storing only ~2/(w+1) of the
+    gram hashes. Entirely map-side HOF expressions (one Generate
+    barrier, no shuffle until the caller's join/aggregate); fingerprints
+    are 16-hex md5 prefixes so the min is a plain lexicographic min in
+    both engines. Documents shorter than k tokens emit nothing; those
+    with fewer than ``w`` grams emit their single global minimum.
+    """
+    from arcane_framework_spark.operators.text import _with_token_barrier
+
+    base = _with_token_barrier(
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0), text_col
+    )
+    t = F.col("__toks")
+    gram_idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    gh = F.transform(
+        gram_idx,
+        lambda i: F.substring(F.md5(F.array_join(F.slice(t, i, k), " ")), 1, 16),
+    )
+    staged = base.filter(F.size(t) >= k).select(
+        F.col(id_col), F.explode(F.array(gh)).alias("__gh")
+    )
+    g = F.col("__gh")
+    win_idx = F.sequence(F.lit(1), F.size(g) - (w - 1))
+    fps = F.when(
+        F.size(g) >= w,
+        F.transform(win_idx, lambda i: F.array_min(F.slice(g, i, w))),
+    ).otherwise(F.array(F.array_min(g)))
+    return staged.select(
+        id_col, F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def winnow_pairs(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", min_shared: int = 2,
+                 k: int = WINNOW_K, w: int = WINNOW_W,
+                 max_docs_per_fp: int = WINNOW_MAX_DOCS_PER_FP) -> DataFrame:
+    """(id_a, id_b, shared_fps): document pairs sharing >= ``min_shared``
+    winnowing fingerprints — deterministic local-similarity dedup.
+
+    Scale shape: the fingerprint table is ~2/(w+1) the gram table; the
+    stop-fingerprint cap (computed on the SAME aggregation exchange)
+    bounds the self-join fan-out at C(cap, 2) per fingerprint, the same
+    degenerate-block defense as ``ngram_jaccard_pairs``. Two shuffles
+    total: fp frequency + the pair aggregation.
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") <= max_docs_per_fp)
+        .select("fp")
+    )
+    pruned = fps.join(ok, "fp")
+    a = pruned.select(F.col(id_col).alias("id_a"), "fp")
+    b = pruned.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -456,6 +456,77 @@ FROM documents
 """
 
 
+
+
+#: Id offset for the planted winnowing near-dups (every 9th doc gets a
+#: suffixed copy — near-dup, not exact, so only local fingerprinting
+#: catches it with certainty).
+WINNOW_DUP_OFFSET = 400_000
+
+
+def winnow_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local-fingerprint dedup: pairs sharing >= 2
+    selected fingerprints, with deterministic guarantees MinHash bands
+    lack (operators/dedup.py winnow_fingerprints / winnow_pairs)."""
+    from arcane_framework_spark.operators.dedup import winnow_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + F.lit(WINNOW_DUP_OFFSET)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" winnow planted tail")).alias(
+                "text"
+            ),
+        )
+    )
+    return winnow_pairs(corpus, min_shared=2)
+
+
+def _winnow_sql() -> str:
+    from arcane_framework_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_MAX_DOCS_PER_FP,
+        WINNOW_W,
+    )
+
+    k, w, cap = WINNOW_K, WINNOW_W, WINNOW_MAX_DOCS_PER_FP
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {WINNOW_DUP_OFFSET}, text || ' winnow planted tail'
+  FROM documents WHERE doc_id % 9 = 0
+),
+toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ls FROM corpus
+  WHERE length(trim(text)) > 0
+),
+gh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ls) - {k} + 2),
+           i -> substr(md5(array_to_string(ls[i : i + {k - 1}], ' ')), 1, 16)
+         ) AS g
+  FROM toks WHERE len(ls) >= {k}
+),
+fps AS (
+  SELECT DISTINCT doc_id, u.fp
+  FROM gh,
+    LATERAL (SELECT unnest(
+      CASE WHEN len(g) >= {w}
+           THEN list_transform(range(1, len(g) - {w} + 2),
+                               i -> list_min(g[i : i + {w - 1}]))
+           ELSE [list_min(g)] END) AS fp) u
+),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {cap}),
+pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN ok USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
+FROM pruned a JOIN pruned b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments_documents": boilerplate_segments_documents,
     "source_overlap_matrix": source_overlap_matrix,
@@ -468,6 +539,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "median_chars_by_source": median_chars_by_source,
     "streaming_drift_events": streaming_drift_events,
     "audio_features_documents": audio_features_documents,
+    "winnow_pairs_documents": winnow_pairs_documents,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -483,4 +555,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # Streaming execution, batch semantics: same oracle as the batch twin.
     "streaming_drift_events": _DRIFT_SQL,
     "audio_features_documents": _AUDIO_FEATURES_SQL,
+    "winnow_pairs_documents": _winnow_sql(),
 }

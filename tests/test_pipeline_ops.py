@@ -312,3 +312,50 @@ class TestWavAudio:
             assert r["n_samples"] == n
             assert r["rms"] == float(8192 + r["doc_id"] % 8192)
             assert r["duration_ms"] == n * 1000 // 8000
+
+
+class TestWinnowing:
+    def test_winnowing_guarantee(self, spark):
+        """The winnowing theorem: any shared token run of >= k + w - 1
+        tokens yields at least one shared fingerprint."""
+        from arcane_framework_spark.operators.dedup import (
+            WINNOW_K,
+            WINNOW_W,
+            winnow_fingerprints,
+        )
+
+        run = " ".join(f"shared{j}" for j in range(WINNOW_K + WINNOW_W - 1))
+        rows = [
+            (1, "s", "p1a p1b p1c " + run + " t1a t1b t1c"),
+            (2, "s", "p2a p2b p2c p2d " + run + " t2a"),
+        ]
+        fps = winnow_fingerprints(_docs(spark, rows)).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2]
+
+    def test_pairs_found_and_capped(self, spark):
+        from arcane_framework_spark.operators.dedup import winnow_pairs
+
+        shared = " ".join(f"w{j}" for j in range(20))
+        rows = [(i, "s", shared + f" uniq{i}a uniq{i}b") for i in range(4)]
+        # All 6 pairs share fingerprints...
+        assert winnow_pairs(_docs(spark, rows), min_shared=1).count() == 6
+        # ...but a stop-fingerprint cap below the doc count kills the
+        # boilerplate fingerprints (all fps here are in all 4 docs).
+        assert winnow_pairs(
+            _docs(spark, rows), min_shared=1, max_docs_per_fp=3
+        ).count() == 0
+
+    def test_short_doc_single_fingerprint(self, spark):
+        from arcane_framework_spark.operators.dedup import (
+            winnow_fingerprints,
+        )
+
+        # 5 tokens, k=4 -> 2 grams < w: one global-min fingerprint.
+        rows = [(1, "s", "a b c d e")]
+        assert winnow_fingerprints(_docs(spark, rows)).count() == 1
+        # shorter than k: nothing.
+        rows2 = [(2, "s", "a b c")]
+        assert winnow_fingerprints(_docs(spark, rows2)).count() == 0
