@@ -62,3 +62,43 @@ def test_merge_key_stays_in_codegen(spark):
 def test_source_capped_uses_window_group_limit(spark):
     plan = _plan(spark, "source_capped_documents")
     assert "WindowGroupLimit" in plan  # partial top-k before the exchange
+
+
+def test_audio_features_pure_map(spark):
+    # Synthesis + decode + features is one Arrow-batched map pipeline:
+    # no shuffle anywhere, and Python execution is Arrow (mapInPandas),
+    # never row-at-a-time.
+    plan = _plan(spark, "audio_features_documents")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_coverage_broadcast_probe(spark):
+    # The corpus token stream must probe the vocabulary via broadcast —
+    # a shuffled join here would re-shuffle the whole token stream.
+    plan = _plan(spark, "vocab_coverage_documents")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_pairs_no_cartesian(spark):
+    plan = _plan(spark, "winnow_pairs_documents")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_scan_pruned_to_two_columns(spark):
+    # Segment accounting needs doc_id + text only; lang/source/n_chars
+    # must not reach the parquet scan.
+    plan = _plan(spark, "boilerplate_segments_documents")
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema
+    assert all("n_chars" not in ln and "lang" not in ln
+               for ln in read_schema)
+
+
+def test_bigram_lift_takeordered_no_global_sort(spark):
+    # The top-k cut must plan as TakeOrderedAndProject, not a full Sort
+    # of the scored pair table.
+    plan = _plan(spark, "bigram_lift_documents")
+    assert "TakeOrderedAndProject" in plan
