@@ -25,6 +25,7 @@ from arcane_framework_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    winnow_pairs,
 )
 from arcane_framework_spark.operators.graph import (  # noqa: E402
     dedup_clusters,
@@ -284,6 +285,10 @@ def main() -> None:
                 ev10.withColumn("ts", F.timestamp_micros("us")), F.col("ts")
             )
         ),
+        # winnowing pairs over the 10x corpus: copies share their entire
+        # gram stream, so the stop-fingerprint cap is what keeps the pair
+        # join bounded — the adversarial case for X65
+        "winnow_pairs": timed(lambda: winnow_pairs(docs)),
         # compaction plan over 10x file metadata (400 partitions)
         "plan_compaction": timed(
             lambda: plan_compaction(
