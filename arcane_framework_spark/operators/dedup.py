@@ -626,11 +626,14 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     of ``w`` hashes, keep each window's minimum — documents sharing any
     sufficiently long run share a fingerprint with certainty (unlike
     MinHash's probabilistic bands), while storing only ~2/(w+1) of the
-    gram hashes. Entirely map-side HOF expressions (one Generate
-    barrier, no shuffle until the caller's join/aggregate); fingerprints
-    are 16-hex md5 prefixes so the min is a plain lexicographic min in
-    both engines. Documents shorter than k tokens emit nothing; those
-    with fewer than ``w`` grams emit their single global minimum.
+    gram hashes. Entirely map-side HOF expressions (three Generate
+    barriers: tokens, gram hashes, fingerprint explode; no shuffle until
+    the caller's join/aggregate); fingerprints are 16-hex md5 prefixes
+    so the min is a plain lexicographic min in both engines. Documents
+    shorter than k tokens emit nothing; those with fewer than ``w``
+    grams emit their single global minimum. Callers consuming the
+    output more than once should persist it — the tokenize+hash lineage
+    is the expensive part (see ``winnow_pairs``).
     """
     from arcane_framework_spark.operators.text import _with_token_barrier
 
@@ -664,13 +667,21 @@ def winnow_pairs(docs: DataFrame, id_col: str = "doc_id",
     """(id_a, id_b, shared_fps): document pairs sharing >= ``min_shared``
     winnowing fingerprints — deterministic local-similarity dedup.
 
-    Scale shape: the fingerprint table is ~2/(w+1) the gram table; the
-    stop-fingerprint cap (computed on the SAME aggregation exchange)
-    bounds the self-join fan-out at C(cap, 2) per fingerprint, the same
-    degenerate-block defense as ``ngram_jaccard_pairs``. Two shuffles
-    total: fp frequency + the pair aggregation.
+    Scale shape: the fingerprint table is ~2/(w+1) the gram table and
+    is materialized ONCE (repartitioned on fp + persisted — it feeds the
+    frequency aggregate, the pruning join, and both sides of the pair
+    self-join; without the persist the tokenize+md5+window-min lineage
+    executes up to 8x, measured on the physical plan). The stop-
+    fingerprint cap bounds the self-join fan-out at C(cap, 2) per
+    fingerprint, the same degenerate-block defense as
+    ``ngram_jaccard_pairs``; the repartition pre-positions every
+    consumer on the fp key.
     """
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    fps = (
+        winnow_fingerprints(docs, id_col, text_col, k, w)
+        .repartition("fp")
+        .transform(scoped_persist)
+    )
     ok = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__nd"))
