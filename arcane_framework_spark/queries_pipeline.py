@@ -527,6 +527,136 @@ GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
 
+
+
+#: FK-shift used to plant referential-integrity violations in-query.
+AUDIT_ORPHAN_SHIFT = 900_000_000
+
+
+def integrity_audit_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity + constraint audit over the TPC-H tables:
+    (check, violations). Violations are planted in-query (shifted FK
+    copies) so every check exercises its non-zero path
+    (operators/audit.py orphan_check / count_check)."""
+    from arcane_framework_spark.operators.audit import (
+        count_check,
+        integrity_report,
+        orphan_check,
+    )
+
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    li, od, cu = t["lineitem"], t["orders"], t["customer"]
+    li_corrupt = li.filter(
+        (F.col("l_orderkey") % 997 == 0) & (F.col("l_linenumber") == 1)
+    ).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(AUDIT_ORPHAN_SHIFT)
+    )
+    od_corrupt = od.filter(F.col("o_orderkey") % 1009 == 0).withColumn(
+        "o_custkey", F.col("o_custkey") + F.lit(AUDIT_ORPHAN_SHIFT)
+    )
+    li_all = li.unionByName(li_corrupt)
+    od_all = od.unionByName(od_corrupt)
+    return integrity_report([
+        orphan_check(li_all, od, "orphan_lineitem_orders",
+                     "l_orderkey", "o_orderkey"),
+        orphan_check(od_all, cu, "orphan_orders_customer",
+                     "o_custkey", "c_custkey"),
+        count_check(li_all, "nonpositive_extendedprice",
+                    F.col("l_extendedprice") <= 0),
+        count_check(
+            li_all, "discount_out_of_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+    ])
+
+
+_INTEGRITY_SQL = f"""
+WITH li_all AS (
+  SELECT * FROM lineitem
+  UNION ALL
+  SELECT l_orderkey + {AUDIT_ORPHAN_SHIFT}, l_partkey, l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM lineitem WHERE l_orderkey % 997 = 0 AND l_linenumber = 1
+)
+SELECT 'orphan_lineitem_orders' AS check,
+       (SELECT count(*) FROM li_all l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+         AS violations
+UNION ALL
+SELECT 'orphan_orders_customer',
+       (SELECT count(*) FROM (
+          SELECT * FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_custkey + {AUDIT_ORPHAN_SHIFT},
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 1009 = 0
+        ) o2
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o2.o_custkey))::BIGINT
+UNION ALL
+SELECT 'nonpositive_extendedprice',
+       (SELECT count(*) FROM li_all
+        WHERE l_extendedprice <= 0)::BIGINT
+UNION ALL
+SELECT 'discount_out_of_range',
+       (SELECT count(*) FROM li_all
+        WHERE l_discount < 0 OR l_discount > 1)::BIGINT
+"""
+
+
+def coverage_gaps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly coverage audit: missing hours against the global
+    time range — the freshness/completeness gate of a streaming ingest
+    (operators/audit.py coverage_gaps)."""
+    from arcane_framework_spark.operators.audit import coverage_gaps
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    return coverage_gaps(ev, ts_timestamp(ev))
+
+
+_COVERAGE_GAPS_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(hour) AS mn, max(hour) AS mx FROM hourly),
+spine AS (
+  SELECT t.event_type, g.h AS hour
+  FROM (SELECT DISTINCT event_type FROM hourly) t,
+       bounds,
+       LATERAL (SELECT unnest(generate_series(mn, mx,
+                                              INTERVAL 1 HOUR)) AS h) g
+),
+missing AS (
+  SELECT s.event_type, s.hour
+  FROM spine s
+  WHERE NOT EXISTS (SELECT 1 FROM hourly h
+                    WHERE h.event_type = s.event_type
+                      AND h.hour = s.hour)
+),
+per_missing AS (
+  SELECT event_type, count(*)::BIGINT AS n_missing,
+         min(hour) AS first_missing
+  FROM missing GROUP BY event_type
+),
+per_observed AS (
+  SELECT event_type, count(*)::BIGINT AS n_observed FROM hourly
+  GROUP BY event_type
+)
+SELECT o.event_type,
+       (SELECT (epoch_us(mx) - epoch_us(mn)) // 3600000000 + 1
+        FROM bounds)::BIGINT AS n_expected,
+       o.n_observed,
+       coalesce(m.n_missing, 0)::BIGINT AS n_missing,
+       strftime(m.first_missing, '%Y-%m-%d %H:00:00')
+         AS first_missing_hour
+FROM per_observed o LEFT JOIN per_missing m USING (event_type)
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments_documents": boilerplate_segments_documents,
     "source_overlap_matrix": source_overlap_matrix,
@@ -540,6 +670,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_drift_events": streaming_drift_events,
     "audio_features_documents": audio_features_documents,
     "winnow_pairs_documents": winnow_pairs_documents,
+    "integrity_audit_tpch": integrity_audit_tpch,
+    "coverage_gaps_events": coverage_gaps_events,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -556,4 +688,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "streaming_drift_events": _DRIFT_SQL,
     "audio_features_documents": _AUDIO_FEATURES_SQL,
     "winnow_pairs_documents": _winnow_sql(),
+    "integrity_audit_tpch": _INTEGRITY_SQL,
+    "coverage_gaps_events": _COVERAGE_GAPS_SQL,
 }

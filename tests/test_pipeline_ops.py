@@ -359,3 +359,59 @@ class TestWinnowing:
         # shorter than k: nothing.
         rows2 = [(2, "s", "a b c")]
         assert winnow_fingerprints(_docs(spark, rows2)).count() == 0
+
+
+class TestAudit:
+    def test_orphan_and_constraint_checks(self, spark):
+        from arcane_framework_spark.operators.audit import (
+            count_check,
+            integrity_report,
+            orphan_check,
+        )
+
+        child = spark.createDataFrame(
+            [(1, 10.0), (2, -1.0), (99, 5.0), (None, 3.0)],
+            "fk long, amount double",
+        )
+        parent = spark.createDataFrame([(1,), (2,)], "pk long")
+        report = {r["check"]: r["violations"] for r in integrity_report([
+            orphan_check(child, parent, "orphans", "fk", "pk"),
+            count_check(child, "neg_amount", F.col("amount") < 0),
+        ]).collect()}
+        # 99 has no parent; the null FK also counts as an orphan.
+        assert report["orphans"] == 2
+        assert report["neg_amount"] == 1
+
+    def test_checks_report_zero_on_clean_and_empty(self, spark):
+        from arcane_framework_spark.operators.audit import (
+            count_check,
+            orphan_check,
+        )
+
+        clean = spark.createDataFrame([(1, 1.0)], "fk long, amount double")
+        parent = spark.createDataFrame([(1,)], "pk long")
+        assert orphan_check(clean, parent, "o", "fk", "pk").collect()[0][
+            "violations"] == 0
+        empty = clean.filter(F.lit(False))
+        assert count_check(empty, "c", F.lit(True)).collect()[0][
+            "violations"] == 0
+
+    def test_coverage_gaps_exact(self, spark):
+        import datetime as dt
+
+        from arcane_framework_spark.operators.audit import coverage_gaps
+
+        base = dt.datetime(2024, 1, 1)
+        # Global range spans 4 hours (h0..h3). Type a present h0,h3
+        # (missing h1,h2); type b present h1 only (missing h0,h2,h3).
+        rows = [
+            (base, "a"), (base + dt.timedelta(hours=3), "a"),
+            (base + dt.timedelta(hours=1), "b"),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        out = {r["event_type"]: r
+               for r in coverage_gaps(df, F.col("ts")).collect()}
+        assert out["a"]["n_expected"] == 4 and out["a"]["n_missing"] == 2
+        assert out["a"]["first_missing_hour"] == "2024-01-01 01:00:00"
+        assert out["b"]["n_missing"] == 3
+        assert out["b"]["first_missing_hour"] == "2024-01-01 00:00:00"
