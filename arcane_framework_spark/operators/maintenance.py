@@ -55,11 +55,35 @@ def plan_compaction(files: DataFrame, target_bytes: int,
     threshold = (
         target_bytes if small_file_threshold is None else small_file_threshold
     )
+    # File ids in the wild are PATH STRINGS ("part-00000.parquet"), not
+    # numbers — `string % int` casts to null with ANSI off, nulling every
+    # group and silently emptying the plan. Dispatch on the actual dtype:
+    # numeric ids keep the cheap modulo (and the established oracle);
+    # anything else hashes (md5-prefix -> int, bit-identical in DuckDB
+    # as CAST(concat('0x', substring(md5(id), 1, 8)) AS BIGINT)).
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    id_dt = files.schema[id_col].dataType
+    if isinstance(id_dt, (ByteType, ShortType, IntegerType, LongType)):
+        grp = F.col(id_col) % num_groups
+    else:
+        grp = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10,
+            ).cast("long"),
+            F.lit(num_groups),
+        )
     base = files.select(
         F.col(partition_col).alias("part"),
         F.col(id_col).alias("id"),
         F.col(size_col).cast("long").alias("size"),
-        (F.col(id_col) % num_groups).alias("__grp"),
+        grp.alias("__grp"),
     ).filter(F.col("size") < threshold)
     w_local = (
         Window.partitionBy("part", "__grp")

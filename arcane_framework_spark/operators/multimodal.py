@@ -364,6 +364,10 @@ def decode_wav(content: bytes):
         raise NotImplementedError(
             f"only PCM16 supported (got format={audio_format}, bits={bits})"
         )
+    if rate <= 0 or channels <= 0:
+        raise ValueError(
+            f"degenerate fmt chunk (rate={rate}, channels={channels})"
+        )
     samples = np.frombuffer(data, dtype="<i2")
     return rate, channels, samples
 
@@ -438,7 +442,14 @@ def wav_audio_features(assets: DataFrame) -> DataFrame:
             import numpy as np
 
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                rate, _, s = decode_wav(bytes(content))
+                rate, channels, s = decode_wav(bytes(content))
+                if channels != 1:
+                    # Interleaved multi-channel stats would be silently
+                    # wrong (2x frames, L/R sign flips); reject instead.
+                    raise NotImplementedError(
+                        f"doc {doc_id}: {channels}-channel WAV; "
+                        "per-channel stats need de-interleaving"
+                    )
                 n = len(s)
                 s64 = s.astype("int64")
                 mean_sq = int((s64 * s64).sum()) / n if n else 0.0

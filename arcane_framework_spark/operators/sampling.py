@@ -436,10 +436,12 @@ def interleaved_order(docs: DataFrame, id_col: str = "doc_id",
     from arcane_framework_spark.operators.scale import bucket_offsets
 
     offsets = bucket_offsets(base, ["source"], ["__bkt"], ["__bkt"])
-    # S-row source dimension: alphabetical index + source count.
+    # S-row source dimension: alphabetical index + source count —
+    # derived from the (metadata-scale) offsets table, NOT a third
+    # corpus-scale docs.distinct() pass.
     w_src = Window.orderBy("source")
     srcs = (
-        docs.select(F.col(group_col).alias("source")).distinct()
+        offsets.select("source").distinct()
         .withColumn("__sidx", F.row_number().over(w_src) - 1)
         .withColumn("__n_src", F.count(F.lit(1)).over(
             Window.partitionBy()

@@ -256,7 +256,10 @@ def grouped_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    bands = df.groupBy(
+    # Median over NON-NULL values only: Spark windows sort nulls first,
+    # DuckDB last — including them would make the engines pick different
+    # bands (and can surface a NULL median). n_rows counts non-nulls.
+    bands = df.filter(F.col(value_col).isNotNull()).groupBy(
         F.col(group_col).alias("group"), F.col(value_col).alias("value")
     ).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
     w_cum = (

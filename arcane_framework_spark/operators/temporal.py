@@ -182,12 +182,14 @@ def hourly_anomaly(events: DataFrame, ts_col, type_col: str = "event_type",
     ``ts_col`` is a timestamp Column (callers pass ``ts_timestamp(df)`` so
     the dtype dispatch survives testdata drift).
 
-    The z-score is computed from exact integer moments, not
-    stddev_samp/avg doubles: with n hours, S = sum(count), Q =
-    sum(count^2), ``z = (c*n - S) / sqrt(n*Q - S*S)`` — algebraically
-    (c - mean)/std_pop, but every intermediate is a 64-bit integer, so
-    Spark and DuckDB agree bit-for-bit where float accumulation order
-    would not.
+    The z-score is computed from integer moments, not stddev_samp/avg
+    accumulators: with n hours, S = sum(count), Q = sum(count^2),
+    ``z = (c*n - S) / sqrt(n*Q - S*S)`` — algebraically
+    (c - mean)/std_pop. The moments are exact int64 sums; the products
+    are taken in doubles (identical operand order in both engines —
+    double multiply and sqrt are IEEE-exactly-rounded, so the engines
+    still agree bit-for-bit, without the int64 wrap a hot event type
+    would hit).
 
     Scale shape: the corpus-scale work is ONE groupBy(type, hour) with
     map-side combine; everything downstream (per-type windows, the top-k
@@ -210,14 +212,17 @@ def hourly_anomaly(events: DataFrame, ts_col, type_col: str = "event_type",
             "__q", F.sum(F.col("n_events") * F.col("n_events")).over(w_type)
         )
     )
+    # Doubles BEFORE the products: n*Q and S*S as int64 wrap once an
+    # event type's total count passes ~3e9 (silently, ANSI off) — NaN
+    # z-scores. Double multiply + sqrt are IEEE-exactly-rounded, so with
+    # identical operand order the oracle still matches bit-for-bit.
     denom = F.sqrt(
-        (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")).cast(
-            "double"
-        )
+        F.col("__n").cast("double") * F.col("__q")
+        - F.col("__s").cast("double") * F.col("__s")
     )
     z = F.when(
         denom > 0,
-        (F.col("n_events") * F.col("__n") - F.col("__s")).cast("double")
+        (F.col("n_events").cast("double") * F.col("__n") - F.col("__s"))
         / denom,
     ).otherwise(F.lit(0.0))
     scored = stats.withColumn("__z", z)

@@ -208,11 +208,12 @@ stats AS (
 ),
 scored AS (
   SELECT event_type, hour, n_events,
-         CASE WHEN CAST(n AS BIGINT) * CAST(q AS BIGINT)
-                   - CAST(s AS BIGINT) * CAST(s AS BIGINT) > 0
-              THEN (n_events * CAST(n AS BIGINT) - CAST(s AS BIGINT))::DOUBLE
-                   / sqrt((CAST(n AS BIGINT) * CAST(q AS BIGINT)
-                           - CAST(s AS BIGINT) * CAST(s AS BIGINT))::DOUBLE)
+         CASE WHEN CAST(n AS DOUBLE) * CAST(q AS BIGINT)
+                   - CAST(s AS DOUBLE) * CAST(s AS BIGINT) > 0
+              THEN (CAST(n_events AS DOUBLE) * CAST(n AS BIGINT)
+                    - CAST(s AS BIGINT))
+                   / sqrt(CAST(n AS DOUBLE) * CAST(q AS BIGINT)
+                          - CAST(s AS DOUBLE) * CAST(s AS BIGINT))
               ELSE 0.0 END AS z
   FROM stats
 ),
@@ -358,7 +359,7 @@ def median_chars_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIAN_SQL = """
 WITH bands AS (
   SELECT source, n_chars AS value, count(*)::BIGINT AS cnt
-  FROM documents GROUP BY 1, 2
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
   SELECT source, value, cnt,

@@ -69,7 +69,7 @@ def get_spark(app_name: str = "arcane-framework-spark", master: str | None = Non
 #: cannot evict here (each cached DataFrame strongly references its
 #: session, pinning the weak key), so we keep at most one session's
 #: worth of handles instead.
-_TABLE_CACHE: dict = {"app_id": None, "tables": {}}
+_TABLE_CACHE: dict = {"session": None, "tables": {}}
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
@@ -96,12 +96,12 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     # evaluation, and the DuckDB oracles use non-ANSI null semantics.
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        app_id = spark.sparkContext.applicationId
-    except Exception:  # e.g. Spark Connect sessions without a local SC
-        app_id = None
-    if app_id is None or _TABLE_CACHE["app_id"] != app_id:
-        _TABLE_CACHE["app_id"] = app_id
+    # Identity, not applicationId: spark.newSession() clones share the
+    # app id but have their OWN temp-view catalogs — serving a clone the
+    # first session's DataFrames would register views in the wrong
+    # session. A different wrapper object resets the cache.
+    if _TABLE_CACHE["session"] is not spark:
+        _TABLE_CACHE["session"] = spark
         _TABLE_CACHE["tables"] = {}
     cache = _TABLE_CACHE["tables"]
     out = {}

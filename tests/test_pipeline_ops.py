@@ -415,3 +415,50 @@ class TestAudit:
         assert out["a"]["first_missing_hour"] == "2024-01-01 01:00:00"
         assert out["b"]["n_missing"] == 3
         assert out["b"]["first_missing_hour"] == "2024-01-01 00:00:00"
+
+
+class TestReviewHardening:
+    def test_compaction_with_string_file_ids(self, spark):
+        from arcane_framework_spark.operators.maintenance import (
+            plan_compaction,
+        )
+
+        rows = [("p0", f"part-{i:05d}.parquet", 100) for i in range(20)]
+        df = spark.createDataFrame(rows, "part string, file_id string, size long")
+        out = plan_compaction(df, target_bytes=1000)
+        # All 20 small files must land in the plan (not a silently
+        # empty result from a nulled string % int group key).
+        assert out.count() == 20
+
+    def test_grouped_median_ignores_nulls(self, spark):
+        from arcane_framework_spark.operators.scale import grouped_median
+
+        rows = [("a", 1), ("a", None), ("a", 3), ("a", None), ("a", 5)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = grouped_median(df, "g", "v").collect()[0]
+        assert out["median_v"] == 3 and out["n_rows"] == 3
+
+    def test_wav_zero_rate_rejected(self, spark):
+        import struct
+
+        from arcane_framework_spark.operators.multimodal import (
+            decode_wav,
+            synthesize_wav,
+        )
+
+        good = bytearray(synthesize_wav(1, 10))
+        struct.pack_into("<I", good, 24, 0)  # fmt.sample_rate = 0
+        with pytest.raises(ValueError):
+            decode_wav(bytes(good))
+
+    def test_table_cache_resets_for_new_session_object(self, spark):
+        from arcane_framework_spark.session import _TABLE_CACHE, load_tables
+
+        load_tables(spark, "/root/testdata/sf0.001", "region")
+        assert _TABLE_CACHE["session"] is spark
+        s2 = spark.newSession()
+        t = load_tables(s2, "/root/testdata/sf0.001", "region")
+        # the clone got its own DataFrame and its own temp view
+        assert _TABLE_CACHE["session"] is s2
+        assert s2.sql("SELECT count(*) FROM region").collect()[0][0] == \
+            t["region"].count()

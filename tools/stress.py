@@ -39,6 +39,7 @@ from arcane_framework_spark.operators.packing import (  # noqa: E402
     select_by_budget,
 )
 from arcane_framework_spark.operators.sampling import (  # noqa: E402
+    interleaved_order,
     leakage_guarded_split,
     pps_systematic_sample,
 )
@@ -60,9 +61,6 @@ from arcane_framework_spark.operators.decontam import (  # noqa: E402
 )
 from arcane_framework_spark.operators.drift import (  # noqa: E402
     distribution_drift,
-)
-from arcane_framework_spark.operators.sampling import (  # noqa: E402
-    interleaved_order,
 )
 from arcane_framework_spark.operators.scale import grouped_median  # noqa: E402
 from arcane_framework_spark.operators.temporal import (  # noqa: E402
