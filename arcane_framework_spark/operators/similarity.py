@@ -791,3 +791,110 @@ def embedding_dispersion(vectors: DataFrame, group_col: str = "label",
             "dispersion"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distortion audit
+# ---------------------------------------------------------------------------
+
+JL_PLANES = 16
+JL_SAMPLE_MOD = 41
+#: Input embedding dimensionality (the testdata contract; queries_ext
+#: interpolates the same 64 into every embedding oracle).
+JL_INPUT_DIM = 64
+
+
+def jl_project(df: DataFrame, num_planes: int = JL_PLANES,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, proj: array<long>) — Rademacher (±1) random projection of the
+    embedding column to ``num_planes`` dimensions.
+
+    Components are fixed-pointed to integer micro-units BEFORE the
+    projection, so every projected coordinate is an exact int64 signed
+    sum (integer addition is associative — partition order cannot change
+    the result, and the DuckDB oracle reproduces it exactly). Map-side
+    only; the projection matrix is the deterministic
+    ``hyperplane_weights`` family baked into the plan as literals.
+    At 100 TB this is the cheap first step of any embedding pipeline:
+    a 4x-narrower vector column for downstream ANN/dedup, one scan.
+    """
+    w = hyperplane_weights(num_planes, JL_INPUT_DIM)
+    e = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    staged = df.select(
+        F.col(id_col), F.explode(F.array(e)).alias("__e")
+    )
+    projections = [
+        F.aggregate(
+            F.zip_with(
+                F.col("__e"),
+                F.array(*[F.lit(int(v)) for v in w[p]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for p in range(num_planes)
+    ]
+    return staged.select(id_col, F.array(*projections).alias("proj"))
+
+
+def jl_distortion(df: DataFrame, num_planes: int = JL_PLANES,
+                  sample_mod: int = JL_SAMPLE_MOD,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """One-row JL quality report: (n_pairs, mean_distortion,
+    min_distortion, max_distortion), where distortion =
+    ||proj(a)-proj(b)||² / (k·||a-b||²) — E[·] = 1 for Rademacher
+    projections, so values near 1 mean distances survived the 4x
+    compression.
+
+    The audited pair sample is LINEAR in the corpus (consecutive
+    sampled ids: v paired with v + sample_mod), never an all-pairs
+    product — the bounded-measurement lesson from the LSH recall query
+    applied from the start. Per-pair distortion is fixed-pointed to
+    int64 micro-units before the mean, so the aggregate is exact
+    integer arithmetic in both engines.
+    """
+    sampled = df.filter(F.col(id_col) % sample_mod == 0)
+    both = jl_project(sampled, num_planes, id_col, vec_col).join(
+        sampled.select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
+            ).alias("__e"),
+        ),
+        id_col,
+    )
+    a = both.select(
+        F.col(id_col).alias("__ida"), F.col("proj").alias("__pa"),
+        F.col("__e").alias("__ea"),
+    )
+    b = both.select(
+        (F.col(id_col) - sample_mod).alias("__ida"),
+        F.col("proj").alias("__pb"), F.col("__e").alias("__eb"),
+    )
+    sq = lambda u, v: F.aggregate(  # noqa: E731 — exact int64 sq-dist
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    pairs = a.join(b, "__ida").select(
+        sq(F.col("__pa"), F.col("__pb")).alias("__dp"),
+        sq(F.col("__ea"), F.col("__eb")).alias("__d"),
+    ).filter(F.col("__d") > 0)
+    m = F.floor(
+        F.col("__dp") / (F.lit(num_planes) * F.col("__d")) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    return pairs.select(m.alias("__m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.floor(F.sum("__m") / F.count(F.lit(1)) + F.lit(0.5)) / 1e6)
+        .alias("mean_distortion"),
+        (F.min("__m") / 1e6).alias("min_distortion"),
+        (F.max("__m") / 1e6).alias("max_distortion"),
+    )

@@ -658,6 +658,71 @@ FROM per_observed o LEFT JOIN per_missing m USING (event_type)
 """
 
 
+
+
+def jl_distortion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit: project embeddings 64 -> 16 dims with
+    the deterministic Rademacher matrix and measure pairwise-distance
+    distortion on a LINEAR pair sample (operators/similarity.py
+    jl_project / jl_distortion)."""
+    from arcane_framework_spark.operators.similarity import jl_distortion
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    return jl_distortion(t["embeddings"])
+
+
+def _jl_sql() -> str:
+    from arcane_framework_spark.operators.similarity import (
+        JL_INPUT_DIM,
+        JL_PLANES,
+        JL_SAMPLE_MOD,
+    )
+    from arcane_framework_spark.operators.similarity import (
+        hyperplane_weights,
+    )
+
+    w = hyperplane_weights(JL_PLANES, JL_INPUT_DIM)
+    p_exprs = ",\n         ".join(
+        "list_sum(list_transform(range(1, {d1}), i -> e[i] * ([{ws}])[i]))"
+        .format(d1=JL_INPUT_DIM + 1, ws=", ".join(str(v) for v in w[p]))
+        for p in range(JL_PLANES)
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS e
+  FROM embeddings WHERE vec_id % {JL_SAMPLE_MOD} = 0
+),
+proj AS (
+  SELECT vec_id, e,
+         [{p_exprs}] AS p
+  FROM s
+),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, a.e AS ea, b.e AS eb
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + {JL_SAMPLE_MOD}
+),
+d AS (
+  SELECT list_sum(list_transform(range(1, {JL_PLANES + 1}),
+                  i -> (pa[i] - pb[i]) * (pa[i] - pb[i]))) AS dp,
+         list_sum(list_transform(range(1, {JL_INPUT_DIM + 1}),
+                  i -> (ea[i] - eb[i]) * (ea[i] - eb[i]))) AS dd
+  FROM pairs
+),
+m AS (
+  SELECT CAST(floor(dp::DOUBLE / ({JL_PLANES} * dd) * 1e6 + 0.5) AS BIGINT)
+           AS m
+  FROM d WHERE dd > 0
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       floor(SUM(m)::DOUBLE / count(*) + 0.5) / 1e6 AS mean_distortion,
+       MIN(m)::DOUBLE / 1e6 AS min_distortion,
+       MAX(m)::DOUBLE / 1e6 AS max_distortion
+FROM m
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments_documents": boilerplate_segments_documents,
     "source_overlap_matrix": source_overlap_matrix,
@@ -673,6 +738,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_pairs_documents": winnow_pairs_documents,
     "integrity_audit_tpch": integrity_audit_tpch,
     "coverage_gaps_events": coverage_gaps_events,
+    "jl_distortion_embeddings": jl_distortion_embeddings,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -691,4 +757,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "winnow_pairs_documents": _winnow_sql(),
     "integrity_audit_tpch": _INTEGRITY_SQL,
     "coverage_gaps_events": _COVERAGE_GAPS_SQL,
+    "jl_distortion_embeddings": _jl_sql(),
 }

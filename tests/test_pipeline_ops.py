@@ -462,3 +462,62 @@ class TestReviewHardening:
         assert _TABLE_CACHE["session"] is s2
         assert s2.sql("SELECT count(*) FROM region").collect()[0][0] == \
             t["region"].count()
+
+
+class TestJLProjection:
+    def test_projection_exact_small_case(self, spark):
+        from arcane_framework_spark.operators.similarity import (
+            JL_INPUT_DIM,
+            hyperplane_weights,
+            jl_project,
+        )
+
+        # One-hot vector at dim d: projection = column d of the matrix
+        # (scaled by 1e6 fixed-point).
+        d = 7
+        vec = [0.0] * JL_INPUT_DIM
+        vec[d] = 1.0
+        df = spark.createDataFrame(
+            [(1, vec)], "vec_id long, embedding array<double>"
+        )
+        out = jl_project(df).collect()[0]["proj"]
+        w = hyperplane_weights(16, JL_INPUT_DIM)
+        assert list(out) == [w[p][d] * 1_000_000 for p in range(16)]
+
+    def test_distortion_mean_near_one(self, spark):
+        import random
+
+        from arcane_framework_spark.operators.similarity import (
+            JL_INPUT_DIM,
+            jl_distortion,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            (i * 41, [rng.uniform(-1, 1) for _ in range(JL_INPUT_DIM)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = jl_distortion(df).collect()[0]
+        assert out["n_pairs"] == 39
+        # E[distortion] = 1 for Rademacher projections; k=16 gives a
+        # loose but meaningful band.
+        assert 0.5 < out["mean_distortion"] < 1.5
+        assert out["min_distortion"] <= out["mean_distortion"] <= \
+            out["max_distortion"]
+
+    def test_identical_vectors_excluded(self, spark):
+        from arcane_framework_spark.operators.similarity import (
+            JL_INPUT_DIM,
+            jl_distortion,
+        )
+
+        rows = [(0, [1.0] * JL_INPUT_DIM), (41, [1.0] * JL_INPUT_DIM)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        # zero original distance -> pair dropped, empty aggregate.
+        out = jl_distortion(df).collect()[0]
+        assert out["n_pairs"] == 0
