@@ -204,6 +204,14 @@ def hourly_anomaly(events: DataFrame, ts_col, type_col: str = "event_type",
         .groupBy("event_type", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    return anomaly_scores(hourly, top_k)
+
+
+def anomaly_scores(hourly: DataFrame,
+                   top_k: int = ANOMALY_TOP_K) -> DataFrame:
+    """Score a (event_type, hour, n_events) rollup — the metadata-scale
+    half of ``hourly_anomaly``, shared with the streaming twin (whose
+    rollup comes from a drained streaming aggregation)."""
     w_type = Window.partitionBy("event_type")
     stats = (
         hourly.withColumn("__n", F.count(F.lit(1)).over(w_type))

@@ -178,7 +178,7 @@ GROUP BY source
 
 
 def event_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 anomalous hours per event type by integer-exact z-score
+    """Top-3 anomalous hours per event type by integer-moment z-score
     (operators/temporal.py hourly_anomaly)."""
     t = load_tables(spark, sf_dir, "events")
     ev = t["events"]
@@ -723,6 +723,54 @@ FROM m
 """
 
 
+
+
+def streaming_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``event_anomaly_hours``: the corpus-scale
+    (type, hour) rollup runs as a Structured Streaming aggregation
+    (complete mode, availableNow); the z-score ranking runs batch-side
+    on the drained metadata-scale sink — the same split a production
+    monitor uses (stream maintains the rollup, alerting reads it)."""
+    from arcane_framework_spark.queries_ext import stream_conf
+
+    t = load_tables(spark, sf_dir, "events")
+    schema = t["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    hourly = (
+        stream.select(
+            F.col("event_type"),
+            F.date_trunc("hour", ts_timestamp(schema)).alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    name = "streaming_anomaly_sink"
+    with stream_conf(spark):
+        q = (
+            hourly.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # Score the drained rollup with the batch twin's shared helper —
+    # the fixed-point/z-score contract lives in exactly one place.
+    from arcane_framework_spark.operators.temporal import anomaly_scores
+
+    return anomaly_scores(spark.table(name)).select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "n_events",
+        "z_score",
+        "rank",
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments_documents": boilerplate_segments_documents,
     "source_overlap_matrix": source_overlap_matrix,
@@ -739,6 +787,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "integrity_audit_tpch": integrity_audit_tpch,
     "coverage_gaps_events": coverage_gaps_events,
     "jl_distortion_embeddings": jl_distortion_embeddings,
+    "streaming_anomaly_hours": streaming_anomaly_hours,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -758,4 +807,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "integrity_audit_tpch": _INTEGRITY_SQL,
     "coverage_gaps_events": _COVERAGE_GAPS_SQL,
     "jl_distortion_embeddings": _jl_sql(),
+    # Streaming execution, batch semantics: same oracle as the batch twin.
+    "streaming_anomaly_hours": _EVENT_ANOMALY_SQL,
 }
