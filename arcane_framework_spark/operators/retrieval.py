@@ -127,3 +127,74 @@ def bm25_topk(spark: SparkSession, docs: DataFrame,
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index posting lists
+# ---------------------------------------------------------------------------
+
+#: Cap on docs listed per token: hot tokens (stopwords) would otherwise
+#: make single posting rows unboundedly wide. n_docs still reports the
+#: TRUE document frequency before the cap.
+MAX_POSTINGS = 8
+
+
+def posting_lists(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_postings: int = MAX_POSTINGS) -> DataFrame:
+    """Mini inverted index: (token, n_docs, postings) where postings is
+    the flattened string ``doc:pos|pos;doc:pos`` for the ``max_postings``
+    lowest-id documents containing the token (positions ascending,
+    0-based).
+
+    The indexing kernel of distributed retrieval: token positions are
+    emitted map-side (posexplode), per-(token, doc) position runs are
+    ONE aggregation, and the per-token doc cap plans as a rank window
+    whose partial WindowGroupLimit trims map-side before the exchange.
+    The output is token-TYPE scale with bounded row width — safe to
+    broadcast or hash-join against query terms at any corpus size.
+    Postings serialize as deterministic strings (sorted positions,
+    doc-id order) rather than nested arrays so downstream hashing /
+    engine comparison is byte-stable.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list("pos")),
+                lambda p: p.cast("string"),
+            ),
+        ).alias("__positions"),
+    )
+    w_rank = Window.partitionBy("token").orderBy("doc_id")
+    w_tot = Window.partitionBy("token")
+    ranked = per_doc.withColumn(
+        "__rk", F.row_number().over(w_rank)
+    ).withColumn("__nd", F.count(F.lit(1)).over(w_tot))
+    return (
+        ranked.filter(F.col("__rk") <= max_postings)
+        .groupBy("token")
+        .agg(
+            F.max("__nd").cast("long").alias("n_docs"),
+            F.concat_ws(
+                ";",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("doc_id"),
+                                F.col("__positions").alias("positions"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ":", s.doc_id.cast("string"), s.positions
+                    ),
+                ),
+            ).alias("postings"),
+        )
+    )

@@ -771,6 +771,48 @@ def streaming_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def posting_lists_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini inverted index over the corpus: per-token true document
+    frequency + capped, deterministically serialized posting lists
+    (operators/retrieval.py posting_lists)."""
+    from arcane_framework_spark.operators.retrieval import posting_lists
+
+    t = load_tables(spark, sf_dir, "documents")
+    return posting_lists(t["documents"])
+
+
+def _posting_lists_sql() -> str:
+    from arcane_framework_spark.operators.retrieval import MAX_POSTINGS
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.pos - 1 AS pos, t.token
+  FROM (SELECT doc_id, {_TOKS_SQL} AS ls FROM documents),
+       LATERAL (SELECT unnest(ls) AS token,
+                       generate_subscripts(ls, 1) AS pos) t
+  WHERE t.token <> ''
+),
+per_doc AS (
+  SELECT token, doc_id,
+         string_agg(pos::VARCHAR, '|' ORDER BY pos) AS positions
+  FROM toks GROUP BY token, doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rk,
+         count(*) OVER (PARTITION BY token) AS nd
+  FROM per_doc
+)
+SELECT token, CAST(max(nd) AS BIGINT) AS n_docs,
+       string_agg(doc_id::VARCHAR || ':' || positions, ';'
+                  ORDER BY doc_id) AS postings
+FROM ranked WHERE rk <= {MAX_POSTINGS}
+GROUP BY token
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments_documents": boilerplate_segments_documents,
     "source_overlap_matrix": source_overlap_matrix,
@@ -788,6 +830,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coverage_gaps_events": coverage_gaps_events,
     "jl_distortion_embeddings": jl_distortion_embeddings,
     "streaming_anomaly_hours": streaming_anomaly_hours,
+    "posting_lists_documents": posting_lists_documents,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -809,4 +852,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "jl_distortion_embeddings": _jl_sql(),
     # Streaming execution, batch semantics: same oracle as the batch twin.
     "streaming_anomaly_hours": _EVENT_ANOMALY_SQL,
+    "posting_lists_documents": _posting_lists_sql(),
 }

@@ -521,3 +521,28 @@ class TestJLProjection:
         # zero original distance -> pair dropped, empty aggregate.
         out = jl_distortion(df).collect()[0]
         assert out["n_pairs"] == 0
+
+
+class TestPostingLists:
+    def test_positions_and_cap(self, spark):
+        from arcane_framework_spark.operators.retrieval import posting_lists
+
+        rows = [(1, "s", "a b a"), (2, "s", "b a"), (3, "s", "a")]
+        out = {r["token"]: r
+               for r in posting_lists(_docs(spark, rows), max_postings=2)
+               .collect()}
+        # True df survives the cap; postings keep only the 2 lowest ids.
+        assert out["a"]["n_docs"] == 3
+        assert out["a"]["postings"] == "1:0|2;2:1"
+        assert out["b"]["postings"] == "1:1;2:0"
+
+    def test_deterministic_across_partitioning(self, spark):
+        from arcane_framework_spark.operators.retrieval import posting_lists
+
+        rows = [(i, "s", f"tok{i % 5} common tok{i % 3}")
+                for i in range(30)]
+        d1 = _docs(spark, rows)
+        d2 = _docs(spark, rows).repartition(7, "doc_id")
+        o1 = sorted(map(tuple, posting_lists(d1).collect()))
+        o2 = sorted(map(tuple, posting_lists(d2).collect()))
+        assert o1 == o2
