@@ -148,14 +148,19 @@ def posting_lists(docs: DataFrame, id_col: str = "doc_id",
     0-based).
 
     The indexing kernel of distributed retrieval: token positions are
-    emitted map-side (posexplode), per-(token, doc) position runs are
-    ONE aggregation, and the per-token doc cap plans as a rank window
-    whose partial WindowGroupLimit trims map-side before the exchange.
-    The output is token-TYPE scale with bounded row width — safe to
-    broadcast or hash-join against query terms at any corpus size.
-    Postings serialize as deterministic strings (sorted positions,
-    doc-id order) rather than nested arrays so downstream hashing /
-    engine comparison is byte-stable.
+    emitted map-side (posexplode); per-(token, doc) position runs are
+    ONE aggregation. The true document frequency comes from a separate
+    map-side-combinable count (joined back on the token-type-scale
+    result), which leaves the cap as a BARE rank window + filter — the
+    shape Spark rewrites into a partial map-side WindowGroupLimit, so a
+    stopword token's millions of posting rows are trimmed to
+    ``max_postings`` per map task BEFORE the window exchange instead of
+    funnelling through one partition (plan-guarded in
+    tests/test_plans.py). The output is token-TYPE scale with bounded
+    row width — safe to broadcast or hash-join against query terms at
+    any corpus size. Postings serialize as deterministic strings
+    (sorted positions, doc-id order) rather than nested arrays so
+    downstream hashing / engine comparison is byte-stable.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -169,17 +174,16 @@ def posting_lists(docs: DataFrame, id_col: str = "doc_id",
                 lambda p: p.cast("string"),
             ),
         ).alias("__positions"),
+    ).transform(scoped_persist)
+    df_counts = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     w_rank = Window.partitionBy("token").orderBy("doc_id")
-    w_tot = Window.partitionBy("token")
-    ranked = per_doc.withColumn(
-        "__rk", F.row_number().over(w_rank)
-    ).withColumn("__nd", F.count(F.lit(1)).over(w_tot))
+    ranked = per_doc.withColumn("__rk", F.row_number().over(w_rank))
     return (
         ranked.filter(F.col("__rk") <= max_postings)
         .groupBy("token")
         .agg(
-            F.max("__nd").cast("long").alias("n_docs"),
             F.concat_ws(
                 ";",
                 F.transform(
@@ -197,4 +201,6 @@ def posting_lists(docs: DataFrame, id_col: str = "doc_id",
                 ),
             ).alias("postings"),
         )
+        .join(df_counts, "token")
+        .select("token", "n_docs", "postings")
     )

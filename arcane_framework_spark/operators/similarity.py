@@ -799,14 +799,17 @@ def embedding_dispersion(vectors: DataFrame, group_col: str = "label",
 
 JL_PLANES = 16
 JL_SAMPLE_MOD = 41
-#: Input embedding dimensionality (the testdata contract; queries_ext
-#: interpolates the same 64 into every embedding oracle).
-JL_INPUT_DIM = 64
+
+#: Embedding dimensionality of the testdata contract — the single
+#: definition; the query modules import it for their oracles.
+EMBEDDING_DIM = 64
 
 
 def jl_project(df: DataFrame, num_planes: int = JL_PLANES,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               dim: int | None = None,
+               keep_components: bool = False) -> DataFrame:
     """(id, proj: array<long>) — Rademacher (±1) random projection of the
     embedding column to ``num_planes`` dimensions.
 
@@ -819,13 +822,24 @@ def jl_project(df: DataFrame, num_planes: int = JL_PLANES,
     At 100 TB this is the cheap first step of any embedding pipeline:
     a 4x-narrower vector column for downstream ANN/dedup, one scan.
     """
-    w = hyperplane_weights(num_planes, JL_INPUT_DIM)
+    dim = EMBEDDING_DIM if dim is None else dim
+    w = hyperplane_weights(num_planes, dim)
     e = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
     )
+    # Loud on drift: zip_with would silently NULL-pad a wrong-width
+    # vector (every projected coordinate NULL); fail the task instead.
+    checked = F.when(F.size(e) == dim, e).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"jl_project expects {dim}-dim vectors, got "),
+                F.size(e).cast("string"),
+            )
+        ).cast("array<long>")
+    )
     staged = df.select(
-        F.col(id_col), F.explode(F.array(e)).alias("__e")
+        F.col(id_col), F.explode(F.array(checked)).alias("__e")
     )
     projections = [
         F.aggregate(
@@ -839,7 +853,10 @@ def jl_project(df: DataFrame, num_planes: int = JL_PLANES,
         )
         for p in range(num_planes)
     ]
-    return staged.select(id_col, F.array(*projections).alias("proj"))
+    cols = [F.col(id_col), F.array(*projections).alias("proj")]
+    if keep_components:
+        cols.append(F.col("__e").alias("efix"))
+    return staged.select(*cols)
 
 
 def jl_distortion(df: DataFrame, num_planes: int = JL_PLANES,
@@ -860,16 +877,11 @@ def jl_distortion(df: DataFrame, num_planes: int = JL_PLANES,
     integer arithmetic in both engines.
     """
     sampled = df.filter(F.col(id_col) % sample_mod == 0)
-    both = jl_project(sampled, num_planes, id_col, vec_col).join(
-        sampled.select(
-            F.col(id_col),
-            F.transform(
-                F.col(vec_col).cast("array<double>"),
-                lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
-            ).alias("__e"),
-        ),
-        id_col,
-    )
+    # keep_components carries the fixed-point vector out of the same
+    # pass — no rejoin, no second copy of the fixed-point transform.
+    both = jl_project(
+        sampled, num_planes, id_col, vec_col, keep_components=True
+    ).withColumnRenamed("efix", "__e")
     a = both.select(
         F.col(id_col).alias("__ida"), F.col("proj").alias("__pa"),
         F.col("__e").alias("__ea"),

@@ -196,7 +196,15 @@ def hourly_anomaly(events: DataFrame, ts_col, type_col: str = "event_type",
     rank) runs on the hourly rollup, which is metadata-scale (hours x
     types) by construction.
     """
-    hourly = (
+    return anomaly_scores(hourly_rollup(events, ts_col, type_col), top_k)
+
+
+def hourly_rollup(events: DataFrame, ts_col,
+                  type_col: str = "event_type") -> DataFrame:
+    """(event_type, hour, n_events) — the corpus-scale rollup shared by
+    the batch anomaly query and its streaming twin (which runs this very
+    aggregation under Structured Streaming)."""
+    return (
         events.select(
             F.col(type_col).alias("event_type"),
             F.date_trunc("hour", ts_col).alias("hour"),
@@ -204,7 +212,6 @@ def hourly_anomaly(events: DataFrame, ts_col, type_col: str = "event_type",
         .groupBy("event_type", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
-    return anomaly_scores(hourly, top_k)
 
 
 def anomaly_scores(hourly: DataFrame,

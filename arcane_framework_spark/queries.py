@@ -48,7 +48,10 @@ from arcane_framework_spark.queries_pipeline import (
 from arcane_framework_spark.queries_tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
 from arcane_framework_spark.session import load_tables, ts_micros, ts_timestamp
 
-EMBEDDING_DIM = 64
+from arcane_framework_spark.operators.similarity import (  # noqa: E402
+    EMBEDDING_DIM,
+)
+
 KNN_K = 5
 KNN_NUM_QUERIES = 10
 

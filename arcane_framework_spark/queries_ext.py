@@ -77,7 +77,9 @@ IVF_STRIDE = 25
 IVF_K = 5
 IVF_NUM_QUERIES = 10
 
-EMBEDDING_DIM = 64
+from arcane_framework_spark.operators.similarity import (  # noqa: E402
+    EMBEDDING_DIM,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -177,12 +177,9 @@ GROUP BY source
 """
 
 
-def event_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 anomalous hours per event type by integer-moment z-score
-    (operators/temporal.py hourly_anomaly)."""
-    t = load_tables(spark, sf_dir, "events")
-    ev = t["events"]
-    out = hourly_anomaly(ev, ts_timestamp(ev))
+def _format_anomaly(out: DataFrame) -> DataFrame:
+    """Shared output contract of the batch/streaming anomaly twins
+    (string hour keeps the driver's cross-engine compare timezone-free)."""
     return out.select(
         "event_type",
         F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
@@ -190,6 +187,14 @@ def event_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z_score",
         "rank",
     )
+
+
+def event_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 anomalous hours per event type by integer-moment z-score
+    (operators/temporal.py hourly_anomaly)."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"]
+    return _format_anomaly(hourly_anomaly(ev, ts_timestamp(ev)))
 
 
 _EVENT_ANOMALY_SQL = f"""
@@ -673,7 +678,7 @@ def jl_distortion_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jl_sql() -> str:
     from arcane_framework_spark.operators.similarity import (
-        JL_INPUT_DIM,
+        EMBEDDING_DIM,
         JL_PLANES,
         JL_SAMPLE_MOD,
     )
@@ -681,10 +686,10 @@ def _jl_sql() -> str:
         hyperplane_weights,
     )
 
-    w = hyperplane_weights(JL_PLANES, JL_INPUT_DIM)
+    w = hyperplane_weights(JL_PLANES, EMBEDDING_DIM)
     p_exprs = ",\n         ".join(
         "list_sum(list_transform(range(1, {d1}), i -> e[i] * ([{ws}])[i]))"
-        .format(d1=JL_INPUT_DIM + 1, ws=", ".join(str(v) for v in w[p]))
+        .format(d1=EMBEDDING_DIM + 1, ws=", ".join(str(v) for v in w[p]))
         for p in range(JL_PLANES)
     )
     return f"""
@@ -706,7 +711,7 @@ pairs AS (
 d AS (
   SELECT list_sum(list_transform(range(1, {JL_PLANES + 1}),
                   i -> (pa[i] - pb[i]) * (pa[i] - pb[i]))) AS dp,
-         list_sum(list_transform(range(1, {JL_INPUT_DIM + 1}),
+         list_sum(list_transform(range(1, {EMBEDDING_DIM + 1}),
                   i -> (ea[i] - eb[i]) * (ea[i] - eb[i]))) AS dd
   FROM pairs
 ),
@@ -740,14 +745,9 @@ def streaming_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    hourly = (
-        stream.select(
-            F.col("event_type"),
-            F.date_trunc("hour", ts_timestamp(schema)).alias("hour"),
-        )
-        .groupBy("event_type", "hour")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
-    )
+    from arcane_framework_spark.operators.temporal import hourly_rollup
+
+    hourly = hourly_rollup(stream, ts_timestamp(schema))
     name = "streaming_anomaly_sink"
     with stream_conf(spark):
         q = (
@@ -762,13 +762,7 @@ def streaming_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixed-point/z-score contract lives in exactly one place.
     from arcane_framework_spark.operators.temporal import anomaly_scores
 
-    return anomaly_scores(spark.table(name)).select(
-        "event_type",
-        F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
-        "n_events",
-        "z_score",
-        "rank",
-    )
+    return _format_anomaly(anomaly_scores(spark.table(name)))
 
 
 

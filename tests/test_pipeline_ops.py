@@ -467,7 +467,7 @@ class TestReviewHardening:
 class TestJLProjection:
     def test_projection_exact_small_case(self, spark):
         from arcane_framework_spark.operators.similarity import (
-            JL_INPUT_DIM,
+            EMBEDDING_DIM,
             hyperplane_weights,
             jl_project,
         )
@@ -475,26 +475,26 @@ class TestJLProjection:
         # One-hot vector at dim d: projection = column d of the matrix
         # (scaled by 1e6 fixed-point).
         d = 7
-        vec = [0.0] * JL_INPUT_DIM
+        vec = [0.0] * EMBEDDING_DIM
         vec[d] = 1.0
         df = spark.createDataFrame(
             [(1, vec)], "vec_id long, embedding array<double>"
         )
         out = jl_project(df).collect()[0]["proj"]
-        w = hyperplane_weights(16, JL_INPUT_DIM)
+        w = hyperplane_weights(16, EMBEDDING_DIM)
         assert list(out) == [w[p][d] * 1_000_000 for p in range(16)]
 
     def test_distortion_mean_near_one(self, spark):
         import random
 
         from arcane_framework_spark.operators.similarity import (
-            JL_INPUT_DIM,
+            EMBEDDING_DIM,
             jl_distortion,
         )
 
         rng = random.Random(7)
         rows = [
-            (i * 41, [rng.uniform(-1, 1) for _ in range(JL_INPUT_DIM)])
+            (i * 41, [rng.uniform(-1, 1) for _ in range(EMBEDDING_DIM)])
             for i in range(40)
         ]
         df = spark.createDataFrame(
@@ -510,11 +510,11 @@ class TestJLProjection:
 
     def test_identical_vectors_excluded(self, spark):
         from arcane_framework_spark.operators.similarity import (
-            JL_INPUT_DIM,
+            EMBEDDING_DIM,
             jl_distortion,
         )
 
-        rows = [(0, [1.0] * JL_INPUT_DIM), (41, [1.0] * JL_INPUT_DIM)]
+        rows = [(0, [1.0] * EMBEDDING_DIM), (41, [1.0] * EMBEDDING_DIM)]
         df = spark.createDataFrame(
             rows, "vec_id long, embedding array<double>"
         )

@@ -102,3 +102,10 @@ def test_bigram_lift_takeordered_no_global_sort(spark):
     # of the scored pair table.
     plan = _plan(spark, "bigram_lift_documents")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_posting_lists_map_side_group_limit(spark):
+    # The per-token doc cap must trim map-side (partial WindowGroupLimit)
+    # so hot tokens don't funnel all postings through one window task.
+    plan = _plan(spark, "posting_lists_documents")
+    assert "WindowGroupLimit" in plan
