@@ -663,3 +663,50 @@ def bigram_lift(docs: DataFrame, text_col: str = "text",
         .limit(top_k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (the first merge step of BPE training)
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_TOP_K = 20
+
+
+def bpe_merge_candidates(docs: DataFrame, text_col: str = "text",
+                         top_k: int = BPE_MERGE_TOP_K) -> DataFrame:
+    """Top-k adjacent character pairs by corpus weight — the statistic
+    BPE training greedily merges (rank 1 IS the first merge):
+    (pair, weight, rank) with weight = sum over word TYPES of
+    type_frequency x occurrences-in-type.
+
+    Scale shape: the corpus collapses to the word-TYPE table first (one
+    shuffle, Heaps-law-bounded output), so the character-pair explosion
+    runs over types, never over the raw token stream — the step that
+    makes BPE statistics tractable at 100 TB. Pair aggregation is a
+    second type-scale shuffle; the top-k cut is TakeOrderedAndProject.
+    """
+    words = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, 2),
+            )
+        ).alias("pair"),
+        "__cnt",
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("weight").desc(), "pair")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("__cnt").cast("long").alias("weight"))
+        .orderBy(F.col("weight").desc(), "pair")
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

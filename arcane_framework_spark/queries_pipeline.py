@@ -807,6 +807,43 @@ GROUP BY token
 """
 
 
+
+
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-merge-step BPE statistics: the top-20 adjacent character
+    pairs by corpus weight over the word-type table
+    (operators/text.py bpe_merge_candidates)."""
+    from arcane_framework_spark.operators.text import bpe_merge_candidates
+
+    t = load_tables(spark, sf_dir, "documents")
+    return bpe_merge_candidates(t["documents"])
+
+
+def _bpe_merges_sql() -> str:
+    from arcane_framework_spark.operators.text import BPE_MERGE_TOP_K
+
+    return f"""
+WITH words AS (
+  SELECT t.word, count(*)::BIGINT AS cnt
+  FROM (SELECT {_TOKS_SQL} AS ls FROM documents),
+       LATERAL (SELECT unnest(ls) AS word) t
+  WHERE t.word <> '' GROUP BY t.word
+),
+pairs AS (
+  SELECT p.pair, cnt
+  FROM words,
+       LATERAL (SELECT unnest(list_transform(
+         range(1, length(word)), i -> substr(word, i, 2))) AS pair) p
+  WHERE length(word) >= 2
+)
+SELECT pair, SUM(cnt)::BIGINT AS weight,
+       CAST(row_number() OVER (ORDER BY SUM(cnt) DESC, pair) AS INT)
+         AS rank
+FROM pairs GROUP BY pair
+ORDER BY weight DESC, pair LIMIT {BPE_MERGE_TOP_K}
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments_documents": boilerplate_segments_documents,
     "source_overlap_matrix": source_overlap_matrix,
@@ -825,6 +862,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jl_distortion_embeddings": jl_distortion_embeddings,
     "streaming_anomaly_hours": streaming_anomaly_hours,
     "posting_lists_documents": posting_lists_documents,
+    "bpe_merges_documents": bpe_merges_documents,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -847,4 +885,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # Streaming execution, batch semantics: same oracle as the batch twin.
     "streaming_anomaly_hours": _EVENT_ANOMALY_SQL,
     "posting_lists_documents": _posting_lists_sql(),
+    "bpe_merges_documents": _bpe_merges_sql(),
 }

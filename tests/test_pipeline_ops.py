@@ -546,3 +546,28 @@ class TestPostingLists:
         o1 = sorted(map(tuple, posting_lists(d1).collect()))
         o2 = sorted(map(tuple, posting_lists(d2).collect()))
         assert o1 == o2
+
+
+class TestBpeMerges:
+    def test_weighted_pair_counting(self, spark):
+        from arcane_framework_spark.operators.text import (
+            bpe_merge_candidates,
+        )
+
+        # "ab" appears 3x as a word type occurrence and inside "abc".
+        rows = [(1, "s", "ab ab abc"), (2, "s", "ab xy")]
+        out = {r["pair"]: r
+               for r in bpe_merge_candidates(_docs(spark, rows)).collect()}
+        # weight(ab) = count('ab')=3 + count('abc')=1 = 4.
+        assert out["ab"]["weight"] == 4
+        assert out["ab"]["rank"] == 1
+        assert out["bc"]["weight"] == 1
+        assert out["xy"]["weight"] == 1
+
+    def test_single_char_words_ignored(self, spark):
+        from arcane_framework_spark.operators.text import (
+            bpe_merge_candidates,
+        )
+
+        rows = [(1, "s", "a b c")]
+        assert bpe_merge_candidates(_docs(spark, rows)).count() == 0
