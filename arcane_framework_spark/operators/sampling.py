@@ -507,3 +507,53 @@ def epoch_allocation(docs: DataFrame, budget_tokens: int,
             F.floor(target / F.col("n_tokens") * 1e4 + F.lit(0.5)) / 1e4
         ).alias("repeat_factor"),
     )
+
+
+CV_FOLDS = 5
+
+
+def cv_fold_stats(docs: DataFrame, n_folds: int = CV_FOLDS,
+                  id_col: str = "doc_id", strata_col: str = "source",
+                  tokens_col: str | None = None,
+                  salt: str = "cv") -> DataFrame:
+    """Deterministic k-fold assignment + balance report:
+    (fold, n_docs, n_strata, n_tokens).
+
+    fold = first 8 md5 hex digits of ``salt#id`` mod k — a pure function
+    of the row key (same contract as ``split_expr``): stable across
+    runs, engines, partitionings, and incremental arrivals, unlike
+    ``randomSplit``. The report is the pre-flight check that folds came
+    out balanced per stratum before an expensive CV run; the assignment
+    expression itself is reusable map-side in any pipeline.
+    """
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.lit("#"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % n_folds
+    )
+    toks = (
+        F.col(tokens_col).cast("long") if tokens_col else F.lit(0)
+    )
+    return (
+        docs.select(
+            fold.alias("fold"),
+            F.col(strata_col).alias("__s"),
+            toks.alias("__t"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("__s").cast("long").alias("n_strata"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+    )

@@ -844,6 +844,37 @@ ORDER BY weight DESC, pair LIMIT {BPE_MERGE_TOP_K}
 """
 
 
+
+
+def cv_folds_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment with per-fold
+    balance stats (operators/sampling.py cv_fold_stats)."""
+    from arcane_framework_spark.operators.sampling import cv_fold_stats
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].withColumn("n_tokens", token_count_expr("text"))
+    return cv_fold_stats(docs, tokens_col="n_tokens")
+
+
+def _cv_folds_sql() -> str:
+    from arcane_framework_spark.operators.sampling import CV_FOLDS
+
+    return f"""
+WITH assigned AS (
+  SELECT CAST(concat('0x', substring(md5('cv#' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % {CV_FOLDS} AS fold,
+         source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS_SQL}) END AS n_tokens
+  FROM documents
+)
+SELECT fold, count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_strata,
+       SUM(n_tokens)::BIGINT AS n_tokens
+FROM assigned GROUP BY fold
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_segments_documents": boilerplate_segments_documents,
     "source_overlap_matrix": source_overlap_matrix,
@@ -863,6 +894,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_anomaly_hours": streaming_anomaly_hours,
     "posting_lists_documents": posting_lists_documents,
     "bpe_merges_documents": bpe_merges_documents,
+    "cv_folds_documents": cv_folds_documents,
 }
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
@@ -886,4 +918,5 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "streaming_anomaly_hours": _EVENT_ANOMALY_SQL,
     "posting_lists_documents": _posting_lists_sql(),
     "bpe_merges_documents": _bpe_merges_sql(),
+    "cv_folds_documents": _cv_folds_sql(),
 }

@@ -571,3 +571,19 @@ class TestBpeMerges:
 
         rows = [(1, "s", "a b c")]
         assert bpe_merge_candidates(_docs(spark, rows)).count() == 0
+
+
+class TestCvFolds:
+    def test_deterministic_and_partitioned(self, spark):
+        from arcane_framework_spark.operators.sampling import cv_fold_stats
+
+        rows = [(i, f"s{i % 3}", "w " * 5) for i in range(200)]
+        d1 = _docs(spark, rows)
+        d2 = _docs(spark, rows).repartition(7, "doc_id")
+        o1 = sorted(map(tuple, cv_fold_stats(d1).collect()))
+        o2 = sorted(map(tuple, cv_fold_stats(d2).collect()))
+        assert o1 == o2
+        assert sum(r[1] for r in o1) == 200
+        assert len(o1) == 5
+        # hash assignment is roughly balanced
+        assert all(20 <= r[1] <= 60 for r in o1)
