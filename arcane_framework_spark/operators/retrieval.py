@@ -67,9 +67,23 @@ def bm25_topk(spark: SparkSession, docs: DataFrame,
 
     Returns ``(query_id, doc_id, score, rank)`` with rank 1..k per query.
     """
+    queries = queries if queries is not None else BM25_QUERIES
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
+        "query_id: int, term: string",
+    )
+    return bm25_rank(docs, qterms, k, k1, b, id_col, text_col)
+
+
+def bm25_rank(docs: DataFrame, qterms: DataFrame, k: int = 5,
+              k1: float = BM25_K1, b: float = BM25_B,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """BM25 core over a (query_id, term) DataFrame — shared by the
+    literal-query entry point and the corpus-derived self-retrieval
+    evaluation (where the query table is itself distributed)."""
     from arcane_framework_spark.operators.scale import with_broadcast_scalar
 
-    queries = queries if queries is not None else BM25_QUERIES
     # tf feeds three consumers (dl, df, the scored join) — persist it so the
     # tokenize+explode+aggregate lineage runs once, not three times.
     tf = scoped_persist(term_frequencies(docs, id_col, text_col))
@@ -79,11 +93,6 @@ def bm25_topk(spark: SparkSession, docs: DataFrame,
     scalars = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
         F.count(F.lit(1)).cast("double").alias("__n_docs"),
-    )
-
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
-        "query_id: int, term: string",
     )
 
     idf = F.log(
@@ -203,4 +212,77 @@ def posting_lists(docs: DataFrame, id_col: str = "doc_id",
         )
         .join(df_counts, "token")
         .select("token", "n_docs", "postings")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-retrieval evaluation (MRR@k)
+# ---------------------------------------------------------------------------
+
+SELF_RETRIEVAL_MOD = 25
+SELF_RETRIEVAL_QTOKENS = 6
+SELF_RETRIEVAL_K = 10
+
+
+def bm25_self_retrieval(docs: DataFrame,
+                        sample_mod: int = SELF_RETRIEVAL_MOD,
+                        q_tokens: int = SELF_RETRIEVAL_QTOKENS,
+                        k: int = SELF_RETRIEVAL_K,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Retrieval-quality evaluation without labels: every ``sample_mod``-th
+    document's first ``q_tokens`` tokens become a query whose ONLY
+    relevant document is its own source; report
+    (n_queries, n_hits, mrr) at cutoff ``k``.
+
+    The standard proxy eval for a corpus index (chunk->source recall).
+    The query table is corpus-DERIVED and distributed (no driver-side
+    literals), LINEAR in the corpus via the modulus; MRR is averaged
+    over fixed-point reciprocal ranks (floor(1e6/rank) integers) so the
+    aggregate is exact in both engines. Queries that miss entirely
+    contribute 0 (counted in n_queries via a separate tiny aggregate).
+    """
+    from arcane_framework_spark.operators.text import tokens_expr
+
+    sampled = docs.filter(F.col(id_col) % sample_mod == 0)
+    qterms = (
+        sampled.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.slice(tokens_expr(text_col), 1, q_tokens)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    ranked = bm25_rank(docs, qterms, k=k, id_col=id_col,
+                       text_col=text_col)
+    hits = (
+        ranked.filter(F.col(id_col) == F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("__r"))
+        .select(
+            "query_id",
+            F.floor(F.lit(1_000_000) / F.col("__r")).cast("long").alias(
+                "__m"
+            ),
+        )
+    )
+    n_q = qterms.select("query_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    from arcane_framework_spark.operators.scale import (
+        with_broadcast_scalar,
+    )
+
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("__sm"),
+    )
+    return with_broadcast_scalar(agg, n_q).select(
+        "n_queries",
+        "n_hits",
+        (
+            F.floor(F.col("__sm") / F.col("n_queries") + F.lit(0.5)) / 1e6
+        ).alias("mrr"),
     )

@@ -587,3 +587,33 @@ class TestCvFolds:
         assert len(o1) == 5
         # hash assignment is roughly balanced
         assert all(20 <= r[1] <= 60 for r in o1)
+
+
+class TestSelfRetrieval:
+    def test_distinctive_docs_retrieved_rank_one(self, spark):
+        from arcane_framework_spark.operators.retrieval import (
+            bm25_self_retrieval,
+        )
+
+        # Distinctive vocabulary per doc: every sampled query must
+        # retrieve its source at rank 1 -> MRR = 1.
+        rows = [(i * 25, "s", " ".join(f"only{i}tok{j}" for j in range(8)))
+                for i in range(6)]
+        out = bm25_self_retrieval(_docs(spark, rows)).collect()[0]
+        assert out["n_queries"] == 6
+        assert out["n_hits"] == 6
+        assert out["mrr"] == 1.0
+
+    def test_unmatchable_queries_score_zero(self, spark):
+        from arcane_framework_spark.operators.retrieval import (
+            bm25_self_retrieval,
+        )
+
+        # All docs identical: each query ties against every doc and the
+        # tie-break is doc_id asc, so only the lowest-id sampled doc can
+        # be rank-1 for itself; MRR reflects partial hits.
+        rows = [(i * 25, "s", "same words for all docs here now")
+                for i in range(4)]
+        out = bm25_self_retrieval(_docs(spark, rows)).collect()[0]
+        assert out["n_queries"] == 4
+        assert 0 < out["n_hits"] <= 4
