@@ -78,10 +78,14 @@ def bm25_topk(spark: SparkSession, docs: DataFrame,
 def bm25_rank(docs: DataFrame, qterms: DataFrame, k: int = 5,
               k1: float = BM25_K1, b: float = BM25_B,
               id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              broadcast_queries: bool = True) -> DataFrame:
     """BM25 core over a (query_id, term) DataFrame — shared by the
     literal-query entry point and the corpus-derived self-retrieval
-    evaluation (where the query table is itself distributed)."""
+    evaluation. ``broadcast_queries`` fits the literal path (a handful
+    of terms); corpus-derived query tables grow with the corpus and
+    MUST pass False so the term join shuffles instead of forcing a
+    driver-collected broadcast."""
     from arcane_framework_spark.operators.scale import with_broadcast_scalar
 
     # tf feeds three consumers (dl, df, the scored join) — persist it so the
@@ -107,8 +111,9 @@ def bm25_rank(docs: DataFrame, qterms: DataFrame, k: int = 5,
     )
     contrib = idf * (tf_d * F.lit(k1 + 1.0)) / denom
 
+    q_side = F.broadcast(qterms) if broadcast_queries else qterms
     scored = with_broadcast_scalar(
-        tf.join(F.broadcast(qterms), "term")
+        tf.join(q_side, "term")
         .join(dl, id_col)
         .join(F.broadcast(df_tbl), "term"),
         scalars,
@@ -215,6 +220,61 @@ def posting_lists(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def bm25_core_sql(q_cte: str, tail: str,
+                  k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB spelling of the BM25 core, parameterized on the query CTE
+    and the final select — ONE copy of the scoring math for both the
+    literal-query oracle and the self-retrieval oracle (mirrors how the
+    Spark side shares ``bm25_rank``). Float literals are rendered from
+    the same Python doubles the Spark plan embeds."""
+    k1s = repr(float(k1))
+    k1p1 = repr(float(k1 + 1.0))
+    one_minus_b = repr(float(1.0 - b))
+    bs = repr(float(b))
+    return rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl
+),
+{q_cte},
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(
+           ln((n_docs - df::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE)
+              + 1.0::DOUBLE)
+           * (tf::DOUBLE * {k1p1}::DOUBLE)
+           / (tf::DOUBLE + {k1s}::DOUBLE
+              * ({one_minus_b}::DOUBLE
+                 + {bs}::DOUBLE * dl::DOUBLE / avgdl))
+           * {float(BM25_FP)!r}::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS contrib_fp
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) JOIN dfs USING (term)
+  CROSS JOIN stats
+),
+totals AS (
+  SELECT query_id, doc_id, sum(contrib_fp)::BIGINT AS score_fp
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_fp DESC, doc_id) AS rank
+  FROM totals
+)
+{tail}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Self-retrieval evaluation (MRR@k)
 # ---------------------------------------------------------------------------
@@ -242,10 +302,10 @@ def bm25_self_retrieval(docs: DataFrame,
     aggregate is exact in both engines. Queries that miss entirely
     contribute 0 (counted in n_queries via a separate tiny aggregate).
     """
-    from arcane_framework_spark.operators.text import tokens_expr
-
     sampled = docs.filter(F.col(id_col) % sample_mod == 0)
-    qterms = (
+    # persisted: feeds both the scored join and the n_queries count —
+    # the sample+tokenize+distinct lineage runs once.
+    qterms = scoped_persist(
         sampled.select(
             F.col(id_col).alias("query_id"),
             F.explode(
@@ -256,7 +316,7 @@ def bm25_self_retrieval(docs: DataFrame,
         .distinct()
     )
     ranked = bm25_rank(docs, qterms, k=k, id_col=id_col,
-                       text_col=text_col)
+                       text_col=text_col, broadcast_queries=False)
     hits = (
         ranked.filter(F.col(id_col) == F.col("query_id"))
         .groupBy("query_id")
@@ -282,7 +342,8 @@ def bm25_self_retrieval(docs: DataFrame,
     return with_broadcast_scalar(agg, n_q).select(
         "n_queries",
         "n_hits",
-        (
+        # 0-query corpora: 0/0 is NULL in both engines; report 0.0.
+        F.when(F.col("n_queries") == 0, F.lit(0.0)).otherwise(
             F.floor(F.col("__sm") / F.col("n_queries") + F.lit(0.5)) / 1e6
         ).alias("mrr"),
     )

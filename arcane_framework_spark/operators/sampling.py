@@ -509,6 +509,24 @@ def epoch_allocation(docs: DataFrame, budget_tokens: int,
     )
 
 
+def md5_bucket_expr(key: Column | str, salt: str, n_buckets: int) -> Column:
+    """Deterministic bucket in [0, n_buckets) from ``md5(salt#key)`` —
+    the one spelling of the repo's salted hash-bucket contract (shared
+    by the CV fold assignment; the hex fold matches the DuckDB cast
+    ``CAST(concat('0x', substring(md5(...), 1, 8)) AS BIGINT)``)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit(salt), c.cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % n_buckets
+    )
+
+
 CV_FOLDS = 5
 
 
@@ -526,21 +544,7 @@ def cv_fold_stats(docs: DataFrame, n_folds: int = CV_FOLDS,
     out balanced per stratum before an expensive CV run; the assignment
     expression itself is reusable map-side in any pipeline.
     """
-    fold = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt), F.lit("#"),
-                        F.col(id_col).cast("string"),
-                    )
-                ),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        % n_folds
-    )
+    fold = md5_bucket_expr(id_col, salt, n_folds)
     toks = (
         F.col(tokens_col).cast("long") if tokens_col else F.lit(0)
     )

@@ -1611,68 +1611,22 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_sql() -> str:
     from arcane_framework_spark.operators.retrieval import (
-        BM25_B,
         BM25_FP,
-        BM25_K1,
         BM25_QUERIES,
+        bm25_core_sql,
     )
 
-    # Float literals rendered from the SAME Python doubles the Spark plan
-    # embeds, so both engines multiply identical IEEE values.
-    k1 = repr(float(BM25_K1))
-    k1p1 = repr(float(BM25_K1 + 1.0))
-    one_minus_b = repr(float(1.0 - BM25_B))
-    b = repr(float(BM25_B))
     vals = ", ".join(
         f"({qid}, '{t}')"
         for qid, terms in sorted(BM25_QUERIES.items())
         for t in terms
     )
-    return rf"""
-WITH terms AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-  FROM documents
-),
-tf AS (
-  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms WHERE term <> ''
-  GROUP BY doc_id, term
-),
-dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-stats AS (
-  SELECT count(*)::DOUBLE AS n_docs,
-         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
-  FROM dl
-),
-q(query_id, term) AS (VALUES {vals}),
-contrib AS (
-  SELECT q.query_id, tf.doc_id,
-         CAST(floor(
-           ln((n_docs - df::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE)
-              + 1.0::DOUBLE)
-           * (tf::DOUBLE * {k1p1}::DOUBLE)
-           / (tf::DOUBLE + {k1}::DOUBLE
-              * ({one_minus_b}::DOUBLE
-                 + {b}::DOUBLE * dl::DOUBLE / avgdl))
-           * {float(BM25_FP)!r}::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS contrib_fp
-  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) JOIN dfs USING (term)
-  CROSS JOIN stats
-),
-totals AS (
-  SELECT query_id, doc_id, sum(contrib_fp)::BIGINT AS score_fp
-  FROM contrib GROUP BY query_id, doc_id
-),
-ranked AS (
-  SELECT query_id, doc_id, score_fp,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score_fp DESC, doc_id) AS rank
-  FROM totals
-)
+    tail = f"""
 SELECT query_id, doc_id,
        round(score_fp::DOUBLE / {float(BM25_FP)!r}::DOUBLE, 6) AS score,
        CAST(rank AS INT) AS rank
-FROM ranked WHERE rank <= {BM25_TOP_K}
-"""
+FROM ranked WHERE rank <= {BM25_TOP_K}"""
+    return bm25_core_sql(f"q(query_id, term) AS (VALUES {vals})", tail)
 
 
 #: Funnel steps and window for ``window_funnel_events`` (24h in micros).

@@ -891,65 +891,21 @@ def bm25_self_retrieval_documents(spark: SparkSession,
 
 def _self_retrieval_sql() -> str:
     from arcane_framework_spark.operators.retrieval import (
-        BM25_B,
-        BM25_FP,
-        BM25_K1,
         SELF_RETRIEVAL_K,
         SELF_RETRIEVAL_MOD,
         SELF_RETRIEVAL_QTOKENS,
+        bm25_core_sql,
     )
 
-    k1 = repr(float(BM25_K1))
-    k1p1 = repr(float(BM25_K1 + 1.0))
-    one_minus_b = repr(float(1.0 - BM25_B))
-    b = repr(float(BM25_B))
-    return rf"""
-WITH terms AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-  FROM documents
-),
-tf AS (
-  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms WHERE term <> ''
-  GROUP BY doc_id, term
-),
-dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
-dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
-stats AS (
-  SELECT count(*)::DOUBLE AS n_docs,
-         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
-  FROM dl
-),
-q AS (
+    q_cte = f"""q AS (
   SELECT DISTINCT doc_id AS query_id, t.term
   FROM (SELECT doc_id,
-               {{toks}}[1 : {SELF_RETRIEVAL_QTOKENS}] AS qs
+               ({_TOKS_SQL})[1 : {SELF_RETRIEVAL_QTOKENS}] AS qs
         FROM documents WHERE doc_id % {SELF_RETRIEVAL_MOD} = 0),
        LATERAL (SELECT unnest(qs) AS term) t
   WHERE t.term <> ''
-),
-contrib AS (
-  SELECT q.query_id, tf.doc_id,
-         CAST(floor(
-           ln((n_docs - df::DOUBLE + 0.5::DOUBLE) / (df::DOUBLE + 0.5::DOUBLE)
-              + 1.0::DOUBLE)
-           * (tf::DOUBLE * {k1p1}::DOUBLE)
-           / (tf::DOUBLE + {k1}::DOUBLE
-              * ({one_minus_b}::DOUBLE
-                 + {b}::DOUBLE * dl::DOUBLE / avgdl))
-           * {float(BM25_FP)!r}::DOUBLE + 0.5::DOUBLE) AS BIGINT) AS contrib_fp
-  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) JOIN dfs USING (term)
-  CROSS JOIN stats
-),
-totals AS (
-  SELECT query_id, doc_id, sum(contrib_fp)::BIGINT AS score_fp
-  FROM contrib GROUP BY query_id, doc_id
-),
-ranked AS (
-  SELECT query_id, doc_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY score_fp DESC, doc_id) AS rank
-  FROM totals
-),
+)"""
+    tail = f""",
 hits AS (
   SELECT query_id, CAST(floor(1000000 / min(rank)) AS BIGINT) AS m
   FROM ranked WHERE doc_id = query_id AND rank <= {SELF_RETRIEVAL_K}
@@ -958,10 +914,11 @@ hits AS (
 qn AS (SELECT count(DISTINCT query_id)::BIGINT AS n_queries FROM q)
 SELECT n_queries,
        (SELECT count(*) FROM hits)::BIGINT AS n_hits,
-       floor((SELECT COALESCE(SUM(m), 0) FROM hits)::DOUBLE
-             / n_queries + 0.5) / 1e6 AS mrr
-FROM qn
-""".replace("{toks}", "regexp_split_to_array(lower(trim(text)), '\\s+')")
+       CASE WHEN n_queries = 0 THEN 0.0
+            ELSE floor((SELECT COALESCE(SUM(m), 0) FROM hits)::DOUBLE
+                       / n_queries + 0.5) / 1e6 END AS mrr
+FROM qn"""
+    return bm25_core_sql(q_cte, tail)
 
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
