@@ -416,9 +416,10 @@ def ivf_topk(df: DataFrame, centroids: DataFrame, queries: DataFrame, k: int,
     )
 
 
-def kmeans_fit(df: DataFrame, k: int, iterations: int = 3,
+def kmeans_fit(df: DataFrame, k: int | None, iterations: int = 3,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               init_stride: int | None = None) -> DataFrame:
+               init_stride: int | None = None,
+               target_cell_size: int | None = None) -> DataFrame:
     """Lloyd's k-means over an embedding column, pure DataFrame ops.
 
     Fully deterministic: init takes the ``k`` lowest-id vectors whose id is a
@@ -428,6 +429,15 @@ def kmeans_fit(df: DataFrame, k: int, iterations: int = 3,
     followed by a per-dimension mean (posexplode → groupBy(cid, pos) avg →
     re-assemble). Per iteration: one N×dim-row shuffle — the canonical
     distributed k-means cost. Returns the final centroids (cid, cvec).
+
+    **Corpus-derived k** (``k=None, target_cell_size=T``): instead of a
+    caller-fixed centroid count, the seed stride is derived IN-PLAN as
+    ``max(1, floor(n / ceil(n / T)))`` from a broadcast 1-row count — every
+    id divisible by the stride becomes a centroid, so k grows linearly with
+    the corpus and the *average* cell stays ~T at any scale. No ``limit``
+    literal appears anywhere, which is what makes the per-cell quadratic
+    work of consumers like :func:`semantic_dedup` bounded at 100×: same
+    code, 100× the data, 100× the cells, constant cell size.
 
     Scale hygiene: ``base`` is persisted once (every iteration and the
     caller's final action re-reads it); each iteration's centroids are
@@ -440,36 +450,62 @@ def kmeans_fit(df: DataFrame, k: int, iterations: int = 3,
     SQL-expressible — the catalog's ``kmeans_embeddings`` oracle unrolls
     these exact iterations as DuckDB CTEs.
     """
+    if (k is None) == (target_cell_size is None):
+        raise ValueError("exactly one of k / target_cell_size is required")
     base = df.select(
         F.col(id_col).alias(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     ).transform(scoped_persist)
-    if init_stride is not None:
-        seeds = base.filter(F.col(id_col) % init_stride == 0)
-    else:
+    if target_cell_size is not None:
         from arcane_framework_spark.operators.scale import (
             with_broadcast_scalar,
         )
 
+        t = F.lit(target_cell_size).cast("double")
         stride = base.select(
             F.greatest(
-                F.lit(1), (F.count(F.lit(1)) / k).cast("long")
+                F.lit(1).cast("long"),
+                F.floor(
+                    F.count(F.lit(1)) / F.ceil(F.count(F.lit(1)) / t)
+                ).cast("long"),
             ).alias("__stride")
         )
-        seeds = with_broadcast_scalar(base, stride).filter(
-            F.col(id_col) % F.col("__stride") == 0
+        centroids = (
+            with_broadcast_scalar(base, stride)
+            .filter(F.col(id_col) % F.col("__stride") == 0)
+            .select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cvec"),
+            )
+            .transform(scoped_persist)
         )
-    # orderBy + limit = TakeOrderedAndProject: deterministic at any
-    # parallelism, unlike a bare limit over an unordered filter.
-    centroids = (
-        seeds.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cvec"),
+    else:
+        if init_stride is not None:
+            seeds = base.filter(F.col(id_col) % init_stride == 0)
+        else:
+            from arcane_framework_spark.operators.scale import (
+                with_broadcast_scalar,
+            )
+
+            stride = base.select(
+                F.greatest(
+                    F.lit(1), (F.count(F.lit(1)) / k).cast("long")
+                ).alias("__stride")
+            )
+            seeds = with_broadcast_scalar(base, stride).filter(
+                F.col(id_col) % F.col("__stride") == 0
+            )
+        # orderBy + limit = TakeOrderedAndProject: deterministic at any
+        # parallelism, unlike a bare limit over an unordered filter.
+        centroids = (
+            seeds.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.col(id_col).alias("cid"),
+                F.col(vec_col).alias("cvec"),
+            )
+            .transform(scoped_persist)
         )
-        .transform(scoped_persist)
-    )
     for _ in range(iterations):
         assigned = ivf_assign(base, centroids, id_col, vec_col)
         dims = assigned.select(
@@ -639,10 +675,11 @@ def centroid_outliers(vectors: DataFrame, id_col: str = "vec_id",
     )
 
 
-def semantic_dedup(vectors: DataFrame, k: int, threshold: float,
+def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
                    iterations: int = 3, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   init_stride: int | None = None) -> DataFrame:
+                   init_stride: int | None = None,
+                   target_cell_size: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
     The SemDeDup recipe (Abbas et al. 2023): cluster the corpus with
@@ -661,10 +698,17 @@ def semantic_dedup(vectors: DataFrame, k: int, threshold: float,
     assignment broadcasts k centroids; the dedup probe is ONE
     sort-merge self-join keyed on ``cid`` — per-cell pairwise, so cost is
     sum(cell²) not N², and growing ``k`` with the corpus keeps cells
-    bounded. The dominance probe is a left-semi join: no pair
-    materialization survives the exchange, Spark emits at most one match
-    per probe row. Rounding cent_cos to 6 decimals before comparing makes
-    the dominance decision bit-stable across engines.
+    bounded. Pass ``k=None, target_cell_size=T`` to ENFORCE that growth:
+    the centroid count is then derived in-plan from the corpus count
+    (``ceil(n / T)`` seeds via a broadcast-scalar stride — see
+    :func:`kmeans_fit`), so at 100× the data there are 100× the cells and
+    the per-cell pairwise cost stays constant. A fixed ``k`` remains
+    available for callers who have sized it themselves, but the governed
+    mode is the one that survives a scale-up unreviewed. The dominance
+    probe is a left-semi join: no pair materialization survives the
+    exchange, Spark emits at most one match per probe row. Rounding
+    cent_cos to 6 decimals before comparing makes the dominance decision
+    bit-stable across engines.
 
     Reference parity: the reference has no semantic dedup; this extends
     the dedup family (X1-X5) to the embedding modality the way a
@@ -673,6 +717,7 @@ def semantic_dedup(vectors: DataFrame, k: int, threshold: float,
     centroids = kmeans_fit(
         vectors, k=k, iterations=iterations, id_col=id_col,
         vec_col=vec_col, init_stride=init_stride,
+        target_cell_size=target_cell_size,
     )
     cent = centroids.select(
         "cid", "cvec", norm_expr(F.col("cvec")).alias("__cn")

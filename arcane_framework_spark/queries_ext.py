@@ -1475,25 +1475,38 @@ GROUP BY f.cid
 """
 
 
-def _kmeans_ctes(src_select: str, k: int, iters: int,
-                 dim: int) -> tuple[list[str], str, str]:
+def _kmeans_ctes(src_select: str, k: int | None, iters: int,
+                 dim: int,
+                 target_cell_size: int | None = None
+                 ) -> tuple[list[str], str, str]:
     """Reusable unrolled-Lloyd CTE list over an arbitrary (vec_id, v)
     source select. Returns (ctes, final_centroid_cte_name, cos_template)
-    where cos_template scores ``e`` rows against centroid alias ``c``."""
+    where cos_template scores ``e`` rows against centroid alias ``c``.
+
+    ``target_cell_size`` mirrors kmeans_fit's corpus-derived-k mode: the
+    seed stride is floor(n / ceil(n / T)) from the corpus count and there
+    is no LIMIT — the centroid count grows with the data."""
     cos = (
         "list_dot_product(e.v, c.cvec) / "
         "(sqrt(list_dot_product(e.v, e.v)) * "
         "sqrt(list_dot_product(c.cvec, c.cvec)))"
     )
-    ctes = [
-        f"e AS ({src_select})",
-        f"""c0 AS (
+    if target_cell_size is not None:
+        c0 = f"""c0 AS (
+  SELECT vec_id AS cid, v AS cvec FROM e,
+       (SELECT greatest(1, CAST(floor(count(*) /
+          ceil(count(*)::DOUBLE / {target_cell_size})) AS BIGINT))
+          AS stride FROM e) p
+  WHERE vec_id % p.stride = 0
+)"""
+    else:
+        c0 = f"""c0 AS (
   SELECT vec_id AS cid, v AS cvec FROM e,
        (SELECT greatest(1, CAST(floor(count(*)::DOUBLE / {k}) AS BIGINT))
           AS stride FROM e) p
   WHERE vec_id % p.stride = 0 ORDER BY vec_id LIMIT {k}
-)""",
-    ]
+)"""
+    ctes = [f"e AS ({src_select})", c0]
     prev = "c0"
     for i in range(1, iters + 1):
         ctes.append(f"""s{i} AS (
@@ -2523,7 +2536,7 @@ WHERE g.group_files > 1
 """
 
 
-SEMDEDUP_K = 8
+SEMDEDUP_CELL = 64
 SEMDEDUP_ITERS = 2
 SEMDEDUP_TAU = 0.8
 
@@ -2534,24 +2547,32 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pruned when a same-cell mate with cosine >= 0.8 sits closer to the
     cell centroid. Returns the full per-vector decision table
     (vec_id, cid, cent_cos, pruned) so the oracle checks every individual
-    keep/prune call, not just aggregates."""
+    keep/prune call, not just aggregates.
+
+    Scale governance: k is NOT fixed — ``target_cell_size=SEMDEDUP_CELL``
+    derives the centroid count in-plan from the corpus count, so at 100×
+    the data the cell count grows 100× and per-cell pairwise work stays
+    constant (the lsh_recall broadcast-scalar pattern applied to SemDeDup)."""
     from arcane_framework_spark.operators.similarity import semantic_dedup
 
     return semantic_dedup(
         _neardup_corpus(spark, sf_dir),
-        k=SEMDEDUP_K,
+        k=None,
         threshold=SEMDEDUP_TAU,
         iterations=SEMDEDUP_ITERS,
+        target_cell_size=SEMDEDUP_CELL,
     )
 
 
-def _semantic_dedup_sql(k: int = SEMDEDUP_K, iters: int = SEMDEDUP_ITERS,
+def _semantic_dedup_sql(cell: int = SEMDEDUP_CELL,
+                        iters: int = SEMDEDUP_ITERS,
                         tau: float = SEMDEDUP_TAU,
                         dim: int = EMBEDDING_DIM) -> str:
     """Oracle: same planted corpus, same unrolled Lloyd iterations
-    (shared ``_kmeans_ctes`` builder), then the same dominance rule —
-    cent_cos rounded to 5 decimals before comparison in both engines so
-    the prune decision is bit-stable across summation order."""
+    (shared ``_kmeans_ctes`` builder, corpus-derived centroid count),
+    then the same dominance rule — cent_cos rounded to 5 decimals before
+    comparison in both engines so the prune decision is bit-stable across
+    summation order."""
     src = f"""SELECT vec_id, v FROM (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     UNION ALL
@@ -2559,7 +2580,8 @@ def _semantic_dedup_sql(k: int = SEMDEDUP_K, iters: int = SEMDEDUP_ITERS,
            list_concat([v2[1] + {NEARDUP_DELTA}], v2[2:]) FROM (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v2 FROM embeddings
       WHERE vec_id % {NEARDUP_EVERY} = 0))"""
-    ctes, prev, cos = _kmeans_ctes(src, k, iters, dim)
+    ctes, prev, cos = _kmeans_ctes(src, None, iters, dim,
+                                   target_cell_size=cell)
     joined = ",\n".join(ctes)
     pair_cos = (
         "round(list_dot_product(x.v, y.v) / "

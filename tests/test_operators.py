@@ -1524,6 +1524,51 @@ def test_semantic_dedup_prunes_planted_neighbor(spark):
     assert sorted(cells) == [0, 1, 2, 10, 11, 20]
 
 
+def test_semantic_dedup_governed_k_scales_cells_with_corpus(spark):
+    """target_cell_size mode: the centroid count is derived in-plan from
+    the corpus count, so a 4x corpus yields ~4x cells and the average
+    cell size stays ~target at every scale. This is the 100x governance
+    contract — same code, bigger data, constant per-cell work."""
+    import math
+
+    from arcane_framework_spark.operators.similarity import semantic_dedup
+
+    def corpus(n):
+        rows = [
+            (i, [math.cos(i / 7.0), math.sin(i / 7.0),
+                 math.cos(i / 3.0), math.sin(i / 3.0)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    target = 10
+    cell_counts = {}
+    for n in (100, 400):
+        out = semantic_dedup(
+            corpus(n), k=None, threshold=0.99, iterations=1,
+            target_cell_size=target,
+        )
+        sizes = out.groupBy("cid").count()
+        stats = sizes.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("count").alias("max_cell"),
+        ).first()
+        cell_counts[n] = stats["n_cells"]
+        # every vector classified exactly once
+        assert out.count() == n
+        # cells bounded: no cell degenerates to a corpus-wide bucket
+        assert stats["max_cell"] <= 10 * target, stats
+    # 4x corpus -> cell count grew with it (within k-means imbalance)
+    assert cell_counts[400] >= 2 * cell_counts[100], cell_counts
+    # k/init_stride/target_cell_size misuse fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semantic_dedup(corpus(10), k=3, threshold=0.9, target_cell_size=5)
+    with _pytest.raises(ValueError):
+        semantic_dedup(corpus(10), k=None, threshold=0.9)
+
+
 def test_plan_compaction_groups_small_files(spark):
     from arcane_framework_spark.operators.maintenance import plan_compaction
 

@@ -132,6 +132,36 @@ def timed(fn):
     return {"rows": n, "sec": round(time.time() - t0, 2)}
 
 
+def semdedup_cell_stats(emb, target_cell_size: int):
+    """Verify the governed-k mode's cell bound on the enlarged corpus:
+    run semantic_dedup's assignment, report n_cells / max / avg cell
+    size, and ASSERT max cell stays within a loose k-means-skew factor
+    of the target (clustering is never perfectly balanced, but a hot
+    cell 20x the target would mean governance failed)."""
+    sizes = (
+        semantic_dedup(
+            emb, k=None, threshold=0.9, iterations=2,
+            target_cell_size=target_cell_size,
+        )
+        .groupBy("cid")
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("count").alias("max_cell"),
+            F.round(F.avg("count"), 1).alias("avg_cell"),
+        )
+        .first()
+    )
+    out = {
+        "n_cells": sizes["n_cells"],
+        "max_cell": sizes["max_cell"],
+        "avg_cell": float(sizes["avg_cell"]),
+        "target": target_cell_size,
+    }
+    assert sizes["max_cell"] <= 20 * target_cell_size, out
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("arcane-stress")
@@ -230,10 +260,18 @@ def main() -> None:
             )
         ),
         # r5 operators on the 10x corpus
-        # semantic dedup: k grows with the corpus (10x vectors -> 40
-        # cells) so per-cell pairwise work stays bounded
+        # semantic dedup, GOVERNED mode: the centroid count is derived
+        # in-plan from the corpus count (target_cell_size=64), so 10x
+        # vectors -> ~10x cells and constant per-cell pairwise work.
+        # cell_stats below verifies the bound actually held.
         "semantic_dedup": timed(
-            lambda: semantic_dedup(emb, k=40, threshold=0.9, iterations=2)
+            lambda: semantic_dedup(
+                emb, k=None, threshold=0.9, iterations=2,
+                target_cell_size=64,
+            )
+        ),
+        "semantic_dedup_cells": semdedup_cell_stats(
+            emb, target_cell_size=64
         ),
         # fold a batch of new edges into the 10x corpus's cluster table:
         # only touched components recompute. The prior assignment is
