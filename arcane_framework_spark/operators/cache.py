@@ -33,7 +33,19 @@ _scopes = threading.local()
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()``, registered with the innermost active cache_scope."""
+    """``df.persist()``, registered with the innermost active cache_scope.
+
+    If an EQUIVALENT plan is already cached (``df.storageLevel`` does a
+    CacheManager lookup by canonicalized-plan equality, not by handle),
+    the DataFrame is returned untouched and NOT tracked: the cache
+    belongs to whoever created it. This is what lets a session-level
+    shared prep (``prep.shared_prep``) persist the catalog's hot derived
+    tables once — without the guard, the first query to re-derive the
+    same subtree would re-persist it, and its scope exit would UNPERSIST
+    the shared entry out from under every later query (DataFrame.unpersist
+    also evicts by plan equality)."""
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        return df
     out = df.persist()
     stack = getattr(_scopes, "stack", None)
     if stack:

@@ -119,6 +119,88 @@ def decode_bmp(content: bytes) -> "object":
     return rgb[::-1] if bottom_up else rgb
 
 
+def decode_ppm(content: bytes) -> "object":
+    """Pure-numpy decoder for binary PPM (P6) images.
+
+    Returns an ``(height, width, 3)`` uint8 RGB array. Handles the
+    standard header grammar: ``P6``, then width/height/maxval tokens
+    separated by whitespace, with ``#``-comments allowed between tokens,
+    a single whitespace byte after maxval, then ``w*h*3`` raw samples
+    (maxval <= 255; 2-byte-sample images raise ``NotImplementedError``).
+    PPM is stored top-down RGB — no row flip or channel swap needed,
+    which is exactly why it is the second real decoder next to BMP: the
+    two formats pin opposite orientation/channel conventions.
+    """
+    import numpy as np
+
+    if content[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        # skip whitespace and #-comments between header tokens
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(content) and content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        try:
+            tokens.append(int(content[start:pos]))
+        except ValueError as exc:
+            raise ValueError("malformed PPM header token") from exc
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError("degenerate PPM dimensions")
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM samples not supported")
+    pos += 1  # exactly one whitespace byte after maxval
+    n = width * height * 3
+    if len(content) < pos + n:
+        raise ValueError("truncated PPM pixel data")
+    raw = np.frombuffer(content, dtype=np.uint8, offset=pos, count=n)
+    return raw.reshape(height, width, 3)
+
+
+def synth_image_bytes(seed: int, width: int, height: int,
+                      fmt: str) -> bytes:
+    """Deterministic synthetic image: pixel ``(r, c, ch)`` in the DECODED
+    top-down RGB orientation has value ``(seed + r*7 + c*3 + ch) % 256``.
+
+    ``fmt='bmp'`` writes bottom-up BGR with 4-byte row padding (the BMP
+    file convention); ``fmt='ppm'`` writes the P6 header + top-down RGB.
+    Both therefore decode to the SAME array — and the closed-form pixel
+    rule means a SQL oracle can compute the expected mean/corner pixel
+    without ever constructing the binary.
+    """
+    import numpy as np
+
+    r = np.arange(height, dtype=np.int64)[:, None, None] * 7
+    c = np.arange(width, dtype=np.int64)[None, :, None] * 3
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    img = ((seed + r + c + ch) % 256).astype(np.uint8)
+    if fmt == "ppm":
+        return b"P6\n%d %d\n255\n" % (width, height) + img.tobytes()
+    if fmt != "bmp":
+        raise ValueError(f"unknown synthetic format {fmt!r}")
+    row_stride = (width * 3 + 3) & ~3
+    body = np.zeros((height, row_stride), dtype=np.uint8)
+    bgr = img[::-1, :, ::-1]  # bottom-up rows, BGR channels
+    body[:, : width * 3] = bgr.reshape(height, width * 3)
+    pixel_bytes = body.tobytes()
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(pixel_bytes), 0, 0, 54,
+        40, width, height, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0,
+    )
+    return header + pixel_bytes
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched per-asset feature extraction over the binary column.
 
@@ -137,9 +219,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
             # b is bytes/bytearray straight from Arrow — no copy needed;
             # slicing, len, struct.unpack_from, and np.frombuffer all
             # take the buffer as-is.
-            if b[:2] == b"BM":
+            if b[:2] in (b"BM", b"P6"):
                 try:
-                    img = decode_bmp(b)
+                    img = decode_bmp(b) if b[:2] == b"BM" else decode_ppm(b)
                     return (
                         img.shape[1],
                         img.shape[0],
@@ -175,6 +257,110 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+#: Output schema of ``image_decode_features`` — every column is REAL
+#: decode output (no fallbacks): dims from the container header, mean
+#: over all samples, and the decoded top-left red sample, which pins the
+#: orientation/channel unscrambling (BMP stores bottom-up BGR, PPM
+#: top-down RGB; both must decode to the same logical array).
+IMAGE_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_mean", DoubleType()),
+        StructField("first_pixel", IntegerType()),
+    ]
+)
+
+
+def synth_image_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-id synthetic image assets: even ids become 24-bit
+    BMPs, odd ids binary PPMs (``synth_image_bytes``), dimensions
+    ``(8 + id%5) x (8 + id%3)``, seed ``id % 256``. Arrow-batched
+    map-only pass — the binary column is born distributed, exactly like a
+    real media table read from object storage."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids_col = pdf[id_col].astype("int64")
+            content = [
+                synth_image_bytes(
+                    int(i) % 256, 8 + int(i) % 5, 8 + int(i) % 3,
+                    "bmp" if int(i) % 2 == 0 else "ppm",
+                )
+                for i in ids_col
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids_col,
+                    "content": pd.Series(content, dtype="object"),
+                    "fmt": [
+                        "bmp" if int(i) % 2 == 0 else "ppm" for i in ids_col
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("fmt", StringType()),
+        ]
+    )
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema
+    )
+
+
+def image_decode_features(assets: DataFrame) -> DataFrame:
+    """REAL image decode over a binary asset column (BMP + PPM).
+
+    Unlike ``extract_features`` (which falls back to byte-derived stand-in
+    dims for undecodable payloads), every row here must decode — a
+    malformed payload raises, because this operator's contract is the
+    decode itself. ``pixel_mean`` uses the engine-stable
+    ``floor(x*1e4 + 0.5)/1e4`` rounding so a SQL oracle reproduces it
+    bit-for-bit.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, content, fmt in zip(
+                pdf["doc_id"], pdf["content"], pdf["fmt"]
+            ):
+                img = decode_image(bytes(content))
+                mean = float(img.mean())
+                rows.append(
+                    (
+                        int(doc_id),
+                        fmt,
+                        len(content),
+                        img.shape[1],
+                        img.shape[0],
+                        math.floor(mean * 1e4 + 0.5) / 1e4,
+                        int(img[0, 0, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "n_bytes", "width", "height",
+                    "pixel_mean", "first_pixel",
+                ],
+            )
+
+    return assets.mapInPandas(batches, IMAGE_DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
@@ -257,12 +443,14 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 64,
 def decode_image(content: bytes):
     """Decode an image asset to a pixel array.
 
-    Uncompressed 24-bit BMPs decode natively (``decode_bmp``, pure
-    numpy). Every other format needs PIL, which the execution container
-    does not ship — those raise ``NotImplementedError`` honestly instead
-    of faking pixels."""
+    Uncompressed 24-bit BMPs and binary PPMs (P6) decode natively
+    (``decode_bmp`` / ``decode_ppm``, pure numpy). Every other format
+    needs PIL, which the execution container does not ship — those raise
+    ``NotImplementedError`` honestly instead of faking pixels."""
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:2] == b"P6":
+        return decode_ppm(content)
     try:
         import io
 

@@ -140,6 +140,67 @@ def salted_join(skewed: DataFrame, small: DataFrame, on: str,
     return salted_big.join(replicated, on=[on, SALT_COL], how=how).drop(SALT_COL)
 
 
+def auto_salted_join(skewed: DataFrame, small: DataFrame, on: str,
+                     num_salts: int = 16, skew_threshold: float = 4.0,
+                     top_k: int = 20, how: str = "inner") -> DataFrame:
+    """The diagnostic→remedy bridge: run :func:`skew_report` on the big
+    side's join key, and salt ONLY the keys it flags.
+
+    ``salted_join`` salts every row and replicates the entire small side
+    ``num_salts``× — correct, but at 100 TB the replication cost is paid
+    for the 99.9% of keys that never needed it. Here the hot-key set
+    (skew ≥ ``skew_threshold`` among the ``top_k`` hottest) is broadcast
+    to both sides: hot rows get a uniform salt in [0, num_salts), cold
+    rows salt 0; the small side replicates hot keys ``num_salts``× and
+    cold keys once. The join stays a plain equi-join on (key, salt), so
+    Catalyst/AQE treat it like any other shuffle join — but the one
+    reducer that would have received the hot key's entire partition now
+    receives 1/num_salts of it, and the small side grows by only
+    ``num_salts × |hot keys|`` rows.
+
+    Cost: one extra map-side-combined count aggregate over the big side
+    (the skew report) — the pre-flight scan you were going to run anyway
+    before shuffling 100 TB on an unknown key. The hot-key set is top_k
+    rows at most: metadata-scale, always broadcastable.
+    """
+    hot = (
+        skew_report(skewed, on, top_k=top_k)
+        .filter(F.col("skew") >= F.lit(skew_threshold))
+        .select(F.col(on).alias("__hot_key"))
+    )
+    salted_big = (
+        skewed.join(
+            F.broadcast(hot), F.col(on) == F.col("__hot_key"), "left"
+        )
+        .withColumn(
+            SALT_COL,
+            F.when(
+                F.col("__hot_key").isNotNull(),
+                (F.rand(seed=42) * num_salts).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("__hot_key")
+    )
+    replicated = (
+        small.join(
+            F.broadcast(hot), F.col(on) == F.col("__hot_key"), "left"
+        )
+        .withColumn(
+            SALT_COL,
+            F.explode(
+                F.when(
+                    F.col("__hot_key").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(num_salts - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("__hot_key")
+    )
+    return salted_big.join(
+        replicated, on=[on, SALT_COL], how=how
+    ).drop(SALT_COL)
+
+
 def write_bucketed(df: DataFrame, table_name: str, bucket_cols: Sequence[str],
                    num_buckets: int = 32,
                    sort_cols: Sequence[str] | None = None) -> None:
@@ -237,6 +298,52 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
             F.col("cnt").cast("double") * F.col("__n_keys")
             / F.col("__n_rows")
         ).alias("skew"),
+    )
+
+
+def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
+                      percents: Sequence[int] = (50, 90, 99)) -> DataFrame:
+    """Exact per-group quantiles (lower convention) in ONE pass over the
+    frequency bands: (group, n_rows, p50_<col>, p90_<col>, ...).
+
+    Same band trick as :func:`grouped_median` — collapse to
+    (group, value, count) with map-side combine, cumulative-sum the
+    band table, then every requested percent is a conditional MIN over
+    the same cumulated bands: ``min(value where 100*cum >= p*total)``.
+    All integer comparisons (percents are whole percents), so there is
+    no cross-engine interpolation or floating threshold: the p99 you
+    publish in a datacard is the p99 every other engine computes.
+    Window cost is the band table (distinct values per group), never the
+    row stream — the shape that holds at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    bands = df.filter(F.col(value_col).isNotNull()).groupBy(
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("long").alias("value"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    w_cum = (
+        Window.partitionBy("group")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("group")
+    cum = bands.withColumn("__cum", F.sum("__cnt").over(w_cum)).withColumn(
+        "__tot", F.sum("__cnt").over(w_tot)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.lit(100) * F.col("__cum") >= F.lit(int(p)) * F.col("__tot"),
+                F.col("value"),
+            )
+        ).alias(f"p{int(p)}_{value_col}")
+        for p in percents
+    ]
+    return (
+        cum.groupBy("group")
+        .agg(F.max("__tot").alias("n_rows"), *aggs)
+        .withColumnRenamed("group", group_col)
     )
 
 

@@ -606,6 +606,28 @@ FROM feat GROUP BY source
 _DUP_OFFSET = 100_000
 
 
+def _planted_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog's shared planted near-dup corpus: every 7th doc
+    re-inserted at ``doc_id + _DUP_OFFSET`` with self-concatenated text
+    (shingle-Jaccard ≈ 0.9 against its original).
+
+    One helper, not copy-paste, ON PURPOSE: every consumer builds the
+    byte-identical logical subtree, so when ``prep.shared_prep`` persists
+    the derived signature/shingle/pair tables once per session, Spark's
+    CacheManager substitutes them into EVERY consumer's plan by
+    canonicalized-plan equality — the catalog stops re-hashing the corpus
+    per entry. (At 100 TB the same sharing is a materialized parquet side
+    table; in-session block-manager cache is the bench-scale analog.)
+    """
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-text fingerprint over a corpus with planted dupes."""
     t = load_tables(spark, sf_dir, "documents")
@@ -637,13 +659,7 @@ def minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     its text self-concatenated → shingle-Jaccard ≈ 0.9) so the banding has
     real positives to find; the DuckDB oracle plants identically.
     """
-    t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"].select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-        F.concat_ws(" ", "text", "text").alias("text"),
-    )
-    return minhash_lsh_pairs(docs.unionByName(planted))
+    return minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
 
 
 def _minhash_sql() -> str:
@@ -764,13 +780,7 @@ def leakage_guarded_split_documents(spark: SparkSession,
         leakage_guarded_split,
     )
 
-    t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"].select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-        F.concat_ws(" ", "text", "text").alias("text"),
-    )
-    corpus = docs.unionByName(planted)
+    corpus = _planted_neardup_docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(corpus)
     return leakage_guarded_split(corpus.select("doc_id"), pairs)
 
@@ -1134,12 +1144,7 @@ def neardup_modality_agreement(spark: SparkSession,
     )
 
     t = load_tables(spark, sf_dir, "documents", "embeddings")
-    docs = t["documents"].select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-        F.concat_ws(" ", "text", "text").alias("text"),
-    )
-    pairs = minhash_lsh_pairs(docs.unionByName(planted))
+    pairs = minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
 
     emb = t["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

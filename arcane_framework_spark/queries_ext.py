@@ -89,14 +89,10 @@ from arcane_framework_spark.operators.similarity import (  # noqa: E402
 
 def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-4-gram Jaccard near-dup pairs (bottom-3-sketch blocking)."""
-    t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"].select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-        F.concat_ws(" ", "text", "text").alias("text"),
-    )
+    from arcane_framework_spark.queries import _planted_neardup_docs
+
     return ngram_jaccard_pairs(
-        docs.unionByName(planted), min_jaccard=NGRAM_MIN_JACCARD
+        _planted_neardup_docs(spark, sf_dir), min_jaccard=NGRAM_MIN_JACCARD
     )
 
 
@@ -157,14 +153,9 @@ def simhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup exploits at scale.
     """
     from arcane_framework_spark.operators.dedup import simhash_neardup_pairs
+    from arcane_framework_spark.queries import _planted_neardup_docs
 
-    t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"].select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-        F.concat_ws(" ", "text", "text").alias("text"),
-    )
-    return simhash_neardup_pairs(docs.unionByName(planted))
+    return simhash_neardup_pairs(_planted_neardup_docs(spark, sf_dir))
 
 
 def _simhash_neardup_sql() -> str:
@@ -385,6 +376,56 @@ SELECT doc_id,
        (octet_length(encode(text)) * 7 % 480 + 16)::INT AS height,
        CAST(NULL AS DOUBLE)                AS pixel_mean
 FROM documents
+"""
+
+
+def image_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the full distributed plumbing: every 50th
+    doc id becomes a synthetic image asset (even ids 24-bit BMP, odd ids
+    binary PPM — opposite orientation/channel conventions), born as a
+    binary column in one Arrow-batched pass and decoded in another. The
+    oracle recomputes dims, byte size, mean sample, and the decoded
+    top-left red sample from the closed-form pixel rule — so a decoder
+    that mis-handled BMP's bottom-up BGR layout or PPM's header grammar
+    hash-mismatches immediately."""
+    from arcane_framework_spark.operators.multimodal import (
+        image_decode_features,
+        synth_image_assets,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    ids = t["documents"].select("doc_id").filter(F.col("doc_id") % 50 == 0)
+    return image_decode_features(synth_image_assets(ids))
+
+
+_IMAGE_DECODE_SQL = """
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       CAST(CASE WHEN d.doc_id % 2 = 0
+            THEN 54 + (((8 + d.doc_id % 5) * 3 + 3) // 4) * 4
+                      * (8 + d.doc_id % 3)
+            ELSE strlen('P6' || chr(10)
+                   || CAST(8 + d.doc_id % 5 AS VARCHAR) || ' '
+                   || CAST(8 + d.doc_id % 3 AS VARCHAR) || chr(10)
+                   || '255' || chr(10))
+                 + (8 + d.doc_id % 5) * (8 + d.doc_id % 3) * 3
+       END AS BIGINT) AS n_bytes,
+       CAST(8 + d.doc_id % 5 AS INT) AS width,
+       CAST(8 + d.doc_id % 3 AS INT) AS height,
+       floor(m.mean_val * 10000 + 0.5) / 10000 AS pixel_mean,
+       CAST(d.doc_id % 256 AS INT) AS first_pixel
+FROM documents d,
+LATERAL (
+  -- DuckDB's generate_series cannot take correlated bounds; generate the
+  -- max grid (12x10x3) and filter to this image's actual dims instead.
+  SELECT avg(CAST((d.doc_id % 256 + r.i * 7 + c.j * 3 + ch.k) % 256
+                  AS DOUBLE)) AS mean_val
+  FROM generate_series(0, 9) r(i),
+       generate_series(0, 11) c(j),
+       generate_series(0, 2) ch(k)
+  WHERE r.i < 8 + d.doc_id % 3 AND c.j < 8 + d.doc_id % 5
+) m
+WHERE d.doc_id % 50 = 0
 """
 
 
@@ -662,14 +703,9 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
     from arcane_framework_spark.operators.graph import dedup_clusters
+    from arcane_framework_spark.queries import _planted_neardup_docs
 
-    t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"].select("doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-        F.concat_ws(" ", "text", "text").alias("text"),
-    )
-    pairs = minhash_lsh_pairs(docs.unionByName(planted))
+    pairs = minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
     return dedup_clusters(pairs)
 
 
@@ -2173,6 +2209,7 @@ def dedup_canonical_documents(spark: SparkSession,
     minhash_pairs_documents."""
     from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
     from arcane_framework_spark.operators.graph import dedup_clusters
+    from arcane_framework_spark.queries import _planted_neardup_docs
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"].select("doc_id", "text", "source")
@@ -2182,8 +2219,11 @@ def dedup_canonical_documents(spark: SparkSession,
         "source",
     )
     corpus = docs.unionByName(planted)
+    # pairs come from the SHARED corpus subtree (not corpus.select(...)):
+    # same semantics, and the canonicalized plan matches the session-level
+    # prep cache so the signature/pair tables are never re-derived here.
     clusters = dedup_clusters(
-        minhash_lsh_pairs(corpus.select("doc_id", "text"))
+        minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
     )
     keep = F.coalesce(F.col("is_canonical"), F.lit(True))
     kept_flag = F.when(keep, 1).otherwise(0)
@@ -2300,6 +2340,91 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, "events")
     return skew_report(t["events"], "user_id", top_k=SKEW_TOP_K)
+
+
+def length_quantiles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact p50/p90/p99 of document length — the datacard
+    tail statistic (operators/scale.py grouped_quantiles: one banded
+    shuffle, integer lower-quantile convention, no interpolation)."""
+    from arcane_framework_spark.operators.scale import grouped_quantiles
+
+    t = load_tables(spark, sf_dir, "documents")
+    return grouped_quantiles(
+        t["documents"].select("source", F.length("text").alias("len")),
+        "source", "len",
+    )
+
+
+_LENGTH_QUANTILES_SQL = """
+WITH bands AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS value,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, value,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY value) AS c,
+         SUM(cnt) OVER (PARTITION BY source) AS tot
+  FROM bands
+)
+SELECT source,
+       CAST(max(tot) AS BIGINT) AS n_rows,
+       CAST(min(CASE WHEN 100 * c >= 50 * tot THEN value END) AS BIGINT)
+         AS p50_len,
+       CAST(min(CASE WHEN 100 * c >= 90 * tot THEN value END) AS BIGINT)
+         AS p90_len,
+       CAST(min(CASE WHEN 100 * c >= 99 * tot THEN value END) AS BIGINT)
+         AS p99_len
+FROM cum GROUP BY source
+"""
+
+
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic→remedy bridge end-to-end: a join key where ~90% of
+    events collapse onto one value (user_id % 10 < 9 → key 0, the rest
+    keep user_id % 100) is joined to its dim table through
+    ``auto_salted_join`` — skew_report flags key 0, ONLY that key is
+    salted across 8 buckets, the dim replicates just its hot row. The
+    oracle is the PLAIN join aggregated per tag, so any row the salting
+    duplicated or dropped hash-mismatches. Per-row cent rounding before
+    the sum keeps the double aggregate order-independent."""
+    from arcane_framework_spark.operators.scale import auto_salted_join
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        F.when(F.col("user_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("user_id") % 100)
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    dim = ev.select("k").distinct().select(
+        "k", (F.col("k") * 7 + 3).cast("long").alias("tag")
+    )
+    joined = auto_salted_join(ev, dim, on="k", num_salts=8)
+    return joined.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id % 100 END AS k,
+         value
+  FROM events
+),
+dim AS (
+  SELECT DISTINCT k, k * 7 + 3 AS tag FROM ev
+)
+SELECT d.tag,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(floor(e.value * 100 + 0.5)) AS BIGINT) AS value_cents
+FROM ev e JOIN dim d USING (k)
+GROUP BY d.tag
+"""
 
 
 _SKEW_REPORT_SQL = f"""
@@ -2616,6 +2741,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_neardup_embeddings": cosine_neardup_embeddings,
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "multimodal_features_documents": multimodal_features_documents,
+    "image_decode_documents": image_decode_documents,
     "bpe_token_stats_documents": bpe_token_stats_documents,
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "events_quantiles": events_quantiles,
@@ -2655,6 +2781,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_ngrams_documents": frequent_ngrams_documents,
     "incremental_clusters_documents": incremental_clusters_documents,
     "skew_report_events": skew_report_events,
+    "salted_join_events": salted_join_events,
+    "length_quantiles_documents": length_quantiles_documents,
     "top_fraction_documents": top_fraction_documents,
     "embedding_dispersion_labels": embedding_dispersion_labels,
 }
@@ -2665,6 +2793,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "cosine_neardup_embeddings": _cosine_neardup_sql(),
     "ivf_topk_embeddings": _IVF_SQL,
     "multimodal_features_documents": _MULTIMODAL_SQL,
+    "image_decode_documents": _IMAGE_DECODE_SQL,
     "bpe_token_stats_documents": _BPE_SQL,
     "streaming_hourly_rollup": _STREAMING_HOURLY_SQL,
     "events_quantiles": _QUANTILES_SQL,
@@ -2702,6 +2831,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "frequent_ngrams_documents": _FREQUENT_NGRAMS_SQL,
     "incremental_clusters_documents": _INC_CC_SQL,
     "skew_report_events": _SKEW_REPORT_SQL,
+    "salted_join_events": _SALTED_JOIN_SQL,
+    "length_quantiles_documents": _LENGTH_QUANTILES_SQL,
     "top_fraction_documents": _TOP_FRACTION_SQL,
     "embedding_dispersion_labels": _DISPERSION_SQL,
     # dedup_clusters_documents and dedup_canonical_documents are

@@ -886,7 +886,10 @@ def bm25_self_retrieval_documents(spark: SparkSession,
     )
 
     t = load_tables(spark, sf_dir, "documents")
-    return bm25_self_retrieval(t["documents"])
+    # select the same 2-column shape bm25_topk_documents feeds bm25_rank,
+    # so both entries' term-frequency subtrees canonicalize identically
+    # and the shared prep's persisted tf table substitutes into both.
+    return bm25_self_retrieval(t["documents"].select("doc_id", "text"))
 
 
 def _self_retrieval_sql() -> str:

@@ -108,16 +108,16 @@ def _http_transient(exc: BaseException) -> bool:
     return is_transient(exc)
 
 
-def _fetch_rows(url: str, headers: dict[str, str], timeout: float,
-                key_chain: Sequence[str], *,
-                max_attempts: int = 3, backoff_seconds: float = 1.0,
-                requests_per_second: float | None = None) -> list[dict]:
-    """One page fetch with the same resilience contract as the driver-loop
-    source: token-bucket acquire before each attempt, bounded fixed-backoff
-    retry on transient failures (timeouts, connection errors, 5xx, and
-    throttle statuses 408/429 — reference RestApiSource.cs:355-361,
-    503-515). A still-throttled fetch raises :class:`RateLimitedError`
-    so callers can tell "no data" from "no progress"."""
+def _fetch_doc(url: str, headers: dict[str, str], timeout: float, *,
+               max_attempts: int = 3, backoff_seconds: float = 1.0,
+               requests_per_second: float | None = None):
+    """One page fetch returning the PARSED response document, with the same
+    resilience contract as the driver-loop source: token-bucket acquire
+    before each attempt, bounded fixed-backoff retry on transient failures
+    (timeouts, connection errors, 5xx, and throttle statuses 408/429 —
+    reference RestApiSource.cs:355-361, 503-515). A still-throttled fetch
+    raises :class:`RateLimitedError` so callers can tell "no data" from
+    "no progress"."""
     from arcane_framework_spark.streaming.retry import with_retry
 
     limiter = _limiter_for(requests_per_second)
@@ -140,7 +140,11 @@ def _fetch_rows(url: str, headers: dict[str, str], timeout: float,
         backoff_seconds=backoff_seconds,
         decider=_http_transient,
     )
-    doc = json.loads(body) if body else {}
+    return json.loads(body) if body else {}
+
+
+def _rows_in(doc, key_chain: Sequence[str]) -> list[dict]:
+    """Row array at ``key_chain`` inside a parsed response (F4 semantics)."""
     for key in key_chain:
         if not isinstance(doc, dict) or key not in doc:
             return []
@@ -148,6 +152,19 @@ def _fetch_rows(url: str, headers: dict[str, str], timeout: float,
     if isinstance(doc, list):
         return [r if isinstance(r, dict) else {"value": r} for r in doc]
     return []
+
+
+def _fetch_rows(url: str, headers: dict[str, str], timeout: float,
+                key_chain: Sequence[str], *,
+                max_attempts: int = 3, backoff_seconds: float = 1.0,
+                requests_per_second: float | None = None) -> list[dict]:
+    """:func:`_fetch_doc` + :func:`_rows_in` (the batch reader's path)."""
+    doc = _fetch_doc(
+        url, headers, timeout,
+        max_attempts=max_attempts, backoff_seconds=backoff_seconds,
+        requests_per_second=requests_per_second,
+    )
+    return _rows_in(doc, key_chain)
 
 
 class RestReader(DataSourceReader):
@@ -204,10 +221,27 @@ class RestStreamReader(SimpleDataSourceStreamReader):
     a slice whose end is still in the future is not read (no partial
     slices). Both cursors live in the stream checkpoint, so kill/restart
     resumes mid-slice, mid-page.
+
+    Continuation-token mode (``next_token_key_chain`` option, with
+    ``@token`` in the template): offset {"token": T} — parity with the
+    reference's PageNextTokenResolver (PageNextTokenResolver.cs:11-60).
+    The first request renders ``@token`` as the empty string (the
+    reference resets its page pointer to "" at start); each response's
+    token at the configured key chain becomes the NEXT offset, so a
+    kill/restart resumes at the exact committed token. A response with a
+    null/missing token ends pagination: its rows are emitted and the
+    offset moves to the terminal {"token": T, "done": 1}, which every
+    later trigger holds (re-polling with a consumed token would re-emit
+    the final page forever — "done" is what distinguishes "no more pages"
+    from "page not yet readable", the same distinction the 429 hold makes
+    in the other direction).
     """
 
     def __init__(self, schema: StructType, options: dict):
         self.inner = RestReader(schema, options)
+        self.token_chain = [
+            k for k in options.get("next_token_key_chain", "").split(".") if k
+        ]
         self.range_start: datetime | None = None
         if "range_start" in options:
             self.range_start = datetime.fromisoformat(options["range_start"])
@@ -221,12 +255,16 @@ class RestStreamReader(SimpleDataSourceStreamReader):
             self.date_format = options.get("date_format", "%Y-%m-%dT%H:%M:%S")
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API)
+        if self.token_chain:
+            return {"token": ""}
         if self.range_start is not None:
             return {"slice": 0, "page": 0}
         return {"page": 0}
 
     def read(self, start: dict) -> tuple:
         try:
+            if self.token_chain:
+                return self._read_token(start)
             if self.range_start is not None:
                 return self._read_range(start)
             next_page = int(start["page"]) + 1
@@ -239,6 +277,37 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         if not rows:
             return iter([]), start
         return iter(rows), {"page": next_page}
+
+    def _read_token(self, start: dict) -> tuple:
+        if start.get("done"):
+            return iter([]), start  # pagination exhausted — hold forever
+        try:
+            rows, next_token = self._token_page(start.get("token", ""))
+        except RateLimitedError:
+            return iter([]), start  # throttled: no data, no progress
+        if next_token in (None, ""):
+            # Reference PageNextTokenResolver.cs:30-35: a missing/null
+            # token property stops pagination immediately.
+            return iter(rows), {"token": start.get("token", ""), "done": 1}
+        return iter(rows), {"token": str(next_token)}
+
+    def _token_page(self, token: str) -> tuple:
+        """Fetch the page for ``token``; returns (row tuples, next token)."""
+        from arcane_framework_spark.sources.rest import extract_by_key_chain
+
+        url = self.inner.url_template.replace("@token", str(token))
+        doc = _fetch_doc(
+            url, self.inner.headers, self.inner.timeout,
+            max_attempts=self.inner.max_attempts,
+            backoff_seconds=self.inner.backoff,
+            requests_per_second=self.inner.requests_per_second,
+        )
+        rows = [
+            tuple(row.get(name) for name in self.inner.schema_fields)
+            for row in _rows_in(doc, self.inner.key_chain)
+        ]
+        found = extract_by_key_chain(doc, self.token_chain)
+        return rows, (found[0] if found else None)
 
     def _read_range(self, start: dict) -> tuple:
         slice_idx, page = int(start["slice"]), int(start["page"])
@@ -253,6 +322,20 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         return iter([]), {"slice": slice_idx + 1, "page": 0}
 
     def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        if self.token_chain:
+            # Replay by re-walking the token chain from `start` until the
+            # offsets meet `end`; a committed micro-batch spans one page,
+            # so this is one fetch in practice. Tokens are deterministic
+            # for already-served pages, so the replayed rows match.
+            rows: list[tuple] = []
+            cur = dict(start)
+            while cur != end and not cur.get("done"):
+                batch, nxt = self._read_token(cur)
+                rows.extend(batch)
+                if nxt == cur:
+                    break  # throttled mid-replay — stop, don't spin
+                cur = nxt
+            return iter(rows)
         if self.range_start is not None:
             # Replay by stepping the same cursor logic until `end`; pages
             # are deterministic for completed slices, so the replayed batch

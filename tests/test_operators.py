@@ -339,6 +339,77 @@ def test_decode_bmp_pure_numpy():
         decode_bmp(bytes(bad))
 
 
+def test_decode_ppm_pure_numpy():
+    """The no-deps P6 PPM decoder: header grammar (whitespace, comments),
+    top-down RGB layout, honest errors for truncation and 16-bit."""
+    import numpy as np
+    import pytest as _pytest
+
+    from arcane_framework_spark.operators.multimodal import (
+        decode_image,
+        decode_ppm,
+    )
+
+    pixels = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    ppm = b"P6\n3 2\n255\n" + pixels.tobytes()
+    assert np.array_equal(decode_ppm(ppm), pixels)
+    # decode_image routes P6 to the native decoder (no PIL needed)
+    assert np.array_equal(decode_image(ppm), pixels)
+    # comments between header tokens are legal PPM
+    commented = b"P6\n# made by a test\n3 2\n# maxval next\n255\n" + pixels.tobytes()
+    assert np.array_equal(decode_ppm(commented), pixels)
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n3 2\n255\n" + pixels.tobytes()[:-1])  # truncated
+    with _pytest.raises(NotImplementedError):
+        decode_ppm(b"P6\n3 2\n65535\n" + pixels.tobytes() * 2)  # 16-bit
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n3 2\n255\n")  # not P6
+
+
+def test_synth_image_roundtrip_both_formats():
+    """synth_image_bytes(bmp) and (ppm) decode to the SAME logical array:
+    BMP's bottom-up BGR and PPM's top-down RGB unscramble identically."""
+    import numpy as np
+
+    from arcane_framework_spark.operators.multimodal import (
+        decode_image,
+        synth_image_bytes,
+    )
+
+    a = decode_image(synth_image_bytes(42, 9, 10, "bmp"))
+    b = decode_image(synth_image_bytes(42, 9, 10, "ppm"))
+    assert a.shape == b.shape == (10, 9, 3)
+    assert np.array_equal(a, b)
+    assert int(a[0, 0, 0]) == 42  # decoded top-left red sample = seed
+
+
+def test_image_decode_features_distributed(spark):
+    """The catalog path end-to-end: ids -> synthetic binary assets ->
+    real decode features, all Arrow-batched, exact expected values."""
+    from arcane_framework_spark.operators.multimodal import (
+        image_decode_features,
+        synth_image_assets,
+    )
+
+    ids = spark.createDataFrame([(0,), (1,), (257,)], "doc_id: long")
+    rows = {
+        r.doc_id: r
+        for r in image_decode_features(synth_image_assets(ids)).collect()
+    }
+    assert rows[0].fmt == "bmp" and rows[1].fmt == "ppm"
+    for i in (0, 1, 257):
+        w, h, seed = 8 + i % 5, 8 + i % 3, i % 256
+        assert (rows[i].width, rows[i].height) == (w, h)
+        assert rows[i].first_pixel == seed
+        exp = sum(
+            (seed + r * 7 + c * 3 + ch) % 256
+            for r in range(h) for c in range(w) for ch in range(3)
+        ) / (w * h * 3)
+        import math
+
+        assert rows[i].pixel_mean == math.floor(exp * 1e4 + 0.5) / 1e4
+
+
 def test_extract_features_decodes_real_bmp(spark):
     """An asset row carrying a real BMP reports header dimensions and the
     true pixel mean; non-BMP rows keep byte-derived dims and null mean."""
@@ -431,6 +502,61 @@ def test_salted_join_matches_plain_join(spark):
            got.groupBy("label").agg(__import__("pyspark").sql.functions
                                     .count("*").alias("n")).collect()}
     assert agg == {"hot": 500, "warm": 1}
+
+
+def test_auto_salted_join_spreads_only_hot_keys(spark):
+    """The skew_report→salting bridge: a 90%-one-key join matches the
+    plain join exactly, the hot key's output is spread across multiple
+    shuffle partitions (no single straggler reducer), and cold keys are
+    NOT replicated on the small side."""
+    from arcane_framework_spark.operators.scale import auto_salted_join
+
+    # 90% of the fact table is key 1; keys 2..11 share the rest.
+    rows = [(1, i) for i in range(900)] + [
+        (2 + i % 10, 1000 + i) for i in range(100)
+    ]
+    fact = spark.createDataFrame(rows, "k: long, x: long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 13)], "k: long, label: string"
+    )
+    got = auto_salted_join(fact, dim, on="k", num_salts=8)
+    plain = fact.join(dim, on="k")
+    assert got.columns == plain.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # The hot key's 900 output rows land on multiple shuffle partitions —
+    # the straggler reducer is gone. Observing the raw reducer layout
+    # needs the toy-scale maskers off: AQE would re-coalesce these few KB
+    # into one partition and the tiny dim would broadcast (no shuffle at
+    # all); at 100 TB neither applies to the hot key's partition.
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hot_parts = (
+            auto_salted_join(fact, dim, on="k", num_salts=8)
+            .filter(F.col("k") == 1)
+            .select(F.spark_partition_id().alias("p"))
+            .distinct()
+            .count()
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert hot_parts > 1, hot_parts
+    # left join: unmatched fact rows survive with null labels, no dupes
+    left = auto_salted_join(
+        fact, dim.filter(F.col("k") != 3), on="k", num_salts=8, how="left"
+    )
+    assert left.count() == 1000
+    assert left.filter(F.col("label").isNull()).count() == 10  # key 3 rows
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):

@@ -254,6 +254,78 @@ class TestGroupedMedian:
         assert out["median_v"] == 7
 
 
+class TestGroupedQuantiles:
+    def test_matches_python_lower_quantiles(self, spark):
+        from arcane_framework_spark.operators.scale import grouped_quantiles
+
+        vals = {"a": [5, 1, 9, 3, 7, 11, 2, 8, 6, 4], "b": [10] * 3 + [20]}
+        rows = [(g, v) for g, vs in vals.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {
+            r["g"]: r
+            for r in grouped_quantiles(
+                df, "g", "v", percents=(50, 90, 99)
+            ).collect()
+        }
+
+        def lower_q(vs, p):
+            s = sorted(vs)
+            import math
+
+            return s[max(0, math.ceil(p / 100 * len(s)) - 1)]
+
+        for g, vs in vals.items():
+            assert out[g]["n_rows"] == len(vs)
+            for p in (50, 90, 99):
+                assert out[g][f"p{p}_v"] == lower_q(vs, p), (g, p)
+
+    def test_nulls_excluded(self, spark):
+        from arcane_framework_spark.operators.scale import grouped_quantiles
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", None), ("a", 3)], "g string, v long"
+        )
+        out = grouped_quantiles(df, "g", "v").collect()[0]
+        assert out["n_rows"] == 2 and out["p50_v"] == 1
+
+
+class TestSharedPrep:
+    def test_substitution_and_release(self, spark):
+        """warm_shared_prep persists the dedup prep tables; a catalog
+        entry built afterwards gets them substituted into its PHYSICAL
+        plan (InMemoryTableScan), a per-query cache_scope cannot evict
+        them, and release_shared_prep drops them again."""
+        from arcane_framework_spark.operators.cache import cache_scope
+        from arcane_framework_spark.prep import (
+            release_shared_prep,
+            warm_shared_prep,
+        )
+        from arcane_framework_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        try:
+            warm_shared_prep(spark, sf)
+            with cache_scope():
+                q = QUERIES["minhash_pairs_documents"](spark, sf)
+                plan = q._jdf.queryExecution().executedPlan().toString()
+                assert "InMemoryTableScan" in plan
+                q.write.format("noop").mode("overwrite").save()
+            # the scope exit above must NOT have evicted the shared prep:
+            # a freshly built consumer still reads the cached tables
+            q2 = QUERIES["minhash_pairs_documents"](spark, sf)
+            plan2 = q2._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan2
+        finally:
+            release_shared_prep()
+        # release dropped EVERY cache entry the prep owned — including the
+        # band/shingle tables minhash_lsh_pairs persisted internally while
+        # prep built it (ownership was transferred out of the scope).
+        # (A new consumer built now would re-persist its own intermediates,
+        # so the honest emptiness check is the CacheManager itself.)
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert cm.isEmpty()
+
+
 class TestWavAudio:
     def test_roundtrip_and_chunk_walk(self, spark):
         import struct

@@ -1122,6 +1122,115 @@ def test_rest_datasource_stream_restart_resumes_pages(spark, tmp_path):
         server.shutdown()
 
 
+def test_rest_datasource_stream_token_pagination_restart(spark, tmp_path):
+    """Continuation-token streaming mode (reference
+    PageNextTokenResolver.cs:11-60 as a checkpointed offset): each
+    response's next-token becomes the committed offset, a null token ends
+    pagination, and a kill/restart mid-chain resumes at the EXACT token —
+    the first page is never refetched after restart."""
+    import http.server
+    import json as _json
+    import threading
+    import time as _time
+    import urllib.parse
+    from collections import Counter
+
+    # token chain: "" -> [1], next "t1"; "t1" -> [2], next "t2";
+    # "t2" -> [3], next null (terminal)
+    chain = {
+        "": ([1], "t1"),
+        "t1": ([2], "t2"),
+        "t2": ([3], None),
+    }
+    hits: Counter = Counter()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            qs = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            token = qs.get("token", [""])[0]
+            hits[token] += 1
+            ids, nxt = chain.get(token, ([], None))
+            body = _json.dumps(
+                {"items": [{"id": i} for i in ids], "next": nxt}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def rows():
+        try:
+            return sorted(r.id for r in spark.read.parquet(out).collect())
+        except Exception:
+            return []
+
+    try:
+        from arcane_framework_spark.sources.rest_datasource import RestDataSource
+
+        spark.dataSource.register(RestDataSource)
+
+        def start():
+            return (
+                spark.readStream.format("arcane_rest")
+                .schema("id LONG")
+                .option(
+                    "url_template", f"http://127.0.0.1:{port}/d?token=@token"
+                )
+                .option("key_chain", "items")
+                .option("next_token_key_chain", "next")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="1 second")
+                .start()
+            )
+
+        # Phase 1: run until the first two pages are committed, then kill.
+        q = start()
+        try:
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                if {1, 2} <= set(rows()):
+                    break
+                _time.sleep(0.5)
+            assert {1, 2} <= set(rows())
+            _time.sleep(2)  # let the last batch's commit land in the ckpt
+        finally:
+            q.stop()
+
+        # Phase 2: restart on the SAME checkpoint — must resume at the
+        # committed token and drain the rest of the chain exactly once.
+        q = start()
+        try:
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                if {1, 2, 3} <= set(rows()):
+                    break
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+        got = rows()
+        assert got == [1, 2, 3]  # no duplicates across the restart
+        # the restarted query never refetched the start of the chain:
+        # page "" was served exactly once across both query lifetimes
+        assert hits[""] == 1, dict(hits)
+        # terminal: the null token froze the offset; the stream kept
+        # triggering but never beat on the consumed token page again
+        assert hits["t2"] <= 2, dict(hits)
+    finally:
+        server.shutdown()
+
+
 def test_rest_datasource_stream_date_range_sweep(spark, tmp_path):
     """Date-range streaming mode: the offset is (slice, page) — pages drain
     within each completed date slice, the cursor then advances to the next

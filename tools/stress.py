@@ -43,8 +43,19 @@ from arcane_framework_spark.operators.sampling import (  # noqa: E402
     leakage_guarded_split,
     pps_systematic_sample,
 )
+from arcane_framework_spark.operators.multimodal import (  # noqa: E402
+    documents_as_wav_assets,
+    image_decode_features,
+    synth_image_assets,
+    wav_audio_features,
+)
+from arcane_framework_spark.operators.retrieval import (  # noqa: E402
+    bm25_self_retrieval,
+    posting_lists,
+)
 from arcane_framework_spark.operators.similarity import (  # noqa: E402
     ivf_topk,
+    jl_distortion,
     knn_bruteforce,
     knn_bruteforce_vectorized,
     semantic_dedup,
@@ -334,6 +345,31 @@ def main() -> None:
                     F.length("text").alias("size"),
                 ),
                 target_bytes=16_384,
+            )
+        ),
+        # r5 wave-2 operators on the 10x corpus
+        # inverted index: 10 copies of every doc make EVERY token's
+        # posting list 10x longer — the map-side WindowGroupLimit cap is
+        # what keeps the exchange bounded
+        "posting_lists": timed(lambda: posting_lists(docs)),
+        # self-retrieval eval: query count scales with the corpus (one
+        # per 25 docs), ranking join is the deliberate shuffle join
+        "bm25_self_retrieval": timed(lambda: bm25_self_retrieval(docs)),
+        # JL distortion audit: pair sample stays LINEAR in the corpus
+        "jl_distortion": timed(lambda: jl_distortion(emb)),
+        # real WAV decode over 10x synthesized assets: map-only plan,
+        # Arrow-batched; growth here must be ~linear in total bytes
+        "audio_features": timed(
+            lambda: wav_audio_features(
+                documents_as_wav_assets(
+                    docs.withColumn("n_chars", F.length("text"))
+                )
+            )
+        ),
+        # real image decode (BMP+PPM) over one synthetic asset per doc
+        "image_decode": timed(
+            lambda: image_decode_features(
+                synth_image_assets(docs.select("doc_id"))
             )
         ),
     }
