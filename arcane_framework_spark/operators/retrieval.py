@@ -282,14 +282,19 @@ ranked AS (
 SELF_RETRIEVAL_MOD = 25
 SELF_RETRIEVAL_QTOKENS = 6
 SELF_RETRIEVAL_K = 10
+#: Governed mode's fixed query budget: the sample modulus is derived
+#: in-plan as ``max(1, n_docs // TARGET)`` so the eval stays ~TARGET
+#: queries at ANY corpus size.
+SELF_RETRIEVAL_TARGET = 200
 
 
 def bm25_self_retrieval(docs: DataFrame,
-                        sample_mod: int = SELF_RETRIEVAL_MOD,
+                        sample_mod: int | None = SELF_RETRIEVAL_MOD,
                         q_tokens: int = SELF_RETRIEVAL_QTOKENS,
                         k: int = SELF_RETRIEVAL_K,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        target_queries: int | None = None) -> DataFrame:
     """Retrieval-quality evaluation without labels: every ``sample_mod``-th
     document's first ``q_tokens`` tokens become a query whose ONLY
     relevant document is its own source; report
@@ -297,12 +302,42 @@ def bm25_self_retrieval(docs: DataFrame,
 
     The standard proxy eval for a corpus index (chunk->source recall).
     The query table is corpus-DERIVED and distributed (no driver-side
-    literals), LINEAR in the corpus via the modulus; MRR is averaged
-    over fixed-point reciprocal ranks (floor(1e6/rank) integers) so the
-    aggregate is exact in both engines. Queries that miss entirely
-    contribute 0 (counted in n_queries via a separate tiny aggregate).
+    literals); MRR is averaged over fixed-point reciprocal ranks
+    (floor(1e6/rank) integers) so the aggregate is exact in both
+    engines. Queries that miss entirely contribute 0 (counted in
+    n_queries via a separate tiny aggregate).
+
+    **Scale governance**: with a FIXED ``sample_mod`` the query count
+    grows with the corpus while each query's candidate set also grows —
+    quadratic total work (measured: 42x time at 10x corpus in
+    tools/stress.py before this mode existed). Pass
+    ``target_queries=T`` (and ``sample_mod=None``) to derive the
+    modulus IN-PLAN as ``max(1, n_docs // T)`` from a broadcast 1-row
+    count — the evaluation stays ~T queries at any corpus size, so
+    total cost is linear in the corpus: the same broadcast-scalar
+    governance pattern as lsh_recall's sample and semantic_dedup's
+    cell count.
     """
-    sampled = docs.filter(F.col(id_col) % sample_mod == 0)
+    if (sample_mod is None) == (target_queries is None):
+        raise ValueError("exactly one of sample_mod / target_queries")
+    if target_queries is not None:
+        from arcane_framework_spark.operators.scale import (
+            with_broadcast_scalar,
+        )
+
+        mod_df = docs.agg(F.count(F.lit(1)).alias("__n")).select(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("__n") / target_queries).cast("long"),
+            ).alias("__mod")
+        )
+        sampled = (
+            with_broadcast_scalar(docs, mod_df)
+            .filter(F.col(id_col) % F.col("__mod") == 0)
+            .select(*docs.columns)
+        )
+    else:
+        sampled = docs.filter(F.col(id_col) % sample_mod == 0)
     # persisted: feeds both the scored join and the n_queries count —
     # the sample+tokenize+distinct lineage runs once.
     qterms = scoped_persist(

@@ -889,22 +889,37 @@ def bm25_self_retrieval_documents(spark: SparkSession,
     # select the same 2-column shape bm25_topk_documents feeds bm25_rank,
     # so both entries' term-frequency subtrees canonicalize identically
     # and the shared prep's persisted tf table substitutes into both.
-    return bm25_self_retrieval(t["documents"].select("doc_id", "text"))
+    # Governed mode: ~SELF_RETRIEVAL_TARGET queries at ANY corpus size
+    # (modulus derived in-plan from the corpus count) — the eval's total
+    # cost stays linear in the corpus instead of quadratic.
+    from arcane_framework_spark.operators.retrieval import (
+        SELF_RETRIEVAL_TARGET,
+    )
+
+    return bm25_self_retrieval(
+        t["documents"].select("doc_id", "text"),
+        sample_mod=None,
+        target_queries=SELF_RETRIEVAL_TARGET,
+    )
 
 
 def _self_retrieval_sql() -> str:
     from arcane_framework_spark.operators.retrieval import (
         SELF_RETRIEVAL_K,
-        SELF_RETRIEVAL_MOD,
         SELF_RETRIEVAL_QTOKENS,
+        SELF_RETRIEVAL_TARGET,
         bm25_core_sql,
     )
 
+    mod = (
+        f"(SELECT greatest(1, count(*) // {SELF_RETRIEVAL_TARGET}) "
+        f"FROM documents)"
+    )
     q_cte = f"""q AS (
   SELECT DISTINCT doc_id AS query_id, t.term
   FROM (SELECT doc_id,
                ({_TOKS_SQL})[1 : {SELF_RETRIEVAL_QTOKENS}] AS qs
-        FROM documents WHERE doc_id % {SELF_RETRIEVAL_MOD} = 0),
+        FROM documents WHERE doc_id % {mod} = 0),
        LATERAL (SELECT unnest(qs) AS term) t
   WHERE t.term <> ''
 )"""

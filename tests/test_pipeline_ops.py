@@ -689,3 +689,31 @@ class TestSelfRetrieval:
         out = bm25_self_retrieval(_docs(spark, rows)).collect()[0]
         assert out["n_queries"] == 4
         assert 0 < out["n_hits"] <= 4
+
+    def test_governed_query_budget_fixed_across_corpus_sizes(self, spark):
+        """target_queries mode: the modulus is derived in-plan from the
+        corpus count, so 4x the corpus still evaluates ~target queries —
+        linear total cost, the quadratic-growth fix from the 10x stress."""
+        import pytest as _pytest
+
+        from arcane_framework_spark.operators.retrieval import (
+            bm25_self_retrieval,
+        )
+
+        def corpus(n):
+            return _docs(
+                spark,
+                [(i, "s", " ".join(f"tok{i}x{j}" for j in range(8)))
+                 for i in range(n)],
+            )
+
+        for n in (40, 160):
+            out = bm25_self_retrieval(
+                corpus(n), sample_mod=None, target_queries=20
+            ).collect()[0]
+            # budget held: mod = n // 20, queries = ceil(n / mod) ~ 20
+            assert 20 <= out["n_queries"] <= 27, (n, out)
+        with _pytest.raises(ValueError):
+            bm25_self_retrieval(corpus(10), sample_mod=5, target_queries=5)
+        with _pytest.raises(ValueError):
+            bm25_self_retrieval(corpus(10), sample_mod=None)

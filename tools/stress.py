@@ -352,9 +352,15 @@ def main() -> None:
         # posting list 10x longer — the map-side WindowGroupLimit cap is
         # what keeps the exchange bounded
         "posting_lists": timed(lambda: posting_lists(docs)),
-        # self-retrieval eval: query count scales with the corpus (one
-        # per 25 docs), ranking join is the deliberate shuffle join
-        "bm25_self_retrieval": timed(lambda: bm25_self_retrieval(docs)),
+        # self-retrieval eval, GOVERNED mode: the sample modulus is
+        # derived in-plan so the query budget stays ~200 at 10x the
+        # corpus — total cost linear, not quadratic (fixed-mod was 151s
+        # here; governed should land near the sf0.1 bench number)
+        "bm25_self_retrieval": timed(
+            lambda: bm25_self_retrieval(
+                docs, sample_mod=None, target_queries=200
+            )
+        ),
         # JL distortion audit: pair sample stays LINEAR in the corpus
         "jl_distortion": timed(lambda: jl_distortion(emb)),
         # real WAV decode over 10x synthesized assets: map-only plan,
