@@ -233,6 +233,78 @@ def ann_banded_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
     )
 
 
+def hard_negatives(candidates: DataFrame, queries: DataFrame, k: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the ``k``
+    most-cosine-similar candidates with a DIFFERENT label.
+
+    The training-data op behind embedding-model fine-tuning: easy
+    negatives (random) teach nothing, so you mine the negatives the
+    current embedding space confuses most. Same shape as
+    :func:`knn_bruteforce` — broadcast query side, one map-side scan of
+    the candidate corpus, per-query top-k via a WindowGroupLimit-capped
+    rank — with the label-inequality predicate folded into the join, so
+    same-label pairs are dropped before scoring ever materializes.
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank), rank 1..k, ties broken by neighbor_id.
+
+    Scale: the query set is small by construction (you mine negatives
+    for a training batch, not the whole corpus at once); cost is one
+    candidate-corpus scan per batch. Zero-norm vectors score 0.0 (norm
+    clamped), never NaN.
+    """
+    from pyspark.sql import Window
+
+    def safe_norm(col: Column) -> Column:
+        n = norm_expr(col)
+        return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qv"),
+        safe_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv"),
+        safe_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            F.col("query_label") != F.col("neighbor_label"),
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                dot_expr(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("__cos", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def knn_bruteforce_vectorized(candidates: DataFrame, queries: DataFrame,
                               k: int, id_col: str = "vec_id",
                               vec_col: str = "embedding",

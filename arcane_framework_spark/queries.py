@@ -1378,6 +1378,51 @@ def knn_bruteforce_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, the top-5
+    most-similar OTHER-label vectors (operators/similarity.py
+    hard_negatives — broadcast queries, label predicate folded into the
+    join, WindowGroupLimit top-k)."""
+    from arcane_framework_spark.operators.similarity import hard_negatives
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return hard_negatives(
+        emb, emb.filter(F.col("vec_id") < KNN_NUM_QUERIES), k=KNN_K
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {KNN_NUM_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q CROSS JOIN c
+  WHERE query_label <> neighbor_label
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 _KNN_SQL = f"""
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -1582,6 +1627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_key_events": zorder_key_events,
     "simhash_documents": simhash_documents,
     "knn_bruteforce_embeddings": knn_bruteforce_embeddings,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
     "ann_lsh_buckets_embeddings": ann_lsh_buckets_embeddings,
     "knn_label_purity_embeddings": knn_label_purity_embeddings,
     "events_hourly_rollup": events_hourly_rollup,
@@ -1615,6 +1661,7 @@ ORACLE_SQL: dict[str, str] = {
     "zorder_key_events": _zorder_sql(),
     "simhash_documents": _simhash_sql(),
     "knn_bruteforce_embeddings": _KNN_SQL,
+    "hard_negatives_embeddings": _HARD_NEG_SQL,
     "ann_lsh_buckets_embeddings": _ann_buckets_sql(),
     "knn_label_purity_embeddings": _KNN_PURITY_SQL,
     "events_hourly_rollup": _EVENTS_HOURLY_SQL,

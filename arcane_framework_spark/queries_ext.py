@@ -501,6 +501,61 @@ def bpe_token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_fertility_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility: chars per BPE pre-token and BPE
+    pre-tokens per whitespace word — the stat that decides whether a
+    corpus slice is cheap or expensive to train on (code and non-Latin
+    text run hot). One map-side pass computes all three counts off the
+    text column, then one partial-aggregated shuffle on ``source``; the
+    ratios divide exact integer sums once per group and fix-point to 4
+    decimals, so the aggregate is order-independent and engine-stable."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "source",
+        F.length("text").cast("long").alias("__chars"),
+        bpe_token_count_expr("text").alias("__bpe"),
+        token_count_expr("text").alias("__ws"),
+    )
+    half_up = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__chars").alias("n_chars"),
+        F.sum("__bpe").alias("n_bpe_tokens"),
+        F.sum("__ws").alias("n_ws_tokens"),
+        half_up(
+            F.sum("__chars").cast("double") / F.sum("__bpe")
+        ).alias("chars_per_bpe"),
+        half_up(
+            F.sum("__bpe").cast("double") / F.sum("__ws")
+        ).alias("bpe_per_word"),
+    )
+
+
+_FERTILITY_SQL = rf"""
+WITH d AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT)
+           AS bpe,
+         CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+         END AS BIGINT) AS ws
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS n_chars,
+       CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+       floor(SUM(chars)::DOUBLE / SUM(bpe) * 10000 + 0.5) / 10000
+         AS chars_per_bpe,
+       floor(SUM(bpe)::DOUBLE / SUM(ws) * 10000 + 0.5) / 10000
+         AS bpe_per_word
+FROM d GROUP BY source
+"""
+
+
 _BPE_SQL = rf"""
 SELECT doc_id,
        CASE WHEN len(trim(text)) = 0 THEN 0
@@ -2743,6 +2798,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features_documents": multimodal_features_documents,
     "image_decode_documents": image_decode_documents,
     "bpe_token_stats_documents": bpe_token_stats_documents,
+    "tokenizer_fertility_documents": tokenizer_fertility_documents,
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "events_quantiles": events_quantiles,
     "pivot_events_by_cohort": pivot_events_by_cohort,
@@ -2795,6 +2851,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "multimodal_features_documents": _MULTIMODAL_SQL,
     "image_decode_documents": _IMAGE_DECODE_SQL,
     "bpe_token_stats_documents": _BPE_SQL,
+    "tokenizer_fertility_documents": _FERTILITY_SQL,
     "streaming_hourly_rollup": _STREAMING_HOURLY_SQL,
     "events_quantiles": _QUANTILES_SQL,
     "pivot_events_by_cohort": _PIVOT_SQL,

@@ -1650,6 +1650,36 @@ def test_semantic_dedup_prunes_planted_neighbor(spark):
     assert sorted(cells) == [0, 1, 2, 10, 11, 20]
 
 
+def test_hard_negatives_excludes_same_label(spark):
+    """Hard-negative mining: the nearest SAME-label vector must never
+    appear; the top negative is the most-similar other-label vector."""
+    import math
+
+    from arcane_framework_spark.operators.similarity import hard_negatives
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    rows = [
+        # label 0: query at angle 0, near-twin at 0.01 (same label)
+        (0, unit(0.00), 0),
+        (1, unit(0.01), 0),
+        # label 1: one close (0.1), one far (1.5)
+        (10, unit(0.10), 1),
+        (11, unit(1.50), 1),
+        # label 2: medium (0.5)
+        (20, unit(0.50), 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>, label: int")
+    out = hard_negatives(
+        df, df.filter(F.col("vec_id") == 0), k=2
+    ).orderBy("rank").collect()
+    got = [(r.neighbor_id, r.rank) for r in out]
+    # same-label near-twin (id 1) excluded; closest other-label first
+    assert got == [(10, 1), (20, 2)], got
+    assert all(r.neighbor_label != r.query_label for r in out)
+
+
 def test_semantic_dedup_governed_k_scales_cells_with_corpus(spark):
     """target_cell_size mode: the centroid count is derived in-plan from
     the corpus count, so a 4x corpus yields ~4x cells and the average

@@ -142,3 +142,52 @@ def test_wav_decode_never_crashes_on_mutation(pos, value, truncate):
         decode_wav(bytes(good))
     except (ValueError, NotImplementedError):
         pass  # the documented failure modes
+
+
+# ---------------------------------------------------------------------------
+# Image codec properties (pure numpy — no Spark session needed)
+# ---------------------------------------------------------------------------
+
+from arcane_framework_spark.operators.multimodal import (  # noqa: E402
+    decode_image,
+    synth_image_bytes,
+)
+
+
+@settings(max_examples=200)
+@given(st.integers(min_value=0, max_value=255),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.sampled_from(["bmp", "ppm"]))
+def test_image_synth_roundtrip_property(seed, width, height, fmt):
+    """Every synthetic image decodes back to exactly the closed-form
+    pixel grid, for ANY dims — BMP (bottom-up BGR, padded strides) and
+    PPM (top-down RGB, variable-width header) must agree bit-for-bit."""
+    import numpy as np
+
+    img = decode_image(synth_image_bytes(seed, width, height, fmt))
+    assert img.shape == (height, width, 3)
+    r = np.arange(height, dtype=np.int64)[:, None, None] * 7
+    c = np.arange(width, dtype=np.int64)[None, :, None] * 3
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    assert np.array_equal(img, ((seed + r + c + ch) % 256).astype(np.uint8))
+
+
+@settings(max_examples=300)
+@given(st.integers(min_value=0, max_value=400),
+       st.integers(min_value=0, max_value=255),
+       st.integers(min_value=0, max_value=200),
+       st.sampled_from(["bmp", "ppm"]))
+def test_image_decode_never_crashes_on_mutation(pos, value, truncate, fmt):
+    """Any single-byte mutation or truncation of a valid image either
+    still decodes or raises the documented errors — never struct.error,
+    IndexError, or a numpy reshape error."""
+    good = bytearray(synth_image_bytes(9, 11, 7, fmt))
+    if truncate:
+        good = good[:max(0, len(good) - truncate)]
+    if pos < len(good):
+        good[pos] = value
+    try:
+        decode_image(bytes(good))
+    except (ValueError, NotImplementedError):
+        pass  # the documented failure modes
