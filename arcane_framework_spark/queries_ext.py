@@ -2434,6 +2434,80 @@ FROM cum GROUP BY source
 """
 
 
+def corpus_version_diff_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Corpus release diff: fingerprint-level change feed between two
+    versions of the documents table, aggregated to per-source churn
+    counts — the audit a curation pipeline publishes with every corpus
+    release. v2 is simulated deterministically (every 17th doc dropped,
+    every 13th edited, every 29th re-added as a new id), the diff is
+    `operators/relational.py snapshot_diff` — ONE full-outer
+    co-partitioned join, null-safe content-hash compare in codegen —
+    and the output is (source, change_type, n): metadata-scale however
+    big the corpus."""
+    from arcane_framework_spark.operators.relational import snapshot_diff
+    from arcane_framework_spark.operators.text import fingerprint_expr
+
+    t = load_tables(spark, sf_dir, "documents")
+    base = t["documents"]
+    v1 = base.select(
+        "doc_id", "source", fingerprint_expr("text").alias("fp")
+    )
+    edited = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    v2 = (
+        base.filter(F.col("doc_id") % 17 != 0)
+        .select("doc_id", "source", fingerprint_expr(edited).alias("fp"))
+        .unionByName(
+            base.filter(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+                "source",
+                fingerprint_expr(
+                    F.concat(F.lit("new "), F.col("text"))
+                ).alias("fp"),
+            )
+        )
+    )
+    return (
+        snapshot_diff(v1, v2, keys=["doc_id"], compare_cols=["source", "fp"])
+        .groupBy("source", "change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_CORPUS_DIFF_SQL = rf"""
+WITH v1 AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(
+           CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END
+         )), '\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, source,
+         md5(regexp_replace(lower(trim('new ' || text)), '\s+', ' ', 'g'))
+  FROM documents WHERE doc_id % 29 = 0
+),
+d AS (
+  SELECT COALESCE(n.source, o.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'insert'
+              WHEN n.doc_id IS NULL THEN 'delete'
+              WHEN o.fp IS DISTINCT FROM n.fp
+                   OR o.source IS DISTINCT FROM n.source THEN 'update'
+         END AS change_type
+  FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+)
+SELECT source, change_type, CAST(count(*) AS BIGINT) AS n
+FROM d WHERE change_type IS NOT NULL
+GROUP BY source, change_type
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The diagnostic→remedy bridge end-to-end: a join key where ~90% of
     events collapse onto one value (user_id % 10 < 9 → key 0, the rest
@@ -2838,6 +2912,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_clusters_documents": incremental_clusters_documents,
     "skew_report_events": skew_report_events,
     "salted_join_events": salted_join_events,
+    "corpus_version_diff_documents": corpus_version_diff_documents,
     "length_quantiles_documents": length_quantiles_documents,
     "top_fraction_documents": top_fraction_documents,
     "embedding_dispersion_labels": embedding_dispersion_labels,
@@ -2889,6 +2964,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "incremental_clusters_documents": _INC_CC_SQL,
     "skew_report_events": _SKEW_REPORT_SQL,
     "salted_join_events": _SALTED_JOIN_SQL,
+    "corpus_version_diff_documents": _CORPUS_DIFF_SQL,
     "length_quantiles_documents": _LENGTH_QUANTILES_SQL,
     "top_fraction_documents": _TOP_FRACTION_SQL,
     "embedding_dispersion_labels": _DISPERSION_SQL,

@@ -28,6 +28,9 @@ EXPECTED_BNLJ = {
     "lsh_recall_documents",        # exact ground truth on a FIXED-SIZE sample
     "knn_label_purity_embeddings",  # composes knn_bruteforce (query × scan)
     "semantic_dedup_embeddings",   # corpus × broadcast centroids (kmeans/IVF)
+    "hard_negatives_embeddings",   # query-set × candidate scan with the
+                                   # label-inequality predicate as the join
+                                   # condition — same shape as knn_bruteforce
 }
 
 #: No query is allowed a CartesianProduct: lsh_recall's exact all-pairs
