@@ -168,14 +168,25 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
-                   id_b: str = "id_b") -> DataFrame:
+                   id_b: str = "id_b",
+                   components: DataFrame | None = None) -> DataFrame:
     """Duplicate clusters from near-dup pairs.
 
     Output (doc_id, cluster_id, cluster_size, is_canonical): cluster_id is
     the smallest doc id in the component (the doc a dedup pipeline keeps),
     cluster_size counts members, is_canonical marks the keeper.
+
+    ``components`` short-circuits the CC computation with an existing
+    (node, component) table — the materialized-side-table path: a
+    production pipeline computes components once per corpus build and
+    every downstream consumer (canonical accounting, leakage-guarded
+    splits, this rollup) reads the same table (see prep.shared_prep).
     """
-    comp = connected_components(pairs, src=id_a, dst=id_b)
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src=id_a, dst=id_b)
+    )
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -76,7 +76,8 @@ def leakage_guarded_split(docs: DataFrame, pairs: DataFrame,
                           id_col: str = "doc_id",
                           splits: dict[str, float] | None = None,
                           salt: str = "split",
-                          column_name: str = "split") -> DataFrame:
+                          column_name: str = "split",
+                          components: DataFrame | None = None) -> DataFrame:
     """Hash split where near-duplicate CLUSTERS move as one unit.
 
     Plain hash splitting leaks: a document in train and its near-duplicate
@@ -93,7 +94,13 @@ def leakage_guarded_split(docs: DataFrame, pairs: DataFrame,
     """
     from arcane_framework_spark.operators.graph import connected_components
 
-    comp = connected_components(pairs).select(
+    # ``components``: reuse a materialized (node, component) side table
+    # instead of recomputing CC — see dedup_clusters / prep.shared_prep.
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs)
+    ).select(
         F.col("node").alias(id_col), F.col("component").alias("__cluster")
     )
     return (

@@ -36,6 +36,20 @@ from pyspark.sql import functions as F
 #: long-lived caller (bench) can release them deterministically.
 _PREPPED: list[DataFrame] = []
 
+#: Keyed handles for prep tables that canonicalized-plan matching CANNOT
+#: substitute — results of eager iterative computations (connected
+#: components ends in a localCheckpoint → ExistingRDD, a fresh lineage on
+#: every construction). Consumers opt in explicitly via ``get_prepped``;
+#: with no prep active (the correctness gate) they get None and build
+#: the table themselves, so both paths stay exercised.
+_HANDLES: dict = {}
+
+
+def get_prepped(key) -> DataFrame | None:
+    """The shared prepped DataFrame registered under ``key``, or None
+    when no shared prep is active for it."""
+    return _HANDLES.get(key)
+
 
 def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Build + persist the catalog's hot shared derived tables.
@@ -50,6 +64,11 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                           (the incremental-dedup entries' side table)
     - ``tf_docs``       — the (doc, term, tf) table both BM25 entries
                           index from
+    - ``components``    — connected components of the pair graph,
+                          registered as a KEYED handle (plan matching
+                          cannot substitute an ExistingRDD lineage);
+                          dedup_clusters / canonical accounting /
+                          leakage splits read it via ``get_prepped``
     """
     from arcane_framework_spark.operators.dedup import (
         _with_tokens,
@@ -85,6 +104,20 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         for df in out.values():
             df.persist()
             _PREPPED.append(df)
+        # Connected components of the near-dup pair graph: the ONE shared
+        # stage plan-matching cannot carry across entries (the iterative
+        # loop ends in a localCheckpoint → fresh ExistingRDD lineage each
+        # build). Registered as a keyed handle instead; dedup_clusters /
+        # canonical accounting / leakage splits all read this same table —
+        # exactly how a production corpus build shares it.
+        from arcane_framework_spark.operators.graph import (
+            connected_components,
+        )
+
+        comps = connected_components(out["pairs"]).persist()
+        out["components"] = comps
+        _PREPPED.append(comps)
+        _HANDLES[("components", sf_dir)] = comps
         _PREPPED.extend(tracked)
         tracked.clear()
     return out
@@ -102,6 +135,7 @@ def warm_shared_prep(spark: SparkSession, sf_dir: str) -> float:
 
 def release_shared_prep() -> None:
     """Unpersist everything ``shared_prep`` cached (idempotent)."""
+    _HANDLES.clear()
     while _PREPPED:
         df = _PREPPED.pop()
         try:

@@ -780,9 +780,14 @@ def leakage_guarded_split_documents(spark: SparkSession,
         leakage_guarded_split,
     )
 
+    from arcane_framework_spark.prep import get_prepped
+
     corpus = _planted_neardup_docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(corpus)
-    return leakage_guarded_split(corpus.select("doc_id"), pairs)
+    return leakage_guarded_split(
+        corpus.select("doc_id"), pairs,
+        components=get_prepped(("components", sf_dir)),
+    )
 
 
 def _leakage_split_sql() -> str:

@@ -758,10 +758,13 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
     from arcane_framework_spark.operators.graph import dedup_clusters
+    from arcane_framework_spark.prep import get_prepped
     from arcane_framework_spark.queries import _planted_neardup_docs
 
     pairs = minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
-    return dedup_clusters(pairs)
+    return dedup_clusters(
+        pairs, components=get_prepped(("components", sf_dir))
+    )
 
 
 def _dedup_clusters_sql(minhash_pairs_sql: str) -> str:
@@ -2276,9 +2279,13 @@ def dedup_canonical_documents(spark: SparkSession,
     corpus = docs.unionByName(planted)
     # pairs come from the SHARED corpus subtree (not corpus.select(...)):
     # same semantics, and the canonicalized plan matches the session-level
-    # prep cache so the signature/pair tables are never re-derived here.
+    # prep cache so the signature/pair tables are never re-derived here;
+    # the CC table reuses the prep handle when one is active.
+    from arcane_framework_spark.prep import get_prepped
+
     clusters = dedup_clusters(
-        minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
+        minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir)),
+        components=get_prepped(("components", sf_dir)),
     )
     keep = F.coalesce(F.col("is_canonical"), F.lit(True))
     kept_flag = F.when(keep, 1).otherwise(0)
