@@ -10,8 +10,13 @@ from arcane_framework_spark.operators.dedup import (  # noqa: F401
     simhash_signatures,
 )
 from arcane_framework_spark.operators.multimodal import (  # noqa: F401
+    decode_bmp,
+    decode_image,
+    decode_ppm,
     documents_as_assets,
     extract_features,
+    image_decode_features,
+    synth_image_assets,
 )
 from arcane_framework_spark.operators.relational import (  # noqa: F401
     changes_since,
@@ -20,6 +25,7 @@ from arcane_framework_spark.operators.relational import (  # noqa: F401
 )
 from arcane_framework_spark.operators.similarity import (  # noqa: F401
     ann_banded_pairs,
+    hard_negatives,
     ivf_topk,
     knn_bruteforce,
     knn_bruteforce_vectorized,
@@ -47,6 +53,11 @@ from arcane_framework_spark.operators.sampling import (  # noqa: F401
     with_split,
 )
 from arcane_framework_spark.operators.scale import (  # noqa: F401
+    auto_salted_join,
+    grouped_median,
+    grouped_quantiles,
+    salted_join,
+    skew_report,
     with_broadcast_scalar,
 )
 from arcane_framework_spark.operators.temporal import asof_join  # noqa: F401

@@ -2515,6 +2515,121 @@ GROUP BY source, change_type
 """
 
 
+def streaming_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the corpus release diff: v2 documents ARRIVE as
+    a stream (every 13th edited, every 29th also re-emitted as a brand-new
+    id) and are classified against the static v1 fingerprint table by a
+    stateless stream-static left join — insert / update / unchanged counts
+    per source. Deletes are intentionally absent: an upsert stream cannot
+    observe them, which is exactly why the reference's change feeds carry
+    explicit delete markers (SURVEY §1.4) — the batch diff entry
+    (`corpus_version_diff_documents`) is where deletes come from.
+
+    The only stateful op is the final count aggregation (complete mode);
+    the classification path is stateless and watermark-free, so the
+    stream scales like any map+broadcast-join pipeline."""
+    from arcane_framework_spark.operators.text import fingerprint_expr
+    from arcane_framework_spark.queries_ext import stream_conf
+
+    t = load_tables(spark, sf_dir, "documents")
+    v1 = (
+        t["documents"]
+        .select("doc_id", fingerprint_expr("text").alias("__old_fp"))
+        .persist()
+    )
+
+    schema = t["documents"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    edited = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    row_t = "struct<doc_id: bigint, source: string, fp: string>"
+    v2 = (
+        stream.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.struct(
+                            F.col("doc_id"),
+                            F.col("source"),
+                            fingerprint_expr(edited).alias("fp"),
+                        ).cast(row_t),
+                        F.when(
+                            F.col("doc_id") % 29 == 0,
+                            F.struct(
+                                (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias(
+                                    "doc_id"
+                                ),
+                                F.col("source"),
+                                fingerprint_expr(
+                                    F.concat(F.lit("new "), F.col("text"))
+                                ).alias("fp"),
+                            ).cast(row_t),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.source", "r.fp")
+    )
+    classified = v2.join(v1, "doc_id", "left").select(
+        "source",
+        F.when(F.col("__old_fp").isNull(), F.lit("insert"))
+        .when(F.col("__old_fp") != F.col("fp"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    agg = classified.groupBy("source", "change_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = "streaming_corpus_diff_sink"
+    try:
+        with stream_conf(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        v1.unpersist()
+    return spark.table(name)
+
+
+_STREAMING_CORPUS_DIFF_SQL = rf"""
+WITH v1 AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS old_fp
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(
+           CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END
+         )), '\s+', ' ', 'g')) AS fp
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, source,
+         md5(regexp_replace(lower(trim('new ' || text)), '\s+', ' ', 'g'))
+  FROM documents WHERE doc_id % 29 = 0
+)
+SELECT n.source,
+       CASE WHEN o.doc_id IS NULL THEN 'insert'
+            WHEN o.old_fp <> n.fp THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM v2 n LEFT JOIN v1 o ON o.doc_id = n.doc_id
+GROUP BY 1, 2
+"""
+
+
 def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The diagnostic→remedy bridge end-to-end: a join key where ~90% of
     events collapse onto one value (user_id % 10 < 9 → key 0, the rest
@@ -2920,6 +3035,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_report_events": skew_report_events,
     "salted_join_events": salted_join_events,
     "corpus_version_diff_documents": corpus_version_diff_documents,
+    "streaming_corpus_diff": streaming_corpus_diff,
     "length_quantiles_documents": length_quantiles_documents,
     "top_fraction_documents": top_fraction_documents,
     "embedding_dispersion_labels": embedding_dispersion_labels,
@@ -2972,6 +3088,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "skew_report_events": _SKEW_REPORT_SQL,
     "salted_join_events": _SALTED_JOIN_SQL,
     "corpus_version_diff_documents": _CORPUS_DIFF_SQL,
+    "streaming_corpus_diff": _STREAMING_CORPUS_DIFF_SQL,
     "length_quantiles_documents": _LENGTH_QUANTILES_SQL,
     "top_fraction_documents": _TOP_FRACTION_SQL,
     "embedding_dispersion_labels": _DISPERSION_SQL,

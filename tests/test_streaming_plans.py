@@ -129,3 +129,29 @@ def test_stream_static_band_join_is_stateless(spark, tmp_path):
     # side is fine — it re-evaluates against static data, holding no
     # streaming state)
     assert "Aggregate" not in _analyzed(streamed)
+
+
+def test_streaming_corpus_diff_classification_is_stateless(spark, tmp_path):
+    """The streaming corpus-diff shape: the insert/update/unchanged
+    classification is a stream-static LEFT join with no watermark and no
+    stateful op — only the final count aggregation (complete mode) holds
+    state. A watermark or dedup sneaking into the classify path would
+    mean the stream buffers rows it never needs."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id: long, fp: string"
+    )
+    path = str(tmp_path / "v2")
+    docs.write.parquet(path)
+    static_v1 = docs.withColumnRenamed("fp", "__old_fp")
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    classified = stream.join(static_v1, "doc_id", "left").select(
+        F.when(F.col("__old_fp").isNull(), "insert")
+        .when(F.col("__old_fp") != F.col("fp"), "update")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    plan = _analyzed(classified)
+    assert classified.isStreaming
+    assert "EventTimeWatermark" not in plan
+    for stateful in ("Deduplicate", "FlatMapGroupsWithState"):
+        assert stateful not in plan, f"unexpected stateful op: {stateful}"
