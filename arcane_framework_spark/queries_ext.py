@@ -622,6 +622,120 @@ _PIVOT_SQL = "SELECT user_id % 10 AS cohort, " + ", ".join(
 ) + " FROM events GROUP BY 1"
 
 
+def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: counts + cent-exact value sums over every
+    (event_type, day-of-week) combination INCLUDING the marginal and
+    grand totals, with grouping_id tagging which dimensions are rolled
+    up. One Expand + one hash aggregation — Spark's multi-grouping-set
+    execution (4 output rows per input row here), the standard shape for
+    publishing a datacard's marginals in a single pass instead of four
+    separate groupBys. Per-row cent rounding keeps the double sums
+    order-independent (the q1/q9 money convention)."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type",
+        F.date_format(ts_timestamp(t["events"]), "E").alias("dow"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("__cents"),
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__cents").cast("long").alias("value_cents"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+_CUBE_SQL = """
+SELECT event_type,
+       strftime(ts, '%a') AS dow,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents,
+       CAST(GROUPING(event_type) * 2 + GROUPING(strftime(ts, '%a'))
+            AS INT) AS gid
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%a'))
+"""
+
+
+FAIR_TOPK_TOTAL = 100
+FAIR_TOPK_PER_SOURCE = 10
+
+
+def fair_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fairness-capped global top-k: the best FAIR_TOPK_TOTAL documents
+    by quality score, but no source may contribute more than
+    FAIR_TOPK_PER_SOURCE — the diversity constraint every curation
+    pipeline applies so one crawl cannot dominate the training mix.
+
+    Two-level ranking: a per-source rank window first (bare rank +
+    filter → Spark's map-side WindowGroupLimit trims each source to the
+    cap BEFORE any global work), then a global TakeOrderedAndProject
+    over the capped survivors (≤ sources × cap rows). The global sort
+    therefore never sees the corpus — the shape that holds at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.text import quality_score_expr
+
+    t = load_tables(spark, sf_dir, "documents")
+    scored = t["documents"].select(
+        "doc_id",
+        "source",
+        F.floor(quality_score_expr("text") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_fp"),
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("score_fp").desc(), "doc_id"
+    )
+    capped = scored.withColumn("src_rank", F.row_number().over(w_src)).filter(
+        F.col("src_rank") <= FAIR_TOPK_PER_SOURCE
+    )
+    return (
+        capped.orderBy(F.col("score_fp").desc(), "doc_id")
+        .limit(FAIR_TOPK_TOTAL)
+        .select(
+            "doc_id", "source",
+            F.col("src_rank").cast("int").alias("src_rank"),
+            "score_fp",
+        )
+    )
+
+
+def _fair_topk_sql() -> str:
+    # Mirrors queries.py's _TOKS_SQL / _SQL_PUNCT_CLASS (queries_ext loads
+    # before those are defined — same literals, same tokenizer contract).
+    _TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+    _SQL_PUNCT_CLASS = "[.,;:!?''\"()-]"
+
+    return rf"""
+WITH feat AS (
+  SELECT doc_id, source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len({_TOKS_SQL}) END::BIGINT AS n_tokens,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE (len(text) - len(regexp_replace(text,
+                    '{_SQL_PUNCT_CLASS}', '', 'g')))::DOUBLE
+                   / len(text)::DOUBLE END AS praw
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(floor(least(1.0, n_tokens::DOUBLE / 100.0) * (1.0 - praw)
+                    * 1000000 + 0.5) AS BIGINT) AS score_fp
+  FROM feat
+),
+capped AS (
+  SELECT doc_id, source, score_fp,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score_fp DESC, doc_id) AS src_rank
+  FROM scored
+)
+SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank, score_fp
+FROM capped WHERE src_rank <= {FAIR_TOPK_PER_SOURCE}
+ORDER BY score_fp DESC, doc_id LIMIT {FAIR_TOPK_TOTAL}
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -2998,6 +3112,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "events_quantiles": events_quantiles,
     "pivot_events_by_cohort": pivot_events_by_cohort,
+    "events_cube_rollup": events_cube_rollup,
+    "fair_topk_documents": fair_topk_documents,
     "tfidf_top_terms": tfidf_top_terms,
     "approx_user_counts": approx_user_counts,
     "kmeans_embeddings": kmeans_embeddings,
@@ -3053,6 +3169,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "streaming_hourly_rollup": _STREAMING_HOURLY_SQL,
     "events_quantiles": _QUANTILES_SQL,
     "pivot_events_by_cohort": _PIVOT_SQL,
+    "events_cube_rollup": _CUBE_SQL,
+    "fair_topk_documents": _fair_topk_sql(),
     "tfidf_top_terms": _tfidf_sql(),
     "approx_user_counts": _APPROX_USERS_SQL,
     "kmeans_embeddings": _kmeans_sql(),
