@@ -82,6 +82,9 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     from arcane_framework_spark.operators.cache import cache_scope
 
+    if ("components", sf_dir) in _HANDLES:
+        return {}  # already warmed for this sf_dir — idempotent
+
     corpus = _planted_neardup_docs(spark, sf_dir)
     docs = load_tables(spark, sf_dir, "documents")["documents"].select(
         "doc_id", "text"
