@@ -255,3 +255,56 @@ def anomaly_scores(hourly: DataFrame,
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def interval_union(df: DataFrame, key_col: str, start_col: str,
+                   end_col: str) -> DataFrame:
+    """Per-key length of the UNION of (possibly overlapping) intervals —
+    plus the count of disjoint merged segments.
+
+    The classic merge-overlapping-intervals problem as pure window
+    algebra: sort each key's intervals by (start, end), track the
+    running max end over PRECEDING rows, and each row contributes
+    ``max(0, end - max(start, running_end))`` covered units; a row whose
+    start exceeds the running end opens a new disjoint segment. One
+    shuffle on the key, one sort per key partition, all integer
+    arithmetic — the shape that computes user active-time or machine
+    busy-time over 100 TB of events without ever materializing merged
+    intervals. Expects integer start/end (epoch micros); returns
+    (key, n_intervals, n_segments, covered).
+
+    This is also batch sessionization: intervals of ``[ts, ts + gap)``
+    make ``n_segments`` the session count under a ``gap`` inactivity
+    timeout — the batch twin of the streaming
+    ``applyInPandasWithState`` sessionizer, checkable against plain SQL.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_end = F.max(end_col).over(w)
+    contribution = F.greatest(
+        F.col(end_col)
+        - F.greatest(F.col(start_col), F.coalesce(run_end, F.col(start_col))),
+        F.lit(0),
+    )
+    new_segment = (
+        run_end.isNull() | (F.col(start_col) > run_end)
+    ).cast("long")
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            contribution.alias("__c"),
+            new_segment.alias("__new"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("__new").cast("long").alias("n_segments"),
+            F.sum("__c").cast("long").alias("covered"),
+        )
+        .withColumnRenamed("key", key_col)
+    )

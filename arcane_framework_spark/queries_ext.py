@@ -736,6 +736,57 @@ ORDER BY score_fp DESC, doc_id LIMIT {FAIR_TOPK_TOTAL}
 """
 
 
+SESSION_TTL_US = 30 * 60 * 1_000_000
+
+
+def active_time_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active time + session count under a 30-minute inactivity
+    TTL: each event opens an interval [ts, ts+TTL) and
+    `operators/temporal.py interval_union` merges the overlaps with pure
+    window algebra — one shuffle on user_id, integer micros throughout.
+    n_segments IS the 30-minute-timeout session count: the batch twin of
+    the streaming applyInPandasWithState sessionizer, checkable against
+    plain SQL."""
+    from arcane_framework_spark.operators.temporal import interval_union
+
+    t = load_tables(spark, sf_dir, "events")
+    iv = t["events"].select(
+        "user_id",
+        ts_micros(t["events"]).alias("s"),
+        (ts_micros(t["events"]) + F.lit(SESSION_TTL_US)).alias("e"),
+    )
+    return interval_union(iv, "user_id", "s", "e").select(
+        "user_id",
+        F.col("n_intervals").alias("n_events"),
+        F.col("n_segments").alias("n_sessions"),
+        F.col("covered").alias("active_us"),
+    )
+
+
+_ACTIVE_TIME_SQL = f"""
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch_us(ts)) AS BIGINT) + {SESSION_TTL_US} AS e
+  FROM events
+),
+w AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS run_end
+  FROM iv
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN run_end IS NULL OR s > run_end
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(run_end, s)), 0))
+            AS BIGINT) AS active_us
+FROM w GROUP BY user_id
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -3113,6 +3164,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles": events_quantiles,
     "pivot_events_by_cohort": pivot_events_by_cohort,
     "events_cube_rollup": events_cube_rollup,
+    "active_time_events": active_time_events,
     "fair_topk_documents": fair_topk_documents,
     "tfidf_top_terms": tfidf_top_terms,
     "approx_user_counts": approx_user_counts,
@@ -3170,6 +3222,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "events_quantiles": _QUANTILES_SQL,
     "pivot_events_by_cohort": _PIVOT_SQL,
     "events_cube_rollup": _CUBE_SQL,
+    "active_time_events": _ACTIVE_TIME_SQL,
     "fair_topk_documents": _fair_topk_sql(),
     "tfidf_top_terms": _tfidf_sql(),
     "approx_user_counts": _APPROX_USERS_SQL,

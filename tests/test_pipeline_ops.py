@@ -723,3 +723,23 @@ class TestSelfRetrieval:
             bm25_self_retrieval(corpus(10), sample_mod=5, target_queries=5)
         with _pytest.raises(ValueError):
             bm25_self_retrieval(corpus(10), sample_mod=None)
+
+
+class TestIntervalUnion:
+    def test_merges_overlaps_counts_segments(self, spark):
+        from arcane_framework_spark.operators.temporal import interval_union
+
+        rows = [
+            # key "a": [0,10) ∪ [5,15) ∪ [20,25) -> covered 20, 2 segments
+            ("a", 0, 10), ("a", 5, 15), ("a", 20, 25),
+            # key "b": contained interval adds nothing
+            ("b", 0, 100), ("b", 10, 20),
+            # key "c": touching intervals merge ([0,5) + [5,9) = one segment)
+            ("c", 0, 5), ("c", 5, 9),
+        ]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        out = {r["k"]: r for r in interval_union(df, "k", "s", "e").collect()}
+        assert (out["a"]["covered"], out["a"]["n_segments"]) == (20, 2)
+        assert (out["b"]["covered"], out["b"]["n_segments"]) == (100, 1)
+        assert (out["c"]["covered"], out["c"]["n_segments"]) == (9, 1)
+        assert out["a"]["n_intervals"] == 3
