@@ -787,6 +787,51 @@ FROM w GROUP BY user_id
 """
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Structured Streaming SESSION WINDOWS, cross-validated
+    against batch interval algebra: events replay through readStream →
+    ``session_window(ts, '30 minutes')`` aggregation (complete mode,
+    drained with availableNow) → per-user session count / event count /
+    total session span.
+
+    A session window's end is last-event + gap, so the summed spans are
+    EXACTLY the interval union of [ts, ts+TTL) — this entry shares
+    ``active_time_events``'s oracle verbatim. Three implementations of
+    session semantics (native streaming session windows, batch window
+    algebra, DuckDB SQL) hash-matching each other is the strongest
+    equivalence evidence in the catalog."""
+    t = load_tables(spark, sf_dir, "events")
+    schema = t["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.select(ts_timestamp(schema).alias("ts"), "user_id")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = "streaming_session_windows_sink"
+    with stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sessions = spark.table(name)
+    return sessions.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(
+            F.unix_micros(F.col("session_window.end"))
+            - F.unix_micros(F.col("session_window.start"))
+        ).cast("long").alias("active_us"),
+    )
+
+
 TFIDF_TOP_K = 3
 
 
@@ -3165,6 +3210,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_events_by_cohort": pivot_events_by_cohort,
     "events_cube_rollup": events_cube_rollup,
     "active_time_events": active_time_events,
+    "streaming_session_windows": streaming_session_windows,
     "fair_topk_documents": fair_topk_documents,
     "tfidf_top_terms": tfidf_top_terms,
     "approx_user_counts": approx_user_counts,
@@ -3223,6 +3269,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "pivot_events_by_cohort": _PIVOT_SQL,
     "events_cube_rollup": _CUBE_SQL,
     "active_time_events": _ACTIVE_TIME_SQL,
+    "streaming_session_windows": _ACTIVE_TIME_SQL,
     "fair_topk_documents": _fair_topk_sql(),
     "tfidf_top_terms": _tfidf_sql(),
     "approx_user_counts": _APPROX_USERS_SQL,
