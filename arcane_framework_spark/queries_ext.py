@@ -832,6 +832,47 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): per-cohort wide metrics (event count, cent-exact
+    value sum, distinct users) melted to long (cohort, metric, value)
+    form — the wide→long reshape every metrics store ingests. Spark's
+    native ``unpivot`` is a zero-shuffle Expand over the aggregated
+    (already tiny) wide table; the oracle is the equivalent UNION ALL."""
+    t = load_tables(spark, sf_dir, "events")
+    wide = (
+        t["events"]
+        .withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("value_cents"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    return wide.unpivot(
+        ["cohort"], ["n_events", "value_cents", "n_users"],
+        "metric", "value",
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT user_id % 10 AS cohort,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1
+)
+SELECT cohort, 'n_events' AS metric, n_events AS value FROM wide
+UNION ALL
+SELECT cohort, 'value_cents', value_cents FROM wide
+UNION ALL
+SELECT cohort, 'n_users', n_users FROM wide
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -3211,6 +3252,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cube_rollup": events_cube_rollup,
     "active_time_events": active_time_events,
     "streaming_session_windows": streaming_session_windows,
+    "unpivot_event_metrics": unpivot_event_metrics,
     "fair_topk_documents": fair_topk_documents,
     "tfidf_top_terms": tfidf_top_terms,
     "approx_user_counts": approx_user_counts,
@@ -3270,6 +3312,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "events_cube_rollup": _CUBE_SQL,
     "active_time_events": _ACTIVE_TIME_SQL,
     "streaming_session_windows": _ACTIVE_TIME_SQL,
+    "unpivot_event_metrics": _UNPIVOT_SQL,
     "fair_topk_documents": _fair_topk_sql(),
     "tfidf_top_terms": _tfidf_sql(),
     "approx_user_counts": _APPROX_USERS_SQL,
