@@ -45,10 +45,19 @@ _PREPPED: list[DataFrame] = []
 _HANDLES: dict = {}
 
 
-def get_prepped(key) -> DataFrame | None:
+def get_prepped(key, spark: SparkSession | None = None) -> DataFrame | None:
     """The shared prepped DataFrame registered under ``key``, or None
-    when no shared prep is active for it."""
-    return _HANDLES.get(key)
+    when no shared prep is active for it.
+
+    Pass the consumer's ``spark`` to guard against a handle left over
+    from a PREVIOUS session (prep warmed, session stopped, new session
+    started without release): a DataFrame bound to a different session
+    is treated as absent rather than handed to a consumer that would
+    fail on it."""
+    df = _HANDLES.get(key)
+    if df is not None and spark is not None and df.sparkSession is not spark:
+        return None
+    return df
 
 
 def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

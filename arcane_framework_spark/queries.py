@@ -786,7 +786,7 @@ def leakage_guarded_split_documents(spark: SparkSession,
     pairs = minhash_lsh_pairs(corpus)
     return leakage_guarded_split(
         corpus.select("doc_id"), pairs,
-        components=get_prepped(("components", sf_dir)),
+        components=get_prepped(("components", sf_dir), spark),
     )
 
 

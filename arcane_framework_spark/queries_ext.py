@@ -1014,7 +1014,7 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
     return dedup_clusters(
-        pairs, components=get_prepped(("components", sf_dir))
+        pairs, components=get_prepped(("components", sf_dir), spark)
     )
 
 
@@ -2536,7 +2536,7 @@ def dedup_canonical_documents(spark: SparkSession,
 
     clusters = dedup_clusters(
         minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir)),
-        components=get_prepped(("components", sf_dir)),
+        components=get_prepped(("components", sf_dir), spark),
     )
     keep = F.coalesce(F.col("is_canonical"), F.lit(True))
     kept_flag = F.when(keep, 1).otherwise(0)
