@@ -126,7 +126,8 @@ def decode_ppm(content: bytes) -> "object":
     standard header grammar: ``P6``, then width/height/maxval tokens
     separated by whitespace, with ``#``-comments allowed between tokens,
     a single whitespace byte after maxval, then ``w*h*3`` raw samples
-    (maxval <= 255; 2-byte-sample images raise ``NotImplementedError``).
+    (maxval <= 255, with sub-255 maxval samples rescaled to the uint8
+    range; 2-byte-sample images raise ``NotImplementedError``).
     PPM is stored top-down RGB — no row flip or channel swap needed,
     which is exactly why it is the second real decoder next to BMP: the
     two formats pin opposite orientation/channel conventions.
@@ -159,11 +160,19 @@ def decode_ppm(content: bytes) -> "object":
         raise ValueError("degenerate PPM dimensions")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM samples not supported")
+    if maxval <= 0:
+        raise ValueError("degenerate PPM maxval")
     pos += 1  # exactly one whitespace byte after maxval
     n = width * height * 3
     if len(content) < pos + n:
         raise ValueError("truncated PPM pixel data")
     raw = np.frombuffer(content, dtype=np.uint8, offset=pos, count=n)
+    if maxval != 255:
+        # Samples are stored in [0, maxval]; rescale to the uint8 range
+        # (round-half-up, matching netpbm's value * 255 / maxval).
+        raw = (
+            (raw.astype(np.uint32) * 255 + maxval // 2) // maxval
+        ).astype(np.uint8)
     return raw.reshape(height, width, 3)
 
 

@@ -121,6 +121,28 @@ def with_zorder_key(df: DataFrame, x_col: str, y_col: str,
     return df.withColumn(out_col, F.expr(zorder_key_sql(x_col, y_col)))
 
 
+#: Join types for which replicating the small side per salt is
+#: duplicate-free. Right/full-outer would emit one null-extended row PER
+#: SALT for every unmatched replicated small row; right_semi/anti have
+#: the same replication problem from the other direction.
+_SALT_SAFE_HOW = frozenset(
+    {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi",
+     "semi", "left_anti", "leftanti", "anti", "cross"}
+)
+
+
+def _check_salt_join_how(how: str) -> None:
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALT_SAFE_HOW
+    }:
+        raise ValueError(
+            f"salted joins support only {sorted(_SALT_SAFE_HOW)} join "
+            f"types, got {how!r}: the small side is replicated once per "
+            "salt, so right/full-outer joins would emit num_salts "
+            "duplicate null-extended rows per unmatched small-side row."
+        )
+
+
 def salted_join(skewed: DataFrame, small: DataFrame, on: str,
                 num_salts: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join with the skewed side salted across ``num_salts`` buckets.
@@ -130,6 +152,7 @@ def salted_join(skewed: DataFrame, small: DataFrame, on: str,
     is the dimension side). The output drops the salt column. Worst-case
     partition size becomes ``hot_key_rows / num_salts``.
     """
+    _check_salt_join_how(how)
     salted_big = skewed.withColumn(
         SALT_COL, (F.rand(seed=42) * num_salts).cast("int")
     )
@@ -163,6 +186,7 @@ def auto_salted_join(skewed: DataFrame, small: DataFrame, on: str,
     before shuffling 100 TB on an unknown key. The hot-key set is top_k
     rows at most: metadata-scale, always broadcastable.
     """
+    _check_salt_join_how(how)
     hot = (
         skew_report(skewed, on, top_k=top_k)
         .filter(F.col("skew") >= F.lit(skew_threshold))

@@ -235,7 +235,8 @@ def ann_banded_pairs(df: DataFrame, dim: int, min_cosine: float = 0.0,
 
 def hard_negatives(candidates: DataFrame, queries: DataFrame, k: int,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   label_col: str = "label") -> DataFrame:
+                   label_col: str = "label",
+                   max_queries: int = 10_000) -> DataFrame:
     """Contrastive hard-negative mining: for each query vector, the ``k``
     most-cosine-similar candidates with a DIFFERENT label.
 
@@ -253,6 +254,14 @@ def hard_negatives(candidates: DataFrame, queries: DataFrame, k: int,
     for a training batch, not the whole corpus at once); cost is one
     candidate-corpus scan per batch. Zero-norm vectors score 0.0 (norm
     clamped), never NaN.
+
+    The small-query-side assumption is ENFORCED in-plan, not assumed:
+    a broadcast 1-row count of ``queries`` is attached with
+    ``assert_true(count <= max_queries)``, so a query set too large to
+    broadcast-and-scan fails fast at execution time instead of silently
+    materializing |C|x|Q| scored rows (the governance
+    ``bm25_self_retrieval`` applies to its sample modulus). Raise
+    ``max_queries`` explicitly when the broadcast genuinely fits.
     """
     from pyspark.sql import Window
 
@@ -260,11 +269,26 @@ def hard_negatives(candidates: DataFrame, queries: DataFrame, k: int,
         n = norm_expr(col)
         return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        F.col(vec_col).alias("__qv"),
-        safe_norm(F.col(vec_col)).alias("__qn"),
+    qguard = queries.agg(
+        F.assert_true(
+            F.count(F.lit(1)) <= F.lit(max_queries),
+            f"hard_negatives: query side exceeds max_queries={max_queries}"
+            " — mine negatives per training batch, or raise max_queries"
+            " if the broadcast side genuinely fits.",
+        ).alias("__guard")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col(vec_col).alias("__qv"),
+            safe_norm(F.col(vec_col)).alias("__qn"),
+        )
+        # 1-row scalar attach; the filter references __guard so column
+        # pruning cannot elide the assertion.
+        .join(F.broadcast(qguard))
+        .filter(F.col("__guard").isNull())
+        .drop("__guard")
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),

@@ -91,8 +91,16 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     from arcane_framework_spark.operators.cache import cache_scope
 
-    if ("components", sf_dir) in _HANDLES:
-        return {}  # already warmed for this sf_dir — idempotent
+    existing = _HANDLES.get(("components", sf_dir))
+    if existing is not None:
+        if existing.sparkSession is spark:
+            return {}  # already warmed for this sf_dir — idempotent
+        # Handle left over from a stopped session (warmed, session
+        # restarted without release_shared_prep): the registry is stale.
+        # Clear it and rebuild against the live session, otherwise the
+        # shared-prep optimization silently disappears (consumers'
+        # session guard makes them fall back to per-entry rebuilds).
+        release_shared_prep()
 
     corpus = _planted_neardup_docs(spark, sf_dir)
     docs = load_tables(spark, sf_dir, "documents")["documents"].select(

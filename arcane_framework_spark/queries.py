@@ -389,8 +389,12 @@ LEFT JOIN customer c ON ch.c_custkey = c.c_custkey
 # ---------------------------------------------------------------------------
 
 #: Shared DuckDB token expression (must mirror operators.text.tokens_expr).
-_TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
-_SQL_PUNCT_CLASS = "[.,;:!?''\"()-]"  # '' = escaped quote inside SQL string
+#: Single definition lives in sqlconst.py; aliased here for the f-string
+#: oracles below.
+from arcane_framework_spark.sqlconst import (  # noqa: E402
+    SQL_PUNCT_CLASS as _SQL_PUNCT_CLASS,
+    TOKS_SQL as _TOKS_SQL,
+)
 
 
 def _sql_str_list(words: list[str]) -> str:

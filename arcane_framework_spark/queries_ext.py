@@ -630,11 +630,21 @@ def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution (4 output rows per input row here), the standard shape for
     publishing a datacard's marginals in a single pass instead of four
     separate groupBys. Per-row cent rounding keeps the double sums
-    order-independent (the q1/q9 money convention)."""
+    order-independent (the q1/q9 money convention).
+
+    The day-of-week label is derived from ``dayofweek()`` (an integer,
+    engine-stable) through a literal CASE map rather than
+    ``date_format(ts, 'E')``, which renders in the JVM *default locale*
+    and would silently diverge from the C-locale oracle on a cluster
+    running e.g. ``-Duser.language=de``."""
     t = load_tables(spark, sf_dir, "events")
+    dn = F.dayofweek(ts_timestamp(t["events"]))  # 1=Sun .. 7=Sat
+    dow = F.element_at(
+        F.array(*[F.lit(d) for d in _DOW_LABELS]), dn
+    )
     ev = t["events"].select(
         "event_type",
-        F.date_format(ts_timestamp(t["events"]), "E").alias("dow"),
+        dow.alias("dow"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).alias("__cents"),
     )
     return ev.cube("event_type", "dow").agg(
@@ -644,15 +654,24 @@ def events_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CUBE_SQL = """
+#: Sunday-first day labels: Spark ``dayofweek()`` is 1=Sun..7=Sat,
+#: DuckDB ``dayofweek()`` is 0=Sun..6=Sat — both sides index this same
+#: literal list, so the label is locale-free by construction.
+_DOW_LABELS = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
+
+_DOW_CASE_SQL = "CASE dayofweek(ts) " + " ".join(
+    f"WHEN {i} THEN '{d}'" for i, d in enumerate(_DOW_LABELS)
+) + " END"
+
+_CUBE_SQL = f"""
 SELECT event_type,
-       strftime(ts, '%a') AS dow,
+       {_DOW_CASE_SQL} AS dow,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(SUM(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents,
-       CAST(GROUPING(event_type) * 2 + GROUPING(strftime(ts, '%a'))
+       CAST(GROUPING(event_type) * 2 + GROUPING({_DOW_CASE_SQL})
             AS INT) AS gid
 FROM events
-GROUP BY CUBE (event_type, strftime(ts, '%a'))
+GROUP BY CUBE (event_type, {_DOW_CASE_SQL})
 """
 
 
@@ -702,10 +721,13 @@ def fair_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fair_topk_sql() -> str:
-    # Mirrors queries.py's _TOKS_SQL / _SQL_PUNCT_CLASS (queries_ext loads
-    # before those are defined — same literals, same tokenizer contract).
-    _TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
-    _SQL_PUNCT_CLASS = "[.,;:!?''\"()-]"
+    # One shared tokenizer-literal definition (sqlconst.py) — queries_ext
+    # loads before queries.py, so import from the constants module, not
+    # from queries.
+    from arcane_framework_spark.sqlconst import (
+        SQL_PUNCT_CLASS as _SQL_PUNCT_CLASS,
+        TOKS_SQL as _TOKS_SQL,
+    )
 
     return rf"""
 WITH feat AS (

@@ -39,7 +39,9 @@ from arcane_framework_spark.operators.text import (
 from arcane_framework_spark.session import load_tables, ts_micros, ts_timestamp
 
 #: Whitespace tokenizer, DuckDB spelling (mirrors text.tokens_expr).
-_TOKS_SQL = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+#: One shared definition in sqlconst.py (regexp_split_to_array and
+#: string_split_regex are DuckDB aliases — values are identical).
+from arcane_framework_spark.sqlconst import TOKS_SQL as _TOKS_SQL  # noqa: E402
 
 #: Training-order shuffle seed (an epoch id in a real pipeline).
 ORDER_SEED = "epoch0"

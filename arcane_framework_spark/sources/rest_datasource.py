@@ -333,7 +333,14 @@ class RestStreamReader(SimpleDataSourceStreamReader):
                 batch, nxt = self._read_token(cur)
                 rows.extend(batch)
                 if nxt == cur:
-                    break  # throttled mid-replay — stop, don't spin
+                    # Throttled mid-replay. Returning the partial batch
+                    # here would COMMIT a truncated row set for an
+                    # already-committed offset range (silent data loss on
+                    # restart recovery); raising fails the task so Spark
+                    # retries the whole replay instead.
+                    raise RateLimitedError(
+                        f"throttled replaying committed range {start}..{end}"
+                    )
                 cur = nxt
             return iter(rows)
         if self.range_start is not None:
@@ -348,7 +355,14 @@ class RestStreamReader(SimpleDataSourceStreamReader):
                 batch, nxt = self._read_range(cur)
                 rows.extend(batch)
                 if nxt == cur:
-                    break  # incomplete slice mid-replay — stop, don't spin
+                    # A committed range can only contain completed slices
+                    # (time advances monotonically), so a stuck cursor
+                    # mid-replay means the environment changed under us.
+                    # Fail the task rather than commit a truncated batch.
+                    raise RuntimeError(
+                        f"replay stalled at {cur} inside committed range "
+                        f"{start}..{end}"
+                    )
                 cur = nxt
             return iter(rows)
         rows = []

@@ -80,13 +80,14 @@ def main() -> None:
     except Exception:
         pass  # prep is an optimization; the catalog must still run without it
 
-    errors: dict[str, str] = {}
     passes: list[dict[str, float]] = []
+    pass_errors: list[dict[str, str]] = []
     # TWO full passes: this host shows a ±30% noise band between identical
     # runs, so per-query best-of-2 is reported — round-over-round deltas
     # then compare steady-state numbers, not scheduler luck.
     for _ in range(2):
         t: dict[str, float] = {}
+        errs: dict[str, str] = {}
         for name, fn in QUERIES.items():
             start = time.perf_counter()
             # Per-query isolation: one failing query must not abort the run
@@ -101,8 +102,24 @@ def main() -> None:
                     ).save()
                 t[name] = round(time.perf_counter() - start, 3)
             except Exception as exc:  # noqa: BLE001 — record and keep going
-                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                errs[name] = f"{type(exc).__name__}: {exc}"[:200]
         passes.append(t)
+        pass_errors.append(errs)
+
+    # `errors` = failed EVERY pass (a real failure); a query that failed one
+    # pass but timed in the other is a flake — reported separately so
+    # BENCH_FULL.json distinguishes the two.
+    errors = {
+        name: err
+        for name, err in pass_errors[0].items()
+        if all(name in pe for pe in pass_errors)
+    }
+    flaked = {
+        name: err
+        for pe in pass_errors
+        for name, err in pe.items()
+        if name not in errors
+    }
 
     timings = {
         name: min(p[name] for p in passes if name in p)
@@ -122,7 +139,8 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(
             {"metric": "catalog_total_runtime", "value": total, "unit": "sec",
-             "queries": timings, "errors": errors, "sf": sf,
+             "queries": timings, "errors": errors, "flaked": flaked,
+             "sf": sf,
              "n_queries": len(timings), "prep_sec": prep_sec,
              "spread": spread,
              "pass_totals": [round(sum(p.values()), 3) for p in passes]},

@@ -364,6 +364,18 @@ def test_decode_ppm_pure_numpy():
         decode_ppm(b"P6\n3 2\n65535\n" + pixels.tobytes() * 2)  # 16-bit
     with _pytest.raises(ValueError):
         decode_ppm(b"P5\n3 2\n255\n")  # not P6
+    # sub-255 maxval: samples stored in [0, maxval] rescale to uint8
+    # (netpbm's value*255/maxval, round-half-up) — maxval=15: 0→0,
+    # 7→119, 15→255.
+    lowmax = np.array(
+        [[[0, 7, 15], [15, 0, 7]]], dtype=np.uint8
+    )  # 1x2 RGB, samples within [0, 15]
+    got = decode_ppm(b"P6\n2 1\n15\n" + lowmax.tobytes())
+    assert np.array_equal(
+        got, np.array([[[0, 119, 255], [255, 0, 119]]], dtype=np.uint8)
+    )
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 1\n0\n" + lowmax.tobytes())  # degenerate maxval
 
 
 def test_synth_image_roundtrip_both_formats():
@@ -557,6 +569,30 @@ def test_auto_salted_join_spreads_only_hot_keys(spark):
     )
     assert left.count() == 1000
     assert left.filter(F.col("label").isNull()).count() == 10  # key 3 rows
+
+
+def test_salted_joins_reject_replication_unsafe_how(spark):
+    """Right/full-outer joins would emit num_salts duplicate
+    null-extended rows per unmatched replicated small-side row — both
+    salted joins must refuse them up front, and keep accepting the
+    replication-safe types."""
+    import pytest as _pytest
+
+    from arcane_framework_spark.operators.scale import (
+        auto_salted_join,
+        salted_join,
+    )
+
+    fact = spark.createDataFrame([(1, 10), (2, 20)], "k: long, x: long")
+    dim = spark.createDataFrame([(1, "a"), (3, "c")], "k: long, label: string")
+    for bad in ("right", "full", "full_outer", "rightouter", "outer"):
+        with _pytest.raises(ValueError, match="salted joins support only"):
+            salted_join(fact, dim, on="k", how=bad)
+        with _pytest.raises(ValueError, match="salted joins support only"):
+            auto_salted_join(fact, dim, on="k", how=bad)
+    # replication-safe types still work (left_semi: only matched fact keys)
+    semi = salted_join(fact, dim, on="k", how="left_semi")
+    assert [r.k for r in semi.collect()] == [1]
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
@@ -1678,6 +1714,25 @@ def test_hard_negatives_excludes_same_label(spark):
     # same-label near-twin (id 1) excluded; closest other-label first
     assert got == [(10, 1), (20, 2)], got
     assert all(r.neighbor_label != r.query_label for r in out)
+
+
+def test_hard_negatives_enforces_max_queries_in_plan(spark):
+    """The small-query-side assumption is enforced, not assumed: a query
+    set larger than max_queries fails fast at execution time (the
+    in-plan assert_true fires), instead of silently materializing
+    |C|x|Q| scored rows."""
+    import pytest as _pytest
+
+    from arcane_framework_spark.operators.similarity import hard_negatives
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(20)],
+        "vec_id: long, embedding: array<double>, label: int",
+    )
+    with _pytest.raises(Exception, match="max_queries"):
+        hard_negatives(df, df, k=1, max_queries=5).count()
+    # at or under the cap: runs and returns cross-label neighbors
+    assert hard_negatives(df, df, k=1, max_queries=20).count() == 20
 
 
 def test_semantic_dedup_governed_k_scales_cells_with_corpus(spark):

@@ -331,6 +331,38 @@ class TestSharedPrep:
         ).storageLevel
         assert not (lvl.useMemory or lvl.useDisk)
 
+    def test_stale_session_handle_rebuilt(self, spark):
+        """A handle left over from a STOPPED session (warmed, session
+        restarted, release never called) must not make shared_prep no-op:
+        the stale registry is cleared and prep rebuilds against the live
+        session — otherwise the optimization silently disappears while
+        every consumer falls back to per-entry rebuilds."""
+        from arcane_framework_spark import prep as prep_mod
+        from arcane_framework_spark.prep import (
+            get_prepped,
+            release_shared_prep,
+            shared_prep,
+        )
+
+        sf = "/root/testdata/sf0.001"
+
+        class _DeadSessionDF:
+            sparkSession = object()  # not the live session
+
+            def unpersist(self):
+                pass
+
+        try:
+            prep_mod._HANDLES[("components", sf)] = _DeadSessionDF()
+            out = shared_prep(spark, sf)
+            assert out, "stale handle must trigger a rebuild, not a no-op"
+            live = get_prepped(("components", sf), spark)
+            assert live is not None and live.sparkSession is spark
+            # idempotent once live: second call is a no-op
+            assert shared_prep(spark, sf) == {}
+        finally:
+            release_shared_prep()
+
 
 class TestWavAudio:
     def test_roundtrip_and_chunk_walk(self, spark):

@@ -109,3 +109,13 @@ def test_posting_lists_map_side_group_limit(spark):
     # so hot tokens don't funnel all postings through one window task.
     plan = _plan(spark, "posting_lists_documents")
     assert "WindowGroupLimit" in plan
+
+
+def test_cube_rollup_locale_free_dow(spark):
+    # The day-of-week label must come from dayofweek() + a literal map,
+    # never date_format(ts, 'E'): date_format renders in the JVM default
+    # locale and silently diverges from the C-locale oracle on clusters
+    # running a non-English locale.
+    plan = _plan(spark, "events_cube_rollup")
+    assert "date_format" not in plan, "locale-sensitive dow expression"
+    assert "dayofweek" in plan

@@ -1122,6 +1122,54 @@ def test_rest_datasource_stream_restart_resumes_pages(spark, tmp_path):
         server.shutdown()
 
 
+def test_rest_datasource_replay_raises_instead_of_truncating():
+    """Replaying a COMMITTED offset range must never return a partial
+    batch: a throttle mid-replay raises (Spark retries the task) rather
+    than silently committing a truncated row set — truncation here would
+    be silent data loss on restart recovery."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from arcane_framework_spark.sources.rest_datasource import (
+        RateLimitedError,
+        RestStreamReader,
+    )
+
+    schema = StructType([StructField("id", LongType())])
+    reader = RestStreamReader(schema, {
+        "url_template": "http://127.0.0.1:9/d?token=@token",
+        "key_chain": "items",
+        "next_token_key_chain": "next",
+    })
+
+    def throttled_read_token(cur):
+        if cur.get("token") == "":
+            return iter([(1,)]), {"token": "t1"}
+        return iter([]), dict(cur)  # throttled: no rows, no progress
+
+    reader._read_token = throttled_read_token
+    with _pytest.raises(RateLimitedError, match="committed range"):
+        list(reader.readBetweenOffsets({"token": ""}, {"token": "t2"}))
+
+    # range mode: a stalled cursor inside a committed range is equally
+    # fatal (completed slices cannot become incomplete again)
+    range_reader = RestStreamReader(schema, {
+        "url_template": "http://127.0.0.1:9/d?from=@from&to=@to&page=@page",
+        "key_chain": "items",
+        "range_start": "2020-01-01T00:00:00+00:00",
+        "range_step_seconds": "86400",
+    })
+
+    def stalled_read_range(cur):
+        return iter([]), dict(cur)
+
+    range_reader._read_range = stalled_read_range
+    with _pytest.raises(RuntimeError, match="replay stalled"):
+        list(range_reader.readBetweenOffsets(
+            {"slice": 0, "page": 0}, {"slice": 1, "page": 0}
+        ))
+
+
 def test_rest_datasource_stream_token_pagination_restart(spark, tmp_path):
     """Continuation-token streaming mode (reference
     PageNextTokenResolver.cs:11-60 as a checkpointed offset): each
