@@ -8,13 +8,15 @@ resize, frame-sample, feature-extract) runs in Arrow-batched Pandas UDFs via
 ``mapInPandas``: one Python worker per partition, zero driver involvement,
 batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-Decode support: uncompressed 24-bit BMP decodes for REAL via a pure-numpy
-reader (``decode_bmp`` — no imaging libraries needed), feeding genuine
-header dimensions and pixel statistics into ``extract_features``. Every
-other format is STUBBED (``decode_image`` raises ``NotImplementedError``
-unless PIL is installed — the container has no image libs); everything
-around the stub — schema, batching, UDF signature, deterministic
-byte-level features — is real and oracle-tested.
+Decode support: uncompressed 24-bit BMP, binary PPM (P6), and 8-bit
+gray/RGB/RGBA PNG decode for REAL via pure numpy + stdlib zlib
+(``decode_bmp`` / ``decode_ppm`` / ``decode_png`` — no imaging libraries
+needed), feeding genuine header dimensions and pixel statistics into
+``extract_features``. Remaining formats (JPEG foremost) are STUBBED
+(``decode_image`` raises ``NotImplementedError`` unless PIL is installed —
+the container has no image libs); everything around the stub — schema,
+batching, UDF signature, deterministic byte-level features — is real and
+oracle-tested.
 """
 
 from __future__ import annotations
@@ -176,16 +178,231 @@ def decode_ppm(content: bytes) -> "object":
     return raw.reshape(height, width, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: Bytes-per-pixel by PNG color type (8-bit depth): 0=grayscale,
+#: 2=truecolor RGB, 6=truecolor+alpha RGBA.
+_PNG_BPP = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """A zlib stream of STORED (uncompressed) deflate blocks.
+
+    Deterministic by construction — output length is exactly
+    ``2 + 5*nblocks + len(data) + 4`` with ``nblocks =
+    max(1, ceil(len/65535))`` — which is what lets a SQL oracle compute a
+    synthetic PNG's byte size in closed form (zlib.compress at any real
+    level has no closed-form size)."""
+    import zlib
+
+    out = bytearray(b"\x78\x01")  # CMF/FLG for window=32k, no preset dict
+    n, i = len(data), 0
+    if n == 0:
+        out += b"\x01\x00\x00\xff\xff"
+    while i < n:
+        block = data[i:i + 65535]
+        i += len(block)
+        out.append(1 if i >= n else 0)  # BFINAL bit, BTYPE=00 (stored)
+        out += struct.pack("<HH", len(block), 0xFFFF ^ len(block))
+        out += block
+    out += struct.pack(">I", zlib.adler32(bytes(data)) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (RFC 2083 §6.6), scalar form."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> "object":
+    """Pure-stdlib PNG decoder: ``zlib`` inflate + numpy scanline
+    un-filtering — no imaging library.
+
+    Supports 8-bit-depth, non-interlaced grayscale (color type 0), RGB
+    (2), and RGBA (6); all five scanline filters (None/Sub/Up/Average/
+    Paeth); chunk CRCs are verified so corruption raises ``ValueError``
+    instead of decoding garbage. Palette, 16-bit, and Adam7-interlaced
+    images raise ``NotImplementedError`` (they need a real imaging
+    library to be worth doing). Returns ``(height, width, channels)``
+    uint8 — top-down rows, RGB channel order (PNG's native layout, the
+    opposite corner of the convention square from BMP's bottom-up BGR).
+    """
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(content):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"PLTE":
+            raise NotImplementedError("palette PNGs not supported")
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    else:
+        raise ValueError("missing IEND chunk")
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing or malformed IHDR")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if width == 0 or height == 0:
+        raise ValueError("degenerate PNG dimensions")
+    if depth != 8 or color not in _PNG_BPP:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/RGBA supported "
+            f"(got depth={depth}, color type={color})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlacing not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown PNG compression/filter method")
+    bpp = _PNG_BPP[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG image data: {exc}") from exc
+    stride = 1 + width * bpp
+    if len(raw) != height * stride:
+        raise ValueError("PNG image data has wrong decompressed size")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    ftypes = arr[:, 0]
+    filtered = arr[:, 1:].astype(np.int64).reshape(height, width, bpp)
+    out = np.zeros((height, width, bpp), dtype=np.int64)
+    prev = np.zeros((width, bpp), dtype=np.int64)
+    zero = np.zeros(bpp, dtype=np.int64)
+    for y in range(height):
+        f, cur = int(ftypes[y]), filtered[y]
+        if f == 0:  # None
+            rec = cur.copy()
+        elif f == 1:  # Sub: recon = prefix sum along x, per channel
+            rec = np.cumsum(cur, axis=0) % 256
+        elif f == 2:  # Up: vector add of the previous reconstructed row
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average: left-dependent → scan x, vectorize channels
+            rec = np.zeros_like(cur)
+            left = zero
+            for x in range(width):
+                rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
+                left = rec[x]
+        elif f == 4:  # Paeth: same left dependency
+            rec = np.zeros_like(cur)
+            for x in range(width):
+                a = rec[x - 1] if x else zero
+                b = prev[x]
+                c = prev[x - 1] if x else zero
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def encode_png(img: "object", filters: "object" = None) -> bytes:
+    """Minimal deterministic PNG writer (8-bit gray/RGB/RGBA, stored-
+    deflate IDAT).
+
+    ``filters`` selects the scanline filter per row (default: cycle
+    0,1,2,3,4 by row index so a round-trip exercises EVERY filter's
+    un-filtering path, not just the trivial one). Stored-deflate keeps
+    the output size closed-form (see :func:`_zlib_stored`) — this is a
+    test/oracle fixture writer, not a space-efficient encoder.
+    """
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    height, width, channels = img.shape
+    color = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    pix = img.astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros((width, channels), dtype=np.int64)
+    zero = np.zeros(channels, dtype=np.int64)
+    for y in range(height):
+        f = (y % 5) if filters is None else int(filters[y])
+        cur = pix[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            left = np.vstack([zero, cur[:-1]])
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            left = np.vstack([zero, cur[:-1]])
+            filt = cur - (left + prev) // 2
+        elif f == 4:
+            filt = np.zeros_like(cur)
+            for x in range(width):
+                a = cur[x - 1] if x else zero
+                b = prev[x]
+                c = prev[x - 1] if x else zero
+                filt[x] = cur[x] - np.array(
+                    [_paeth(int(a[k]), int(b[k]), int(c[k]))
+                     for k in range(channels)]
+                )
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+        raw.append(f)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib_stored(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def synth_image_bytes(seed: int, width: int, height: int,
                       fmt: str) -> bytes:
     """Deterministic synthetic image: pixel ``(r, c, ch)`` in the DECODED
     top-down RGB orientation has value ``(seed + r*7 + c*3 + ch) % 256``.
 
     ``fmt='bmp'`` writes bottom-up BGR with 4-byte row padding (the BMP
-    file convention); ``fmt='ppm'`` writes the P6 header + top-down RGB.
-    Both therefore decode to the SAME array — and the closed-form pixel
-    rule means a SQL oracle can compute the expected mean/corner pixel
-    without ever constructing the binary.
+    file convention); ``fmt='ppm'`` writes the P6 header + top-down RGB;
+    ``fmt='png'`` writes a real zlib-deflated PNG whose per-row scanline
+    filters cycle through all five types (stored-deflate IDAT, so the
+    byte size stays closed-form: ``68 + height*(1 + 3*width)`` while one
+    deflate block suffices). All three decode to the SAME array — and
+    the closed-form pixel rule means a SQL oracle can compute the
+    expected size/mean/corner pixel without constructing the binary.
     """
     import numpy as np
 
@@ -195,6 +412,8 @@ def synth_image_bytes(seed: int, width: int, height: int,
     img = ((seed + r + c + ch) % 256).astype(np.uint8)
     if fmt == "ppm":
         return b"P6\n%d %d\n255\n" % (width, height) + img.tobytes()
+    if fmt == "png":
+        return encode_png(img)
     if fmt != "bmp":
         raise ValueError(f"unknown synthetic format {fmt!r}")
     row_stride = (width * 3 + 3) & ~3
@@ -286,12 +505,18 @@ IMAGE_DECODE_SCHEMA = StructType(
 )
 
 
+#: Per-id synthetic format assignment: three real decoders, three
+#: opposite corners of the layout-convention square (bottom-up BGR /
+#: top-down RGB raw / top-down RGB zlib-filtered).
+_SYNTH_FMTS = ("bmp", "ppm", "png")
+
+
 def synth_image_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic per-id synthetic image assets: even ids become 24-bit
-    BMPs, odd ids binary PPMs (``synth_image_bytes``), dimensions
-    ``(8 + id%5) x (8 + id%3)``, seed ``id % 256``. Arrow-batched
-    map-only pass — the binary column is born distributed, exactly like a
-    real media table read from object storage."""
+    """Deterministic per-id synthetic image assets: ``id % 3`` selects
+    24-bit BMP / binary PPM / filtered PNG (``synth_image_bytes``),
+    dimensions ``(8 + id%5) x (8 + id%3)``, seed ``id % 256``.
+    Arrow-batched map-only pass — the binary column is born distributed,
+    exactly like a real media table read from object storage."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -301,7 +526,7 @@ def synth_image_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             content = [
                 synth_image_bytes(
                     int(i) % 256, 8 + int(i) % 5, 8 + int(i) % 3,
-                    "bmp" if int(i) % 2 == 0 else "ppm",
+                    _SYNTH_FMTS[int(i) % 3],
                 )
                 for i in ids_col
             ]
@@ -309,9 +534,7 @@ def synth_image_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": ids_col,
                     "content": pd.Series(content, dtype="object"),
-                    "fmt": [
-                        "bmp" if int(i) % 2 == 0 else "ppm" for i in ids_col
-                    ],
+                    "fmt": [_SYNTH_FMTS[int(i) % 3] for i in ids_col],
                 }
             )
 
@@ -452,14 +675,18 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 64,
 def decode_image(content: bytes):
     """Decode an image asset to a pixel array.
 
-    Uncompressed 24-bit BMPs and binary PPMs (P6) decode natively
-    (``decode_bmp`` / ``decode_ppm``, pure numpy). Every other format
-    needs PIL, which the execution container does not ship — those raise
-    ``NotImplementedError`` honestly instead of faking pixels."""
+    Uncompressed 24-bit BMPs, binary PPMs (P6), and 8-bit gray/RGB/RGBA
+    PNGs decode natively (``decode_bmp`` / ``decode_ppm`` /
+    ``decode_png`` — pure numpy + stdlib zlib). Every other format
+    (JPEG foremost) needs PIL, which the execution container does not
+    ship — those raise ``NotImplementedError`` honestly instead of
+    faking pixels."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content[:8] == _PNG_SIG:
+        return decode_png(content)
     try:
         import io
 

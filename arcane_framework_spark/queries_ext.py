@@ -381,13 +381,17 @@ FROM documents
 
 def image_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the full distributed plumbing: every 50th
-    doc id becomes a synthetic image asset (even ids 24-bit BMP, odd ids
-    binary PPM — opposite orientation/channel conventions), born as a
-    binary column in one Arrow-batched pass and decoded in another. The
-    oracle recomputes dims, byte size, mean sample, and the decoded
-    top-left red sample from the closed-form pixel rule — so a decoder
-    that mis-handled BMP's bottom-up BGR layout or PPM's header grammar
-    hash-mismatches immediately."""
+    doc id becomes a synthetic image asset (``id % 3`` selects 24-bit
+    BMP / binary PPM / zlib-filtered PNG — three different layout and
+    compression conventions), born as a binary column in one
+    Arrow-batched pass and decoded in another. The oracle recomputes
+    dims, byte size, mean sample, and the decoded top-left red sample
+    from the closed-form pixel rule — so a decoder that mis-handled
+    BMP's bottom-up BGR layout, PPM's header grammar, or any of PNG's
+    five scanline filters (the synthetic PNG cycles through all of
+    them) hash-mismatches immediately. PNG's byte size is closed-form
+    because the writer uses stored-deflate IDAT blocks
+    (``68 + height*(1 + 3*width)``)."""
     from arcane_framework_spark.operators.multimodal import (
         image_decode_features,
         synth_image_assets,
@@ -400,15 +404,21 @@ def image_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IMAGE_DECODE_SQL = """
 SELECT d.doc_id,
-       CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
-       CAST(CASE WHEN d.doc_id % 2 = 0
+       CASE d.doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+            ELSE 'png' END AS fmt,
+       CAST(CASE d.doc_id % 3
+            WHEN 0
             THEN 54 + (((8 + d.doc_id % 5) * 3 + 3) // 4) * 4
                       * (8 + d.doc_id % 3)
-            ELSE strlen('P6' || chr(10)
+            WHEN 1
+            THEN strlen('P6' || chr(10)
                    || CAST(8 + d.doc_id % 5 AS VARCHAR) || ' '
                    || CAST(8 + d.doc_id % 3 AS VARCHAR) || chr(10)
                    || '255' || chr(10))
                  + (8 + d.doc_id % 5) * (8 + d.doc_id % 3) * 3
+            -- png: sig 8 + IHDR 25 + IDAT 12+(2+5+L+4) + IEND 12 = 68+L,
+            -- L = rows * (1 filter byte + 3 samples per pixel)
+            ELSE 68 + (8 + d.doc_id % 3) * (1 + 3 * (8 + d.doc_id % 5))
        END AS BIGINT) AS n_bytes,
        CAST(8 + d.doc_id % 5 AS INT) AS width,
        CAST(8 + d.doc_id % 3 AS INT) AS height,

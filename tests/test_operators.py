@@ -378,9 +378,10 @@ def test_decode_ppm_pure_numpy():
         decode_ppm(b"P6\n2 1\n0\n" + lowmax.tobytes())  # degenerate maxval
 
 
-def test_synth_image_roundtrip_both_formats():
-    """synth_image_bytes(bmp) and (ppm) decode to the SAME logical array:
-    BMP's bottom-up BGR and PPM's top-down RGB unscramble identically."""
+def test_synth_image_roundtrip_all_formats():
+    """synth_image_bytes(bmp), (ppm), and (png) decode to the SAME
+    logical array: BMP's bottom-up BGR, PPM's top-down RGB, and PNG's
+    zlib-deflated filtered scanlines all unscramble identically."""
     import numpy as np
 
     from arcane_framework_spark.operators.multimodal import (
@@ -390,9 +391,74 @@ def test_synth_image_roundtrip_both_formats():
 
     a = decode_image(synth_image_bytes(42, 9, 10, "bmp"))
     b = decode_image(synth_image_bytes(42, 9, 10, "ppm"))
-    assert a.shape == b.shape == (10, 9, 3)
-    assert np.array_equal(a, b)
+    p = decode_image(synth_image_bytes(42, 9, 10, "png"))
+    assert a.shape == b.shape == p.shape == (10, 9, 3)
+    assert np.array_equal(a, b) and np.array_equal(a, p)
     assert int(a[0, 0, 0]) == 42  # decoded top-left red sample = seed
+    # stored-deflate IDAT keeps the PNG size closed-form (oracle contract)
+    assert len(synth_image_bytes(42, 9, 10, "png")) == 68 + 10 * (1 + 3 * 9)
+
+
+def test_png_codec_filters_colortypes_and_errors():
+    """decode_png handles all five scanline filters and gray/RGB/RGBA,
+    verifies chunk CRCs, and raises the documented errors for the
+    unsupported corners (palette, 16-bit, interlace)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from arcane_framework_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for channels in (1, 3, 4):
+        img = rng.integers(0, 256, (9, 6, channels), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+    img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    for f in range(5):  # each filter type alone
+        assert np.array_equal(
+            decode_png(encode_png(img, filters=[f] * 7)), img
+        ), f
+    # a real-deflate IDAT (how external PNGs arrive) decodes too
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(7))
+    ext = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 5, 7, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", _zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(ext), img)
+    good = bytearray(encode_png(img))
+    bad = bytearray(good)
+    bad[50] ^= 0xFF  # corrupt a byte inside a chunk -> CRC catches it
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png(bytes(good[:-8]))  # truncated
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNGnope")
+    depth16 = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 5, 7, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * (7 * 31)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(depth16)
+    interlaced = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 5, 7, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", _zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(interlaced)
 
 
 def test_image_decode_features_distributed(spark):
@@ -403,13 +469,14 @@ def test_image_decode_features_distributed(spark):
         synth_image_assets,
     )
 
-    ids = spark.createDataFrame([(0,), (1,), (257,)], "doc_id: long")
+    ids = spark.createDataFrame([(0,), (1,), (2,), (257,)], "doc_id: long")
     rows = {
         r.doc_id: r
         for r in image_decode_features(synth_image_assets(ids)).collect()
     }
     assert rows[0].fmt == "bmp" and rows[1].fmt == "ppm"
-    for i in (0, 1, 257):
+    assert rows[2].fmt == "png" and rows[257].fmt == "png"  # 257 % 3 == 2
+    for i in (0, 1, 2, 257):
         w, h, seed = 8 + i % 5, 8 + i % 3, i % 256
         assert (rows[i].width, rows[i].height) == (w, h)
         assert rows[i].first_pixel == seed

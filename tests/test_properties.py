@@ -158,7 +158,7 @@ from arcane_framework_spark.operators.multimodal import (  # noqa: E402
 @given(st.integers(min_value=0, max_value=255),
        st.integers(min_value=1, max_value=40),
        st.integers(min_value=1, max_value=40),
-       st.sampled_from(["bmp", "ppm"]))
+       st.sampled_from(["bmp", "ppm", "png"]))
 def test_image_synth_roundtrip_property(seed, width, height, fmt):
     """Every synthetic image decodes back to exactly the closed-form
     pixel grid, for ANY dims — BMP (bottom-up BGR, padded strides) and
@@ -177,7 +177,7 @@ def test_image_synth_roundtrip_property(seed, width, height, fmt):
 @given(st.integers(min_value=0, max_value=400),
        st.integers(min_value=0, max_value=255),
        st.integers(min_value=0, max_value=200),
-       st.sampled_from(["bmp", "ppm"]))
+       st.sampled_from(["bmp", "ppm", "png"]))
 def test_image_decode_never_crashes_on_mutation(pos, value, truncate, fmt):
     """Any single-byte mutation or truncation of a valid image either
     still decodes or raises the documented errors — never struct.error,

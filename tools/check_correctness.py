@@ -6,6 +6,11 @@ an order-insensitive value hash (columns sorted by name, rows sorted, values
 stringified). Usage::
 
     python tools/check_correctness.py [sf_dir] [query ...]
+
+Set ``CORRECTNESS_JSON=/path/to/out.json`` to also record the per-query
+results as a JSON artifact (the driver's 50-entry sample is fixed and
+predates newer entries, so each round commits the FULL gate output as
+``CORRECTNESS_FULL_r{N}.json``).
 """
 
 from __future__ import annotations
@@ -56,6 +61,7 @@ def main() -> int:
 
     queries, oracles = e.queries(), e.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -67,16 +73,20 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures.append(name)
+            results[name] = {"ok": False, "err": f"spark: {exc}"[:300]}
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"rows-only  {name}: {len(sdf)} rows")
+            results[name] = {"ok": True, "rows_only": True,
+                             "spark_rows": len(sdf)}
             continue
         try:
             odf = con.execute(sql).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
+            results[name] = {"ok": False, "err": f"duckdb: {exc}"[:300]}
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -94,7 +104,27 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"OK    {name}: {len(sdf)} rows")
+        results[name] = {
+            "ok": not problems,
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(str(p) for p in problems)[:300] or None,
+        }
     spark.stop()
+    artifact = os.environ.get("CORRECTNESS_JSON")
+    if artifact:
+        import json
+
+        with open(artifact, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(results),
+                 "n_failures": len(failures), "results": results},
+                fh, indent=1, sort_keys=True,
+            )
+        print(f"wrote {artifact} ({len(results)} entries)")
     if failures:
         print(f"\n{len(failures)} failure(s): {failures}")
         return 1
