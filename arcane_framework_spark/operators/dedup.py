@@ -291,10 +291,13 @@ def minhash_band_rows(sig: DataFrame, num_bands: int = NUM_BANDS,
     )
 
 
-def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
+def incremental_minhash_pairs(new_docs: DataFrame,
+                              corpus_sigs: DataFrame | None = None,
                               text_col: str = "text",
                               id_col: str = "doc_id",
-                              min_est: float = 0.5) -> DataFrame:
+                              min_est: float = 0.5,
+                              corpus_bands: DataFrame | None = None
+                              ) -> DataFrame:
     """Incremental dedup: near-dup pairs of a NEW batch against an existing
     corpus — without touching the corpus text.
 
@@ -319,7 +322,20 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
     table exists at all. The de-signed-doc anti-join broadcasts the
     batch ids (batch-proportional). Nothing rescans corpus text; the
     signature side table is the only corpus state.
+
+    Pass ``corpus_bands`` instead of ``corpus_sigs`` when the corpus
+    state is MATERIALIZED in its banded layout — a parquet side table
+    of ``minhash_band_rows(sigs, with_signature=True)`` rows, ideally
+    bucketed on the (band_id, band_hash) join key (see
+    ``operators.scale.write_bucketed``): the band join then reads the
+    corpus side exchange-free and only the (small) new batch shuffles,
+    which is the whole point of the side table at 100 TB.
     """
+    if (corpus_sigs is None) == (corpus_bands is None):
+        raise ValueError(
+            "pass exactly one of corpus_sigs (signature layout) or "
+            "corpus_bands (materialized banded layout)"
+        )
     new_sigs = scoped_persist(
         minhash_signatures(new_docs, text_col, id_col)
     )
@@ -327,11 +343,16 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus_sigs: DataFrame,
     # signature everywhere: anti-join the stale corpus row out, so the
     # id spaces are disjoint by construction and the band join below
     # cannot duplicate pairs.
-    corpus_sigs = corpus_sigs.join(
-        F.broadcast(new_sigs.select("id")), "id", "anti"
-    )
     nb = minhash_band_rows(new_sigs, with_signature=True)
-    cb = minhash_band_rows(corpus_sigs, with_signature=True)
+    if corpus_bands is not None:
+        cb = corpus_bands.join(
+            F.broadcast(new_sigs.select("id")), "id", "anti"
+        )
+    else:
+        corpus_sigs = corpus_sigs.join(
+            F.broadcast(new_sigs.select("id")), "id", "anti"
+        )
+        cb = minhash_band_rows(corpus_sigs, with_signature=True)
 
     def est(sa, sb) -> Column:
         agree = F.size(

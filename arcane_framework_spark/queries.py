@@ -852,6 +852,46 @@ def incremental_dedup_documents(spark: SparkSession,
     return incremental_minhash_pairs(batch, corpus_sigs)
 
 
+def incremental_dedup_disk_documents(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The ON-DISK twin of ``incremental_dedup_documents``: the corpus's
+    banded signature state round-trips through a BUCKETED parquet side
+    table (bucketed + sorted on the (band_id, band_hash) join key via
+    ``write_bucketed``) before the new batch joins against it.
+
+    This proves the 100 TB materialized-side-table story end-to-end
+    through STORAGE, not just the block manager: the corpus side of the
+    band join reads bucket-aligned — no Exchange above its scan (plan
+    asserted in tests/test_plans.py) — so only the (small) arriving
+    batch ever shuffles, no matter how large the corpus state grows.
+    Shares ``incremental_dedup_documents``'s oracle verbatim: identical
+    hashes across the in-memory path, the storage path, and DuckDB SQL.
+    """
+    from arcane_framework_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_rows,
+        minhash_signatures,
+    )
+    from arcane_framework_spark.operators.scale import write_bucketed
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    bands = minhash_band_rows(
+        minhash_signatures(docs), with_signature=True
+    )
+    write_bucketed(
+        bands, "incr_dedup_band_side", ["band_id", "band_hash"],
+        num_buckets=16, sort_cols=["band_id", "band_hash"],
+    )
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    return incremental_minhash_pairs(
+        batch, corpus_bands=spark.table("incr_dedup_band_side")
+    )
+
+
 def _incremental_dedup_sql() -> str:
     from arcane_framework_spark.operators.dedup import (
         BAND_SIZE,
@@ -1630,6 +1670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs_documents": minhash_pairs_documents,
     "leakage_guarded_split_documents": leakage_guarded_split_documents,
     "incremental_dedup_documents": incremental_dedup_documents,
+    "incremental_dedup_disk_documents": incremental_dedup_disk_documents,
     "streaming_incremental_dedup": streaming_incremental_dedup,
     "lsh_recall_documents": lsh_recall_documents,
     "neardup_modality_agreement": neardup_modality_agreement,
@@ -1664,6 +1705,9 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_pairs_documents": _minhash_sql(),
     "leakage_guarded_split_documents": _leakage_split_sql(),
     "incremental_dedup_documents": _incremental_dedup_sql(),
+    # the storage twin shares the in-memory path's oracle VERBATIM —
+    # three-way equivalence (memory plan ≡ bucketed-parquet plan ≡ SQL)
+    "incremental_dedup_disk_documents": _incremental_dedup_sql(),
     "streaming_incremental_dedup": _streaming_incremental_sql(),
     "lsh_recall_documents": _lsh_recall_sql(),
     "neardup_modality_agreement": _modality_agreement_sql(),

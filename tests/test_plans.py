@@ -119,3 +119,19 @@ def test_cube_rollup_locale_free_dow(spark):
     plan = _plan(spark, "events_cube_rollup")
     assert "date_format" not in plan, "locale-sensitive dow expression"
     assert "dayofweek" in plan
+
+
+def test_incremental_disk_twin_bucketed_scan_no_corpus_exchange(spark):
+    # The materialized-side-table story: the corpus band table is read
+    # bucket-aligned on the (band_id, band_hash) join key, so the corpus
+    # side of the band join carries NO Exchange — only the arriving
+    # batch shuffles. "Bucketed: true" appears only when the join
+    # actually consumed the bucketing (autoBucketedScan disables it
+    # otherwise), and the storage path must plan strictly fewer
+    # exchanges than the in-memory path it twins.
+    disk = _plan(spark, "incremental_dedup_disk_documents")
+    assert "incr_dedup_band_side" in disk
+    assert "Bucketed: true" in disk
+    mem = _plan(spark, "incremental_dedup_documents")
+    assert disk.count("Exchange") < mem.count("Exchange"), (
+        disk.count("Exchange"), mem.count("Exchange"))

@@ -194,6 +194,7 @@ def main() -> None:
     ev_parts = [
         events.select(
             F.col("event_type"),
+            F.col("user_id"),
             (ts_micros(events) + F.lit(i * 3_600_000_000)).alias("us"),
         )
         for i in range(10)
@@ -372,13 +373,192 @@ def main() -> None:
                 )
             )
         ),
-        # real image decode (BMP+PPM) over one synthetic asset per doc
+        # real image decode (BMP+PPM+PNG) over one synthetic asset per doc
         "image_decode": timed(
             lambda: image_decode_features(
                 synth_image_assets(docs.select("doc_id"))
             )
         ),
     }
+
+    # --- r6 wave on the 10x corpus -------------------------------------
+    from arcane_framework_spark.operators.temporal import interval_union
+
+    # interval union / batch sessionization with a PLANTED 90%-hot user:
+    # 90% of all intervals belong to user 0. The running-max-end window
+    # sorts per key, so this is the adversarial direction for the
+    # one-shuffle interval algebra — growth must stay sort-bound, not
+    # explode.
+    hot_iv = ev10.select(
+        F.when(F.col("user_id") % 10 != 0, F.lit(0))
+        .otherwise((F.col("user_id") % 997 + 1).cast("long"))
+        .alias("user_id"),
+        F.col("us").alias("s"),
+        (F.col("us") + F.lit(1_800_000_000)).alias("e"),
+    )
+    results["interval_union_hot_user"] = timed(
+        lambda: interval_union(hot_iv, "user_id", "s", "e")
+    )
+
+    # fairness-capped global top-k over the 10x 40-source corpus: the
+    # per-source WindowGroupLimit must trim map-side so the global
+    # TakeOrdered sees <= sources x cap rows, never the corpus.
+    def fair_topk_10x():
+        from pyspark.sql import Window
+
+        scored = docs_src.select(
+            "doc_id", "source",
+            F.least(F.length("text"), F.lit(2000)).alias("score"),
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.col("score").desc(), "doc_id"
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= 10)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(100)
+        )
+
+    results["fair_topk"] = timed(fair_topk_10x)
+
+    # CUBE marginals over 10x events: one Expand, one hash aggregation.
+    def cube_10x():
+        dows = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
+        ev = ev10.select(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(d) for d in dows]),
+                F.dayofweek(F.timestamp_micros("us")),
+            ).alias("dow"),
+        )
+        return ev.cube("event_type", "dow").agg(
+            F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid")
+        )
+
+    results["events_cube_rollup"] = timed(cube_10x)
+
+    # auto_salted_join on a planted 90%-hot-key join: key 0 holds 90% of
+    # the 10x fact table. Assert the hot key's output is spread across
+    # multiple shuffle partitions with NO straggler (max partition within
+    # 4x the ideal hot/num_salts share), and that the targeted salting
+    # beats salted_join's blanket small-side replication. AQE and
+    # auto-broadcast are disabled for the probe: at this toy scale AQE
+    # would re-coalesce the few-MB partitions and the dim would
+    # broadcast — at 100 TB neither masks a hot key.
+    from arcane_framework_spark.operators.scale import (
+        auto_salted_join,
+        salted_join,
+    )
+
+    fact = ev10.select(
+        F.when(F.col("user_id") % 10 != 0, F.lit(0))
+        .otherwise((F.col("user_id") % 997 + 1).cast("long"))
+        .alias("k"),
+        F.col("us").alias("x"),
+    )
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("label"),
+    )
+    num_salts = 16
+    results["auto_salted_join_hot"] = timed(
+        lambda: auto_salted_join(fact, dim, on="k", num_salts=num_salts)
+    )
+    results["salted_join_blanket"] = timed(
+        lambda: salted_join(fact, dim, on="k", num_salts=num_salts)
+    )
+    old_conf = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hot_layout = (
+            auto_salted_join(fact, dim, on="k", num_salts=num_salts)
+            .filter(F.col("k") == 0)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(
+                F.count(F.lit(1)).alias("n_parts"),
+                F.max("count").alias("max_part"),
+                F.sum("count").alias("hot_rows"),
+            )
+            .first()
+        )
+    finally:
+        for k, v in old_conf.items():
+            spark.conf.set(k, v)
+    ideal = hot_layout["hot_rows"] / num_salts
+    results["auto_salted_hot_layout"] = {
+        "hot_rows": hot_layout["hot_rows"],
+        "n_parts": hot_layout["n_parts"],
+        "max_part": hot_layout["max_part"],
+        "ideal_share": int(ideal),
+    }
+    assert hot_layout["n_parts"] > 1, results["auto_salted_hot_layout"]
+    assert hot_layout["max_part"] <= 4 * ideal, (
+        results["auto_salted_hot_layout"]
+    )
+
+    # native streaming session windows over the 10x events: drain through
+    # an actual readStream (availableNow) and report the session-window
+    # STATE SIZE the complete-mode aggregation carried.
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="stress_sessions_")
+    try:
+        ev10.select(
+            F.timestamp_micros("us").alias("ts"), "user_id"
+        ).write.mode("overwrite").parquet(f"{tmp}/events")
+        stream = spark.readStream.schema("ts timestamp, user_id long").parquet(
+            f"{tmp}/events"
+        )
+        agg = stream.groupBy(
+            F.session_window("ts", "30 minutes"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        from arcane_framework_spark.queries_ext import stream_conf
+
+        t0 = time.time()
+        with stream_conf(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("stress_session_sink")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+
+        def _ops_state(progress):
+            ops = (
+                progress.get("stateOperators")
+                if isinstance(progress, dict)
+                else progress.stateOperators
+            )
+            return sum(
+                (op["numRowsTotal"] if isinstance(op, dict)
+                 else op.numRowsTotal)
+                for op in ops or []
+            )
+
+        state_rows = max(
+            (_ops_state(p) for p in q.recentProgress), default=0
+        )
+        results["streaming_session_windows"] = {
+            "rows": spark.table("stress_session_sink").count(),
+            "state_rows": state_rows,
+            "sec": round(time.time() - t0, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     print(json.dumps(results))
 
 
