@@ -8,14 +8,16 @@ resize, frame-sample, feature-extract) runs in Arrow-batched Pandas UDFs via
 ``mapInPandas``: one Python worker per partition, zero driver involvement,
 batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
-Decode support: uncompressed 24-bit BMP, binary PPM (P6), and 8-bit
-gray/RGB/RGBA PNG decode for REAL via pure numpy + stdlib zlib
-(``decode_bmp`` / ``decode_ppm`` / ``decode_png`` — no imaging libraries
-needed), feeding genuine header dimensions and pixel statistics into
-``extract_features``. Remaining formats (JPEG foremost) are STUBBED
-(``decode_image`` raises ``NotImplementedError`` unless PIL is installed —
-the container has no image libs); everything around the stub — schema,
-batching, UDF signature, deterministic byte-level features — is real and
+Decode support: uncompressed 24-bit BMP, binary PPM (P6), 8-bit
+gray/RGB/RGBA PNG, and sequential-baseline JPEG (Huffman + IDCT,
+``operators/jpeg.py``) decode for REAL via pure numpy + stdlib
+(``decode_bmp`` / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg`` — no
+imaging libraries needed), feeding genuine header dimensions and pixel
+statistics into ``extract_features``. Remaining formats (progressive
+JPEG, GIF, WebP, TIFF) are STUBBED (``decode_image`` raises
+``NotImplementedError`` unless PIL is installed — the container has no
+image libs); everything around the stub — schema, batching, UDF
+signature, deterministic byte-level features — is real and
 oracle-tested.
 """
 
@@ -429,6 +431,63 @@ def synth_image_bytes(seed: int, width: int, height: int,
     return header + pixel_bytes
 
 
+def synth_jpeg_bytes(seed: int, width: int, height: int) -> bytes:
+    """Deterministic synthetic baseline JPEG: grayscale, block-constant —
+    the 8x8 block at block-index ``(bi, bj)`` holds the EVEN value
+    ``(2*seed + bi*14 + bj*6) % 256`` in every pixel.
+
+    Even block-constant values survive JPEG's quantization EXACTLY with
+    the Annex K luminance table: a constant block has only a DC
+    coefficient, ``F00 = 8*(v-128)``, and ``round(8*(v-128)/16)*16/8 =
+    v-128`` when ``v`` is even (Q00=16). So the decoded image equals
+    the source bit-for-bit and a SQL oracle can recompute the decoded
+    mean/corner pixel in closed form — through a REAL lossy bitstream
+    (Huffman DC-difference coding across blocks, byte stuffing, the full
+    marker structure)."""
+    import numpy as np
+
+    from arcane_framework_spark.operators.jpeg import encode_jpeg
+
+    bi = np.arange(height, dtype=np.int64)[:, None] // 8
+    bj = np.arange(width, dtype=np.int64)[None, :] // 8
+    img = ((2 * seed + bi * 14 + bj * 6) % 256).astype(np.uint8)
+    return encode_jpeg(img)
+
+
+def synth_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One block-constant grayscale JPEG per id (``synth_jpeg_bytes``),
+    dims ``(8 + id%5) x (8 + id%3)``, seed ``id % 256`` — same
+    Arrow-batched born-distributed shape as ``synth_image_assets``."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids_col = pdf[id_col].astype("int64")
+            content = [
+                synth_jpeg_bytes(int(i) % 256, 8 + int(i) % 5, 8 + int(i) % 3)
+                for i in ids_col
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids_col,
+                    "content": pd.Series(content, dtype="object"),
+                    "fmt": ["jpeg"] * len(ids_col),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("fmt", StringType()),
+        ]
+    )
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema
+    )
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched per-asset feature extraction over the binary column.
 
@@ -675,18 +734,22 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 64,
 def decode_image(content: bytes):
     """Decode an image asset to a pixel array.
 
-    Uncompressed 24-bit BMPs, binary PPMs (P6), and 8-bit gray/RGB/RGBA
-    PNGs decode natively (``decode_bmp`` / ``decode_ppm`` /
-    ``decode_png`` — pure numpy + stdlib zlib). Every other format
-    (JPEG foremost) needs PIL, which the execution container does not
-    ship — those raise ``NotImplementedError`` honestly instead of
-    faking pixels."""
+    Uncompressed 24-bit BMPs, binary PPMs (P6), 8-bit gray/RGB/RGBA
+    PNGs, and sequential-baseline JPEGs decode natively (``decode_bmp``
+    / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg`` — pure numpy +
+    stdlib). Every other format (progressive JPEG, GIF, WebP, TIFF)
+    needs PIL, which the execution container does not ship — those
+    raise ``NotImplementedError`` honestly instead of faking pixels."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:2] == b"P6":
         return decode_ppm(content)
     if content[:8] == _PNG_SIG:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from arcane_framework_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     try:
         import io
 

@@ -439,6 +439,50 @@ WHERE d.doc_id % 50 = 0
 """
 
 
+def jpeg_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (pure stdlib+numpy ``operators/jpeg.py``:
+    marker parse, Huffman DC-difference entropy decode, dequantize,
+    IDCT) through the distributed asset plumbing.
+
+    Every 50th doc becomes a block-constant grayscale JPEG whose even
+    pixel values survive quantization EXACTLY (``synth_jpeg_bytes``:
+    round((v-128)/2)*2 = v-128 for even v with Q00=16), so the oracle
+    recomputes the decoded mean and top-left pixel in closed form — a
+    decoder that mis-parsed the scan header, the DC prediction chain, or
+    the byte-stuffed entropy stream hash-mismatches immediately. JPEG
+    byte size is Huffman-dependent (not closed-form), so unlike
+    ``image_decode_documents`` this entry does not emit n_bytes."""
+    from arcane_framework_spark.operators.multimodal import (
+        image_decode_features,
+        synth_jpeg_assets,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    ids = t["documents"].select("doc_id").filter(F.col("doc_id") % 50 == 0)
+    return image_decode_features(synth_jpeg_assets(ids)).drop("n_bytes")
+
+
+_JPEG_DECODE_SQL = """
+SELECT d.doc_id,
+       'jpeg' AS fmt,
+       CAST(8 + d.doc_id % 5 AS INT) AS width,
+       CAST(8 + d.doc_id % 3 AS INT) AS height,
+       floor(m.mean_val * 10000 + 0.5) / 10000 AS pixel_mean,
+       CAST((2 * (d.doc_id % 256)) % 256 AS INT) AS first_pixel
+FROM documents d,
+LATERAL (
+  -- max 12x10 grid filtered to this image's dims (generate_series
+  -- bounds cannot be lateral-correlated); grayscale: one channel
+  SELECT avg(CAST((2 * (d.doc_id % 256) + (r.i // 8) * 14
+                   + (c.j // 8) * 6) % 256 AS DOUBLE)) AS mean_val
+  FROM generate_series(0, 9) r(i),
+       generate_series(0, 11) c(j)
+  WHERE r.i < 8 + d.doc_id % 3 AND c.j < 8 + d.doc_id % 5
+) m
+WHERE d.doc_id % 50 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming path (real readStream execution in the catalog)
 # ---------------------------------------------------------------------------
@@ -3276,6 +3320,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_embeddings": ivf_topk_embeddings,
     "multimodal_features_documents": multimodal_features_documents,
     "image_decode_documents": image_decode_documents,
+    "jpeg_decode_documents": jpeg_decode_documents,
     "bpe_token_stats_documents": bpe_token_stats_documents,
     "tokenizer_fertility_documents": tokenizer_fertility_documents,
     "streaming_hourly_rollup": streaming_hourly_rollup,
@@ -3336,6 +3381,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "ivf_topk_embeddings": _IVF_SQL,
     "multimodal_features_documents": _MULTIMODAL_SQL,
     "image_decode_documents": _IMAGE_DECODE_SQL,
+    "jpeg_decode_documents": _JPEG_DECODE_SQL,
     "bpe_token_stats_documents": _BPE_SQL,
     "tokenizer_fertility_documents": _FERTILITY_SQL,
     "streaming_hourly_rollup": _STREAMING_HOURLY_SQL,

@@ -461,6 +461,155 @@ def test_png_codec_filters_colortypes_and_errors():
         decode_png(interlaced)
 
 
+def test_jpeg_codec_exact_grayscale_and_bounded_rgb():
+    """decode_jpeg vs an INDEPENDENT quantize->dequantize->IDCT
+    reconstruction: bit-exact for grayscale (shared math is only the
+    published tables), bounded error for RGB, exact for the even
+    block-constant synthetic."""
+    import numpy as np
+    import pytest as _pytest
+
+    from arcane_framework_spark.operators.jpeg import (
+        QUANT_LUMA,
+        _basis,
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from arcane_framework_spark.operators.multimodal import (
+        decode_image,
+        synth_jpeg_bytes,
+    )
+
+    # block-constant even values survive quantization exactly
+    img = decode_image(synth_jpeg_bytes(seed=77, width=12, height=10))
+    assert img.shape == (10, 12, 1)
+    bi = np.arange(10)[:, None] // 8
+    bj = np.arange(12)[None, :] // 8
+    assert np.array_equal(img[:, :, 0], ((154 + bi * 14 + bj * 6) % 256))
+
+    # random grayscale: decoder == independent reconstruction, exactly
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(g))[:, :, 0].astype(np.int64)
+    B = _basis()
+    Q = np.array(QUANT_LUMA, dtype=np.float64).reshape(8, 8)
+    gp = np.zeros((24, 24))
+    gp[:, :17] = g
+    gp[:, 17:] = g[:, 16:17]  # encoder pads by edge replication
+    exp = np.zeros((24, 24))
+    for by in range(0, 24, 8):
+        for bx in range(0, 24, 8):
+            blk = gp[by:by + 8, bx:bx + 8] - 128.0
+            fq = np.round((B @ blk @ B.T) / Q) * Q
+            exp[by:by + 8, bx:bx + 8] = np.clip(
+                np.round(B.T @ fq @ B + 128.0), 0, 255
+            )
+    assert np.array_equal(dec, exp[:, :17].astype(np.int64))
+
+    # smooth RGB: quantization+color loss stays small
+    x = np.arange(32)[None, :, None]
+    y = np.arange(24)[:, None, None]
+    smooth = np.clip(
+        100 + 2 * x + 3 * y + np.array([0, 10, 20])[None, None, :], 0, 255
+    ).astype(np.uint8)
+    dec3 = decode_jpeg(encode_jpeg(smooth)).astype(np.int64)
+    assert np.abs(dec3 - smooth.astype(np.int64)).max() <= 14
+
+    # documented failure modes
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01")
+    with _pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(g)[:-30])  # truncated entropy stream
+    prog = bytearray(encode_jpeg(g))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+
+
+def test_jpeg_decode_420_subsampling_and_restarts():
+    """Decode paths our encoder never emits: a hand-built 4:2:0 stream
+    (MCU = 4 Y blocks + Cb + Cr, chroma upsampled 2x2) with DRI/RSTn
+    restart markers resetting the DC predictors."""
+    import struct as _struct
+
+    import numpy as np
+
+    from arcane_framework_spark.operators.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        ZIGZAG,
+        _BitWriter,
+        _build_encode_table,
+        _csize,
+        decode_jpeg,
+    )
+
+    # 32x16 image, 4:2:0 -> MCU 16x16 -> 2 MCUs. Flat luma per MCU
+    # (120 then 200 -> even values, DC-only exact), flat chroma 128.
+    dc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    def q00_dc(v):  # quantized DC of a flat block of value v (Q00=16)
+        return round(8 * (v - 128) / 16)
+
+    def put_block(w, dcq, pred):
+        diff = dcq - pred
+        size = _csize(diff)
+        code, length = dc[size]
+        w.write(code, length)
+        if size:
+            mag = diff if diff >= 0 else diff + (1 << size) - 1
+            w.write(mag & ((1 << size) - 1), size)
+        code, length = ac[0x00]  # EOB
+        w.write(code, length)
+
+    payload = bytearray()
+    luma_vals = [120, 200]
+    for mi, v in enumerate(luma_vals):
+        w = _BitWriter()
+        pred_y = 0  # restart interval 1: predictors reset per MCU
+        for _ in range(4):  # 4 Y blocks
+            put_block(w, q00_dc(v), pred_y)
+            pred_y = q00_dc(v)
+        put_block(w, q00_dc(128), 0)  # Cb
+        put_block(w, q00_dc(128), 0)  # Cr
+        w.flush()
+        payload += w.out
+        if mi + 1 < len(luma_vals):
+            payload += bytes([0xFF, 0xD0 + mi])  # RSTn between MCUs
+
+    def seg(marker, body):
+        return _struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    qz = [0] * 64
+    from arcane_framework_spark.operators.jpeg import QUANT_LUMA
+
+    for i in range(64):
+        qz[i] = QUANT_LUMA[ZIGZAG[i]]
+    jpg = bytearray(b"\xff\xd8")
+    jpg += seg(0xDB, bytes([0]) + bytes(qz))
+    sof = _struct.pack(">BHHB", 8, 16, 32, 3)
+    sof += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+    sof += bytes([2, 0x11, 0])  # Cb (shares the luma quant table here)
+    sof += bytes([3, 0x11, 0])  # Cr
+    jpg += seg(0xC0, sof)
+    jpg += seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    jpg += seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    jpg += seg(0xDD, _struct.pack(">H", 1))  # DRI: restart every MCU
+    jpg += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    jpg += payload
+    jpg += b"\xff\xd9"
+
+    out = decode_jpeg(bytes(jpg))
+    assert out.shape == (16, 32, 3)
+    # chroma 128 -> RGB == luma in every channel; left MCU 120, right 200
+    assert np.all(out[:, :16, :] == 120), out[:, :16, 0]
+    assert np.all(out[:, 16:, :] == 200), out[:, 16:, 0]
+
+
 def test_image_decode_features_distributed(spark):
     """The catalog path end-to-end: ids -> synthetic binary assets ->
     real decode features, all Arrow-batched, exact expected values."""

@@ -191,3 +191,66 @@ def test_image_decode_never_crashes_on_mutation(pos, value, truncate, fmt):
         decode_image(bytes(good))
     except (ValueError, NotImplementedError):
         pass  # the documented failure modes
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=1, max_value=25),
+       st.integers(min_value=1, max_value=25))
+def test_jpeg_gray_roundtrip_matches_independent_recon(seed, width, height):
+    """For ANY grayscale image, decode(encode(img)) equals an
+    independent quantize->dequantize->IDCT reconstruction bit-for-bit:
+    the Huffman/bitstream layer is lossless, all loss is quantization."""
+    import numpy as np
+
+    from arcane_framework_spark.operators.jpeg import (
+        QUANT_LUMA,
+        _basis,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, (height, width), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(g))[:, :, 0].astype(np.int64)
+    B = _basis()
+    Q = np.array(QUANT_LUMA, dtype=np.float64).reshape(8, 8)
+    hp, wp = -(-height // 8) * 8, -(-width // 8) * 8
+    ys = np.minimum(np.arange(hp), height - 1)
+    xs = np.minimum(np.arange(wp), width - 1)
+    gp = g[np.ix_(ys, xs)].astype(np.float64)
+    exp = np.zeros((hp, wp))
+    for by in range(0, hp, 8):
+        for bx in range(0, wp, 8):
+            blk = gp[by:by + 8, bx:bx + 8] - 128.0
+            fq = np.round((B @ blk @ B.T) / Q) * Q
+            exp[by:by + 8, bx:bx + 8] = np.clip(
+                np.round(B.T @ fq @ B + 128.0), 0, 255
+            )
+    assert np.array_equal(dec, exp[:height, :width].astype(np.int64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=600),
+       st.integers(min_value=0, max_value=255),
+       st.integers(min_value=0, max_value=300))
+def test_jpeg_decode_never_crashes_on_mutation(pos, value, truncate):
+    """Any single-byte mutation or truncation of a valid JPEG either
+    still decodes or raises the documented errors — never struct.error,
+    IndexError, ZeroDivisionError, or a numpy shape error."""
+    import numpy as np
+
+    from arcane_framework_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    good = bytearray(
+        encode_jpeg(rng.integers(0, 256, (13, 9), dtype=np.uint8))
+    )
+    if truncate:
+        good = good[:max(0, len(good) - truncate)]
+    if pos < len(good):
+        good[pos] = value
+    try:
+        decode_jpeg(bytes(good))
+    except (ValueError, NotImplementedError):
+        pass  # the documented failure modes
