@@ -45,9 +45,12 @@ HLL_M = 1 << HLL_B
 #: headroom); HLL_B bits select the bucket, leaving 50 rank bits.
 HLL_RANK_BITS = 50
 
-#: alpha_m for m >= 128 (FFGM07 eq. 3) — spelled as one literal
-#: expression evaluated identically by Spark and DuckDB.
-HLL_ALPHA_SQL = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0))"
+#: alpha_m for m >= 128 (FFGM07 eq. 3), computed ONCE in Python IEEE
+#: double and injected into both engines as the identical double literal
+#: (engine-side decimal-literal parsing rules differ — Spark and DuckDB
+#: both type `0.7213` as DECIMAL with their own division scale rules, so
+#: the expression must not be re-evaluated per engine).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 #: Count-Min dimensions: d hash rows x w buckets.
 CMS_D = 4
@@ -72,7 +75,10 @@ def hll_registers(items: DataFrame, value_col: str,
     group_cols = group_cols or []
     h = _hash60(F.col(value_col))
     bucket = (h % HLL_M).alias("bucket")
-    rest = (h / HLL_M).cast("long")
+    # Exact integer shift (NOT `h / HLL_M`, which is double division and
+    # loses integer precision above 2^53 — h is 60-bit, so the rank could
+    # silently diverge from DuckDB's integer `>>`).
+    rest = F.shiftright(h, HLL_B)
     # rank = leading zeros of the 50 rank bits + 1 = 51 - bitlength(rest)
     # (bit length via length(bin(x)) — identical in Spark and DuckDB;
     # rest = 0 means all 50 bits are zero -> rank 51)
@@ -88,7 +94,8 @@ def hll_registers(items: DataFrame, value_col: str,
 
 def hll_estimate(registers: DataFrame,
                  group_cols: list[str] | None = None) -> DataFrame:
-    """Collapse a register table to (group, estimate, n_zero_registers).
+    """Collapse a register table to (group, estimate, n_zero_registers,
+    register_checksum).
 
     The indicator sum ``sum(2^-rank)`` is carried as the exact BIGINT
     numerator ``sum(2^(51-rank))`` over denominator ``2^51`` — empty
@@ -96,6 +103,9 @@ def hll_estimate(registers: DataFrame,
     each — so the only floating-point step is one final division and
     the result is bit-identical across engines. ``floor(x*100+0.5)/100``
     pins the emitted estimate to cents (the catalog's money rule).
+    ``register_checksum = sum((bucket+1) * rank)`` pins the (bucket, rank)
+    ASSIGNMENT, not just the rank multiset, so a cross-engine oracle that
+    reproduces the register table hash-fails on any divergence.
     """
     group_cols = group_cols or []
     denom_unit = 1 << (HLL_RANK_BITS + 1)  # 2^51
@@ -105,10 +115,15 @@ def hll_estimate(registers: DataFrame,
             F.expr(f"shiftleft(1L, {HLL_RANK_BITS + 1} - rank)")
         ).alias("__present_num"),
         F.count(F.lit(1)).alias("__n_present"),
+        F.sum(
+            (F.col("bucket") + 1) * F.col("rank")
+        ).cast("long").alias("register_checksum"),
     )
+    # Association order matters for bit-identical doubles: the oracle SQL
+    # must spell the same left-assoc chain ((m*m)*alpha)*2^51 / denom.
     est = (
         F.lit(float(HLL_M)) * F.lit(float(HLL_M))
-        * F.expr(HLL_ALPHA_SQL)
+        * F.lit(HLL_ALPHA)
         * F.lit(float(denom_unit))
         / (
             F.col("__present_num")
@@ -121,6 +136,7 @@ def hll_estimate(registers: DataFrame,
         (F.lit(HLL_M) - F.col("__n_present")).cast("long").alias(
             "n_zero_registers"
         ),
+        "register_checksum",
     )
 
 

@@ -3313,6 +3313,164 @@ FROM cc LEFT JOIN pruned USING (vec_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Mergeable sketches with engine-reproducible register tables (X90/X91)
+# ---------------------------------------------------------------------------
+
+
+def hll_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-users-per-event-type, register-exact.
+
+    approx_user_counts (X44) uses Spark's built-in HLL++ whose register
+    layout is engine-internal — only its accuracy CONTRACT is checkable.
+    This twin uses operators/sketches.py: md5-hashed, integer-register
+    HLL whose full register table the DuckDB oracle reproduces
+    BIT-FOR-BIT — ``register_checksum`` pins the (bucket, rank)
+    assignment, ``hll_estimate`` the FFGM07 raw estimate (one double
+    division over exact dyadic-integer sums), ``n_zero_registers`` the
+    linear-counting input. That portability is the point: the register
+    table can be persisted as an incremental side table, merged across
+    batches (union + max), or handed to another engine. ``exact_users``
+    is the interpretability column (at sf-scale cardinalities, n << m,
+    the raw estimate is expected to sit near alpha*m — callers apply
+    linear counting from n_zero_registers; see module docstring).
+    """
+    from arcane_framework_spark.operators.sketches import hll_distinct
+
+    t = load_tables(spark, sf_dir, "events")
+    items = t["events"].select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    est = hll_distinct(items, "uid", ["event_type"])
+    exact = t["events"].groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "hll_estimate", "n_zero_registers",
+        "register_checksum", "exact_users",
+    )
+
+
+def _hll_sql() -> str:
+    from arcane_framework_spark.operators.sketches import (
+        HLL_ALPHA, HLL_B, HLL_M, HLL_RANK_BITS,
+    )
+
+    unit = 1 << (HLL_RANK_BITS + 1)  # 2^51
+    rank_max = HLL_RANK_BITS + 1
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+),
+regs AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         max(CASE WHEN (h >> {HLL_B}) = 0 THEN {rank_max}
+                  ELSE {rank_max} - length(bin(h >> {HLL_B})) END) AS rank
+  FROM hashed GROUP BY event_type, h % {HLL_M}
+),
+agg AS (
+  SELECT event_type,
+         sum(1::BIGINT << ({rank_max} - rank)) AS present_num,
+         count(*) AS n_present,
+         CAST(sum((bucket + 1) * rank) AS BIGINT) AS register_checksum
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT agg.event_type,
+       floor(({HLL_M}.0 * {HLL_M}.0 * CAST({HLL_ALPHA!r} AS DOUBLE)
+              * {float(unit)!r}
+              / CAST(present_num + ({HLL_M} - n_present) * {unit}::BIGINT
+                     AS DOUBLE)) * 100 + 0.5) / 100 AS hll_estimate,
+       CAST({HLL_M} - n_present AS BIGINT) AS n_zero_registers,
+       register_checksum,
+       exact_users
+FROM agg JOIN exact USING (event_type)
+"""
+
+
+CMS_TOP_K = 20
+
+
+def cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: top-20 users by CMS-estimated event count.
+
+    The d x w BIGINT counter table is all-integer (md5 bucket hash, exact
+    sums), so the DuckDB oracle reproduces every counter and every
+    point-estimate bit-for-bit; ``exact_count`` rides along to exhibit
+    the one-sided error (cms_count >= exact always). The counter table
+    is mergeable by element-wise add and always broadcastable (d*w rows),
+    which is the 100 TB story: frequency state that never grows with the
+    data.
+    """
+    from arcane_framework_spark.operators.sketches import (
+        cms_counts, cms_estimate,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    items = t["events"].select(F.col("user_id").cast("string").alias("uid"))
+    counts = cms_counts(items, "uid")
+    est = cms_estimate(items, counts, "uid")
+    exact = items.groupBy(F.col("uid").alias("value")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return (
+        est.join(exact, "value")
+        .orderBy(F.col("cms_count").desc(), "value")
+        .limit(CMS_TOP_K)
+        .select("value", "cms_count", "exact_count")
+    )
+
+
+def _cms_sql() -> str:
+    from arcane_framework_spark.operators.sketches import CMS_D, CMS_W
+
+    return f"""
+WITH items AS (
+  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+),
+exploded AS (
+  SELECT v, r.range AS row FROM items CROSS JOIN range({CMS_D}) r
+),
+counts AS (
+  SELECT row,
+         CAST(concat('0x', substring(
+              md5(concat_ws('|', CAST(row AS VARCHAR), v)), 1, 15))
+              AS BIGINT) % {CMS_W} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM exploded GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT v AS value FROM items
+),
+probe_rows AS (
+  SELECT value, r.range AS row,
+         CAST(concat('0x', substring(
+              md5(concat_ws('|', CAST(r.range AS VARCHAR), value)), 1, 15))
+              AS BIGINT) % {CMS_W} AS bucket
+  FROM probes CROSS JOIN range({CMS_D}) r
+),
+est AS (
+  SELECT value, min(coalesce(cnt, 0)) AS cms_count
+  FROM probe_rows LEFT JOIN counts USING (row, bucket)
+  GROUP BY value
+),
+exact AS (
+  SELECT v AS value, CAST(count(*) AS BIGINT) AS exact_count
+  FROM items GROUP BY v
+)
+SELECT value, cms_count, exact_count
+FROM est JOIN exact USING (value)
+ORDER BY cms_count DESC, value
+LIMIT {CMS_TOP_K}
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": ngram_jaccard_documents,
     "simhash_neardup_documents": simhash_neardup_documents,
@@ -3333,6 +3491,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fair_topk_documents": fair_topk_documents,
     "tfidf_top_terms": tfidf_top_terms,
     "approx_user_counts": approx_user_counts,
+    "hll_user_counts": hll_user_counts,
+    "cms_heavy_hitters_events": cms_heavy_hitters_events,
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_clusters_documents": dedup_clusters_documents,
     "asof_attribution_events": asof_attribution_events,
@@ -3394,6 +3554,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "fair_topk_documents": _fair_topk_sql(),
     "tfidf_top_terms": _tfidf_sql(),
     "approx_user_counts": _APPROX_USERS_SQL,
+    "hll_user_counts": _hll_sql(),
+    "cms_heavy_hitters_events": _cms_sql(),
     "kmeans_embeddings": _kmeans_sql(),
     "asof_attribution_events": _ASOF_SQL,
     "pack_documents_512": _PACK_SQL,

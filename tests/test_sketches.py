@@ -1,0 +1,176 @@
+"""Unit/property tests for operators/sketches.py (HLL + Count-Min).
+
+The module's contract is ENGINE-REPRODUCIBLE state: md5-hashed buckets,
+integer registers, dyadic-rational estimate arithmetic. These tests pin
+that contract three ways: (1) the register tables match an independent
+pure-Python (hashlib) recomputation bit-for-bit, (2) sketches merge
+associatively (union+reaggregate == sketch of the union), and (3) the
+estimates obey the published accuracy/one-sided-error bounds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.operators.sketches import (
+    CMS_D,
+    CMS_W,
+    HLL_B,
+    HLL_M,
+    HLL_RANK_BITS,
+    cms_counts,
+    cms_estimate,
+    cms_heavy_hitters,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_hll_registers(values: list[str]) -> dict[int, int]:
+    regs: dict[int, int] = {}
+    for v in values:
+        h = _py_hash60(v)
+        bucket = h % HLL_M
+        rest = h >> HLL_B
+        rank = (HLL_RANK_BITS + 1) - rest.bit_length() if rest else (
+            HLL_RANK_BITS + 1
+        )
+        regs[bucket] = max(regs.get(bucket, 0), rank)
+    return regs
+
+
+def _py_cms_counts(values: list[str]) -> dict[tuple[int, int], int]:
+    counts: dict[tuple[int, int], int] = {}
+    for v in values:
+        for row in range(CMS_D):
+            bucket = _py_hash60(f"{row}|{v}") % CMS_W
+            counts[(row, bucket)] = counts.get((row, bucket), 0) + 1
+    return counts
+
+
+@pytest.fixture(scope="module")
+def values():
+    # Duplicates on purpose: v0..v299, each repeated (i % 7) + 1 times.
+    out = []
+    for i in range(300):
+        out.extend([f"v{i}"] * ((i % 7) + 1))
+    return out
+
+
+def test_hll_registers_match_pure_python(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = {
+        (r["bucket"], r["rank"])
+        for r in hll_registers(df, "v").collect()
+    }
+    want = set(_py_hll_registers(values).items())
+    assert got == want
+
+
+def test_hll_merge_associativity(spark, values):
+    """union(regA, regB) + max-reagg == registers(A union B), and the
+    estimates (incl. checksum) are identical — the mergeable-state
+    contract that makes the register table a valid incremental side
+    table."""
+    a, b = values[: len(values) // 2], values[len(values) // 2:]
+    df_a = spark.createDataFrame([(v,) for v in a], "v string")
+    df_b = spark.createDataFrame([(v,) for v in b], "v string")
+    df_all = spark.createDataFrame([(v,) for v in values], "v string")
+
+    merged = (
+        hll_registers(df_a, "v").union(hll_registers(df_b, "v"))
+        .groupBy("bucket").agg(F.max("rank").alias("rank"))
+    )
+    whole = hll_registers(df_all, "v")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+    assert hll_estimate(merged).collect() == hll_estimate(whole).collect()
+
+
+def test_hll_estimate_accuracy_large_n(spark):
+    """n >> m: the raw FFGM07 estimate applies (no small-range
+    correction needed); rsd for m=1024 is ~3.25%, assert within 10%."""
+    n = 20_000
+    df = spark.createDataFrame([(f"item-{i}",) for i in range(n)],
+                               "v string")
+    row = hll_distinct(df, "v").collect()[0]
+    assert abs(row["hll_estimate"] - n) / n < 0.10
+    # duplicates never change the sketch
+    row2 = hll_distinct(df.union(df), "v").collect()[0]
+    assert row2["hll_estimate"] == row["hll_estimate"]
+    assert row2["register_checksum"] == row["register_checksum"]
+
+
+def test_hll_grouped_registers_independent(spark):
+    """Grouped sketches are per-group: each group's register table
+    equals the ungrouped sketch of that group's values alone."""
+    df = spark.createDataFrame(
+        [("g1", f"x{i}") for i in range(50)]
+        + [("g2", f"x{i}") for i in range(20, 120)],
+        "g string, v string",
+    )
+    grouped = hll_registers(df, "v", ["g"]).collect()
+    for g, n in (("g1", 50), ("g2", 100)):
+        got = {(r["bucket"], r["rank"]) for r in grouped if r["g"] == g}
+        vals = [f"x{i}" for i in range(50)] if g == "g1" else [
+            f"x{i}" for i in range(20, 120)
+        ]
+        assert got == set(_py_hll_registers(vals).items()), g
+        del n
+
+
+def test_cms_counts_match_pure_python(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_counts(df, "v").collect()
+    }
+    assert got == _py_cms_counts(values)
+
+
+def test_cms_merge_is_elementwise_add(spark, values):
+    a, b = values[: len(values) // 3], values[len(values) // 3:]
+    df_a = spark.createDataFrame([(v,) for v in a], "v string")
+    df_b = spark.createDataFrame([(v,) for v in b], "v string")
+    df_all = spark.createDataFrame([(v,) for v in values], "v string")
+    merged = (
+        cms_counts(df_a, "v").union(cms_counts(df_b, "v"))
+        .groupBy("row", "bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in cms_counts(df_all, "v").collect()
+    }
+
+
+def test_cms_estimate_one_sided_error(spark, values):
+    """CMS never underestimates: estimate(v) >= true count(v) for every
+    value, with equality when no row collides."""
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    est = {
+        r["value"]: r["cms_count"]
+        for r in cms_estimate(df, cms_counts(df, "v"), "v").collect()
+    }
+    truth: dict[str, int] = {}
+    for v in values:
+        truth[v] = truth.get(v, 0) + 1
+    assert set(est) == set(truth)
+    assert all(est[v] >= truth[v] for v in truth)
+
+
+def test_cms_heavy_hitters_top_k_contains_true_heavy(spark):
+    """A value holding 30% of the mass must surface in the top-k (CMS
+    one-sided error can only promote it)."""
+    vals = ["heavy"] * 300 + [f"tail{i}" for i in range(700)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    top = cms_heavy_hitters(df, "v", top_k=5).collect()
+    assert top[0]["value"] == "heavy"
+    assert top[0]["cms_count"] >= 300
