@@ -225,6 +225,61 @@ def auto_salted_join(skewed: DataFrame, small: DataFrame, on: str,
     ).drop(SALT_COL)
 
 
+def session_scoped_table(spark: SparkSession, base: str) -> str:
+    """``base`` suffixed with the session's application id (sanitized to
+    an identifier): a per-session managed-table name.
+
+    Managed tables share one ``spark.sql.warehouse.dir`` per JVM, so two
+    concurrent sessions writing the SAME table name race on the table
+    location's ``_temporary/`` staging dir and one dies with
+    FileNotFoundException (observed: pytest + the correctness gate
+    running the disk-dedup entry simultaneously). A production side
+    table is single-writer by contract; harnesses are not — scoping the
+    name by application id gives every session its own location while
+    repeated writes within a session still overwrite in place.
+    """
+    app_id = spark.sparkContext.applicationId
+    safe = "".join(c if c.isalnum() else "_" for c in app_id)
+    return f"{base}__{safe}"
+
+
+def gc_stale_side_tables(spark: SparkSession, base: str,
+                         max_age_hours: float = 6.0) -> int:
+    """Best-effort sweep of ``base__*`` warehouse dirs left behind by
+    DEAD sessions (session-scoped tables outlive their session on disk).
+
+    Only dirs whose mtime is older than ``max_age_hours`` are removed —
+    concurrently-live sessions write within minutes of each other, so an
+    age threshold keeps the sweep from deleting a live writer's table.
+    Returns the number of dirs removed.
+    """
+    import os
+    import shutil
+    import time
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    own = session_scoped_table(spark, base).lower()
+    removed = 0
+    try:
+        entries = os.listdir(warehouse)
+    except OSError:
+        return 0
+    cutoff = time.time() - max_age_hours * 3600
+    for name in entries:
+        if not name.startswith(f"{base.lower()}__") or name == own:
+            continue
+        path = os.path.join(warehouse, name)
+        try:
+            if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
+
+
 def write_bucketed(df: DataFrame, table_name: str, bucket_cols: Sequence[str],
                    num_buckets: int = 32,
                    sort_cols: Sequence[str] | None = None) -> None:
@@ -234,6 +289,11 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: Sequence[str],
     without any Exchange — the physical plan goes straight to (sorted)
     bucket-wise merge join. This is the storage-level answer to recurring
     100 TB joins: pay the shuffle once at write time.
+
+    Concurrency contract: a managed table location is single-writer.
+    Callers whose table may be written by several simultaneous sessions
+    (test/bench/gate harnesses) must scope the name per session via
+    ``session_scoped_table``.
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")

@@ -872,15 +872,25 @@ def incremental_dedup_disk_documents(spark: SparkSession,
         minhash_band_rows,
         minhash_signatures,
     )
-    from arcane_framework_spark.operators.scale import write_bucketed
+    from arcane_framework_spark.operators.scale import (
+        gc_stale_side_tables,
+        session_scoped_table,
+        write_bucketed,
+    )
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"].select("doc_id", "text")
     bands = minhash_band_rows(
         minhash_signatures(docs), with_signature=True
     )
+    # Session-scoped name: the gate, bench, and pytest all run this entry
+    # and may overlap — a fixed managed-table name races on the shared
+    # warehouse's _temporary/ staging dir (one writer dies with
+    # FileNotFoundException). Stale dirs from dead sessions are swept.
+    side = session_scoped_table(spark, "incr_dedup_band_side")
+    gc_stale_side_tables(spark, "incr_dedup_band_side")
     write_bucketed(
-        bands, "incr_dedup_band_side", ["band_id", "band_hash"],
+        bands, side, ["band_id", "band_hash"],
         num_buckets=16, sort_cols=["band_id", "band_hash"],
     )
     batch = docs.filter(F.col("doc_id") % 7 == 0).select(
@@ -888,7 +898,7 @@ def incremental_dedup_disk_documents(spark: SparkSession,
         F.concat_ws(" ", "text", "text").alias("text"),
     )
     return incremental_minhash_pairs(
-        batch, corpus_bands=spark.table("incr_dedup_band_side")
+        batch, corpus_bands=spark.table(side)
     )
 
 
