@@ -10,12 +10,15 @@ upsampling (4:4:4, 4:2:2, 4:2:0), and JFIF YCbCr->RGB. Progressive,
 arithmetic-coded, 12-bit, and hierarchical JPEGs raise
 ``NotImplementedError`` honestly.
 
-The encoder exists for test fixtures: sequential baseline, standard
-Annex K quantization/Huffman tables, 4:4:4 or grayscale, no subsampling
-on write. It shares NOTHING with the decoder beyond the module's
-zigzag/table constants — round-trip tests compare the decoder's output
-against an independent quantize->dequantize->IDCT reconstruction, so an
-encode/decode pair cannot hide a shared bug in the bitstream layer.
+The encoders exist for test fixtures: ``encode_jpeg`` (sequential
+baseline, standard Annex K tables, 4:4:4 RGB or grayscale) and
+``encode_jpeg_ycbcr`` (explicit YCbCr planes with 4:2:0 / 4:2:2 chroma
+subsampling and a permutable scan order — the fixture for the
+upsampling + color-conversion decode path). They share NOTHING with the
+decoder beyond the module's zigzag/table constants — round-trip tests
+compare the decoder's output against an independent
+quantize->dequantize->IDCT reconstruction, so an encode/decode pair
+cannot hide a shared bug in the bitstream layer.
 
 Spark never sees any of this directly: decoding runs inside the same
 Arrow-batched ``mapInPandas`` plumbing as the other real decoders
@@ -340,14 +343,22 @@ def decode_jpeg(content: bytes) -> "object":
             scan = []
             for c in range(ns):
                 cs, tdta = struct.unpack_from(">BB", seg, 1 + 2 * c)
-                comp = next(
-                    (x for x in frame["comps"] if x["id"] == cs), None
+                # Scan entries are resolved to FRAME component indices:
+                # planes/predictors are allocated in frame order, and a
+                # legal JPEG may list scan components in any order — an
+                # index by scan position would swap (and mis-size) planes.
+                fi = next(
+                    (i for i, x in enumerate(frame["comps"])
+                     if x["id"] == cs),
+                    None,
                 )
-                if comp is None:
+                if fi is None:
                     raise ValueError(f"scan references unknown component {cs}")
-                scan.append((comp, tdta >> 4, tdta & 0x0F))
+                scan.append((fi, tdta >> 4, tdta & 0x0F))
             if len(scan) != len(frame["comps"]):
                 raise NotImplementedError("multi-scan JPEG not supported")
+            if len({fi for fi, _, _ in scan}) != len(scan):
+                raise ValueError("duplicate component in scan")
             return _decode_scan(
                 content, pos + seglen, frame, scan, qtables, htables,
                 restart_interval,
@@ -393,7 +404,8 @@ def _decode_scan(content, pos, frame, scan, qtables, htables,
                     raise ValueError("expected restart marker")
                 reader.skip_restart()
                 pred = [0] * len(comps)
-            for ci, (comp, td, ta) in enumerate(scan):
+            for fi, td, ta in scan:
+                comp = comps[fi]
                 dc_tab = htables.get((0, td))
                 ac_tab = htables.get((1, ta))
                 if dc_tab is None or ac_tab is None:
@@ -406,8 +418,8 @@ def _decode_scan(content, pos, frame, scan, qtables, htables,
                         if size > 11:
                             raise ValueError("invalid DC size")
                         diff = _extend(reader.receive(size), size)
-                        pred[ci] += diff
-                        coeffs[0] = pred[ci]
+                        pred[fi] += diff
+                        coeffs[0] = pred[fi]
                         k = 1
                         while k < 64:
                             rs = reader.decode_symbol(ac_tab)
@@ -428,7 +440,7 @@ def _decode_scan(content, pos, frame, scan, qtables, htables,
                         pix = basis.T @ fq @ basis + 128.0
                         y0 = (my * comp["v"] + by) * 8
                         x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                        planes[fi][y0:y0 + 8, x0:x0 + 8] = pix
             mcu_count += 1
 
     out_planes = []
@@ -492,6 +504,54 @@ def _csize(v: int) -> int:
     return abs(v).bit_length()
 
 
+def _encode_block(writer: "_BitWriter", block, qflat, dct, act,
+                  pred: int) -> int:
+    """FDCT + quantize (zigzag) + entropy-encode one centered 8x8 block;
+    returns the block's DC value as the component's new predictor."""
+    import numpy as np
+
+    basis = _basis()
+    fdct = basis @ block @ basis.T
+    zz = np.round(fdct.reshape(-1)[ZIGZAG] / qflat[ZIGZAG]).astype(np.int64)
+    diff = int(zz[0]) - pred
+    size = _csize(diff)
+    code, length = dct[size]
+    writer.write(code, length)
+    if size:
+        mag = diff if diff >= 0 else diff + (1 << size) - 1
+        writer.write(mag & ((1 << size) - 1), size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = act[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size = _csize(v)
+        code, length = act[(run << 4) | size]
+        writer.write(code, length)
+        mag = v if v >= 0 else v + (1 << size) - 1
+        writer.write(mag & ((1 << size) - 1), size)
+        run = 0
+    if run:
+        code, length = act[0x00]  # EOB
+        writer.write(code, length)
+    return int(zz[0])
+
+
+def _edge_block(plane, y0: int, x0: int):
+    """8x8 block at (y0, x0) with edge-replicate padding, centered."""
+    import numpy as np
+
+    ph, pw = plane.shape
+    ys = np.minimum(np.arange(y0, y0 + 8), ph - 1)
+    xs = np.minimum(np.arange(x0, x0 + 8), pw - 1)
+    return plane[np.ix_(ys, xs)] - 128.0
+
+
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
@@ -509,7 +569,6 @@ def encode_jpeg(img: "object") -> bytes:
     h, w, nchan = img.shape
     if nchan not in (1, 3):
         raise ValueError(f"unsupported channel count {nchan}")
-    basis = _basis()
     qluma = np.array(QUANT_LUMA, dtype=np.int64)
     qchroma = np.array(QUANT_CHROMA, dtype=np.int64)
 
@@ -547,40 +606,12 @@ def encode_jpeg(img: "object") -> bytes:
         for bx in range(0, w_pad, 8):
             for ci, plane in enumerate(planes):
                 # edge-replicate padding keeps partial blocks smooth
-                ys = np.minimum(np.arange(by, by + 8), h - 1)
-                xs = np.minimum(np.arange(bx, bx + 8), w - 1)
-                block = plane[np.ix_(ys, xs)] - 128.0
-                fdct = basis @ block @ basis.T
-                zz = np.round(fdct.reshape(-1)[ZIGZAG] / qs[ci][ZIGZAG])
-                zz = zz.astype(np.int64)
-                dct, act = dc_enc[huff_ids[ci][0]], ac_enc[huff_ids[ci][1]]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size = _csize(diff)
-                code, length = dct[size]
-                writer.write(code, length)
-                if size:
-                    mag = diff if diff >= 0 else diff + (1 << size) - 1
-                    writer.write(mag & ((1 << size) - 1), size)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = act[0xF0]  # ZRL
-                        writer.write(code, length)
-                        run -= 16
-                    size = _csize(v)
-                    code, length = act[(run << 4) | size]
-                    writer.write(code, length)
-                    mag = v if v >= 0 else v + (1 << size) - 1
-                    writer.write(mag & ((1 << size) - 1), size)
-                    run = 0
-                if run:
-                    code, length = act[0x00]  # EOB
-                    writer.write(code, length)
+                block = _edge_block(plane, by, bx)
+                pred[ci] = _encode_block(
+                    writer, block, qs[ci],
+                    dc_enc[huff_ids[ci][0]], ac_enc[huff_ids[ci][1]],
+                    pred[ci],
+                )
     writer.flush()
 
     # DQT segments (zigzag order on the wire)
@@ -611,6 +642,116 @@ def encode_jpeg(img: "object") -> bytes:
     sos = bytes([len(comp_defs)])
     for (cid, _hv, _tq), (td, ta) in zip(comp_defs, huff_ids):
         sos += bytes([cid, (td << 4) | ta])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_ycbcr(y, cb, cr, sampling=(2, 2),
+                      scan_order=(0, 1, 2)) -> bytes:
+    """Baseline JFIF encoder over EXPLICIT YCbCr planes with chroma
+    subsampling — the fixture writer for the decoder's subsampled
+    upsampling and color-conversion path, which the 4:4:4 RGB
+    ``encode_jpeg`` never exercises.
+
+    ``y`` is the full-resolution ``(h, w)`` uint8 luma plane; ``cb`` /
+    ``cr`` are ``(ceil(h/vs), ceil(w/hs))`` uint8 planes already at
+    chroma resolution for ``sampling = (hs, vs)`` — no color transform
+    or downsample happens here, so a fixture can pick plane values whose
+    quantization is exactly invertible (even luma with Q00=16;
+    ``128 + 17*m`` chroma with Q00=17) and a SQL oracle can recompute
+    the decoded RGB in closed form.
+
+    ``scan_order`` permutes the SOS component list AND the matching MCU
+    interleave — a legal-but-unusual layout (T.81 allows any scan
+    order) that catches decoders indexing planes by scan position
+    instead of by frame component. Deterministic: same input, same
+    bytes.
+    """
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    hs, vs = sampling
+    if (hs, vs) not in ((1, 1), (2, 1), (2, 2)):
+        raise ValueError(f"unsupported sampling {sampling}")
+    h, w = y.shape
+    ch_h, ch_w = -(-h // vs), -(-w // hs)
+    if cb.shape != (ch_h, ch_w) or cr.shape != (ch_h, ch_w):
+        raise ValueError(
+            f"chroma planes must be {(ch_h, ch_w)}, got {cb.shape}/{cr.shape}"
+        )
+    if sorted(scan_order) != [0, 1, 2]:
+        raise ValueError(f"scan_order must permute (0, 1, 2): {scan_order}")
+
+    qluma = np.array(QUANT_LUMA, dtype=np.int64)
+    qchroma = np.array(QUANT_CHROMA, dtype=np.int64)
+    # frame order: Y (id 1, hs x vs), Cb (id 2, 1x1), Cr (id 3, 1x1)
+    comps = [
+        {"id": 1, "h": hs, "v": vs, "tq": 0, "plane": y.astype(np.float64),
+         "q": qluma, "td": 0, "ta": 0},
+        {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": cb.astype(np.float64),
+         "q": qchroma, "td": 1, "ta": 1},
+        {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": cr.astype(np.float64),
+         "q": qchroma, "td": 1, "ta": 1},
+    ]
+    dc_enc = [
+        _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    ac_enc = [
+        _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+
+    mcus_x = -(-w // (8 * hs))
+    mcus_y = -(-h // (8 * vs))
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for fi in scan_order:
+                c = comps[fi]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        block = _edge_block(
+                            c["plane"],
+                            (my * c["v"] + by) * 8,
+                            (mx * c["h"] + bx) * 8,
+                        )
+                        pred[fi] = _encode_block(
+                            writer, block, c["q"],
+                            dc_enc[c["td"]], ac_enc[c["ta"]], pred[fi],
+                        )
+    writer.flush()
+
+    def dqt_payload(tq, flat):
+        arr = [flat[ZIGZAG[i]] for i in range(64)]
+        return bytes([tq]) + bytes(arr)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, dqt_payload(0, QUANT_LUMA))
+    out += _seg(0xDB, dqt_payload(1, QUANT_CHROMA))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for c in comps:
+        sof += struct.pack(">BBB", c["id"], (c["h"] << 4) | c["v"], c["tq"])
+    out += _seg(0xC0, sof)
+
+    def dht_payload(tc, th, bits, vals):
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    out += _seg(0xC4, dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _seg(0xC4, dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    out += _seg(0xC4, dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    out += _seg(0xC4, dht_payload(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
+    sos = bytes([3])
+    for fi in scan_order:
+        c = comps[fi]
+        sos += bytes([c["id"], (c["td"] << 4) | c["ta"]])
     sos += b"\x00\x3f\x00"
     out += _seg(0xDA, sos)
     out += writer.out

@@ -454,20 +454,65 @@ def synth_jpeg_bytes(seed: int, width: int, height: int) -> bytes:
     return encode_jpeg(img)
 
 
+def synth_jpeg_color_planes(seed: int, width: int, height: int,
+                            sampling: tuple[int, int]):
+    """The (y, cb, cr) planes of the SUBSAMPLED color synthetic — shared
+    by the fixture writer and the test's closed-form expectation.
+
+    Luma is block-constant EVEN (``64 + (2*seed + bi*14 + bj*6) % 128``,
+    exactly invertible with Q00=16); chroma planes at chroma resolution
+    are block-constant ``128 + 17*m`` with ``m in [-2, 2]`` (exactly
+    invertible with Q00=17: ``round(8*17m/17)*17/8 = 17m``). The ranges
+    keep every converted RGB value inside [0, 255], so the decoded pixel
+    is the UNCLIPPED rounded color transform — closed-form for SQL."""
+    import numpy as np
+
+    hs, vs = sampling
+    i = np.arange(height, dtype=np.int64)[:, None]
+    j = np.arange(width, dtype=np.int64)[None, :]
+    y = (64 + ((2 * seed + (i // 8) * 14 + (j // 8) * 6) % 128))
+    ch_h, ch_w = -(-height // vs), -(-width // hs)
+    ci = np.arange(ch_h, dtype=np.int64)[:, None] // 8
+    cj = np.arange(ch_w, dtype=np.int64)[None, :] // 8
+    cb = 128 + 17 * (((seed + ci + cj) % 5) - 2)
+    cr = 128 + 17 * (((2 * seed + ci + 2 * cj) % 5) - 2)
+    return (y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8))
+
+
+def synth_jpeg_color_bytes(seed: int, width: int, height: int,
+                           sampling: tuple[int, int]) -> bytes:
+    """Deterministic SUBSAMPLED color JPEG (4:2:0 or 4:2:2) whose decoded
+    RGB is closed-form (``synth_jpeg_color_planes``) — exercises the
+    decoder's chroma upsampling + YCbCr->RGB path through a real
+    MCU-interleaved bitstream."""
+    from arcane_framework_spark.operators.jpeg import encode_jpeg_ycbcr
+
+    y, cb, cr = synth_jpeg_color_planes(seed, width, height, sampling)
+    return encode_jpeg_ycbcr(y, cb, cr, sampling=sampling)
+
+
 def synth_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One block-constant grayscale JPEG per id (``synth_jpeg_bytes``),
-    dims ``(8 + id%5) x (8 + id%3)``, seed ``id % 256`` — same
-    Arrow-batched born-distributed shape as ``synth_image_assets``."""
+    """One deterministic baseline JPEG per id, variant by ``id % 3``:
+    0 = grayscale 4:4:4 (``synth_jpeg_bytes``, dims ``(8+id%5) x
+    (8+id%3)``), 1 = color 4:2:0, 2 = color 4:2:2 (both
+    ``synth_jpeg_color_bytes``, dims ``(16+id%7) x (16+id%5)`` — at
+    least two MCUs so the DC prediction chain crosses MCU boundaries).
+    Same Arrow-batched born-distributed shape as ``synth_image_assets``."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        def one(i: int) -> bytes:
+            seed = i % 256
+            if i % 3 == 0:
+                return synth_jpeg_bytes(seed, 8 + i % 5, 8 + i % 3)
+            sampling = (2, 2) if i % 3 == 1 else (2, 1)
+            return synth_jpeg_color_bytes(seed, 16 + i % 7, 16 + i % 5,
+                                          sampling)
+
         for pdf in it:
             ids_col = pdf[id_col].astype("int64")
-            content = [
-                synth_jpeg_bytes(int(i) % 256, 8 + int(i) % 5, 8 + int(i) % 3)
-                for i in ids_col
-            ]
+            content = [one(int(i)) for i in ids_col]
             yield pd.DataFrame(
                 {
                     "doc_id": ids_col,

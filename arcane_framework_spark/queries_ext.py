@@ -442,16 +442,21 @@ WHERE d.doc_id % 50 = 0
 def jpeg_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode (pure stdlib+numpy ``operators/jpeg.py``:
     marker parse, Huffman DC-difference entropy decode, dequantize,
-    IDCT) through the distributed asset plumbing.
+    IDCT, chroma upsampling, YCbCr->RGB) through the distributed asset
+    plumbing.
 
-    Every 50th doc becomes a block-constant grayscale JPEG whose even
-    pixel values survive quantization EXACTLY (``synth_jpeg_bytes``:
-    round((v-128)/2)*2 = v-128 for even v with Q00=16), so the oracle
-    recomputes the decoded mean and top-left pixel in closed form — a
-    decoder that mis-parsed the scan header, the DC prediction chain, or
-    the byte-stuffed entropy stream hash-mismatches immediately. JPEG
-    byte size is Huffman-dependent (not closed-form), so unlike
-    ``image_decode_documents`` this entry does not emit n_bytes."""
+    Every 50th doc becomes a deterministic JPEG, variant by ``id % 3``:
+    grayscale 4:4:4, color 4:2:0, color 4:2:2. All three are
+    block-constant per component with exactly-invertible quantization
+    (even luma with Q00=16; ``128 + 17*m`` chroma with Q00=17), so the
+    oracle recomputes the decoded mean and top-left pixel in closed
+    form — INCLUDING the replicated chroma upsample and the JFIF color
+    transform (integer planes -> identical double arithmetic both
+    engines). A decoder that mis-parsed the scan header, swapped
+    planes, broke the DC prediction chain, or upsampled wrongly
+    hash-mismatches immediately. JPEG byte size is Huffman-dependent
+    (not closed-form), so unlike ``image_decode_documents`` this entry
+    does not emit n_bytes."""
     from arcane_framework_spark.operators.multimodal import (
         image_decode_features,
         synth_jpeg_assets,
@@ -462,7 +467,56 @@ def jpeg_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_decode_features(synth_jpeg_assets(ids)).drop("n_bytes")
 
 
-_JPEG_DECODE_SQL = """
+def _jpeg_color_branch(variant: int, hs: int, vs: int) -> str:
+    """One UNION ALL branch of the JPEG oracle: the closed-form decoded
+    RGB of the subsampled color synthetic (variant 1 = 4:2:0, 2 = 4:2:2).
+
+    Integer planes feed the SAME double expressions the decoder runs
+    (literals 1.402 / 0.344136 / 0.714136 / 1.772, same association
+    order), and the synthetic's ranges guarantee no clipping and no
+    round-half ties, so floor(x+0.5) here equals numpy's round there."""
+    return f"""
+SELECT d.doc_id,
+       'jpeg' AS fmt,
+       CAST(16 + d.doc_id % 7 AS INT) AS width,
+       CAST(16 + d.doc_id % 5 AS INT) AS height,
+       floor(m.mean_val * 10000 + 0.5) / 10000 AS pixel_mean,
+       CAST(m.fp AS INT) AS first_pixel
+FROM documents d,
+LATERAL (
+  SELECT avg(CAST(px.v AS DOUBLE)) AS mean_val,
+         max(CASE WHEN px.i = 0 AND px.j = 0 AND px.k = 0
+                  THEN px.v END) AS fp
+  FROM (
+    SELECT g.i, g.j, g.k,
+           CAST(floor(CASE g.k
+             WHEN 0 THEN g.yv + 1.402 * (g.crv - 128.0)
+             WHEN 1 THEN g.yv - 0.344136 * (g.cbv - 128.0)
+                         - 0.714136 * (g.crv - 128.0)
+             ELSE g.yv + 1.772 * (g.cbv - 128.0)
+           END + 0.5) AS BIGINT) AS v
+    FROM (
+      SELECT r.i AS i, c.j AS j, ch.k AS k,
+             CAST(64 + ((2 * (d.doc_id % 256) + (r.i // 8) * 14
+                         + (c.j // 8) * 6) % 128) AS DOUBLE) AS yv,
+             CAST(128 + 17 * (((d.doc_id % 256) + ((r.i // {vs}) // 8)
+                               + ((c.j // {hs}) // 8)) % 5 - 2)
+                  AS DOUBLE) AS cbv,
+             CAST(128 + 17 * ((2 * (d.doc_id % 256) + ((r.i // {vs}) // 8)
+                               + 2 * ((c.j // {hs}) // 8)) % 5 - 2)
+                  AS DOUBLE) AS crv
+      FROM generate_series(0, 20) r(i),
+           generate_series(0, 22) c(j),
+           generate_series(0, 2) ch(k)
+      WHERE r.i < 16 + d.doc_id % 5 AND c.j < 16 + d.doc_id % 7
+    ) g
+  ) px
+) m
+WHERE d.doc_id % 50 = 0 AND d.doc_id % 3 = {variant}
+"""
+
+
+_JPEG_DECODE_SQL = f"""
 SELECT d.doc_id,
        'jpeg' AS fmt,
        CAST(8 + d.doc_id % 5 AS INT) AS width,
@@ -479,7 +533,11 @@ LATERAL (
        generate_series(0, 11) c(j)
   WHERE r.i < 8 + d.doc_id % 3 AND c.j < 8 + d.doc_id % 5
 ) m
-WHERE d.doc_id % 50 = 0
+WHERE d.doc_id % 50 = 0 AND d.doc_id % 3 = 0
+UNION ALL
+{_jpeg_color_branch(1, 2, 2)}
+UNION ALL
+{_jpeg_color_branch(2, 2, 1)}
 """
 
 

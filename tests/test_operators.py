@@ -2206,3 +2206,73 @@ def test_embedding_dispersion_matches_bruteforce(spark):
         ]
         want = sum(pairs) / len(pairs)
         assert abs(got[g] - want) < 1e-4, (g, got[g], want)
+
+
+def test_jpeg_subsampled_color_decodes_closed_form():
+    """The 4:2:0 / 4:2:2 color path: decoded RGB equals the closed-form
+    expectation (block-constant exactly-invertible planes, replicated
+    chroma upsample, JFIF color transform) — the same contract the
+    jpeg_decode_documents oracle recomputes in SQL."""
+    import numpy as np
+
+    from arcane_framework_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_ycbcr,
+    )
+    from arcane_framework_spark.operators.multimodal import (
+        synth_jpeg_color_bytes,
+        synth_jpeg_color_planes,
+    )
+
+    for seed, w, h, sampling in [
+        (3, 22, 20, (2, 2)),   # 4:2:0, 2x2 MCU grid, cropped edges
+        (7, 17, 19, (2, 1)),   # 4:2:2, odd dims
+        (250, 16, 16, (2, 2)),  # seed wraps mod 256
+        (11, 9, 13, (2, 2)),   # single MCU, heavy crop
+    ]:
+        hs, vs = sampling
+        img = decode_jpeg(
+            synth_jpeg_color_bytes(seed, w, h, sampling)
+        ).astype(np.int64)
+        i = np.arange(h)[:, None]
+        j = np.arange(w)[None, :]
+        yv = (64 + ((2 * seed + (i // 8) * 14 + (j // 8) * 6) % 128)
+              ).astype(np.float64)
+        ci, cj = (i // vs) // 8, (j // hs) // 8
+        cbv = (128 + 17 * (((seed + ci + cj) % 5) - 2)).astype(np.float64)
+        crv = (128 + 17 * (((2 * seed + ci + 2 * cj) % 5) - 2)
+               ).astype(np.float64)
+        exp = np.stack(
+            [
+                yv + 1.402 * (crv - 128.0),
+                yv - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0),
+                yv + 1.772 * (cbv - 128.0),
+            ],
+            axis=2,
+        )
+        exp = np.floor(exp + 0.5).astype(np.int64)
+        assert (exp >= 0).all() and (exp <= 255).all(), "synthetic clipped"
+        assert np.array_equal(img, exp), (seed, w, h, sampling)
+
+
+def test_jpeg_scan_order_permutation_decodes_identically():
+    """T.81 allows the SOS to list components in any order; the decoder
+    must index planes by FRAME component, not scan position (regression:
+    planes were filled by scan index and would swap/mis-size)."""
+    import numpy as np
+
+    from arcane_framework_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_ycbcr,
+    )
+    from arcane_framework_spark.operators.multimodal import (
+        synth_jpeg_color_planes,
+    )
+
+    y, cb, cr = synth_jpeg_color_planes(5, 20, 18, (2, 2))
+    base = decode_jpeg(encode_jpeg_ycbcr(y, cb, cr, sampling=(2, 2)))
+    for order in [(2, 1, 0), (1, 2, 0), (2, 0, 1)]:
+        permuted = decode_jpeg(
+            encode_jpeg_ycbcr(y, cb, cr, sampling=(2, 2), scan_order=order)
+        )
+        assert np.array_equal(base, permuted), order
