@@ -429,21 +429,19 @@ NGRAM_SKETCH_K = 5
 NGRAM_MAX_BLOCK = 64
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id",
-                        min_jaccard: float = 0.0,
-                        max_block: int | None = NGRAM_MAX_BLOCK) -> DataFrame:
-    """Character-n-gram Jaccard near-dup pairs with bottom-k sketch blocking.
+def _ngram_keyed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, grams, block_key) with the bottom-k sketch blocking key,
+    repartitioned on the key and persisted.
 
-    Blocking key = the ``NGRAM_SKETCH_K`` smallest md5s over a document's
-    distinct char n-grams, concatenated. A single MinHash key degenerates on
-    low-vocabulary corpora (one globally-popular gram captures everything);
-    requiring the whole bottom-k sketch to match keeps near-dup recall high
-    (a Jaccard-j pair shares the sketch with probability ≈ j^k) while
-    shattering hot blocks (measured: max block 344 → 36 on the test corpus).
-    One shuffle on the key, per-cell pair generation, exact Jaccard
-    verification. Output (id_a, id_b, jaccard) with id_a < id_b.
-    """
+    The gram + sketch build is map-only (row-local HOFs, zero shuffles);
+    the single repartition on block_key then pre-positions the table for
+    EVERYTHING downstream: the block-size window, and both sides of the
+    pair self-join, all inherit HashPartitioning(block_key), so Catalyst
+    inserts no further exchange. (Measured against the alternatives —
+    explode-to-codegen gram build + groupBy, or a separate size
+    aggregation joined back — this one-shuffle shape is the fastest; the
+    sketch is identical either way so the oracle is unaffected.)
+    Persisted: consumed by the window and BOTH sides of the pair join."""
     norm = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -453,16 +451,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     grams = norm.select(
         "id", char_ngrams_from_norm(F.col("norm")).alias("grams")
     )
-    # The gram + sketch build is map-only (row-local HOFs, zero shuffles);
-    # the single repartition on block_key then pre-positions the table for
-    # EVERYTHING downstream: the block-size window, and both sides of the
-    # pair self-join, all inherit HashPartitioning(block_key), so Catalyst
-    # inserts no further exchange. (Measured against the alternatives —
-    # explode-to-codegen gram build + groupBy, or a separate size
-    # aggregation joined back — this one-shuffle shape is the fastest; the
-    # sketch is identical either way so the oracle is unaffected.)
-    # persisted: consumed by the window and BOTH sides of the pair join.
-    keyed = (
+    return (
         grams.select(
             "id",
             "grams",
@@ -478,6 +467,53 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .repartition("block_key")
         .transform(scoped_persist)
     )
+
+
+def ngram_block_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_block: int = NGRAM_MAX_BLOCK) -> DataFrame:
+    """One-row diagnostic for the blocking guard: how much the
+    ``max_block`` cap actually bites on this corpus.
+
+    Emits (n_docs, n_blocks, max_block_size, capped_blocks,
+    docs_dropped): capped blocks are skipped entirely by
+    ``ngram_jaccard_pairs``, so a growing ``docs_dropped`` is the early
+    signal that boilerplate is defeating the sketch blocking (recall
+    loss), while a growing ``max_block_size`` under the cap tracks the
+    superlinear-work risk. The stress harness records this next to the
+    ngram_jaccard timing so round-over-round drift is visible."""
+    sizes = _ngram_keyed(df, text_col, id_col).groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("n").cast("long").alias("max_block_size"),
+        F.sum(
+            F.when(F.col("n") > max_block, 1).otherwise(0)
+        ).cast("long").alias("capped_blocks"),
+        F.sum(
+            F.when(F.col("n") > max_block, F.col("n")).otherwise(0)
+        ).cast("long").alias("docs_dropped"),
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_jaccard: float = 0.0,
+                        max_block: int | None = NGRAM_MAX_BLOCK) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs with bottom-k sketch blocking.
+
+    Blocking key = the ``NGRAM_SKETCH_K`` smallest md5s over a document's
+    distinct char n-grams, concatenated. A single MinHash key degenerates on
+    low-vocabulary corpora (one globally-popular gram captures everything);
+    requiring the whole bottom-k sketch to match keeps near-dup recall high
+    (a Jaccard-j pair shares the sketch with probability ≈ j^k) while
+    shattering hot blocks (measured: max block 344 → 36 on the test corpus).
+    One shuffle on the key, per-cell pair generation, exact Jaccard
+    verification. Output (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    keyed = _ngram_keyed(df, text_col, id_col)
     if max_block is not None:
         # degenerate-block guard (see NGRAM_MAX_BLOCK): a count window over
         # the existing block_key partitioning — no aggregation shuffle, no

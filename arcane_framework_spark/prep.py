@@ -143,14 +143,26 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
-def warm_shared_prep(spark: SparkSession, sf_dir: str) -> float:
-    """``shared_prep`` + eager materialization; returns seconds spent."""
+def warm_shared_prep_itemized(spark: SparkSession,
+                              sf_dir: str) -> dict[str, float]:
+    """``shared_prep`` + eager materialization; returns seconds spent PER
+    TABLE (in materialization order — a later table reuses whatever the
+    earlier ones already cached, so each number is the marginal cost of
+    adding that table, which is the attribution that makes prep growth
+    explainable round-over-round)."""
     import time
 
-    t0 = time.perf_counter()
-    for df in shared_prep(spark, sf_dir).values():
+    breakdown: dict[str, float] = {}
+    for name, df in shared_prep(spark, sf_dir).items():
+        t0 = time.perf_counter()
         df.count()
-    return round(time.perf_counter() - t0, 3)
+        breakdown[name] = round(time.perf_counter() - t0, 3)
+    return breakdown
+
+
+def warm_shared_prep(spark: SparkSession, sf_dir: str) -> float:
+    """``shared_prep`` + eager materialization; returns total seconds."""
+    return round(sum(warm_shared_prep_itemized(spark, sf_dir).values()), 3)
 
 
 def release_shared_prep() -> None:

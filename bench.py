@@ -73,10 +73,12 @@ def main() -> None:
     # added to the headline total (honest apples-to-apples vs rounds that
     # paid the prep repeatedly).
     prep_sec = 0.0
+    prep_breakdown: dict[str, float] = {}
     try:
-        from arcane_framework_spark.prep import warm_shared_prep
+        from arcane_framework_spark.prep import warm_shared_prep_itemized
 
-        prep_sec = warm_shared_prep(spark, sf_dir)
+        prep_breakdown = warm_shared_prep_itemized(spark, sf_dir)
+        prep_sec = round(sum(prep_breakdown.values()), 3)
     except Exception:
         pass  # prep is an optimization; the catalog must still run without it
 
@@ -142,6 +144,7 @@ def main() -> None:
              "queries": timings, "errors": errors, "flaked": flaked,
              "sf": sf,
              "n_queries": len(timings), "prep_sec": prep_sec,
+             "prep_breakdown": prep_breakdown,
              "spread": spread,
              "pass_totals": [round(sum(p.values()), 3) for p in passes]},
             fh, indent=1, sort_keys=True,

@@ -24,6 +24,7 @@ from arcane_framework_spark.operators.dedup import (  # noqa: E402
     incremental_minhash_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
+    ngram_block_stats,
     ngram_jaccard_pairs,
     winnow_pairs,
 )
@@ -176,6 +177,21 @@ def semdedup_cell_stats(emb, target_cell_size: int):
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("arcane-stress")
+    # Warm the Python worker pool + Arrow path (same as bench.py): the
+    # first mapInPandas in a session forks one worker per core and imports
+    # numpy/pandas in each — without this, whichever Pandas-UDF op runs
+    # first (knn_vectorized in the r7 judge run) absorbs that one-off cost
+    # and the comparison against JVM-only ops inverts.
+    def _warm(batches):
+        import numpy as np  # noqa: F401 — executor-side import, cached
+
+        for b in batches:
+            yield b
+
+    warm_df = spark.range(0, 256, 1, 32)
+    warm_df.mapInPandas(_warm, warm_df.schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
     docs = enlarged_documents(spark, sf_dir)
     emb = enlarged_embeddings(spark, sf_dir)
     n_docs, n_vecs = docs.count(), emb.count()
@@ -211,6 +227,11 @@ def main() -> None:
         "ngram_jaccard_pairs": timed(
             lambda: ngram_jaccard_pairs(docs, min_jaccard=0.5)
         ),
+        # blocking-guard accounting next to the timing (the heaviest
+        # stress op): docs_dropped growing round-over-round = boilerplate
+        # defeating the sketch blocking; max_block_size tracks the
+        # superlinear-work risk under the cap.
+        "ngram_block_stats": ngram_block_stats(docs).first().asDict(),
         "knn_bruteforce_q500": timed(
             lambda: knn_bruteforce(emb, queries, k=5)
         ),
