@@ -27,9 +27,13 @@ Design notes (public algorithms):
 - Count-Min: Cormode/Muthukrishnan 2005. ``d`` rows x ``w`` buckets of
   BIGINT counts; estimate(x) = min over rows of the bucket count. All
   integer — exact cross-engine. Heavy hitters = top-k by CMS estimate.
+- Bloom filter: Bloom 1970. ``m``-bit bitmap as 32-bit words packed in
+  BIGINTs, ``k`` salted hashes; membership = all k bits set (no false
+  negatives). Mergeable by ``bit_or``; the probe is k broadcast joins
+  so the probe side never shuffles — scan pruning before the join.
 
 Reference parity: the reference ingestion framework has no sketch
-surface; this is SURVEY §2.9 extension territory (X90/X91).
+surface; this is SURVEY §2.9 extension territory (X90/X91/X92).
 """
 
 from __future__ import annotations
@@ -214,3 +218,101 @@ def cms_heavy_hitters(items: DataFrame, value_col: str,
         .limit(top_k)
         .select("value", "cms_count")
     )
+
+
+#: Bloom filter dimensions: m bits stored as 32-bit words inside BIGINTs
+#: (mask = 1L << (bit % 32) stays positive in BOTH engines — no sign-bit
+#: edge case), k salted hash rows. With n build keys, FPR ~=
+#: (1 - exp(-k*n/m))^k; m=4096 / k=4 stays under ~1% up to n ~= 350.
+#: Size the filter to the BUILD side: the state is m/8 bytes no matter
+#: how many keys were folded in.
+BLOOM_M = 4096
+BLOOM_K = 4
+
+
+def _bloom_bit(value: Column, j: Column) -> Column:
+    """Bit position for hash row ``j`` of a value: the same md5-salt
+    construction as Count-Min, namespaced ``bloom<j>``."""
+    return (
+        _hash60(
+            F.concat_ws(
+                "|",
+                F.concat(F.lit("bloom"), j.cast("string")),
+                value.cast("string"),
+            )
+        )
+        % BLOOM_M
+    )
+
+
+def bloom_build(items: DataFrame, value_col: str) -> DataFrame:
+    """The Bloom state: (word_idx, word) — an m-bit bitmap as up to
+    ``BLOOM_M/32`` BIGINT words (words with no bit set are absent).
+
+    All-integer md5 bit placement, so another engine reproduces the
+    bitmap BIT-FOR-BIT. Mergeable by ``bit_or`` (union of two bitmaps =
+    filter of the union of key sets), incrementally maintainable by the
+    same fold, and always broadcastable (m/8 bytes regardless of how
+    many keys were folded in) — which is the 100 TB use: build the
+    filter over a selective dim predicate once, broadcast it, and prune
+    the probe-side scan BEFORE any join shuffle moves non-matching rows.
+    One explode of k rows per key, one map-side-combined aggregation.
+    """
+    ks = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j")
+    exploded = items.select(F.col(value_col).alias("__v"), ks)
+    bit = _bloom_bit(F.col("__v"), F.col("j"))
+    return (
+        exploded.select(
+            F.shiftright(bit, 5).alias("word_idx"),
+            bit.alias("__bit"),
+        )
+        .select(
+            "word_idx",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__bit % 32 AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("word"))
+    )
+
+
+def bloom_probe(items: DataFrame, bloom: DataFrame,
+                value_col: str) -> DataFrame:
+    """``items`` + a ``bloom_passed`` boolean: true iff all k bits for
+    ``value_col`` are set in the filter (i.e. the row survives pruning;
+    true members ALWAYS pass — Bloom has no false negatives).
+
+    Deliberately k broadcast left joins against the tiny word table
+    instead of explode + re-group: the probe side keeps its partitioning
+    and never shuffles — pruning must not cost what it saves. Catalyst
+    collapses the word lookups into broadcast hash joins with the probe
+    stream intact. The word table is persisted (scoped) so the k joins
+    broadcast ONE materialization instead of re-aggregating the build
+    side per join.
+    """
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    bloom = scoped_persist(bloom)
+    out = items
+    passed = F.lit(True)
+    for j in range(BLOOM_K):
+        bit = _bloom_bit(F.col(value_col), F.lit(j))
+        side = bloom.select(
+            F.col("word_idx").alias(f"__w{j}"),
+            F.col("word").alias(f"__word{j}"),
+        )
+        out = (
+            out.withColumn(f"__w{j}", F.shiftright(bit, 5))
+            .withColumn(f"__b{j}", bit)
+            .join(F.broadcast(side), on=f"__w{j}", how="left")
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__b{j} % 32 AS INT))"
+        )
+        passed = passed & (
+            F.coalesce(F.col(f"__word{j}"), F.lit(0)).bitwiseAND(mask) != 0
+        )
+    drop = [c for j in range(BLOOM_K) for c in (f"__w{j}", f"__b{j}",
+                                                f"__word{j}")]
+    return out.withColumn("bloom_passed", passed).drop(*drop)

@@ -3529,6 +3529,119 @@ LIMIT {CMS_TOP_K}
 """
 
 
+def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter join pruning: build the filter over the
+    BUILDING-segment customer keys, probe every order, and account for
+    the outcome — (n_build_keys, n_probe_rows, n_passed, n_true_members,
+    false_positives, bloom_checksum).
+
+    The pruning pattern that matters at 100 TB: the filter is m/8 bytes
+    whatever the build size, broadcastable, mergeable by bit_or — the
+    probe-side scan drops non-matching rows BEFORE any join shuffle
+    moves them. The all-integer md5 bitmap lets the DuckDB oracle
+    rebuild the filter and replay every probe BIT-FOR-BIT
+    (``bloom_checksum`` pins the word table; ``false_positives`` pins
+    the probe outcomes — true members always pass by construction, and
+    the exact twin proves it).
+    """
+    from arcane_framework_spark.operators.sketches import (
+        bloom_build, bloom_probe,
+    )
+
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    build = (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").cast("string").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(build, "key")
+    probe = t["orders"].select(F.col("o_custkey").cast("string").alias("key"))
+    probed = bloom_probe(probe, bloom, "key")
+    flagged = probed.join(
+        F.broadcast(build.withColumn("__member", F.lit(1))), "key", "left"
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_probe_rows"),
+        F.sum(F.col("bloom_passed").cast("long")).alias("n_passed"),
+        F.sum(
+            F.coalesce(F.col("__member"), F.lit(0)).cast("long")
+        ).alias("n_true_members"),
+        F.sum(
+            (F.col("bloom_passed") & F.col("__member").isNull())
+            .cast("long")
+        ).alias("false_positives"),
+    )
+    checks = bloom.agg(
+        F.sum((F.col("word_idx") + 1) * F.col("word")).cast("long").alias(
+            "bloom_checksum"
+        )
+    )
+    n_build = build.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    return n_build.crossJoin(stats).crossJoin(checks)
+
+
+def _bloom_sql() -> str:
+    from arcane_framework_spark.operators.sketches import BLOOM_K, BLOOM_M
+
+    def bit(j_expr: str, v_expr: str) -> str:
+        return (
+            f"CAST(concat('0x', substring(md5(concat_ws('|', "
+            f"concat('bloom', CAST({j_expr} AS VARCHAR)), {v_expr})), "
+            f"1, 15)) AS BIGINT) % {BLOOM_M}"
+        )
+
+    probe_joins = "\n".join(
+        f"LEFT JOIN bloom b{j} ON (p.bit{j} >> 5) = b{j}.word_idx"
+        for j in range(BLOOM_K)
+    )
+    probe_bits = ",\n         ".join(
+        f"{bit(str(j), 'key')} AS bit{j}" for j in range(BLOOM_K)
+    )
+    passed = " AND ".join(
+        f"(coalesce(b{j}.word, 0) & (CAST(1 AS BIGINT) "
+        f"<< CAST(p.bit{j} % 32 AS INT))) <> 0"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH build AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+bits AS (
+  SELECT {bit("j.range", "key")} AS bit
+  FROM build CROSS JOIN range({BLOOM_K}) j
+),
+bloom AS (
+  SELECT bit >> 5 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS word
+  FROM bits GROUP BY 1
+),
+probe AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders
+),
+probe_bits AS (
+  SELECT key,
+         {probe_bits}
+  FROM probe
+),
+outcomes AS (
+  SELECT p.key, ({passed}) AS passed
+  FROM probe_bits p
+{probe_joins}
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM build) AS n_build_keys,
+       CAST(count(*) AS BIGINT) AS n_probe_rows,
+       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+       CAST(sum(CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_members,
+       CAST(sum(CASE WHEN passed AND m.key IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS false_positives,
+       (SELECT CAST(sum((word_idx + 1) * word) AS BIGINT) FROM bloom)
+         AS bloom_checksum
+FROM outcomes o LEFT JOIN build m USING (key)
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": ngram_jaccard_documents,
     "simhash_neardup_documents": simhash_neardup_documents,
@@ -3551,6 +3664,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_user_counts": approx_user_counts,
     "hll_user_counts": hll_user_counts,
     "cms_heavy_hitters_events": cms_heavy_hitters_events,
+    "bloom_prune_orders": bloom_prune_orders,
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_clusters_documents": dedup_clusters_documents,
     "asof_attribution_events": asof_attribution_events,
@@ -3614,6 +3728,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "approx_user_counts": _APPROX_USERS_SQL,
     "hll_user_counts": _hll_sql(),
     "cms_heavy_hitters_events": _cms_sql(),
+    "bloom_prune_orders": _bloom_sql(),
     "kmeans_embeddings": _kmeans_sql(),
     "asof_attribution_events": _ASOF_SQL,
     "pack_documents_512": _PACK_SQL,

@@ -174,3 +174,100 @@ def test_cms_heavy_hitters_top_k_contains_true_heavy(spark):
     top = cms_heavy_hitters(df, "v", top_k=5).collect()
     assert top[0]["value"] == "heavy"
     assert top[0]["cms_count"] >= 300
+
+
+def _py_bloom_words(values: list[str]) -> dict[int, int]:
+    from arcane_framework_spark.operators.sketches import BLOOM_K, BLOOM_M
+
+    words: dict[int, int] = {}
+    for v in values:
+        for j in range(BLOOM_K):
+            bit = _py_hash60(f"bloom{j}|{v}") % BLOOM_M
+            words[bit >> 5] = words.get(bit >> 5, 0) | (1 << (bit % 32))
+    return words
+
+
+def test_bloom_bitmap_matches_pure_python(spark):
+    from arcane_framework_spark.operators.sketches import bloom_build
+
+    vals = [f"key-{i}" for i in range(120)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r["word_idx"]: r["word"] for r in bloom_build(df, "v").collect()}
+    assert got == _py_bloom_words(vals)
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    from arcane_framework_spark.operators.sketches import (
+        bloom_build, bloom_probe,
+    )
+
+    members = [f"m{i}" for i in range(200)]
+    others = [f"x{i}" for i in range(2000)]
+    bloom = bloom_build(
+        spark.createDataFrame([(v,) for v in members], "v string"), "v"
+    )
+    probed = bloom_probe(
+        spark.createDataFrame([(v,) for v in members + others], "v string"),
+        bloom, "v",
+    ).collect()
+    res = {r["v"]: r["bloom_passed"] for r in probed}
+    assert all(res[v] for v in members), "Bloom must never drop a member"
+    fpr = sum(res[v] for v in others) / len(others)
+    # m=4096, k=4, n=200 -> theoretical FPR ~0.12%; assert a loose 2%
+    assert fpr < 0.02, fpr
+
+
+def test_bloom_merge_is_bit_or(spark):
+    from pyspark.sql import functions as F
+
+    from arcane_framework_spark.operators.sketches import bloom_build
+
+    a = [f"a{i}" for i in range(80)]
+    b = [f"b{i}" for i in range(80)]
+    df_a = spark.createDataFrame([(v,) for v in a], "v string")
+    df_b = spark.createDataFrame([(v,) for v in b], "v string")
+    df_all = spark.createDataFrame([(v,) for v in a + b], "v string")
+    merged = (
+        bloom_build(df_a, "v").union(bloom_build(df_b, "v"))
+        .groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in bloom_build(df_all, "v").collect()
+    }
+
+
+def test_bloom_probe_plan_has_no_probe_side_shuffle(spark):
+    """Pruning must not cost what it saves: every non-broadcast Exchange
+    in the probe plan belongs to the (tiny) word-table BUILD aggregation
+    — i.e. partitions on word_idx — and the probe stream itself is never
+    shuffled. The word table is persisted, so the k broadcast joins
+    reuse one materialization."""
+    import re
+
+    from arcane_framework_spark.operators.cache import cache_scope
+    from arcane_framework_spark.operators.sketches import (
+        bloom_build, bloom_probe,
+    )
+
+    build = spark.createDataFrame([(f"m{i}",) for i in range(50)],
+                                  "v string")
+    probe = spark.range(0, 10_000).selectExpr("CAST(id AS STRING) AS v")
+    with cache_scope():
+        df = bloom_probe(probe, bloom_build(build, "v"), "v")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        non_broadcast = [
+            ln for ln in plan.splitlines()
+            if re.search(r"\bExchange\b", ln) and "Broadcast" not in ln
+        ]
+        assert all("word_idx" in ln for ln in non_broadcast), non_broadcast
+        # persisted word table: each scan site prints the cached plan
+        # inline, so dedupe by plan_id — ONE distinct build aggregation
+        # exchange executes, not one per join
+        distinct_ids = {
+            m.group(1)
+            for ln in non_broadcast
+            for m in [re.search(r"plan_id=(\d+)", ln)]
+            if m
+        }
+        assert len(distinct_ids) <= 1, non_broadcast
+        assert "InMemory" in plan or "TableCacheQueryStage" in plan
