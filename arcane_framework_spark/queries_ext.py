@@ -3452,6 +3452,76 @@ FROM agg JOIN exact USING (event_type)
 """
 
 
+def incremental_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register table used AS an incremental side table: the
+    'corpus' sketch (events with ``event_id % 5 != 0``, standing in for
+    persisted state) is FOLDED with the arriving batch's sketch
+    (``event_id % 5 == 0``) by union + max(rank) — never rescanning the
+    corpus values — and the merged registers are collapsed to estimates.
+
+    The oracle deliberately recomputes the ONE-SHOT sketch over the
+    whole table: merge-associativity (fold == one-shot) is exactly what
+    the hash match proves, register-bit-for-register-bit. This is the
+    100 TB cardinality story end-to-end — per-batch state updates touch
+    only ``groups x m`` rows, and the estimate is always current."""
+    from arcane_framework_spark.operators.sketches import (
+        hll_estimate, hll_registers,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    items = t["events"].select(
+        "event_id", "event_type",
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    corpus = items.filter(F.col("event_id") % 5 != 0)
+    batch = items.filter(F.col("event_id") % 5 == 0)
+    merged = (
+        hll_registers(corpus, "uid", ["event_type"])
+        .union(hll_registers(batch, "uid", ["event_type"]))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+    return hll_estimate(merged, ["event_type"])
+
+
+def _incremental_hll_sql() -> str:
+    from arcane_framework_spark.operators.sketches import (
+        HLL_ALPHA, HLL_B, HLL_M, HLL_RANK_BITS,
+    )
+
+    unit = 1 << (HLL_RANK_BITS + 1)
+    rank_max = HLL_RANK_BITS + 1
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+),
+regs AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+         max(CASE WHEN (h >> {HLL_B}) = 0 THEN {rank_max}
+                  ELSE {rank_max} - length(bin(h >> {HLL_B})) END) AS rank
+  FROM hashed GROUP BY event_type, h % {HLL_M}
+),
+agg AS (
+  SELECT event_type,
+         sum(1::BIGINT << ({rank_max} - rank)) AS present_num,
+         count(*) AS n_present,
+         CAST(sum((bucket + 1) * rank) AS BIGINT) AS register_checksum
+  FROM regs GROUP BY event_type
+)
+SELECT event_type,
+       floor(({HLL_M}.0 * {HLL_M}.0 * CAST({HLL_ALPHA!r} AS DOUBLE)
+              * {float(unit)!r}
+              / CAST(present_num + ({HLL_M} - n_present) * {unit}::BIGINT
+                     AS DOUBLE)) * 100 + 0.5) / 100 AS hll_estimate,
+       CAST({HLL_M} - n_present AS BIGINT) AS n_zero_registers,
+       register_checksum
+FROM agg
+"""
+
+
 CMS_TOP_K = 20
 
 
@@ -3663,6 +3733,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": tfidf_top_terms,
     "approx_user_counts": approx_user_counts,
     "hll_user_counts": hll_user_counts,
+    "incremental_hll_users": incremental_hll_users,
     "cms_heavy_hitters_events": cms_heavy_hitters_events,
     "bloom_prune_orders": bloom_prune_orders,
     "kmeans_embeddings": kmeans_embeddings,
@@ -3727,6 +3798,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "tfidf_top_terms": _tfidf_sql(),
     "approx_user_counts": _APPROX_USERS_SQL,
     "hll_user_counts": _hll_sql(),
+    "incremental_hll_users": _incremental_hll_sql(),
     "cms_heavy_hitters_events": _cms_sql(),
     "bloom_prune_orders": _bloom_sql(),
     "kmeans_embeddings": _kmeans_sql(),
