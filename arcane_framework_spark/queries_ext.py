@@ -3522,6 +3522,48 @@ FROM agg
 """
 
 
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register table maintained BY Structured Streaming: events
+    replayed through ``readStream`` → the register aggregation
+    (groupBy(event_type, bucket).max(rank)) runs as the streaming
+    STATEFUL operator — the stream's state store literally IS the
+    sketch — drained with availableNow into a complete-mode memory
+    sink, then collapsed to estimates batch-side.
+
+    Shares ``incremental_hll_users``' oracle VERBATIM: streaming
+    register maintenance ≡ batch fold ≡ DuckDB one-shot, a three-way
+    register-exact equivalence. This is the production shape for
+    always-current cardinality over an unbounded stream: per-batch
+    state updates touch only ``groups x m`` rows and never replay
+    history."""
+    from arcane_framework_spark.operators.sketches import (
+        hll_estimate, hll_registers,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    schema = t["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    regs = hll_registers(ev, "uid", ["event_type"])
+    name = "streaming_hll_users_sink"
+    with stream_conf(spark):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return hll_estimate(spark.table(name), ["event_type"])
+
+
 CMS_TOP_K = 20
 
 
@@ -3734,6 +3776,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_user_counts": approx_user_counts,
     "hll_user_counts": hll_user_counts,
     "incremental_hll_users": incremental_hll_users,
+    "streaming_hll_users": streaming_hll_users,
     "cms_heavy_hitters_events": cms_heavy_hitters_events,
     "bloom_prune_orders": bloom_prune_orders,
     "kmeans_embeddings": kmeans_embeddings,
@@ -3799,6 +3842,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "approx_user_counts": _APPROX_USERS_SQL,
     "hll_user_counts": _hll_sql(),
     "incremental_hll_users": _incremental_hll_sql(),
+    "streaming_hll_users": _incremental_hll_sql(),
     "cms_heavy_hitters_events": _cms_sql(),
     "bloom_prune_orders": _bloom_sql(),
     "kmeans_embeddings": _kmeans_sql(),
