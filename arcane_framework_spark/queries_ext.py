@@ -1879,6 +1879,182 @@ KMEANS_K = 10
 KMEANS_ITERS = 3
 
 
+PQ_QUERIES = 10
+PQ_TOPK = 10
+
+
+def pq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end: per-subspace Lloyd codebooks →
+    3-bit codes per subspace (32x compression of float32x64) →
+    asymmetric-distance top-k, measured as recall@10 against the exact
+    cosine top-10 plus the corpus-wide reconstruction quality.
+
+    The deeper ANN compression step beyond int8 scalar quantization
+    (X26): at 100 TB the vectors do not fit anywhere, the code table
+    does — ADC scans only codes, queries stay full-precision, codebooks
+    broadcast. Everything is deterministic (stride-init fixed-iteration
+    Lloyd per subspace, cosine-argmax code assignment with id
+    tie-breaks), so the DuckDB oracle replays the ENTIRE pipeline —
+    eight unrolled k-means chains, the encode argmax, the ADC ranking —
+    and the recall ratios are exact integer arithmetic."""
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.cache import scoped_persist
+    from arcane_framework_spark.operators.similarity import (
+        knn_bruteforce,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select("vec_id", "embedding")
+    cb = pq_codebooks(emb)
+    codes = pq_encode(emb, cb).transform(scoped_persist)
+    q = emb.filter(F.col("vec_id") < PQ_QUERIES)
+    adc = pq_adc_topk(codes, cb, q, k=PQ_TOPK)
+    exact = knn_bruteforce(emb, q, k=PQ_TOPK)
+    overlap = (
+        exact.select("query_id", "neighbor_id")
+        .join(adc.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    recon = codes.groupBy("vec_id").agg(
+        (
+            F.sum("pdot") / (F.max("vnorm") * F.sqrt(F.sum("pcnorm")))
+        ).alias("rc")
+    )
+    gl = recon.agg(
+        (F.floor(F.avg("rc") * 10000 + F.lit(0.5)) / 10000).alias(
+            "avg_reconstruction_cos"
+        )
+    )
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(overlap, "query_id", "left")
+        .crossJoin(F.broadcast(gl))
+        .select(
+            "query_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.coalesce(F.col("__n"), F.lit(0)) / F.lit(PQ_TOPK), 4
+            ).alias("recall"),
+            "avg_reconstruction_cos",
+        )
+    )
+
+
+def _pq_recall_sql(dim: int = 64) -> str:
+    from arcane_framework_spark.operators.similarity import (
+        PQ_CODE_K, PQ_ITERS, PQ_SUBSPACES,
+    )
+
+    sub = dim // PQ_SUBSPACES
+    ctes = [
+        "ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)"
+    ]
+    finals = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        sub_ctes, prev, _ = _kmeans_ctes(
+            f"SELECT vec_id, v[{lo}:{hi}] AS v FROM ef",
+            PQ_CODE_K, PQ_ITERS, sub, prefix=f"p{s}",
+        )
+        ctes.extend(sub_ctes)
+        finals.append((s, prev))
+    cb_union = "\n  UNION ALL ".join(
+        f"SELECT {s} AS subspace, cid AS code, cvec FROM {prev}"
+        for s, prev in finals
+    )
+    enc_cos = (
+        "list_dot_product(sv.sv, cb.cvec) / "
+        "(sqrt(list_dot_product(sv.sv, sv.sv)) * "
+        "sqrt(list_dot_product(cb.cvec, cb.cvec)))"
+    )
+    ctes.append(f"cb AS (\n  {cb_union}\n)")
+    ctes.append(f"""sv AS (
+  SELECT vec_id, g.s AS subspace,
+         v[g.s * {sub} + 1 : g.s * {sub} + {sub}] AS sv,
+         sqrt(list_dot_product(v, v)) AS vnorm
+  FROM ef CROSS JOIN generate_series(0, {PQ_SUBSPACES - 1}) AS g(s)
+)""")
+    ctes.append(f"""enc AS (
+  SELECT sv.vec_id, sv.subspace, sv.vnorm, cb.code,
+         list_dot_product(sv.sv, cb.cvec) AS pdot,
+         list_dot_product(cb.cvec, cb.cvec) AS pcnorm,
+         row_number() OVER (PARTITION BY sv.vec_id, sv.subspace
+                            ORDER BY {enc_cos} DESC, cb.code) AS rn
+  FROM sv JOIN cb USING (subspace)
+)""")
+    ctes.append(
+        "codes AS (SELECT vec_id, subspace, vnorm, code, pdot, pcnorm "
+        "FROM enc WHERE rn = 1)"
+    )
+    ctes.append("""recon AS (
+  SELECT vec_id, sum(pdot) / (max(vnorm) * sqrt(sum(pcnorm))) AS rc
+  FROM codes GROUP BY vec_id
+)""")
+    ctes.append(
+        "gl AS (SELECT floor(avg(rc) * 10000 + 0.5) / 10000 "
+        "AS avg_reconstruction_cos FROM recon)"
+    )
+    ctes.append(f"""lut AS (
+  SELECT q.vec_id AS query_id, q.subspace, cb.code, q.vnorm AS qnorm,
+         list_dot_product(q.sv, cb.cvec) AS qpdot
+  FROM (SELECT * FROM sv WHERE vec_id < {PQ_QUERIES}) q
+  JOIN cb USING (subspace)
+)""")
+    ctes.append("""adc AS (
+  SELECT l.query_id, c.vec_id,
+         sum(l.qpdot) / (max(l.qnorm) * sqrt(sum(c.pcnorm))) AS adc_cos
+  FROM codes c JOIN lut l ON c.subspace = l.subspace AND c.code = l.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+)""")
+    ctes.append(f"""adc_nbrs AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_cos DESC, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_TOPK}
+)""")
+    ctes.append(f"""exact_nbrs AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS rn
+    FROM (SELECT * FROM ef WHERE vec_id < {PQ_QUERIES}) q
+    CROSS JOIN ef c
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE rn <= {PQ_TOPK}
+)""")
+    ctes.append("""overlap AS (
+  SELECT e.query_id, count(*) AS n
+  FROM exact_nbrs e JOIN adc_nbrs a USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT q.query_id,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(o.n, 0) / {PQ_TOPK}, 4) AS recall,
+       gl.avg_reconstruction_cos
+FROM (SELECT DISTINCT query_id FROM exact_nbrs) q
+LEFT JOIN overlap o USING (query_id)
+CROSS JOIN gl
+"""
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration Lloyd's k-means over the embeddings, oracle-checkable.
 
@@ -1956,7 +2132,8 @@ GROUP BY f.cid
 
 def _kmeans_ctes(src_select: str, k: int | None, iters: int,
                  dim: int,
-                 target_cell_size: int | None = None
+                 target_cell_size: int | None = None,
+                 prefix: str = ""
                  ) -> tuple[list[str], str, str]:
     """Reusable unrolled-Lloyd CTE list over an arbitrary (vec_id, v)
     source select. Returns (ctes, final_centroid_cte_name, cos_template)
@@ -1964,46 +2141,49 @@ def _kmeans_ctes(src_select: str, k: int | None, iters: int,
 
     ``target_cell_size`` mirrors kmeans_fit's corpus-derived-k mode: the
     seed stride is floor(n / ceil(n / T)) from the corpus count and there
-    is no LIMIT — the centroid count grows with the data."""
+    is no LIMIT — the centroid count grows with the data. ``prefix``
+    namespaces every CTE so several independent fits (e.g. one per PQ
+    subspace) compose in a single WITH clause."""
+    e = f"{prefix}e"
     cos = (
-        "list_dot_product(e.v, c.cvec) / "
-        "(sqrt(list_dot_product(e.v, e.v)) * "
+        f"list_dot_product({e}.v, c.cvec) / "
+        f"(sqrt(list_dot_product({e}.v, {e}.v)) * "
         "sqrt(list_dot_product(c.cvec, c.cvec)))"
     )
     if target_cell_size is not None:
-        c0 = f"""c0 AS (
-  SELECT vec_id AS cid, v AS cvec FROM e,
+        c0 = f"""{prefix}c0 AS (
+  SELECT vec_id AS cid, v AS cvec FROM {e},
        (SELECT greatest(1, CAST(floor(count(*) /
           ceil(count(*)::DOUBLE / {target_cell_size})) AS BIGINT))
-          AS stride FROM e) p
+          AS stride FROM {e}) p
   WHERE vec_id % p.stride = 0
 )"""
     else:
-        c0 = f"""c0 AS (
-  SELECT vec_id AS cid, v AS cvec FROM e,
+        c0 = f"""{prefix}c0 AS (
+  SELECT vec_id AS cid, v AS cvec FROM {e},
        (SELECT greatest(1, CAST(floor(count(*)::DOUBLE / {k}) AS BIGINT))
-          AS stride FROM e) p
+          AS stride FROM {e}) p
   WHERE vec_id % p.stride = 0 ORDER BY vec_id LIMIT {k}
 )"""
-    ctes = [f"e AS ({src_select})", c0]
-    prev = "c0"
+    ctes = [f"{e} AS ({src_select})", c0]
+    prev = f"{prefix}c0"
     for i in range(1, iters + 1):
-        ctes.append(f"""s{i} AS (
-  SELECT e.vec_id, c.cid,
-         row_number() OVER (PARTITION BY e.vec_id
+        ctes.append(f"""{prefix}s{i} AS (
+  SELECT {e}.vec_id, c.cid,
+         row_number() OVER (PARTITION BY {e}.vec_id
                             ORDER BY {cos} DESC, c.cid) AS rn
-  FROM e CROSS JOIN {prev} c
+  FROM {e} CROSS JOIN {prev} c
 )""")
-        ctes.append(f"""c{i} AS (
+        ctes.append(f"""{prefix}c{i} AS (
   SELECT cid, list(m ORDER BY pos) AS cvec FROM (
-    SELECT a.cid, g.i AS pos, avg(e.v[g.i]) AS m
-    FROM (SELECT vec_id, cid FROM s{i} WHERE rn = 1) a
-    JOIN e USING (vec_id)
+    SELECT a.cid, g.i AS pos, avg({e}.v[g.i]) AS m
+    FROM (SELECT vec_id, cid FROM {prefix}s{i} WHERE rn = 1) a
+    JOIN {e} USING (vec_id)
     CROSS JOIN generate_series(1, {dim}) AS g(i)
     GROUP BY a.cid, g.i
   ) GROUP BY cid
 )""")
-        prev = f"c{i}"
+        prev = f"{prefix}c{i}"
     return ctes, prev, cos
 
 
@@ -3784,6 +3964,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_attribution_events": asof_attribution_events,
     "pack_documents_512": pack_documents_query,
     "quantization_recall_embeddings": quantization_recall_embeddings,
+    "pq_recall_embeddings": pq_recall_embeddings,
     "corpus_split_documents": corpus_split_documents,
     "pps_sample_documents": pps_sample_documents,
     "budget_selection_documents": budget_selection_documents,
@@ -3849,6 +4030,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "asof_attribution_events": _ASOF_SQL,
     "pack_documents_512": _PACK_SQL,
     "quantization_recall_embeddings": _quant_recall_sql(),
+    "pq_recall_embeddings": _pq_recall_sql(),
     "corpus_split_documents": _corpus_split_sql(),
     "pps_sample_documents": _pps_sample_sql(),
     "budget_selection_documents": _BUDGET_SELECTION_SQL,

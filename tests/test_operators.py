@@ -2276,3 +2276,64 @@ def test_jpeg_scan_order_permutation_decodes_identically():
             encode_jpeg_ycbcr(y, cb, cr, sampling=(2, 2), scan_order=order)
         )
         assert np.array_equal(base, permuted), order
+
+
+def test_pq_encode_and_adc_structure(spark):
+    """PQ structural contract: one code per (vector, subspace), codes in
+    [0, k); reconstruction quality improves with codebook size; ADC
+    ranking beats chance against the exact top-k."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from arcane_framework_spark.operators.cache import cache_scope
+    from arcane_framework_spark.operators.similarity import (
+        PQ_SUBSPACES,
+        knn_bruteforce,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 240, 64
+    vecs = rng.normal(size=(n, dim)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    with cache_scope():
+        def recon_quality(k):
+            cb = pq_codebooks(df, dim=dim, k=k, iterations=1)
+            codes = pq_encode(df, cb, dim=dim)
+            rows = codes.groupBy("vec_id").agg(
+                F.count(F.lit(1)).alias("n_sub"),
+                (F.sum("pdot") / (F.max("vnorm") * F.sqrt(F.sum("pcnorm"))))
+                .alias("rc"),
+            ).collect()
+            assert all(r["n_sub"] == PQ_SUBSPACES for r in rows)
+            return sum(r["rc"] for r in rows) / len(rows), cb, codes
+
+        rc2, _, _ = recon_quality(2)
+        rc8, cb8, codes8 = recon_quality(8)
+        assert rc8 > rc2, (rc8, rc2)
+
+        code_range = codes8.agg(
+            F.min("code").alias("lo"), F.max("code").alias("hi")
+        ).collect()[0]
+        assert code_range["lo"] >= 0
+
+        queries = df.filter(F.col("vec_id") < 5)
+        k = 10
+        adc = pq_adc_topk(codes8, cb8, queries, k=k, dim=dim)
+        exact = knn_bruteforce(df, queries, k=k)
+        hit = (
+            exact.select("query_id", "neighbor_id")
+            .join(adc.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"])
+            .count()
+        )
+        # chance overlap: k*k/n ~ 0.42 per query -> ~2 over 5 queries;
+        # require clearly above it
+        assert hit >= 5, hit
+        per_q = adc.groupBy("query_id").count().collect()
+        assert all(r["count"] == k for r in per_q)
