@@ -1,4 +1,4 @@
-"""Unit/property tests for operators/sketches.py (HLL + Count-Min).
+"""Unit/property tests for operators/sketches.py (HLL, Count-Min, Bloom).
 
 The module's contract is ENGINE-REPRODUCIBLE state: md5-hashed buckets,
 integer registers, dyadic-rational estimate arithmetic. These tests pin
@@ -271,3 +271,20 @@ def test_bloom_probe_plan_has_no_probe_side_shuffle(spark):
         }
         assert len(distinct_ids) <= 1, non_broadcast
         assert "InMemory" in plan or "TableCacheQueryStage" in plan
+
+
+def test_cms_weighted_counts_match_pure_python(spark):
+    """weight_col: the counters accumulate weights, not row counts —
+    replicated against a pure-python recomputation."""
+    rows = [(f"v{i % 5}", i % 3 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "v string, w long")
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_counts(df, "v", weight_col="w").collect()
+    }
+    want: dict[tuple[int, int], int] = {}
+    for v, w in rows:
+        for row in range(CMS_D):
+            b = _py_hash60(f"{row}|{v}") % CMS_W
+            want[(row, b)] = want.get((row, b), 0) + w
+    assert got == want
