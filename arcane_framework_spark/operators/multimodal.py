@@ -491,6 +491,75 @@ def synth_jpeg_color_bytes(seed: int, width: int, height: int,
     return encode_jpeg_ycbcr(y, cb, cr, sampling=sampling)
 
 
+#: GIF synthetic palette rule: channel c of palette index i is
+#: (GIF_MUL[c]*i + GIF_ADD[c]) % 256 — closed-form for the SQL oracle.
+GIF_COLORS = 64
+GIF_MUL = (3, 7, 11)
+GIF_ADD = (5, 11, 23)
+
+
+def synth_gif_bytes(seed: int, width: int, height: int,
+                    interlace: bool) -> bytes:
+    """Deterministic GIF: pixel (i, j) holds palette index
+    ``(seed + 5*i + 3*j) % 64`` with the closed-form palette above.
+    GIF is lossless, so the decoded RGB is exactly the palette lookup —
+    through a REAL LZW bitstream (and the four-pass interlace reorder
+    when requested), which is what the oracle cannot fake."""
+    import numpy as np
+
+    from arcane_framework_spark.operators.gif import encode_gif
+
+    i = np.arange(height, dtype=np.int64)[:, None]
+    j = np.arange(width, dtype=np.int64)[None, :]
+    img = ((seed + 5 * i + 3 * j) % GIF_COLORS).astype(np.uint8)
+    pal = np.stack(
+        [
+            (GIF_MUL[c] * np.arange(GIF_COLORS, dtype=np.int64)
+             + GIF_ADD[c]) % 256
+            for c in range(3)
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    return encode_gif(img, pal, interlace=interlace)
+
+
+def synth_gif_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One deterministic GIF per id: dims ``(11 + id%6) x (9 + id%4)``,
+    seed ``id % 256``, interlaced when ``id % 2 == 1`` (the decoded
+    pixels are identical either way — the de-interlace proof)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids_col = pdf[id_col].astype("int64")
+            content = [
+                synth_gif_bytes(
+                    int(i) % 256, 11 + int(i) % 6, 9 + int(i) % 4,
+                    interlace=(int(i) % 2 == 1),
+                )
+                for i in ids_col
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids_col,
+                    "content": pd.Series(content, dtype="object"),
+                    "fmt": ["gif"] * len(ids_col),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("fmt", StringType()),
+        ]
+    )
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema
+    )
+
+
 def synth_jpeg_assets(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One deterministic baseline JPEG per id, variant by ``id % 3``:
     0 = grayscale 4:4:4 (``synth_jpeg_bytes``, dims ``(8+id%5) x
@@ -780,11 +849,13 @@ def decode_image(content: bytes):
     """Decode an image asset to a pixel array.
 
     Uncompressed 24-bit BMPs, binary PPMs (P6), 8-bit gray/RGB/RGBA
-    PNGs, and sequential-baseline JPEGs decode natively (``decode_bmp``
-    / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg`` — pure numpy +
-    stdlib). Every other format (progressive JPEG, GIF, WebP, TIFF)
-    needs PIL, which the execution container does not ship — those
-    raise ``NotImplementedError`` honestly instead of faking pixels."""
+    PNGs, sequential-baseline JPEGs, and GIF87a/89a (full LZW,
+    interlace, first frame of animations) decode natively
+    (``decode_bmp`` / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg``
+    / ``decode_gif`` — pure numpy + stdlib). Every other format
+    (progressive JPEG, WebP, TIFF) needs PIL, which the execution
+    container does not ship — those raise ``NotImplementedError``
+    honestly instead of faking pixels."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:2] == b"P6":
@@ -795,6 +866,10 @@ def decode_image(content: bytes):
         from arcane_framework_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from arcane_framework_spark.operators.gif import decode_gif
+
+        return decode_gif(content)
     try:
         import io
 

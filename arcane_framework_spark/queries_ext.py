@@ -541,6 +541,59 @@ UNION ALL
 """
 
 
+def gif_decode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (pure-stdlib ``operators/gif.py``: header parse,
+    variable-width LZW decompression, interlace reorder, palette
+    expansion) through the distributed asset plumbing.
+
+    Every 50th doc becomes a deterministic GIF; odd ids are stored
+    INTERLACED — the decoded pixels must come out identical, which is
+    the de-interlace proof. GIF is lossless, so the oracle recomputes
+    the palette-lookup pixels in closed form; a decoder that broke the
+    LZW width schedule, the dictionary growth, or the four-pass row
+    order hash-mismatches immediately. LZW byte size is data-dependent
+    (not closed-form), so like the JPEG entry this one drops n_bytes."""
+    from arcane_framework_spark.operators.multimodal import (
+        image_decode_features,
+        synth_gif_assets,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    ids = t["documents"].select("doc_id").filter(F.col("doc_id") % 50 == 0)
+    return image_decode_features(synth_gif_assets(ids)).drop("n_bytes")
+
+
+def _gif_sql() -> str:
+    from arcane_framework_spark.operators.multimodal import (
+        GIF_ADD, GIF_COLORS, GIF_MUL,
+    )
+
+    idx = f"(((d.doc_id % 256) + 5 * r.i + 3 * c.j) % {GIF_COLORS})"
+    chan = (
+        f"CASE ch.k WHEN 0 THEN ({GIF_MUL[0]} * {idx} + {GIF_ADD[0]}) % 256 "
+        f"WHEN 1 THEN ({GIF_MUL[1]} * {idx} + {GIF_ADD[1]}) % 256 "
+        f"ELSE ({GIF_MUL[2]} * {idx} + {GIF_ADD[2]}) % 256 END"
+    )
+    return f"""
+SELECT d.doc_id,
+       'gif' AS fmt,
+       CAST(11 + d.doc_id % 6 AS INT) AS width,
+       CAST(9 + d.doc_id % 4 AS INT) AS height,
+       floor(m.mean_val * 10000 + 0.5) / 10000 AS pixel_mean,
+       CAST(({GIF_MUL[0]} * ((d.doc_id % 256) % {GIF_COLORS})
+             + {GIF_ADD[0]}) % 256 AS INT) AS first_pixel
+FROM documents d,
+LATERAL (
+  SELECT avg(CAST({chan} AS DOUBLE)) AS mean_val
+  FROM generate_series(0, 12) r(i),
+       generate_series(0, 16) c(j),
+       generate_series(0, 2) ch(k)
+  WHERE r.i < 9 + d.doc_id % 4 AND c.j < 11 + d.doc_id % 6
+) m
+WHERE d.doc_id % 50 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming path (real readStream execution in the catalog)
 # ---------------------------------------------------------------------------
@@ -3942,6 +3995,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features_documents": multimodal_features_documents,
     "image_decode_documents": image_decode_documents,
     "jpeg_decode_documents": jpeg_decode_documents,
+    "gif_decode_documents": gif_decode_documents,
     "bpe_token_stats_documents": bpe_token_stats_documents,
     "tokenizer_fertility_documents": tokenizer_fertility_documents,
     "streaming_hourly_rollup": streaming_hourly_rollup,
@@ -4009,6 +4063,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "multimodal_features_documents": _MULTIMODAL_SQL,
     "image_decode_documents": _IMAGE_DECODE_SQL,
     "jpeg_decode_documents": _JPEG_DECODE_SQL,
+    "gif_decode_documents": _gif_sql(),
     "bpe_token_stats_documents": _BPE_SQL,
     "tokenizer_fertility_documents": _FERTILITY_SQL,
     "streaming_hourly_rollup": _STREAMING_HOURLY_SQL,

@@ -2337,3 +2337,55 @@ def test_pq_encode_and_adc_structure(spark):
         assert hit >= 5, hit
         per_q = adc.groupBy("query_id").count().collect()
         assert all(r["count"] == k for r in per_q)
+
+
+def test_gif_codec_lossless_roundtrip_and_structure():
+    """GIF is lossless: decode(encode(img, pal)) == pal[img] exactly,
+    across palette sizes, interlace, and dictionary saturation (the
+    200x200x256 case forces LZW to 4096 entries and a CLEAR reset);
+    extension blocks are skipped; malformed streams raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from arcane_framework_spark.operators.gif import decode_gif, encode_gif
+    from arcane_framework_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(19)
+    for h, w, ncol, interlace in [
+        (10, 12, 4, False),
+        (33, 17, 64, True),
+        (200, 200, 256, False),   # LZW hits 4096 -> CLEAR reset
+        (29, 31, 16, True),
+        (1, 1, 4, False),
+    ]:
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+        dec = decode_gif(encode_gif(img, pal, interlace=interlace))
+        assert np.array_equal(dec, pal[img]), (h, w, ncol, interlace)
+
+    # interlaced and sequential encodings of the same image decode equal
+    pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+    img = rng.integers(0, 32, (23, 9), dtype=np.uint8)
+    assert np.array_equal(
+        decode_gif(encode_gif(img, pal, interlace=True)),
+        decode_gif(encode_gif(img, pal, interlace=False)),
+    )
+
+    # a Graphics Control Extension before the image must be skipped
+    data = bytearray(encode_gif(img, pal))
+    img_at = data.index(0x2C, 13)
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = bytes(data[:img_at]) + gce + bytes(data[img_at:])
+    assert np.array_equal(decode_gif(patched), pal[img])
+
+    # decode_image dispatches on the GIF signature
+    assert decode_image(bytes(data)).shape == (23, 9, 3)
+
+    # documented failure modes
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(data[:-10]))  # truncated sub-blocks
+    with _pytest.raises(ValueError):
+        # header + trailer, no image descriptor
+        decode_gif(bytes(data[:13 + 3 * 32]) + b"\x3b")

@@ -31,6 +31,9 @@ EXPECTED_BNLJ = {
     "hard_negatives_embeddings",   # query-set × candidate scan with the
                                    # label-inequality predicate as the join
                                    # condition — same shape as knn_bruteforce
+    "pq_recall_embeddings",        # composes knn_bruteforce (exact ground
+                                   # truth for recall) + per-subspace Lloyd
+                                   # passes (corpus × broadcast centroids)
 }
 
 #: No query is allowed a CartesianProduct: lsh_recall's exact all-pairs
