@@ -628,6 +628,68 @@ FROM documents WHERE doc_id % 50 = 0
 """
 
 
+def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE tokenizer training (Sennrich 2016) over the corpus: the
+    top-8 learned merges as (step, left_tok, right_tok, merged,
+    pair_count).
+
+    The only corpus-sized work is the word-frequency aggregation; the
+    fixed-count merge iterations run over the distinct-word table with
+    frequency-weighted pair counts (operators/bpe.py). Deterministic
+    tie-breaks make the whole training loop SQL-expressible: the oracle
+    unrolls the same 8 count→argmax→rewrite steps as DuckDB CTEs, and
+    the merge table is exact integer arithmetic — a divergent replace
+    semantics, tie-break, or weighting hash-fails."""
+    from arcane_framework_spark.operators.bpe import bpe_train
+
+    t = load_tables(spark, sf_dir, "documents")
+    return bpe_train(t["documents"].select("text"))
+
+
+def _bpe_sql() -> str:
+    from arcane_framework_spark.operators.bpe import (
+        BPE_MAX_WORD_LEN, BPE_MERGES,
+    )
+
+    ctes = [f"""w0 AS (
+  SELECT '{{' || array_to_string(string_split(w, ''), '}}{{')
+             || '}}{{#}}' AS s,
+         cnt
+  FROM (
+    SELECT w, count(*) AS cnt FROM (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents)
+    WHERE regexp_matches(w, '^[a-z]+$') AND len(w) <= {BPE_MAX_WORD_LEN}
+    GROUP BY w)
+)"""]
+    for i in range(1, BPE_MERGES + 1):
+        prev = f"w{i - 1}"
+        ctes.append(f"""p{i} AS (
+  SELECT p.l AS l, p.r AS r, sum(cnt) AS c FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  j -> {{'l': t[j], 'r': t[j + 1]}})) AS p, cnt
+    FROM (SELECT string_split(s[2 : len(s) - 1], '}}{{') AS t, cnt
+          FROM {prev})
+  ) GROUP BY p.l, p.r
+)""")
+        ctes.append(
+            f"m{i} AS (SELECT l, r, c FROM p{i} "
+            f"ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        if i < BPE_MERGES:
+            ctes.append(f"""w{i} AS (
+  SELECT replace(s, '{{' || m.l || '}}{{' || m.r || '}}',
+                 '{{' || m.l || m.r || '}}') AS s, cnt
+  FROM {prev}, m{i} m
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, l AS left_tok, r AS right_tok, "
+        f"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming path (real readStream execution in the catalog)
 # ---------------------------------------------------------------------------
@@ -4031,6 +4093,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jpeg_decode_documents": jpeg_decode_documents,
     "gif_decode_documents": gif_decode_documents,
     "audio_spectral_documents": audio_spectral_documents,
+    "bpe_train_documents": bpe_train_documents,
     "bpe_token_stats_documents": bpe_token_stats_documents,
     "tokenizer_fertility_documents": tokenizer_fertility_documents,
     "streaming_hourly_rollup": streaming_hourly_rollup,
@@ -4100,6 +4163,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "jpeg_decode_documents": _JPEG_DECODE_SQL,
     "gif_decode_documents": _gif_sql(),
     "audio_spectral_documents": _AUDIO_SPECTRAL_SQL,
+    "bpe_train_documents": _bpe_sql(),
     "bpe_token_stats_documents": _BPE_SQL,
     "tokenizer_fertility_documents": _FERTILITY_SQL,
     "streaming_hourly_rollup": _STREAMING_HOURLY_SQL,

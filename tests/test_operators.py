@@ -2431,3 +2431,62 @@ def test_wav_spectral_features_closed_form(spark):
     # odd harmonics only: even multiples of the fundamental are ~zero
     assert mag[2 * cycles] < 1e-6 * mag[cycles]
     assert mag[3 * cycles] > 0.1 * mag[cycles]
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """bpe_train vs an independent pure-python Sennrich BPE (symbol
+    lists, no string-replace trick): identical merge tables, including
+    the repeated-pair case (aaaa -> two merges per pass) and count
+    tie-breaks."""
+    from collections import Counter
+
+    from arcane_framework_spark.operators.bpe import bpe_train
+    from arcane_framework_spark.operators.cache import cache_scope
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest wide wider",
+        "aaaa aaa aa banana bandana",
+        "low newer banana aaaa wide wide",
+    ]
+
+    def py_bpe(texts, merges):
+        words = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                words[tuple(w) + ("#",)] += 1
+        table = []
+        for step in range(1, merges + 1):
+            pairs = Counter()
+            for sym, cnt in words.items():
+                for a, b in zip(sym, sym[1:]):
+                    pairs[(a, b)] += cnt
+            if not pairs:
+                break
+            (l, r), c = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            table.append((step, l, r, l + r, c))
+            new_words = Counter()
+            for sym, cnt in words.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if (i + 1 < len(sym) and sym[i] == l
+                            and sym[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                new_words[tuple(out)] += cnt
+            words = new_words
+        return table
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    with cache_scope():
+        got = [
+            (r["step"], r["left_tok"], r["right_tok"], r["merged"],
+             r["pair_count"])
+            for r in bpe_train(df, merges=6).orderBy("step").collect()
+        ]
+    assert got == py_bpe(texts, 6), got
