@@ -88,6 +88,16 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     ).agg(F.sum("cnt").alias("c"))
 
 
+def _merge_rewrite(s_col):
+    """replace('{l}{r}' -> '{lr}') against the broadcast winner's l/r."""
+    return F.replace(
+        s_col,
+        F.concat(F.lit("{"), F.col("l"), F.lit("}{"),
+                 F.col("r"), F.lit("}")),
+        F.concat(F.lit("{"), F.col("l"), F.col("r"), F.lit("}")),
+    )
+
+
 def bpe_train(docs: DataFrame, text_col: str = "text",
               merges: int = BPE_MERGES) -> DataFrame:
     """Learn the top-``merges`` BPE merges; returns the merge table
@@ -102,41 +112,110 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
     doubles the logical plan per round and OOMs the driver at plan
     construction without lineage truncation).
     """
+    steps = [
+        top.select(
+            F.lit(step).alias("step"),
+            F.col("l").alias("left_tok"),
+            F.col("r").alias("right_tok"),
+            F.concat("l", "r").alias("merged"),
+            F.col("c").cast("long").alias("pair_count"),
+        )
+        for step, top in enumerate(
+            bpe_train_tops(docs, text_col, merges), start=1
+        )
+    ]
+    out = steps[0]
+    for sdf in steps[1:]:
+        out = out.unionByName(sdf)
+    return out
+
+
+def bpe_train_and_apply(docs: DataFrame, group_col: str,
+                        text_col: str = "text",
+                        merges: int = BPE_MERGES) -> DataFrame:
+    """Train merges globally, then TOKENIZE per group with them:
+    (group, n_words, n_chars, n_tokens_bpe, tokens_per_word).
+
+    The train->apply split mirrors production: merges are learned once
+    over the global word table, then replayed (the same in-plan
+    broadcast replace chain, in step order) over the per-group word
+    table — the corpus text is never re-scanned per merge. The output
+    is the fertility accounting a pipeline actually tracks for a
+    LEARNED tokenizer: how many BPE tokens per word each source costs
+    under the shared vocabulary."""
+    tops = bpe_train_tops(docs, text_col, merges)
+    grouped = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(
+            F.col("w").rlike("^[a-z]+$")
+            & (F.length("w") <= BPE_MAX_WORD_LEN)
+        )
+        .groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "grp",
+            F.length("w").alias("n_chars_w"),
+            F.concat(
+                F.lit("{"),
+                F.concat_ws("}{", F.split(F.col("w"), "")),
+                F.lit("}{#}"),
+            ).alias("s"),
+            "cnt",
+        )
+    )
+    for top in tops:
+        grouped = grouped.crossJoin(
+            F.broadcast(top.select("l", "r"))
+        ).select(
+            "grp", "n_chars_w", _merge_rewrite(F.col("s")).alias("s"), "cnt"
+        )
+    toked = grouped.select(
+        "grp", "n_chars_w", "cnt",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\}\{")
+        ).alias("n_tok"),
+    )
+    return toked.groupBy(F.col("grp").alias(group_col)).agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_chars_w")).cast("long").alias(
+            "n_chars"
+        ),
+        F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias(
+            "n_tokens_bpe"
+        ),
+        (
+            F.floor(
+                F.sum(F.col("cnt") * F.col("n_tok")).cast("double")
+                / F.sum("cnt").cast("double") * 10000 + F.lit(0.5)
+            ) / 10000
+        ).alias("tokens_per_word"),
+    )
+
+
+def bpe_train_tops(docs: DataFrame, text_col: str = "text",
+                   merges: int = BPE_MERGES) -> list[DataFrame]:
+    """The training loop of ``bpe_train``, returning the k persisted
+    1-row winner DataFrames in step order (for replaying the merge
+    chain over another table)."""
     words = bpe_word_frequencies(docs, text_col).localCheckpoint(
         eager=False
     )
-    steps = []
+    tops = []
     for step in range(1, merges + 1):
         top = scoped_persist(
             _pair_counts(words)
             .orderBy(F.col("c").desc(), "l", "r")
             .limit(1)
         )
-        top.count()  # materialize the winner before it is read twice
-        steps.append(
-            top.select(
-                F.lit(step).alias("step"),
-                F.col("l").alias("left_tok"),
-                F.col("r").alias("right_tok"),
-                F.concat("l", "r").alias("merged"),
-                F.col("c").cast("long").alias("pair_count"),
-            )
-        )
+        top.count()
+        tops.append(top)
         if step < merges:
             words = words.crossJoin(F.broadcast(top)).select(
-                F.replace(
-                    F.col("s"),
-                    F.concat(
-                        F.lit("{"), F.col("l"), F.lit("}{"),
-                        F.col("r"), F.lit("}"),
-                    ),
-                    F.concat(
-                        F.lit("{"), F.col("l"), F.col("r"), F.lit("}")
-                    ),
-                ).alias("s"),
-                "cnt",
+                _merge_rewrite(F.col("s")).alias("s"), "cnt"
             ).localCheckpoint(eager=False)
-    out = steps[0]
-    for sdf in steps[1:]:
-        out = out.unionByName(sdf)
-    return out
+    return tops

@@ -646,7 +646,28 @@ def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(t["documents"].select("text"))
 
 
-def _bpe_sql() -> str:
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BPE merges globally, then tokenize every source with them:
+    the per-source fertility of a LEARNED tokenizer (operators/bpe.py
+    bpe_train_and_apply) — (source, n_words, n_chars, n_tokens_bpe,
+    tokens_per_word).
+
+    The train->apply split is the production shape: one shared
+    vocabulary, per-source accounting of what it costs. The oracle
+    extends the unrolled training CTEs with the identical 8-step
+    replace chain over the per-source word table — all-integer sums
+    plus one guarded division."""
+    from arcane_framework_spark.operators.bpe import bpe_train_and_apply
+
+    t = load_tables(spark, sf_dir, "documents")
+    return bpe_train_and_apply(
+        t["documents"].select("source", "text"), group_col="source"
+    )
+
+
+def _bpe_train_ctes() -> list[str]:
+    """The shared unrolled-training CTE chain (w0, p_i, m_i, w_i) —
+    consumed by both the merge-table oracle and the apply oracle."""
     from arcane_framework_spark.operators.bpe import (
         BPE_MAX_WORD_LEN, BPE_MERGES,
     )
@@ -682,12 +703,60 @@ def _bpe_sql() -> str:
                  '{{' || m.l || m.r || '}}') AS s, cnt
   FROM {prev}, m{i} m
 )""")
+    return ctes
+
+
+def _bpe_sql() -> str:
+    from arcane_framework_spark.operators.bpe import BPE_MERGES
+
     selects = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, l AS left_tok, r AS right_tok, "
         f"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM m{i}"
         for i in range(1, BPE_MERGES + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return "WITH " + ",\n".join(_bpe_train_ctes()) + "\n" + selects
+
+
+def _bpe_apply_sql() -> str:
+    from arcane_framework_spark.operators.bpe import (
+        BPE_MAX_WORD_LEN, BPE_MERGES,
+    )
+
+    ctes = _bpe_train_ctes()
+    ctes.append(f"""ws0 AS (
+  SELECT grp, len(w) AS n_chars_w,
+         '{{' || array_to_string(string_split(w, ''), '}}{{')
+             || '}}{{#}}' AS s,
+         cnt
+  FROM (
+    SELECT grp, w, count(*) AS cnt FROM (
+      SELECT source AS grp,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents)
+    WHERE regexp_matches(w, '^[a-z]+$') AND len(w) <= {BPE_MAX_WORD_LEN}
+    GROUP BY grp, w)
+)""")
+    for i in range(1, BPE_MERGES + 1):
+        ctes.append(f"""ws{i} AS (
+  SELECT grp, n_chars_w,
+         replace(s, '{{' || m.l || '}}{{' || m.r || '}}',
+                 '{{' || m.l || m.r || '}}') AS s, cnt
+  FROM ws{i - 1}, m{i} m
+)""")
+    return f"""
+WITH {",".join(ctes)}
+SELECT grp AS source,
+       CAST(sum(cnt) AS BIGINT) AS n_words,
+       CAST(sum(cnt * n_chars_w) AS BIGINT) AS n_chars,
+       CAST(sum(cnt * len(string_split(s[2 : len(s) - 1], '}}{{')))
+            AS BIGINT) AS n_tokens_bpe,
+       floor(CAST(sum(cnt * len(string_split(s[2 : len(s) - 1], '}}{{')))
+                  AS DOUBLE)
+             / CAST(sum(cnt) AS DOUBLE) * 10000 + 0.5) / 10000
+         AS tokens_per_word
+FROM ws{BPE_MERGES}
+GROUP BY grp
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4094,6 +4163,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gif_decode_documents": gif_decode_documents,
     "audio_spectral_documents": audio_spectral_documents,
     "bpe_train_documents": bpe_train_documents,
+    "bpe_fertility_by_source": bpe_fertility_by_source,
     "bpe_token_stats_documents": bpe_token_stats_documents,
     "tokenizer_fertility_documents": tokenizer_fertility_documents,
     "streaming_hourly_rollup": streaming_hourly_rollup,
@@ -4164,6 +4234,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "gif_decode_documents": _gif_sql(),
     "audio_spectral_documents": _AUDIO_SPECTRAL_SQL,
     "bpe_train_documents": _bpe_sql(),
+    "bpe_fertility_by_source": _bpe_apply_sql(),
     "bpe_token_stats_documents": _BPE_SQL,
     "tokenizer_fertility_documents": _FERTILITY_SQL,
     "streaming_hourly_rollup": _STREAMING_HOURLY_SQL,
