@@ -57,14 +57,18 @@ def _tree_depth(line: str) -> int:
 
 def _only_scalar_bnlj(executed_plan: str) -> bool:
     """True if every BroadcastNestedLoopJoin's subtree contains a 1-row
-    global aggregate (``HashAggregate(keys=[]``/``SortAggregate(key=[]`` or
-    a SinglePartition exchange) — the scalar-attach pattern. Walks the
-    join's actual indented subtree, so probe-side depth can't push the
-    build side out of a fixed window."""
+    global aggregate (``HashAggregate(keys=[]``/``SortAggregate(key=[]``,
+    a SinglePartition exchange) or a provably-1-row limit
+    (``TakeOrderedAndProject(limit=1``/``GlobalLimit 1`` — e.g. an
+    argmax winner broadcast into a rewrite) — the scalar-attach
+    pattern. Walks the join's actual indented subtree, so probe-side
+    depth can't push the build side out of a fixed window."""
     import re
 
     scalar_sig = re.compile(
         r"(HashAggregate|SortAggregate)\s*\((keys|key)=\[\]"
+        r"|TakeOrderedAndProject\(limit=1[,)]"
+        r"|GlobalLimit 1[,\s]"
     )
     lines = executed_plan.splitlines()
     for i, line in enumerate(lines):
