@@ -1219,3 +1219,67 @@ def pq_adc_topk(codes: DataFrame, codebooks: DataFrame,
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 "adc_cos", "rank")
     )
+
+
+def ivfpq_topk(df: DataFrame, centroids: DataFrame, codes: DataFrame,
+               codebooks: DataFrame, queries: DataFrame, k: int,
+               dim: int = 64, subspaces: int = PQ_SUBSPACES,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ (the FAISS composition): coarse cell assignment restricts
+    the search, PQ-ADC scores the survivors — (query_id, neighbor_id,
+    adc_cos, rank).
+
+    At 100 TB this is the only ANN shape that fits: the corpus is
+    stored as (cid, codes) — a few bytes per vector — the query probes
+    ONE cell (~N/k_cells of the code table), and scoring is the
+    broadcast-LUT aggregation, so per-query work is
+    ``subspaces * N / k_cells`` skinny rows. Cell restriction happens
+    IN the join keys (cid rides the broadcast LUT), never as a
+    post-filter."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        F.col("id").alias("vec_id"), "cid"
+    )
+    coded = codes.join(assigned, "vec_id")
+    qass = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col("id").alias("query_id"), "cid"
+    )
+    qsubs = _pq_subvectors(queries, dim, subspaces, id_col, vec_col)
+    lut = (
+        qsubs.join(
+            F.broadcast(codebooks.select("subspace", "code", "cvec")),
+            "subspace",
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vnorm").alias("qnorm"),
+            "subspace", "code",
+            dot_expr(F.col("sv"), F.col("cvec")).alias("qpdot"),
+        )
+        .join(qass, "query_id")  # cid rides the LUT into the join keys
+    )
+    adc = (
+        coded.join(F.broadcast(lut), ["cid", "subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            (
+                F.sum("qpdot")
+                / (F.max("qnorm") * F.sqrt(F.sum("pcnorm")))
+            ).alias("adc_cos"),
+            F.count(F.lit(1)).alias("__n_sub"),
+        )
+        .filter(F.col("__n_sub") == subspaces)
+        .drop("__n_sub")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("vec_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "adc_cos", "rank")
+    )

@@ -2166,7 +2166,10 @@ def pq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_recall_sql(dim: int = 64) -> str:
+def _pq_core_ctes(dim: int = 64) -> list[str]:
+    """ef -> eight subspace k-means chains -> cb -> sv -> enc -> codes:
+    the shared PQ train+encode CTEs, consumed by the PQ and IVF-PQ
+    oracles."""
     from arcane_framework_spark.operators.similarity import (
         PQ_CODE_K, PQ_ITERS, PQ_SUBSPACES,
     )
@@ -2213,6 +2216,11 @@ def _pq_recall_sql(dim: int = 64) -> str:
         "codes AS (SELECT vec_id, subspace, vnorm, code, pdot, pcnorm "
         "FROM enc WHERE rn = 1)"
     )
+    return ctes
+
+
+def _pq_recall_sql(dim: int = 64) -> str:
+    ctes = _pq_core_ctes(dim)
     ctes.append("""recon AS (
   SELECT vec_id, sum(pdot) / (max(vnorm) * sqrt(sum(pcnorm))) AS rc
   FROM codes GROUP BY vec_id
@@ -2270,6 +2278,129 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM exact_nbrs) q
 LEFT JOIN overlap o USING (query_id)
 CROSS JOIN gl
+"""
+
+
+def ivfpq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS composition) end-to-end: coarse stride cells
+    restrict the search, PQ-ADC scores the survivors, measured as
+    recall@10 against the exact global cosine top-10 — the COMPOUND
+    loss of cell restriction plus quantization, which is the number a
+    pipeline actually tunes probes/codebooks against.
+
+    Storage shape at 100 TB: the corpus is (cid, 8 codes) — a few bytes
+    per vector; a query probes one cell's slice of the code table and
+    scores it with the broadcast LUT. The oracle replays the whole
+    composition: the shared PQ train+encode CTEs plus the stride-cell
+    assignment and the cell-keyed ADC."""
+    from pyspark.sql import functions as _F
+
+    from arcane_framework_spark.operators.cache import scoped_persist
+    from arcane_framework_spark.operators.similarity import (
+        ivfpq_topk,
+        knn_bruteforce,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    cb = pq_codebooks(emb)
+    codes = pq_encode(emb, cb).transform(scoped_persist)
+    q = emb.filter(F.col("vec_id") < PQ_QUERIES)
+    adc = ivfpq_topk(emb, centroids, codes, cb, q, k=PQ_TOPK)
+    exact = knn_bruteforce(emb, q, k=PQ_TOPK)
+    overlap = (
+        exact.select("query_id", "neighbor_id")
+        .join(adc.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(_F.count(_F.lit(1)).alias("__n"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.coalesce(F.col("__n"), F.lit(0)) / F.lit(PQ_TOPK), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivfpq_sql(dim: int = 64) -> str:
+    ctes = _pq_core_ctes(dim)
+    ctes.append(f"""cellc AS (
+  SELECT vec_id AS ccid, v AS cv FROM ef WHERE vec_id % {IVF_STRIDE} = 0
+)""")
+    ctes.append("""cass AS (
+  SELECT vec_id, ccid FROM (
+    SELECT ef.vec_id, cellc.ccid,
+           row_number() OVER (PARTITION BY ef.vec_id
+             ORDER BY list_dot_product(ef.v, cellc.cv)
+                      / (sqrt(list_dot_product(ef.v, ef.v))
+                         * sqrt(list_dot_product(cellc.cv, cellc.cv)))
+                      DESC, cellc.ccid) AS rn
+    FROM ef CROSS JOIN cellc
+  ) WHERE rn = 1
+)""")
+    ctes.append(f"""lutq AS (
+  SELECT q.vec_id AS query_id, q.subspace, cb.code, q.vnorm AS qnorm,
+         list_dot_product(q.sv, cb.cvec) AS qpdot
+  FROM (SELECT * FROM sv WHERE vec_id < {PQ_QUERIES}) q
+  JOIN cb USING (subspace)
+)""")
+    ctes.append("""adc AS (
+  SELECT l.query_id, c.vec_id,
+         sum(l.qpdot) / (max(l.qnorm) * sqrt(sum(c.pcnorm))) AS adc_cos
+  FROM codes c
+  JOIN cass ca ON ca.vec_id = c.vec_id
+  JOIN lutq l ON l.subspace = c.subspace AND l.code = c.code
+  JOIN cass qa ON qa.vec_id = l.query_id AND qa.ccid = ca.ccid
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+)""")
+    ctes.append(f"""adc_nbrs AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_cos DESC, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_TOPK}
+)""")
+    ctes.append(f"""exact_nbrs AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.v, c.v)
+                      / (sqrt(list_dot_product(q.v, q.v))
+                         * sqrt(list_dot_product(c.v, c.v))) DESC,
+                      c.vec_id) AS rn
+    FROM (SELECT * FROM ef WHERE vec_id < {PQ_QUERIES}) q
+    CROSS JOIN ef c
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE rn <= {PQ_TOPK}
+)""")
+    ctes.append("""overlap AS (
+  SELECT e.query_id, count(*) AS n
+  FROM exact_nbrs e JOIN adc_nbrs a USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT q.query_id,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(o.n, 0) / {PQ_TOPK}, 4) AS recall
+FROM (SELECT DISTINCT query_id FROM exact_nbrs) q
+LEFT JOIN overlap o USING (query_id)
 """
 
 
@@ -4187,6 +4318,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_documents_512": pack_documents_query,
     "quantization_recall_embeddings": quantization_recall_embeddings,
     "pq_recall_embeddings": pq_recall_embeddings,
+    "ivfpq_recall_embeddings": ivfpq_recall_embeddings,
     "corpus_split_documents": corpus_split_documents,
     "pps_sample_documents": pps_sample_documents,
     "budget_selection_documents": budget_selection_documents,
@@ -4257,6 +4389,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "pack_documents_512": _PACK_SQL,
     "quantization_recall_embeddings": _quant_recall_sql(),
     "pq_recall_embeddings": _pq_recall_sql(),
+    "ivfpq_recall_embeddings": _ivfpq_sql(),
     "corpus_split_documents": _corpus_split_sql(),
     "pps_sample_documents": _pps_sample_sql(),
     "budget_selection_documents": _BUDGET_SELECTION_SQL,

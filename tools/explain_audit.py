@@ -34,6 +34,8 @@ EXPECTED_BNLJ = {
     "pq_recall_embeddings",        # composes knn_bruteforce (exact ground
                                    # truth for recall) + per-subspace Lloyd
                                    # passes (corpus × broadcast centroids)
+    "ivfpq_recall_embeddings",     # same composition + coarse-cell
+                                   # assignment (corpus × broadcast cells)
 }
 
 #: No query is allowed a CartesianProduct: lsh_recall's exact all-pairs
