@@ -28,6 +28,13 @@ from arcane_framework_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     winnow_pairs,
 )
+from arcane_framework_spark.operators.bpe import bpe_train  # noqa: E402
+from arcane_framework_spark.operators.multimodal import (  # noqa: E402
+    documents_as_tone_assets,
+    image_decode_features,
+    synth_gif_assets,
+    wav_spectral_features,
+)
 from arcane_framework_spark.operators.graph import (  # noqa: E402
     dedup_clusters,
     incremental_components,
@@ -144,6 +151,25 @@ def timed(fn):
     return {"rows": n, "sec": round(time.time() - t0, 2)}
 
 
+def _pq_adc(emb, queries, k: int):
+    from arcane_framework_spark.operators.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode,
+    )
+
+    cb = pq_codebooks(emb)
+    return pq_adc_topk(pq_encode(emb, cb), cb, queries, k=k)
+
+
+def _ivfpq_adc(emb, centroids, queries, k: int):
+    from arcane_framework_spark.operators.similarity import (
+        ivfpq_topk, pq_codebooks, pq_encode,
+    )
+
+    cb = pq_codebooks(emb)
+    cents = centroids.select("cid", F.col("cvec"))
+    return ivfpq_topk(emb, cents, pq_encode(emb, cb), cb, queries, k=k)
+
+
 def semdedup_cell_stats(emb, target_cell_size: int):
     """Verify the governed-k mode's cell bound on the enlarged corpus:
     run semantic_dedup's assignment, report n_cells / max / avg cell
@@ -239,6 +265,25 @@ def main() -> None:
             lambda: knn_bruteforce_vectorized(emb, queries, k=5)
         ),
         "ivf_topk_q500": timed(lambda: ivf_topk(emb, centroids, queries, k=5)),
+        # r8 surface at 10x: PQ/IVF-PQ ADC over 20k vectors x 500
+        # queries (train + encode + search, the full pipeline), BPE
+        # training over the 10x corpus text, and decode throughput for
+        # 50k GIFs / 50k FFT-analyzed WAV tones
+        "pq_adc_q500": timed(lambda: _pq_adc(emb, queries, k=5)),
+        "ivfpq_adc_q500": timed(
+            lambda: _ivfpq_adc(emb, centroids, queries, k=5)
+        ),
+        "bpe_train_8_merges": timed(lambda: bpe_train(docs.select("text"))),
+        "gif_decode_50k": timed(
+            lambda: image_decode_features(
+                synth_gif_assets(docs.select("doc_id"))
+            )
+        ),
+        "audio_fft_50k": timed(
+            lambda: wav_spectral_features(
+                documents_as_tone_assets(docs.select("doc_id"))
+            )
+        ),
         # near-dup pairs -> clusters (graph closure on the pair output)
         "dedup_clusters": timed(
             lambda: dedup_clusters(minhash_lsh_pairs(docs))
