@@ -207,6 +207,8 @@ def decode_gif(content: bytes) -> "object":
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02X}")
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", content, pos)
         pos += 9
         if w == 0 or h == 0 or left + w > sw or top + h > sh:

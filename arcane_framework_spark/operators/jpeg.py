@@ -311,11 +311,18 @@ def decode_jpeg(content: bytes) -> "object":
                 qtables[tq] = q.reshape(8, 8)
                 i += 64
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG samples")
             if h == 0 or w == 0:
                 raise ValueError("degenerate JPEG dimensions")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError(
+                    f"SOF declares {nc} components but segment holds "
+                    f"{len(seg) - 6} descriptor bytes"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
@@ -326,6 +333,8 @@ def decode_jpeg(content: bytes) -> "object":
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):
+                    raise ValueError("truncated DHT header")
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1:i + 17])
                 nv = sum(bits)
@@ -335,10 +344,14 @@ def decode_jpeg(content: bytes) -> "object":
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated SOS header")
             ns = seg[0]
             scan = []
             for c in range(ns):

@@ -254,3 +254,31 @@ def test_jpeg_decode_never_crashes_on_mutation(pos, value, truncate):
         decode_jpeg(bytes(good))
     except (ValueError, NotImplementedError):
         pass  # the documented failure modes
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=600),
+       st.integers(min_value=0, max_value=255),
+       st.integers(min_value=0, max_value=300))
+def test_gif_decode_never_crashes_on_mutation(pos, value, truncate):
+    """Any single-byte mutation or truncation of a valid GIF either
+    still decodes or raises the documented errors — never struct.error,
+    IndexError, or a numpy shape/index error (LZW dictionary abuse,
+    lying sub-block sizes, truncated descriptors are all fuzz-reachable
+    here)."""
+    import numpy as np
+
+    from arcane_framework_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = rng.integers(0, 16, (14, 11), dtype=np.uint8)
+    good = bytearray(encode_gif(img, pal, interlace=bool(pos % 2)))
+    if truncate:
+        good = good[:max(0, len(good) - truncate)]
+    if pos < len(good):
+        good[pos] = value
+    try:
+        decode_gif(bytes(good))
+    except (ValueError, NotImplementedError):
+        pass  # the documented failure modes
