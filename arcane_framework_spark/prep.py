@@ -138,6 +138,26 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out["components"] = comps
         _PREPPED.append(comps)
         _HANDLES[("components", sf_dir)] = comps
+        # PQ codebooks + codes: trained once per session and shared by
+        # keyed handle (the pq and ivfpq entries would otherwise each
+        # rerun the joint Lloyd fit) — the codebook-as-side-table story,
+        # same pattern as components. Entries fall back to training
+        # their own when no prep is active (the oracle gate's path).
+        from arcane_framework_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+            "vec_id", "embedding"
+        )
+        cb = pq_codebooks(emb).persist()
+        codes = pq_encode(emb, cb).persist()
+        out["pq_codebooks"] = cb
+        out["pq_codes"] = codes
+        _PREPPED.extend([cb, codes])
+        _HANDLES[("pq_codebooks", sf_dir)] = cb
+        _HANDLES[("pq_codes", sf_dir)] = codes
         _PREPPED.extend(tracked)
         tracked.clear()
     return out
@@ -153,7 +173,13 @@ def warm_shared_prep_itemized(spark: SparkSession,
     import time
 
     breakdown: dict[str, float] = {}
-    for name, df in shared_prep(spark, sf_dir).items():
+    t0 = time.perf_counter()
+    tables = shared_prep(spark, sf_dir)
+    # eager work that runs INSIDE the build (per-iteration Lloyd
+    # materializations of the PQ codebooks, the connected-components
+    # fixpoint) — attributed explicitly instead of vanishing
+    breakdown["__build"] = round(time.perf_counter() - t0, 3)
+    for name, df in tables.items():
         t0 = time.perf_counter()
         df.count()
         breakdown[name] = round(time.perf_counter() - t0, 3)

@@ -2125,10 +2125,17 @@ def pq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
     )
 
+    from arcane_framework_spark.prep import get_prepped
+
     t = load_tables(spark, sf_dir, "embeddings")
     emb = t["embeddings"].select("vec_id", "embedding")
-    cb = pq_codebooks(emb)
-    codes = pq_encode(emb, cb).transform(scoped_persist)
+    # session prep shares one trained codebook/code table across the pq
+    # and ivfpq entries; without prep (the gate) each trains its own
+    cb = get_prepped(("pq_codebooks", sf_dir), spark)
+    codes = get_prepped(("pq_codes", sf_dir), spark)
+    if cb is None or codes is None:
+        cb = pq_codebooks(emb)
+        codes = pq_encode(emb, cb).transform(scoped_persist)
     q = emb.filter(F.col("vec_id") < PQ_QUERIES)
     adc = pq_adc_topk(codes, cb, q, k=PQ_TOPK)
     exact = knn_bruteforce(emb, q, k=PQ_TOPK)
@@ -2303,13 +2310,18 @@ def ivfpq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
     )
 
+    from arcane_framework_spark.prep import get_prepped
+
     t = load_tables(spark, sf_dir, "embeddings")
     emb = t["embeddings"].select("vec_id", "embedding")
     centroids = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    cb = pq_codebooks(emb)
-    codes = pq_encode(emb, cb).transform(scoped_persist)
+    cb = get_prepped(("pq_codebooks", sf_dir), spark)
+    codes = get_prepped(("pq_codes", sf_dir), spark)
+    if cb is None or codes is None:
+        cb = pq_codebooks(emb)
+        codes = pq_encode(emb, cb).transform(scoped_persist)
     q = emb.filter(F.col("vec_id") < PQ_QUERIES)
     adc = ivfpq_topk(emb, centroids, codes, cb, q, k=PQ_TOPK)
     exact = knn_bruteforce(emb, q, k=PQ_TOPK)
