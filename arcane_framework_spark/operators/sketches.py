@@ -316,3 +316,63 @@ def bloom_probe(items: DataFrame, bloom: DataFrame,
     drop = [c for j in range(BLOOM_K) for c in (f"__w{j}", f"__b{j}",
                                                 f"__word{j}")]
     return out.withColumn("bloom_passed", passed).drop(*drop)
+
+
+#: Bottom-k quantile-sketch size: estimates from a deterministic
+#: hash-ordered sample of k values per group.
+BOTTOMK_K = 64
+
+
+def bottomk_sample(items: DataFrame, value_col: str, id_col: str,
+                   group_cols: list[str] | None = None,
+                   k: int = BOTTOMK_K) -> DataFrame:
+    """The mergeable quantile-sketch state: per group, the ``k`` rows
+    whose md5(id) sample-rank is smallest — a DETERMINISTIC uniform
+    sample (the hash plays the role of the random key in bottom-k/KMV
+    sketches, fixed so another engine reproduces the exact row set).
+
+    The rank hashes the RECORD ID, never the value: double-to-string
+    formatting differs between engines, integer ids do not. Mergeable:
+    the bottom-k of a union is the bottom-k of the union of bottom-ks;
+    incremental by the same fold; bounded state per group. One shuffle
+    with WindowGroupLimit pushing the top-k partially map-side.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    ranked = items.select(
+        *group_cols,
+        F.col(value_col).alias("value"),
+        F.md5(F.col(id_col).cast("string")).alias("__rk"),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__rk")
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*group_cols, "value", "__rk")
+    )
+
+
+def bottomk_quantiles(sample: DataFrame, qs: list[float],
+                      group_cols: list[str] | None = None) -> DataFrame:
+    """Collapse a bottom-k sample to quantile estimates: per group, the
+    sample is VALUE-sorted and quantile q reads element
+    ``floor(q * (n - 1))`` — pure index arithmetic on the deterministic
+    sample, so the whole estimate is engine-exact (no interpolation, no
+    float summation; the emitted values are untouched input doubles).
+    Emits one row per group with ``q<percent>`` columns."""
+    group_cols = group_cols or []
+    agg = sample.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("value")).alias("__vals"),
+        F.count(F.lit(1)).alias("sample_n"),
+    )
+    cols = [
+        F.element_at(
+            "__vals",
+            (
+                F.floor(F.lit(q) * (F.col("sample_n") - 1)) + 1
+            ).cast("int"),
+        ).alias(f"q{int(round(q * 100))}")
+        for q in qs
+    ]
+    return agg.select(*group_cols, "sample_n", *cols)

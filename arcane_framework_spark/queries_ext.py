@@ -4105,6 +4105,82 @@ def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(spark.table(name), ["event_type"])
 
 
+def sketch_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: per event_type, p50/p90/p99 of
+    ``value`` estimated from a deterministic bottom-k (KMV-style) hash
+    sample of 64 events — alongside the EXACT quantiles for the
+    accuracy exhibit.
+
+    At 100 TB exact quantiles shuffle every row; the bottom-k state is
+    64 rows per group, mergeable by union + re-bottom-k, incrementally
+    maintainable, and broadcastable. The md5(event_id) rank makes the
+    SAMPLE ITSELF engine-exact, and the estimates are pure index reads
+    of untouched input doubles — the DuckDB oracle reproduces every
+    emitted value bit-for-bit."""
+    from arcane_framework_spark.operators.sketches import (
+        bottomk_quantiles, bottomk_sample,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select("event_type", "event_id", "value")
+    est = bottomk_quantiles(
+        bottomk_sample(ev, "value", "event_id", ["event_type"]),
+        qs=[0.5, 0.9, 0.99],
+        group_cols=["event_type"],
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("__e50"),
+        F.expr("percentile(value, 0.9)").alias("__e90"),
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "sample_n", "q50", "q90", "q99",
+        (F.floor(F.col("__e50") * 100 + F.lit(0.5)) / 100).alias(
+            "exact_p50_cents"
+        ),
+        (F.floor(F.col("__e90") * 100 + F.lit(0.5)) / 100).alias(
+            "exact_p90_cents"
+        ),
+    )
+
+
+def _sketch_quantiles_sql() -> str:
+    from arcane_framework_spark.operators.sketches import BOTTOMK_K
+
+    def q(frac: str) -> str:
+        return (
+            f"vals[CAST(floor({frac} * (sample_n - 1)) AS INT) + 1]"
+        )
+
+    return f"""
+WITH ranked AS (
+  SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS rk,
+         row_number() OVER (PARTITION BY event_type ORDER BY
+                            md5(CAST(event_id AS VARCHAR))) AS rn
+  FROM events
+),
+sample AS (SELECT event_type, value FROM ranked WHERE rn <= {BOTTOMK_K}),
+agg AS (
+  SELECT event_type, list_sort(list(value)) AS vals,
+         count(*) AS sample_n
+  FROM sample GROUP BY event_type
+),
+exact AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS e50,
+         quantile_cont(value, 0.9) AS e90
+  FROM events GROUP BY event_type
+)
+SELECT agg.event_type,
+       CAST(sample_n AS BIGINT) AS sample_n,
+       {q("0.5")} AS q50,
+       {q("0.9")} AS q90,
+       {q("0.99")} AS q99,
+       floor(e50 * 100 + 0.5) / 100 AS exact_p50_cents,
+       floor(e90 * 100 + 0.5) / 100 AS exact_p90_cents
+FROM agg JOIN exact USING (event_type)
+"""
+
+
 CMS_TOP_K = 20
 
 
@@ -4323,6 +4399,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_hll_users": incremental_hll_users,
     "streaming_hll_users": streaming_hll_users,
     "cms_heavy_hitters_events": cms_heavy_hitters_events,
+    "sketch_quantiles_events": sketch_quantiles_events,
     "bloom_prune_orders": bloom_prune_orders,
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_clusters_documents": dedup_clusters_documents,
@@ -4395,6 +4472,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "incremental_hll_users": _incremental_hll_sql(),
     "streaming_hll_users": _incremental_hll_sql(),
     "cms_heavy_hitters_events": _cms_sql(),
+    "sketch_quantiles_events": _sketch_quantiles_sql(),
     "bloom_prune_orders": _bloom_sql(),
     "kmeans_embeddings": _kmeans_sql(),
     "asof_attribution_events": _ASOF_SQL,

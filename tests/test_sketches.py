@@ -288,3 +288,38 @@ def test_cms_weighted_counts_match_pure_python(spark):
             b = _py_hash60(f"{row}|{v}") % CMS_W
             want[(row, b)] = want.get((row, b), 0) + w
     assert got == want
+
+
+def test_bottomk_sample_merge_and_quantiles(spark):
+    """Bottom-k merge law (bottom-k of a union == bottom-k of the union
+    of bottom-ks) and the quantile estimate's accuracy on a known
+    distribution."""
+    rows = [(i, float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    from arcane_framework_spark.operators.sketches import (
+        BOTTOMK_K, bottomk_quantiles, bottomk_sample,
+    )
+
+    a = df.filter(F.col("id") % 2 == 0)
+    b = df.filter(F.col("id") % 2 == 1)
+    merged = (
+        bottomk_sample(a, "v", "id").union(bottomk_sample(b, "v", "id"))
+    )
+    # re-take the bottom-k of the union of bottom-ks
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__rk")
+    remerged = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= BOTTOMK_K)
+        .select("value", "__rk")
+    )
+    whole = bottomk_sample(df, "v", "id").select("value", "__rk")
+    assert {tuple(r) for r in remerged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+    est = bottomk_quantiles(bottomk_sample(df, "v", "id"), [0.5]).collect()
+    # values are ~uniform on [0, 1000): the 64-sample median lands well
+    # inside the central half
+    assert 250 <= est[0]["q50"] <= 750, est
