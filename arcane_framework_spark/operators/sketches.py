@@ -376,3 +376,98 @@ def bottomk_quantiles(sample: DataFrame, qs: list[float],
         for q in qs
     ]
     return agg.select(*group_cols, "sample_n", *cols)
+
+
+#: KMV (k-minimum-values / theta) sketch size and the 60-bit hash-space
+#: size shared with _hash60.
+KMV_K = 64
+KMV_H = 1 << 60
+
+
+def kmv_sketch(items: DataFrame, value_col: str,
+               group_cols: list[str] | None = None,
+               k: int = KMV_K) -> DataFrame:
+    """The KMV (theta) sketch: per group, the ``k`` smallest DISTINCT
+    60-bit md5 hashes of the values — one row per retained hash.
+
+    Mergeable (union + re-bottom-k), engine-exact (fixed hash, integer
+    ordering), and it supports SET ALGEBRA no single-set sketch can:
+    intersection/union cardinalities between groups via
+    ``kmv_intersection``. Distinct-ness is inherent — duplicates hash
+    identically and collapse in the per-group distinct."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    hashed = items.select(
+        *group_cols, _hash60(F.col(value_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_intersection(sketch: DataFrame, group_col: str,
+                     k: int = KMV_K) -> DataFrame:
+    """Pairwise intersection-cardinality estimates between every two
+    groups of a KMV sketch table: (group_a, group_b, n_common, theta,
+    est_intersection).
+
+    Standard theta-sketch algebra: per group, ``theta`` = the k-th
+    minimum hash when the sketch is FULL (the set had >= k members),
+    else the full hash space H (the sketch IS the set). For a pair,
+    hashes present in BOTH sketches and below ``min(theta_a, theta_b)``
+    are a uniform sample of the intersection at sampling fraction
+    ``theta/H`` — so ``est = n_common * H / theta``, all-integer except
+    the one final division. When both sketches are exact the estimate
+    is the exact intersection count."""
+    per_group = sketch.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth"),
+    ).select(
+        "g",
+        F.when(F.col("n_kept") >= k, F.col("kth"))
+        .otherwise(F.lit(KMV_H)).alias("theta"),
+    )
+    # every (a < b) pair with its combined theta — pairs whose sampled
+    # intersection is EMPTY must still emit a zero-estimate row
+    grid = (
+        per_group.select(F.col("g").alias("group_a"),
+                         F.col("theta").alias("__ta"))
+        .crossJoin(
+            per_group.select(F.col("g").alias("group_b"),
+                             F.col("theta").alias("__tb"))
+        )
+        .filter(F.col("group_a") < F.col("group_b"))
+        .select(
+            "group_a", "group_b",
+            F.least("__ta", "__tb").alias("theta"),
+        )
+    )
+    a = sketch.select(F.col(group_col).alias("group_a"), "h")
+    b = sketch.select(F.col(group_col).alias("group_b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .join(F.broadcast(grid), ["group_a", "group_b"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    joined = grid.join(common, ["group_a", "group_b"], "left").select(
+        "group_a", "group_b",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
+            "n_common"
+        ),
+        F.col("theta").cast("long").alias("theta"),
+    )
+    est = (
+        F.col("n_common").cast("double") * F.lit(float(KMV_H))
+        / F.col("theta").cast("double")
+    )
+    return joined.select(
+        "group_a", "group_b", "n_common", "theta",
+        (F.floor(est * 100 + F.lit(0.5)) / 100).alias("est_intersection"),
+    )

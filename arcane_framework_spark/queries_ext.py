@@ -4181,6 +4181,105 @@ FROM agg JOIN exact USING (event_type)
 """
 
 
+def kmv_intersections_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV set algebra: for every pair of event types, the
+    estimated DISTINCT-USER intersection from two 64-hash sketches,
+    next to the exact intersection — audience-overlap analysis whose
+    state is 64 hashes per set regardless of corpus size.
+
+    The one sketch family that answers cross-SET questions (|A∩B|)
+    without co-shuffling the sets: sketches are built independently
+    (mergeable, incremental), and the pairwise estimate touches only
+    sketch rows. Hashes, thetas, sample counts, and the single-division
+    estimate are all engine-exact — the DuckDB oracle rebuilds every
+    sketch and replays the algebra bit-for-bit."""
+    from arcane_framework_spark.operators.sketches import (
+        kmv_intersection, kmv_sketch,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    est = kmv_intersection(
+        kmv_sketch(ev, "uid", ["event_type"]), "event_type"
+    )
+    users = ev.distinct()
+    exact = (
+        users.select(F.col("event_type").alias("group_a"),
+                     F.col("uid").alias("u"))
+        .join(users.select(F.col("event_type").alias("group_b"),
+                           F.col("uid").alias("u")), "u")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return est.join(F.broadcast(exact), ["group_a", "group_b"], "left").select(
+        "group_a", "group_b", "n_common", "theta", "est_intersection",
+        F.coalesce("exact_intersection", F.lit(0)).cast("long").alias(
+            "exact_intersection"
+        ),
+    )
+
+
+def _kmv_sql() -> str:
+    from arcane_framework_spark.operators.sketches import KMV_H, KMV_K
+
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {KMV_K}
+),
+pg AS (
+  SELECT event_type AS g,
+         CASE WHEN count(*) >= {KMV_K} THEN max(h)
+              ELSE {KMV_H}::BIGINT END AS theta
+  FROM sk GROUP BY event_type
+),
+grid AS (
+  SELECT a.g AS group_a, b.g AS group_b, least(a.theta, b.theta) AS theta
+  FROM pg a CROSS JOIN pg b WHERE a.g < b.g
+),
+common AS (
+  SELECT sa.event_type AS group_a, sb.event_type AS group_b,
+         count(*) AS n_common
+  FROM sk sa
+  JOIN sk sb ON sa.h = sb.h AND sa.event_type < sb.event_type
+  JOIN grid g ON g.group_a = sa.event_type AND g.group_b = sb.event_type
+  WHERE sa.h < g.theta
+  GROUP BY 1, 2
+),
+users AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+),
+exact AS (
+  SELECT a.event_type AS group_a, b.event_type AS group_b,
+         count(*) AS n
+  FROM users a JOIN users b ON a.u = b.u AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT grid.group_a, grid.group_b,
+       CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(grid.theta AS BIGINT) AS theta,
+       floor(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+             * {float(KMV_H)!r} / CAST(grid.theta AS DOUBLE)
+             * 100 + 0.5) / 100 AS est_intersection,
+       CAST(coalesce(e.n, 0) AS BIGINT) AS exact_intersection
+FROM grid
+LEFT JOIN common c USING (group_a, group_b)
+LEFT JOIN exact e USING (group_a, group_b)
+"""
+
+
 CMS_TOP_K = 20
 
 
@@ -4400,6 +4499,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_hll_users": streaming_hll_users,
     "cms_heavy_hitters_events": cms_heavy_hitters_events,
     "sketch_quantiles_events": sketch_quantiles_events,
+    "kmv_intersections_events": kmv_intersections_events,
     "bloom_prune_orders": bloom_prune_orders,
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_clusters_documents": dedup_clusters_documents,
@@ -4473,6 +4573,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "streaming_hll_users": _incremental_hll_sql(),
     "cms_heavy_hitters_events": _cms_sql(),
     "sketch_quantiles_events": _sketch_quantiles_sql(),
+    "kmv_intersections_events": _kmv_sql(),
     "bloom_prune_orders": _bloom_sql(),
     "kmeans_embeddings": _kmeans_sql(),
     "asof_attribution_events": _ASOF_SQL,

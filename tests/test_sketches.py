@@ -323,3 +323,54 @@ def test_bottomk_sample_merge_and_quantiles(spark):
     # values are ~uniform on [0, 1000): the 64-sample median lands well
     # inside the central half
     assert 250 <= est[0]["q50"] <= 750, est
+
+
+def test_kmv_intersection_estimates_and_merge(spark):
+    """KMV set algebra: with sets SMALLER than k the sketch is exact
+    (theta = H, estimate == exact intersection); with sets larger than
+    k the estimate lands within the published KMV error band; sketches
+    merge by union + re-bottom-k."""
+    from arcane_framework_spark.operators.sketches import (
+        KMV_H, KMV_K, kmv_intersection, kmv_sketch,
+    )
+
+    # small sets: exact
+    rows = (
+        [("a", f"u{i}") for i in range(30)]
+        + [("b", f"u{i}") for i in range(20, 50)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = kmv_intersection(kmv_sketch(df, "v", ["g"]), "g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["theta"] == KMV_H
+    assert r["n_common"] == 10
+    assert r["est_intersection"] == 10.0
+
+    # large sets: estimate within a loose band of the true 500 overlap
+    rows = (
+        [("a", f"x{i}") for i in range(1500)]
+        + [("b", f"x{i}") for i in range(1000, 2500)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = kmv_intersection(kmv_sketch(df, "v", ["g"]), "g").collect()[0]
+    assert r["theta"] < KMV_H  # sketches are full
+    assert 100 <= r["est_intersection"] <= 1500, r
+
+    # merge law: bottom-k of union == re-bottom-k of union of bottom-ks
+    from pyspark.sql import Window
+
+    half1 = df.filter(F.length("v") % 2 == 0)
+    half2 = df.filter(F.length("v") % 2 == 1)
+    merged = kmv_sketch(half1, "v", ["g"]).union(
+        kmv_sketch(half2, "v", ["g"])
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    remerged = (
+        merged.distinct().withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K).drop("rn")
+    )
+    whole = kmv_sketch(df, "v", ["g"])
+    assert {tuple(r) for r in remerged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
