@@ -36,6 +36,11 @@ EXPECTED_BNLJ = {
                                    # passes (corpus × broadcast centroids)
     "ivfpq_recall_embeddings",     # same composition + coarse-cell
                                    # assignment (corpus × broadcast cells)
+    "kmv_intersections_events",    # pair grid over the PER-SET theta
+                                   # table (one row per set): pairwise
+                                   # set algebra is quadratic in #sets
+                                   # by definition, and the table is
+                                   # sets-sized, never corpus-sized
 }
 
 #: No query is allowed a CartesianProduct: lsh_recall's exact all-pairs
