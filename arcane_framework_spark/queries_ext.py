@@ -4280,6 +4280,72 @@ LEFT JOIN exact e USING (group_a, group_b)
 """
 
 
+def streaming_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch maintained BY a custom stateful streaming
+    operator: events replay through ``readStream`` →
+    ``applyInPandasWithState`` keeps the bottom-64 distinct user-hash
+    set per event type as its state (bounded at 64 longs per key
+    forever), emitting the full sketch per micro-batch — the consumer
+    keeps each key's final version.
+
+    The oracle recomputes the batch sketch in SQL: stateful-streaming
+    state ≡ batch ``kmv_sketch`` ≡ DuckDB bottom-64, hash-for-hash.
+    Distinct from ``streaming_hll_users`` (a built-in streaming
+    AGGREGATION): this one exercises arbitrary user state in the state
+    store — the shape any custom sketch needs once it outgrows SQL
+    aggregation semantics."""
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.streaming.stateful import kmv_stream
+
+    t = load_tables(spark, sf_dir, "events")
+    schema = t["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    sk = kmv_stream(ev)
+    name = "streaming_kmv_users_sink"
+    with stream_conf(spark):
+        q = (
+            sk.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sink = spark.table(name)
+    w = Window.partitionBy("event_type")
+    return (
+        sink.withColumn("__maxv", F.max("ver").over(w))
+        .filter(F.col("ver") == F.col("__maxv"))
+        .select("event_type", "h")
+    )
+
+
+def _kmv_sketch_only_sql() -> str:
+    from arcane_framework_spark.operators.sketches import KMV_K
+
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+)
+SELECT event_type, h FROM (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+) WHERE rn <= {KMV_K}
+"""
+
+
 CMS_TOP_K = 20
 
 
@@ -4500,6 +4566,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters_events": cms_heavy_hitters_events,
     "sketch_quantiles_events": sketch_quantiles_events,
     "kmv_intersections_events": kmv_intersections_events,
+    "streaming_kmv_users": streaming_kmv_users,
     "bloom_prune_orders": bloom_prune_orders,
     "kmeans_embeddings": kmeans_embeddings,
     "dedup_clusters_documents": dedup_clusters_documents,
@@ -4574,6 +4641,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "cms_heavy_hitters_events": _cms_sql(),
     "sketch_quantiles_events": _sketch_quantiles_sql(),
     "kmv_intersections_events": _kmv_sql(),
+    "streaming_kmv_users": _kmv_sketch_only_sql(),
     "bloom_prune_orders": _bloom_sql(),
     "kmeans_embeddings": _kmeans_sql(),
     "asof_attribution_events": _ASOF_SQL,

@@ -211,3 +211,57 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
         )
     )
     return lsel.join(rsel, cond, "inner").drop("__rkey")
+
+
+def kmv_stream(events: DataFrame, key_col: str = "event_type",
+               value_col: str = "uid", k: int = 64) -> DataFrame:
+    """KMV (theta) sketch maintained as CUSTOM streaming state
+    (``applyInPandasWithState``): per key, the state is the bottom-k
+    distinct 60-bit md5 hashes of the values seen so far — bounded at
+    ``k`` longs per key no matter how much data streams through, the
+    textbook shape for always-current distinct/overlap estimation over
+    an unbounded stream.
+
+    Every micro-batch folds the arriving values into the state (union +
+    re-bottom-k, the sketch's merge law) and emits the FULL current
+    sketch tagged with a state version; the consumer keeps each key's
+    max-version rows. The hash is bit-identical to the batch
+    ``operators/sketches.kmv_sketch`` (md5 hex prefix -> int), so
+    streaming state == batch sketch == SQL oracle, three ways.
+    """
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
+           state: GroupState) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        (group,) = key
+        hashes, ver = (
+            (list(state.get[0]), int(state.get[1]))
+            if state.exists
+            else ([], 0)
+        )
+        s = set(hashes)
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                s.add(int(hashlib.md5(
+                    str(v).encode()).hexdigest()[:15], 16))
+        merged = sorted(s)[:k]
+        ver += 1
+        state.update((merged, ver))
+        yield pd.DataFrame(
+            {
+                key_col: [group] * len(merged),
+                "h": merged,
+                "ver": [ver] * len(merged),
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} string, h long, ver int",
+        stateStructType="hashes array<long>, ver int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
