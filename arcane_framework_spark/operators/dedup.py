@@ -755,3 +755,95 @@ def winnow_pairs(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+#: Edit-distance near-dup: maximum Levenshtein distance for a verified
+#: pair, over the whitespace-normalized text. 3 admits typo-level and
+#: small-append variants while keeping the banded verify O(3·n) per pair.
+EDIT_MAX_DIST = 3
+
+
+def edit_distance_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_dist: int = EDIT_MAX_DIST,
+                        sketch_k: int = NGRAM_SKETCH_K,
+                        max_block: int = NGRAM_MAX_BLOCK) -> DataFrame:
+    """Levenshtein near-dup pairs: bottom-k gram-sketch blocking, then a
+    banded edit-distance verify. Reference parity: extends the exact /
+    MinHash dedup family (src/Services/Base/MetadataMerge.cs merge-key
+    equality) with the classic typo-tolerant variant.
+
+    Blocking differs from ``ngram_jaccard_pairs`` on purpose: a d-edit
+    change perturbs up to ``d·CHAR_NGRAM`` grams, so requiring the WHOLE
+    bottom-k sketch to match would miss most true pairs. Instead each of
+    the k sketch grams is its own blocking key (a pair is a candidate if
+    ANY sketch gram is shared — recall ≈ 1−(miss)^k), with the same
+    degenerate-block cap per key. Candidates then pass a length
+    prefilter (|len_a−len_b| ≤ d is necessary) and the exact verify uses
+    Spark's THRESHOLDED ``levenshtein(a, b, max_dist)`` — O(d·n) banded
+    DP instead of O(n²), the difference between feasible and not on a
+    100 TB corpus; the oracle's plain ``levenshtein() <= d`` filter
+    keeps the kept-pair set identical.
+
+    One shuffle on the blocking key (docs appear k times), one distinct
+    on the candidate pair, zero Python. Output (id_a, id_b,
+    edit_distance) with id_a < id_b.
+    """
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+            )
+        ).alias("s"),
+    )
+    keyed = (
+        norm.select(
+            "id",
+            "s",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            char_ngrams_from_norm(F.col("s")),
+                            lambda g: F.md5(g),
+                        )
+                    ),
+                    1,
+                    sketch_k,
+                )
+            ).alias("bk"),
+        )
+        .repartition("bk")
+    )
+    from pyspark.sql import Window
+
+    ok = (
+        keyed.withColumn(
+            "__blk", F.count(F.lit(1)).over(Window.partitionBy("bk"))
+        )
+        .filter(F.col("__blk") <= max_block)
+        .drop("__blk")
+    )
+    a = ok.select(F.col("id").alias("id_a"), F.col("s").alias("sa"), "bk")
+    b = ok.select(F.col("id").alias("id_b"), F.col("s").alias("sb"), "bk")
+    cand = (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("sa") - F.length("sb")) <= F.lit(max_dist)
+        )
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("sa", "sb", max_dist).alias("__d"),
+        )
+        .filter(F.col("__d") >= 0)
+        .select(
+            "id_a", "id_b", F.col("__d").cast("long").alias("edit_distance")
+        )
+    )

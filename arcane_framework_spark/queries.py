@@ -40,6 +40,7 @@ from arcane_framework_spark.operators.text import (
     token_count_expr,
     with_text_stats,
 )
+from arcane_framework_spark.queries_eval import EVAL_ORACLE_SQL, EVAL_QUERIES
 from arcane_framework_spark.queries_ext import EXT_ORACLE_SQL, EXT_QUERIES
 from arcane_framework_spark.queries_pipeline import (
     PIPELINE_ORACLE_SQL,
@@ -1695,6 +1696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **TPCH_QUERIES,
     **EXT_QUERIES,
     **PIPELINE_QUERIES,
+    **EVAL_QUERIES,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1732,6 +1734,7 @@ ORACLE_SQL: dict[str, str] = {
     **TPCH_ORACLE_SQL,
     **EXT_ORACLE_SQL,
     **PIPELINE_ORACLE_SQL,
+    **EVAL_ORACLE_SQL,
 }
 
 # Registered here (not in queries_ext) because their oracles embed the

@@ -2490,3 +2490,40 @@ def test_bpe_train_matches_reference_algorithm(spark):
             for r in bpe_train(df, merges=6).orderBy("step").collect()
         ]
     assert got == py_bpe(texts, 6), got
+
+
+class TestEditDistancePairs:
+    def test_verified_pairs_and_threshold(self, spark):
+        from arcane_framework_spark.operators.dedup import edit_distance_pairs
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog ab"),  # +3
+                (3, "the quick brown fox jumps over the lazy cat"),     # 3 subs
+                (4, "a completely different document about spark plans"),
+                (5, "THE  quick brown fox jumps over the lazy dog"),    # norm-equal to 1
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            (r.id_a, r.id_b): r.edit_distance
+            for r in edit_distance_pairs(docs, max_block=64).collect()
+        }
+        assert rows[(1, 2)] == 3
+        assert rows[(1, 5)] == 0  # normalization collapses case/whitespace
+        assert rows[(2, 5)] == 3
+        assert rows.get((1, 3)) == 3
+        assert all(b != 4 and a != 4 for a, b in rows)
+
+    def test_max_dist_rejects(self, spark):
+        from arcane_framework_spark.operators.dedup import edit_distance_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "shared prefix words here alpha"),
+             (2, "shared prefix words here zulu victor xray")],
+            ["doc_id", "text"],
+        )
+        assert edit_distance_pairs(docs, max_dist=3).count() == 0
+        got = edit_distance_pairs(docs, max_dist=20).collect()
+        assert len(got) == 1 and got[0].edit_distance == 14
