@@ -1,0 +1,197 @@
+"""Model-evaluation metrics over labeled embeddings: exact ROC-AUC and
+calibration bins / expected calibration error (ECE).
+
+A training-data pipeline that mines hard negatives, scores quality, or
+gates a corpus on a classifier needs these next to the retrieval evals
+(bm25_self_retrieval MRR, knn label purity). Reference parity: the
+reference (an ingestion framework) has no eval surface — these extend
+SURVEY §2.9's LLM-pipeline family.
+
+Scale design
+------------
+- **ROC-AUC** is the Mann-Whitney statistic: the fraction of
+  (positive, negative) pairs ranked correctly, ties counted half. The
+  naive form is a quadratic pair join; the sorted form needs a global
+  rank. Here: group by exact score (distinct-score-sized), then a
+  TWO-LEVEL prefix sum of negatives below each score — a local window
+  inside monotone score bands plus broadcast band offsets
+  (``bucket_offsets``, the same shape as pack_documents) — no global
+  sort, no single-partition corpus window.
+- **Exactness** — correctly-ordered pairs and ties are pure INTEGER
+  counts (long sums are order-independent, so both engines agree
+  bit-for-bit); the single final division happens once per group in
+  doubles with fixed operand order. Long arithmetic holds while
+  ``n_pos·n_neg < 2^63`` (≈3·10⁹ rows of each class — beyond that,
+  switch to binned approximate AUC).
+- **Calibration** — per-row fixed-point micro-probabilities, one
+  hash-aggregate onto ≤ ``n_bins`` rows; ECE attaches via a broadcast
+  1-row scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Monotone score bands for the AUC prefix sum — the fan-out of the
+#: metadata-scale offsets table per score function.
+AUC_BANDS = 64
+
+
+def roc_auc(scored: DataFrame, score_col: str = "score",
+            y_col: str = "y", group_col: str = "score_name",
+            bands: int = AUC_BANDS) -> DataFrame:
+    """Exact tie-corrected ROC-AUC per ``group_col``.
+
+    ``scored`` has one row per example with a double score, a 0/1 label
+    ``y_col`` and a group key (several score functions evaluated side by
+    side). Returns (group_col, n_pos, n_neg, auc) with
+    ``auc = (#correct pairs + #ties/2) / (n_pos·n_neg)`` rounded
+    half-up to 6 decimals; NULL-safe: groups with an empty class emit
+    ``auc = NULL`` rather than a division error.
+    """
+    from arcane_framework_spark.operators.scale import bucket_offsets
+    from pyspark.sql import Window
+
+    y = F.col(y_col).cast("long")
+    g = scored.groupBy(group_col, score_col).agg(
+        F.sum(y).alias("n_pos"),
+        F.sum(F.lit(1) - y).alias("n_neg"),
+    )
+    rng = g.groupBy(group_col).agg(
+        F.min(score_col).alias("__mn"), F.max(score_col).alias("__mx")
+    )
+    s = F.col(score_col)
+    band = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bands - 1),
+            F.floor(
+                (s - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+                * F.lit(float(bands))
+            ).cast("int"),
+        )
+    )
+    banded = (
+        g.join(F.broadcast(rng), group_col)
+        .withColumn("__band", band)
+        .drop("__mn", "__mx")
+    )
+    offs = bucket_offsets(
+        banded, [group_col], ["__band"], ["__band"], value=F.col("n_neg")
+    )
+    w_loc = (
+        Window.partitionBy(group_col, "__band")
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = banded.join(F.broadcast(offs), [group_col, "__band"]).withColumn(
+        "__cum_neg",
+        F.col("__off") + F.coalesce(F.sum("n_neg").over(w_loc), F.lit(0)),
+    )
+    agg = cum.groupBy(group_col).agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        F.sum(F.col("n_pos") * F.col("__cum_neg")).alias("__pairs"),
+        F.sum(F.col("n_pos") * F.col("n_neg")).alias("__ties"),
+    )
+    auc = (
+        F.lit(2.0) * F.col("__pairs").cast("double")
+        + F.col("__ties").cast("double")
+    ) / (
+        F.lit(2.0)
+        * F.col("n_pos").cast("double")
+        * F.col("n_neg").cast("double")
+    )
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.floor(auc * 1e6 + F.lit(0.5)) / 1e6,
+        ).alias("auc"),
+    )
+
+
+#: Calibration histogram width.
+CALIB_BINS = 10
+
+
+def calibration_bins(scored: DataFrame, p_col: str = "p",
+                     y_col: str = "y",
+                     n_bins: int = CALIB_BINS) -> DataFrame:
+    """Reliability diagram + ECE for a probability column in [0, 1].
+
+    Per equal-width bin: count, mean predicted probability, empirical
+    positive rate, |gap|; plus the scalar ECE (confidence-weighted mean
+    gap) attached to every row. Probabilities are fixed-pointed to
+    micro-units per row BEFORE summing so both engines aggregate exact
+    longs in any order. Returns (bin, n, mean_score, frac_pos, abs_gap,
+    ece) — ≤ ``n_bins`` rows.
+    """
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    p = F.col(p_col).cast("double")
+    y = F.col(y_col).cast("long")
+    rows = scored.select(
+        F.least(
+            F.lit(n_bins - 1), F.floor(p * F.lit(float(n_bins))).cast("int")
+        ).alias("bin"),
+        F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("long").alias("__p_fp"),
+        y.alias("__y"),
+    )
+    bins = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__p_fp").alias("__sp"),
+        F.sum("__y").alias("__pos"),
+    )
+    mean_score = (
+        F.floor(
+            F.col("__sp").cast("double") / F.col("n").cast("double")
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    frac_pos = (
+        F.floor(
+            F.col("__pos").cast("double") * F.lit(1e6)
+            / F.col("n").cast("double")
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    with_gap = bins.select(
+        "bin",
+        "n",
+        mean_score.alias("mean_score"),
+        frac_pos.alias("frac_pos"),
+    ).withColumn(
+        "__gap_fp",
+        F.floor(
+            F.abs(F.col("frac_pos") - F.col("mean_score")) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    # n·gap_fp stays exact in longs while n ≤ ~9·10¹² rows (gap_fp ≤ 1e6);
+    # the one division is double with fixed operand order on both engines.
+    ece_scalar = with_gap.agg(
+        (
+            F.floor(
+                F.sum(F.col("n") * F.col("__gap_fp")).cast("double")
+                / F.sum("n").cast("double")
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("ece")
+    )
+    return (
+        with_broadcast_scalar(with_gap, ece_scalar)
+        .select(
+            "bin",
+            "n",
+            "mean_score",
+            "frac_pos",
+            (F.col("__gap_fp").cast("double") / 1e6).alias("abs_gap"),
+            "ece",
+        )
+    )

@@ -382,3 +382,121 @@ def bm25_self_retrieval(docs: DataFrame,
             F.floor(F.col("__sm") / F.col("n_queries") + F.lit(0.5)) / 1e6
         ).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood (LM retrieval)
+# ---------------------------------------------------------------------------
+
+#: Dirichlet prior mass. The classic default is 2000; the catalog entry
+#: passes 50 because the synthetic docs average ~54 tokens — 2000 would
+#: drown every document signal in the collection model.
+QL_MU = 2000.0
+
+
+def query_likelihood_topk(spark: SparkSession, docs: DataFrame,
+                          queries: dict[int, list[str]] | None = None,
+                          k: int = 5, mu: float = QL_MU,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Top-k docs per query under the Dirichlet-smoothed query-likelihood
+    language model (Zhai & Lafferty 2001): ``score(q,d) = Σ_t ln((tf +
+    μ·p(t|C)) / (dl + μ))`` — the standard LM alternative to BM25.
+
+    Sparse decomposition keeps the plan inverted-index shaped: only docs
+    containing ≥1 query term are candidates (pure background-prior docs
+    are not retrieval hits), and for those ``score = Σ_{t∈q∩d}(A_t−B_t)
+    + qconst − |q|·C(d)`` where ``A = ln(tf + μp_t)``, ``B = ln(μp_t)``,
+    ``qconst = Σ_{t∈q} B_t`` and ``C = ln(dl + μ)``. Every log is
+    fixed-pointed to micro-nats the instant it is computed (the repo's
+    standard cross-engine trick — sums of longs are order-independent),
+    and out-of-vocabulary query terms are dropped on BOTH engines (the
+    Dirichlet model is undefined at cf=0).
+
+    Scale shape: the query table and the per-query constants broadcast;
+    the only shuffles are the shared tf aggregate, dl, and the final
+    per-(query, doc) sum — identical to BM25. Returns (query_id,
+    doc_id, score, rank).
+    """
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    queries = queries if queries is not None else BM25_QUERIES
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
+        "query_id: int, term: string",
+    )
+
+    tf = scoped_persist(term_frequencies(docs, id_col, text_col))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").cast("double").alias("__T"))
+
+    mu_lit = F.lit(float(mu))
+    # μ·p(t|C) evaluated left-associatively ((μ*cf)/T) — the oracle spells
+    # the identical order so the doubles agree bit-for-bit.
+    qtab = (
+        with_broadcast_scalar(qterms.join(cf, "term"), total)
+        .select(
+            "query_id",
+            "term",
+            (mu_lit * F.col("cf").cast("double") / F.col("__T")).alias("mu_p"),
+        )
+        .withColumn(
+            "b_fp",
+            F.floor(F.lit(1e6) * F.log(F.col("mu_p")) + F.lit(0.5))
+            .cast("long"),
+        )
+    )
+    qstats = qtab.groupBy("query_id").agg(
+        F.sum("b_fp").alias("qconst"),
+        F.count(F.lit(1)).cast("long").alias("nq"),
+    )
+
+    matched = tf.join(F.broadcast(qtab), "term").select(
+        "query_id",
+        id_col,
+        (
+            F.floor(
+                F.lit(1e6)
+                * F.log(F.col("tf").cast("double") + F.col("mu_p"))
+                + F.lit(0.5)
+            ).cast("long")
+            - F.col("b_fp")
+        ).alias("gain_fp"),
+    )
+    msum = matched.groupBy("query_id", id_col).agg(
+        F.sum("gain_fp").alias("msum")
+    )
+    scored = (
+        msum.join(dl, id_col)
+        .join(F.broadcast(qstats), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            (
+                F.col("msum")
+                + F.col("qconst")
+                - F.col("nq")
+                * F.floor(
+                    F.lit(1e6)
+                    * F.log(F.col("dl").cast("double") + mu_lit)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("score_fp").cast("double") / F.lit(1e6), 6
+            ).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

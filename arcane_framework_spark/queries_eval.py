@@ -109,10 +109,236 @@ WHERE levenshtein(sa, sb) <= {EDIT_MAX_DIST}
 """
 
 
+#: Dirichlet prior for the catalog entry — sized to the synthetic docs'
+#: ~54-token average length (see operators/retrieval.py QL_MU).
+QL_ENTRY_MU = 50.0
+QL_ENTRY_K = 5
+
+
+def query_likelihood_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed LM retrieval over the BM25 keyword-query set
+    (operators/retrieval.py ``query_likelihood_topk``) — the standard
+    language-modeling alternative ranking to ``bm25_topk_documents``."""
+    from arcane_framework_spark.operators.retrieval import (
+        query_likelihood_topk,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    return query_likelihood_topk(
+        spark, t["documents"].select("doc_id", "text"),
+        k=QL_ENTRY_K, mu=QL_ENTRY_MU,
+    )
+
+
+def _query_likelihood_sql() -> str:
+    from arcane_framework_spark.operators.retrieval import BM25_QUERIES
+
+    mu = repr(float(QL_ENTRY_MU))
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in sorted(BM25_QUERIES.items())
+        for t in terms
+    )
+    return rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms WHERE term <> ''
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),
+tot AS (SELECT sum(cf)::DOUBLE AS T FROM cf),
+q(query_id, term) AS (VALUES {vals}),
+qtab AS (
+  SELECT query_id, term,
+         {mu}::DOUBLE * cf::DOUBLE / T AS mu_p,
+         CAST(floor(1e6 * ln({mu}::DOUBLE * cf::DOUBLE / T) + 0.5)
+              AS BIGINT) AS b_fp
+  FROM q JOIN cf USING (term) CROSS JOIN tot
+),
+qstats AS (
+  SELECT query_id, sum(b_fp)::BIGINT AS qconst, count(*)::BIGINT AS nq
+  FROM qtab GROUP BY query_id
+),
+msum AS (
+  SELECT query_id, doc_id,
+         sum(CAST(floor(1e6 * ln(tf::DOUBLE + mu_p) + 0.5) AS BIGINT)
+             - b_fp)::BIGINT AS msum
+  FROM tf JOIN qtab USING (term)
+  GROUP BY query_id, doc_id
+),
+scored AS (
+  SELECT query_id, doc_id,
+         msum + qconst
+           - nq * CAST(floor(1e6 * ln(dl::DOUBLE + {mu}::DOUBLE) + 0.5)
+                       AS BIGINT) AS score_fp
+  FROM msum JOIN dl USING (doc_id) JOIN qstats USING (query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score_fp,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_fp DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id,
+       round(score_fp::DOUBLE / 1e6, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= {QL_ENTRY_K}
+"""
+
+
+def auc_scores_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC of three deterministic embedding
+    scoring functions (component 0, component 4, max component) against
+    the parity-of-label binary target (operators/evalmetrics.py
+    ``roc_auc``). Raw stored floats as scores — zero cross-engine float
+    arithmetic before the integer pair counting."""
+    from arcane_framework_spark.operators.evalmetrics import roc_auc
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    y = (F.col("label") % 2).cast("long").alias("y")
+    scored = (
+        t["embeddings"]
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("dim0").alias("score_name"),
+                        F.element_at("embedding", 1)
+                        .cast("double")
+                        .alias("score"),
+                    ),
+                    F.struct(
+                        F.lit("dim4").alias("score_name"),
+                        F.element_at("embedding", 5)
+                        .cast("double")
+                        .alias("score"),
+                    ),
+                    F.struct(
+                        F.lit("maxdim").alias("score_name"),
+                        F.array_max("embedding").cast("double").alias("score"),
+                    ),
+                )
+            ).alias("sc"),
+            y,
+        )
+        .select(
+            F.col("sc.score_name").alias("score_name"),
+            F.col("sc.score").alias("score"),
+            "y",
+        )
+    )
+    return roc_auc(scored)
+
+
+_AUC_SQL = r"""
+WITH sc AS (
+  SELECT 'dim0' AS score_name, embedding[1]::DOUBLE AS score,
+         (label % 2)::BIGINT AS y FROM embeddings
+  UNION ALL
+  SELECT 'dim4', embedding[5]::DOUBLE, (label % 2)::BIGINT FROM embeddings
+  UNION ALL
+  SELECT 'maxdim', list_max(embedding)::DOUBLE, (label % 2)::BIGINT
+  FROM embeddings
+),
+g AS (
+  SELECT score_name, score, sum(y)::BIGINT AS n_pos,
+         sum(1 - y)::BIGINT AS n_neg
+  FROM sc GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, coalesce(sum(n_neg) OVER (
+      PARTITION BY score_name ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_neg
+  FROM g
+),
+agg AS (
+  SELECT score_name, sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg,
+         sum(n_pos * cum_neg)::BIGINT AS pairs,
+         sum(n_pos * n_neg)::BIGINT AS ties
+  FROM cum GROUP BY 1
+)
+SELECT score_name, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         floor((2.0 * pairs::DOUBLE + ties::DOUBLE)
+               / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE) * 1e6 + 0.5) / 1e6
+       END AS auc
+FROM agg
+"""
+
+
+def calibration_ece_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE for a min-max-normalized embedding
+    score against the label-parity target (operators/evalmetrics.py
+    ``calibration_bins``). The normalizing min/max stay in-plan as a
+    broadcast 1-row aggregate."""
+    from arcane_framework_spark.operators.evalmetrics import (
+        calibration_bins,
+    )
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = t["embeddings"].select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        (F.col("label") % 2).cast("long").alias("y"),
+    )
+    rng = e.agg(F.min("x").alias("__mn"), F.max("x").alias("__mx"))
+    scored = with_broadcast_scalar(e, rng).select(
+        ((F.col("x") - F.col("__mn")) / (F.col("__mx") - F.col("__mn")))
+        .alias("p"),
+        "y",
+    )
+    return calibration_bins(scored)
+
+
+_CALIBRATION_SQL = r"""
+WITH e AS (
+  SELECT embedding[1]::DOUBLE AS x, (label % 2)::BIGINT AS y FROM embeddings
+),
+rng AS (SELECT min(x) AS mn, max(x) AS mx FROM e),
+sc AS (SELECT (x - mn) / (mx - mn) AS p, y FROM e CROSS JOIN rng),
+rws AS (
+  SELECT least(9, floor(p * 10.0)::INT) AS bin,
+         CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS p_fp, y
+  FROM sc
+),
+bins AS (
+  SELECT bin, count(*)::BIGINT AS n, sum(p_fp)::BIGINT AS sp,
+         sum(y)::BIGINT AS pos
+  FROM rws GROUP BY 1
+),
+wg AS (
+  SELECT bin, n,
+         floor(sp::DOUBLE / n::DOUBLE + 0.5) / 1e6 AS mean_score,
+         floor(pos::DOUBLE * 1e6 / n::DOUBLE + 0.5) / 1e6 AS frac_pos
+  FROM bins
+),
+wg2 AS (
+  SELECT *, CAST(floor(abs(frac_pos - mean_score) * 1e6 + 0.5) AS BIGINT)
+            AS gap_fp
+  FROM wg
+),
+ece AS (
+  SELECT floor(sum(n * gap_fp)::DOUBLE / sum(n)::DOUBLE + 0.5) / 1e6 AS ece
+  FROM wg2
+)
+SELECT bin, n, mean_score, frac_pos, gap_fp::DOUBLE / 1e6 AS abs_gap, ece
+FROM wg2 CROSS JOIN ece
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
+    "query_likelihood_documents": query_likelihood_documents,
+    "auc_scores_embeddings": auc_scores_embeddings,
+    "calibration_ece_embeddings": calibration_ece_embeddings,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
     "edit_neardup_documents": _edit_neardup_sql(),
+    "query_likelihood_documents": _query_likelihood_sql(),
+    "auc_scores_embeddings": _AUC_SQL,
+    "calibration_ece_embeddings": _CALIBRATION_SQL,
 }

@@ -2527,3 +2527,90 @@ class TestEditDistancePairs:
         assert edit_distance_pairs(docs, max_dist=3).count() == 0
         got = edit_distance_pairs(docs, max_dist=20).collect()
         assert len(got) == 1 and got[0].edit_distance == 14
+
+
+class TestEvalMetrics:
+    def test_roc_auc_perfect_and_ties(self, spark):
+        from arcane_framework_spark.operators.evalmetrics import roc_auc
+
+        rows = (
+            [("perfect", float(s), 1 if s >= 3 else 0) for s in (1, 2, 3, 4)]
+            + [("inverse", float(s), 0 if s >= 3 else 1) for s in (1, 2, 3, 4)]
+            + [("tied", 1.0, 0), ("tied", 1.0, 1), ("tied", 2.0, 0),
+               ("tied", 2.0, 1)]
+            + [("oneclass", 1.0, 1), ("oneclass", 2.0, 1)]
+        )
+        df = spark.createDataFrame(rows, "score_name: string, score: double, y: int")
+        got = {r.score_name: r for r in roc_auc(df).collect()}
+        assert got["perfect"].auc == 1.0
+        assert got["inverse"].auc == 0.0
+        assert got["tied"].auc == 0.5
+        assert got["oneclass"].auc is None
+        assert got["perfect"].n_pos == 2 and got["perfect"].n_neg == 2
+
+    def test_roc_auc_known_value(self, spark):
+        from arcane_framework_spark.operators.evalmetrics import roc_auc
+
+        # scores: pos {3, 1}, neg {2, 0} -> correct pairs: (3>2),(3>0),(1>0)=3
+        # of 4 -> AUC 0.75
+        df = spark.createDataFrame(
+            [("m", 3.0, 1), ("m", 1.0, 1), ("m", 2.0, 0), ("m", 0.0, 0)],
+            "score_name: string, score: double, y: int",
+        )
+        assert roc_auc(df).collect()[0].auc == 0.75
+
+    def test_calibration_bins(self, spark):
+        from arcane_framework_spark.operators.evalmetrics import (
+            calibration_bins,
+        )
+
+        # bin 0: p=0.05 twice, 1 positive -> frac_pos 0.5, mean 0.05, gap 0.45
+        # bin 9: p=1.0 (clamped), y=1 -> gap 0.0
+        df = spark.createDataFrame(
+            [(0.05, 0), (0.05, 1), (1.0, 1)], "p: double, y: int"
+        )
+        got = {r.bin: r for r in calibration_bins(df).collect()}
+        assert got[0].n == 2 and got[0].frac_pos == 0.5
+        assert abs(got[0].abs_gap - 0.45) < 1e-9
+        assert got[9].n == 1 and got[9].abs_gap == 0.0
+        # ece = (2*0.45 + 1*0.0)/3 = 0.3
+        assert abs(got[0].ece - 0.3) < 1e-9
+
+
+class TestQueryLikelihood:
+    def test_tf_and_length_effects(self, spark):
+        from arcane_framework_spark.operators.retrieval import (
+            query_likelihood_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple apple banana cherry"),
+                (2, "apple banana cherry dates"),
+                (3, "kiwi lemon mango nectarine"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = query_likelihood_topk(
+            spark, docs, queries={1: ["apple"]}, k=5, mu=10.0
+        ).collect()
+        # doc 3 has no query term -> not a candidate; doc 1 (tf=2) beats
+        # doc 2 (tf=1) at equal length.
+        ranked = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+        assert ranked == [1, 2]
+        scores = {r.doc_id: r.score for r in got}
+        assert scores[1] > scores[2]
+
+    def test_oov_terms_dropped(self, spark):
+        from arcane_framework_spark.operators.retrieval import (
+            query_likelihood_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")], ["doc_id", "text"]
+        )
+        got = query_likelihood_topk(
+            spark, docs, queries={1: ["alpha", "zzz_oov"]}, k=5, mu=10.0
+        ).collect()
+        # OOV term ignored on both engines; only docs matching 'alpha'.
+        assert [r.doc_id for r in got] == [1]
