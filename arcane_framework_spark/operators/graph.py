@@ -258,3 +258,92 @@ def incremental_components(assignment: DataFrame, new_edges: DataFrame,
         F.broadcast(touched_comps), comp_col, "anti"
     ).select(node_col, comp_col)
     return untouched.unionByName(recomputed)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, fixed-point)
+# ---------------------------------------------------------------------------
+
+#: Damping factor 0.85 as an exact rational (85/100) — PageRank stays in
+#: INTEGER arithmetic end to end so both engines reproduce every rank
+#: bit-for-bit (floats would drift across libms over iterations).
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+#: Rank mass is distributed in units of 1e-12 (total mass = PR_SCALE).
+#: Largest intermediate: r·85 ≤ 8.5e13 ≪ 2^63.
+PR_SCALE = 10**12
+PR_ITERATIONS = 5
+
+
+def pagerank(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+             iterations: int = PR_ITERATIONS) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph — ranks
+    near-dup cluster members by connectivity (the doc sharing edges with
+    the most well-connected neighbors is the natural canonical pick,
+    complementing ``dedup_clusters``' min-id heuristic).
+
+    Nodes = endpoints of ≥1 edge, so every node has out-degree ≥ 1 — no
+    dangling-mass redistribution term. Per iteration each node sends
+    ``(r·85) div (deg·100)`` along every edge and resets to
+    ``base + Σ incoming`` with ``base = (SCALE·15) div (100·n)``; all
+    divisions are integer (truncation loses a deterministic dust of
+    mass — identically in both engines). ``n`` stays in-plan as a
+    broadcast 1-row count.
+
+    Cost per iteration: one edges⋈ranks join + one groupBy on the
+    destination — both shuffle on node id, so a 100 TB edge list runs
+    ``iterations`` co-partitioned passes; edges and the node table are
+    persisted once. Unrolled plans stay linear in ``iterations`` (each
+    round references the previous ranks once).
+
+    Returns (doc_id, rank_fp, pagerank) with ``pagerank = rank_fp /
+    1e12`` (exact: rank_fp < 2^53).
+    """
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    edges = scoped_persist(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("__n"))
+    nodes = scoped_persist(
+        with_broadcast_scalar(deg, n).select(
+            F.col("src").alias("id"),
+            "deg",
+            F.expr(f"CAST({PR_SCALE} AS BIGINT) div __n").alias("__r0"),
+            F.expr(
+                f"CAST({PR_SCALE} AS BIGINT) * {PR_DAMP_DEN - PR_DAMP_NUM}"
+                f" div ({PR_DAMP_DEN} * __n)"
+            ).alias("__base"),
+        )
+    )
+    ranks = nodes.select("id", "deg", F.col("__r0").alias("r"))
+    for _ in range(iterations):
+        contrib = edges.join(
+            ranks, edges["src"] == ranks["id"]
+        ).select(
+            "dst",
+            F.expr(
+                f"(r * {PR_DAMP_NUM}) div (deg * {PR_DAMP_DEN})"
+            ).alias("c"),
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, nodes["id"] == summed["dst"], "left")
+            .select(
+                "id",
+                "deg",
+                (F.col("__base") + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("doc_id"),
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
+    )

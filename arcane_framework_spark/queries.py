@@ -1747,3 +1747,7 @@ from arcane_framework_spark.queries_ext import (  # noqa: E402
 
 ORACLE_SQL["dedup_clusters_documents"] = _dedup_clusters_sql(_minhash_sql())
 ORACLE_SQL["dedup_canonical_documents"] = _dedup_canonical_sql(_minhash_sql())
+
+from arcane_framework_spark.queries_eval import _pagerank_sql  # noqa: E402
+
+ORACLE_SQL["pagerank_documents"] = _pagerank_sql(_minhash_sql())

@@ -329,11 +329,79 @@ FROM wg2 CROSS JOIN ece
 """
 
 
+def pagerank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer-arithmetic PageRank over the MinHash
+    near-dup pair graph (operators/graph.py ``pagerank``) — connectivity
+    ranking of duplicate-cluster members. Shares the planted corpus /
+    pair subtree with the dedup family (plan-cache substituted by the
+    session prep)."""
+    from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
+    from arcane_framework_spark.operators.graph import pagerank
+    from arcane_framework_spark.queries import _planted_neardup_docs
+
+    pairs = minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
+    return pagerank(pairs)
+
+
+def _pagerank_sql(minhash_pairs_sql: str) -> str:
+    """Oracle: the identical integer-arithmetic iteration unrolled as
+    CTE stages (registered from queries.py after ``_minhash_sql``
+    exists, the ``_dedup_clusters_sql`` pattern). DuckDB ``//`` and
+    Spark ``div`` agree on the all-positive operands."""
+    from arcane_framework_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERATIONS,
+        PR_SCALE,
+    )
+
+    stages = []
+    prev = "r0"
+    for i in range(1, PR_ITERATIONS + 1):
+        stages.append(f"""
+it{i} AS (
+  SELECT e.dst AS id,
+         sum((p.r * {PR_DAMP_NUM}) // (p.deg * {PR_DAMP_DEN}))::BIGINT AS s
+  FROM edges e JOIN {prev} p ON e.src = p.id
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT n.id, n.deg, (n.base + coalesce(it{i}.s, 0))::BIGINT AS r
+  FROM nodes n LEFT JOIN it{i} USING (id)
+),""")
+        prev = f"r{i}"
+    unrolled = "".join(stages).rstrip(",\n").rstrip(",")
+    return f"""
+WITH pairs AS (
+  SELECT id_a, id_b FROM ({minhash_pairs_sql}) mh
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+nodes AS (
+  SELECT src AS id, deg,
+         ({PR_SCALE} // n)::BIGINT AS r0,
+         (({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM})
+          // ({PR_DAMP_DEN} * n))::BIGINT AS base
+  FROM deg CROSS JOIN nn
+),
+r0 AS (SELECT id, deg, r0 AS r FROM nodes),
+{unrolled}
+SELECT id AS doc_id, r AS rank_fp, r::DOUBLE / 1e12 AS pagerank
+FROM {prev}
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
     "auc_scores_embeddings": auc_scores_embeddings,
     "calibration_ece_embeddings": calibration_ece_embeddings,
+    "pagerank_documents": pagerank_documents,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {

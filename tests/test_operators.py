@@ -2614,3 +2614,34 @@ class TestQueryLikelihood:
         ).collect()
         # OOV term ignored on both engines; only docs matching 'alpha'.
         assert [r.doc_id for r in got] == [1]
+
+
+class TestPageRank:
+    def test_path_graph_symmetry_and_exact_arithmetic(self, spark):
+        from arcane_framework_spark.operators.graph import (
+            PR_DAMP_DEN,
+            PR_DAMP_NUM,
+            PR_ITERATIONS,
+            PR_SCALE,
+            pagerank,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], ["id_a", "id_b"]
+        )
+        got = {r.doc_id: r.rank_fp for r in pagerank(pairs).collect()}
+
+        # replicate the integer iteration exactly
+        edges = {1: [2], 2: [1, 3], 3: [2]}
+        deg = {k: len(v) for k, v in edges.items()}
+        n = 3
+        base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // (PR_DAMP_DEN * n)
+        r = {k: PR_SCALE // n for k in edges}
+        for _ in range(PR_ITERATIONS):
+            out = {k: (r[k] * PR_DAMP_NUM) // (deg[k] * PR_DAMP_DEN)
+                   for k in edges}
+            r = {k: base + sum(out[s] for s in edges if k in edges[s])
+                 for k in edges}
+        assert got == r
+        assert got[1] == got[3] and got[2] > got[1]
+        assert sum(got.values()) <= PR_SCALE
