@@ -79,3 +79,53 @@ def drift_finalize(counts: DataFrame,
             "tvd_contrib"
         ),
     )
+
+
+#: Iglewicz–Hoaglin robust z-score: consistency constant and flag cutoff.
+MAD_CONSISTENCY = 0.6745
+MAD_CUTOFF = 3.5
+
+
+def mad_outliers(df: DataFrame, value_col: str = "value",
+                 key_col: str = "event_type",
+                 id_col: str = "event_id",
+                 cutoff: float = MAD_CUTOFF) -> DataFrame:
+    """Robust per-group outlier flags: modified z-score
+    ``0.6745·(x − median) / MAD`` with |z| > cutoff (Iglewicz & Hoaglin
+    1993). Mean/stddev anomaly scores break down exactly when outliers
+    are present (masking); median/MAD have a 50% breakdown point — this
+    is the quality-filter a metrics stream or a reward-signal column
+    gets before training on it.
+
+    Two exact-percentile passes (per-group sort aggregates — right up to
+    millions of rows per group, swap in approx_percentile's t-digest
+    beyond), each joined back via broadcast (group-cardinality tables).
+    Groups with MAD = 0 (>50% identical values) flag nothing — the
+    z-score is undefined there, identically in both engines. The cutoff
+    compares the UNROUNDED score; output z is fixed-point 6dp (floor
+    half-up, negative-safe).
+
+    Returns flagged rows only: (id, key, value, z).
+    """
+    med = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    dev = df.join(F.broadcast(med), key_col)
+    mad = dev.groupBy(key_col).agg(
+        F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+    )
+    z = (
+        F.lit(MAD_CONSISTENCY)
+        * (F.col(value_col) - F.col("__med"))
+        / F.col("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), key_col)
+        .filter((F.col("__mad") > 0) & (F.abs(z) > F.lit(cutoff)))
+        .select(
+            id_col,
+            key_col,
+            value_col,
+            (F.floor(z * F.lit(1e6) + F.lit(0.5)) / 1e6).alias("z"),
+        )
+    )

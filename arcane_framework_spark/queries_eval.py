@@ -396,12 +396,51 @@ FROM {prev}
 """
 
 
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outliers: modified z-score (median/MAD)
+    with the Iglewicz–Hoaglin 3.5 cutoff (operators/drift.py
+    ``mad_outliers``)."""
+    from arcane_framework_spark.operators.drift import mad_outliers
+
+    t = load_tables(spark, sf_dir, "events")
+    return mad_outliers(t["events"])
+
+
+def _mad_outliers_sql() -> str:
+    from arcane_framework_spark.operators.drift import (
+        MAD_CONSISTENCY,
+        MAD_CUTOFF,
+    )
+
+    c = repr(float(MAD_CONSISTENCY))
+    cut = repr(float(MAD_CUTOFF))
+    return rf"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.value,
+       floor({c}::DOUBLE * (d.value - d.med) / a.mad * 1e6 + 0.5) / 1e6 AS z
+FROM dev d JOIN mad a USING (event_type)
+WHERE a.mad > 0
+  AND abs({c}::DOUBLE * (d.value - d.med) / a.mad) > {cut}::DOUBLE
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
     "auc_scores_embeddings": auc_scores_embeddings,
     "calibration_ece_embeddings": calibration_ece_embeddings,
     "pagerank_documents": pagerank_documents,
+    "mad_outliers_events": mad_outliers_events,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -409,4 +448,5 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "query_likelihood_documents": _query_likelihood_sql(),
     "auc_scores_embeddings": _AUC_SQL,
     "calibration_ece_embeddings": _CALIBRATION_SQL,
+    "mad_outliers_events": _mad_outliers_sql(),
 }

@@ -2645,3 +2645,22 @@ class TestPageRank:
         assert got == r
         assert got[1] == got[3] and got[2] > got[1]
         assert sum(got.values()) <= PR_SCALE
+
+
+class TestMadOutliers:
+    def test_flags_only_extremes_and_zero_mad_groups(self, spark):
+        from arcane_framework_spark.operators.drift import mad_outliers
+
+        rows = (
+            # group a: median 10, MAD 1 -> 100 is a huge outlier
+            [(i, "a", float(v)) for i, v in enumerate([9, 10, 10, 11, 100])]
+            # group b: constant -> MAD 0 -> nothing flagged
+            + [(10 + i, "b", 5.0) for i in range(5)]
+        )
+        df = spark.createDataFrame(rows, "event_id: long, event_type: string, value: double")
+        got = mad_outliers(df).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.event_type == "a" and r.value == 100.0
+        # z = 0.6745 * (100-10)/1 = 60.705
+        assert abs(r.z - 60.705) < 1e-6
