@@ -434,6 +434,79 @@ WHERE a.mad > 0
 """
 
 
+
+def sorted_neighborhood_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood near-dup pairs (operators/dedup.py
+    ``sorted_neighborhood_pairs``) over the shared planted corpus — the
+    third classic blocking strategy next to LSH and sketch blocking."""
+    from arcane_framework_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from arcane_framework_spark.queries import _planted_neardup_docs
+
+    return sorted_neighborhood_pairs(_planted_neardup_docs(spark, sf_dir))
+
+
+def _sorted_neighborhood_sql() -> str:
+    from arcane_framework_spark.operators.dedup import (
+        CHAR_NGRAM,
+        SNM_MIN_JACCARD,
+        SNM_PREFIX,
+        SNM_WINDOW,
+    )
+
+    k = CHAR_NGRAM
+    leads = ",\n         ".join(
+        f"lead(id, {j}) OVER w AS nid{j}, lead(g, {j}) OVER w AS ng{j}"
+        for j in range(1, SNM_WINDOW + 1)
+    )
+    cand = "\n  UNION ALL ".join(
+        f"SELECT id, g, nid{j} AS nid, ng{j} AS ng FROM neighbors "
+        f"WHERE nid{j} IS NOT NULL"
+        for j in range(1, SNM_WINDOW + 1)
+    )
+    jac = "round(ni::DOUBLE / (na + nbsz - ni)::DOUBLE, 6)"
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' ' || text
+  FROM documents WHERE doc_id % 7 = 0
+),
+norm AS (
+  SELECT doc_id AS id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM corpus
+),
+keyed AS (
+  SELECT id, s,
+         list_distinct(CASE WHEN len(s) >= {k}
+           THEN list_transform(range(1, len(s) - {k - 2}),
+                               i -> substr(s, i::INT, {k}))
+           ELSE [s] END) AS g,
+         substr(s, 1, {SNM_PREFIX}) AS block
+  FROM norm
+),
+neighbors AS (
+  SELECT id, g,
+         {leads}
+  FROM keyed
+  WINDOW w AS (PARTITION BY block ORDER BY s, id)
+),
+cand AS (
+  {cand}
+),
+sized AS (
+  SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b,
+         len(g) AS na, len(ng) AS nbsz, len(list_intersect(g, ng)) AS ni
+  FROM cand
+)
+SELECT id_a, id_b, {jac} AS jaccard
+FROM sized
+WHERE {jac} >= {SNM_MIN_JACCARD}
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -441,6 +514,7 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calibration_ece_embeddings": calibration_ece_embeddings,
     "pagerank_documents": pagerank_documents,
     "mad_outliers_events": mad_outliers_events,
+    "sorted_neighborhood_documents": sorted_neighborhood_documents,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -449,4 +523,5 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "auc_scores_embeddings": _AUC_SQL,
     "calibration_ece_embeddings": _CALIBRATION_SQL,
     "mad_outliers_events": _mad_outliers_sql(),
+    "sorted_neighborhood_documents": _sorted_neighborhood_sql(),
 }

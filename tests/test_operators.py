@@ -2664,3 +2664,43 @@ class TestMadOutliers:
         assert r.event_type == "a" and r.value == 100.0
         # z = 0.6745 * (100-10)/1 = 60.705
         assert abs(r.z - 60.705) < 1e-6
+
+
+class TestSortedNeighborhood:
+    def test_adjacent_neardups_found_window_respected(self, spark):
+        from arcane_framework_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        # All share the 2-char prefix block 'do'; doc 2 is a near-dup of
+        # doc 1 sorted adjacently; doc 9 is unrelated content in another
+        # block.
+        docs = spark.createDataFrame(
+            [
+                (1, "document alpha beta gamma delta epsilon"),
+                (2, "document alpha beta gamma delta epsilon zeta"),
+                (3, "document omega psi chi phi upsilon tau"),
+                (9, "zebra yak xenops wolf vulture"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in sorted_neighborhood_pairs(docs).collect()}
+        assert (1, 2) in got and got[(1, 2)] >= 0.5
+        assert all(9 not in p for p in got)
+
+    def test_no_self_join_blowup_on_identical_texts(self, spark):
+        from arcane_framework_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        # 6 identical docs, window=3: candidates are only the 3 forward
+        # neighbors each -> 3+3+3+2+1+0 = 12 pairs, NOT C(6,2)=15 at
+        # window>n, and never n^2.
+        docs = spark.createDataFrame(
+            [(i, "same exact text content here") for i in range(6)],
+            ["doc_id", "text"],
+        )
+        got = sorted_neighborhood_pairs(docs).collect()
+        assert len(got) == 12
+        assert all(r.jaccard == 1.0 for r in got)
