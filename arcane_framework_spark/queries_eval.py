@@ -507,6 +507,66 @@ WHERE {jac} >= {SNM_MIN_JACCARD}
 """
 
 
+
+def streaming_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min registers maintained BY a custom stateful streaming
+    operator (streaming/stateful.py ``cms_stream``): events replay
+    through ``readStream``; the state key is the CMS hash-row index and
+    the state is that row\'s bounded counter array. The oracle
+    recomputes the batch counter table in SQL — streaming state ≡ batch
+    ``cms_counts`` ≡ DuckDB, counter-for-counter."""
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.queries_ext import stream_conf
+    from arcane_framework_spark.streaming.stateful import cms_stream
+
+    t = load_tables(spark, sf_dir, "events")
+    schema = t["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    items = stream.select(F.col("user_id").cast("string").alias("uid"))
+    sk = cms_stream(items)
+    name = "streaming_cms_users_sink"
+    with stream_conf(spark):
+        q = (
+            sk.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    sink = spark.table(name)
+    w = Window.partitionBy("row")
+    return (
+        sink.withColumn("__maxv", F.max("ver").over(w))
+        .filter(F.col("ver") == F.col("__maxv"))
+        .select("row", "bucket", "cnt")
+    )
+
+
+def _streaming_cms_sql() -> str:
+    from arcane_framework_spark.operators.sketches import CMS_D, CMS_W
+
+    return f"""
+WITH items AS (
+  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+),
+exploded AS (
+  SELECT v, r.range AS row FROM items CROSS JOIN range({CMS_D}) r
+)
+SELECT row,
+       CAST(concat('0x', substring(
+            md5(concat_ws('|', CAST(row AS VARCHAR), v)), 1, 15))
+            AS BIGINT) % {CMS_W} AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM exploded GROUP BY 1, 2
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -515,6 +575,7 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_documents": pagerank_documents,
     "mad_outliers_events": mad_outliers_events,
     "sorted_neighborhood_documents": sorted_neighborhood_documents,
+    "streaming_cms_users": streaming_cms_users,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -524,4 +585,5 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "calibration_ece_embeddings": _CALIBRATION_SQL,
     "mad_outliers_events": _mad_outliers_sql(),
     "sorted_neighborhood_documents": _sorted_neighborhood_sql(),
+    "streaming_cms_users": _streaming_cms_sql(),
 }

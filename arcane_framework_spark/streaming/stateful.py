@@ -265,3 +265,68 @@ def kmv_stream(events: DataFrame, key_col: str = "event_type",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_stream(items: DataFrame, value_col: str = "uid") -> DataFrame:
+    """Count-Min registers maintained as CUSTOM streaming state
+    (``applyInPandasWithState``): the stream pre-explodes every value
+    into its ``CMS_D`` hash rows, the state key IS the row index, and
+    each group's state is that row's ``CMS_W`` BIGINT counters — the
+    whole sketch is d bounded arrays no matter how much data streams
+    through (d·w longs total, forever).
+
+    Every micro-batch adds the arriving values' buckets into the
+    counters (element-wise add — the CMS merge law) and emits the row's
+    full nonzero counter set tagged with a state version; the consumer
+    keeps each row's max-version slice. Hashing is bit-identical to the
+    batch ``operators/sketches.cms_counts`` (md5('row|value') 60-bit
+    prefix mod w), so streaming state == batch counters == SQL oracle.
+    """
+    from arcane_framework_spark.operators.sketches import CMS_D, CMS_W
+
+    exploded = items.select(
+        F.col(value_col).alias("__v"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(CMS_D - 1).cast("long"))
+        ).alias("row"),
+    )
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
+           state: GroupState) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        (row,) = key
+        counters, ver = (
+            (list(state.get[0]), int(state.get[1]))
+            if state.exists
+            else ([0] * CMS_W, 0)
+        )
+        prefix = f"{row}|"
+        for pdf in pdfs:
+            for v in pdf["__v"]:
+                b = int(
+                    hashlib.md5((prefix + str(v)).encode()).hexdigest()[:15],
+                    16,
+                ) % CMS_W
+                counters[b] += 1
+        ver += 1
+        state.update((counters, ver))
+        nz = [(b, c) for b, c in enumerate(counters) if c > 0]
+        yield pd.DataFrame(
+            {
+                "row": [row] * len(nz),
+                "bucket": [b for b, _ in nz],
+                "cnt": [c for _, c in nz],
+                "ver": [ver] * len(nz),
+            }
+        )
+
+    return exploded.groupBy("row").applyInPandasWithState(
+        fn,
+        outputStructType="row long, bucket long, cnt long, ver int",
+        stateStructType="counters array<long>, ver int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -374,3 +374,42 @@ def test_kmv_intersection_estimates_and_merge(spark):
     assert {tuple(r) for r in remerged.collect()} == {
         tuple(r) for r in whole.collect()
     }
+
+
+def test_cms_stream_state_equals_batch_counters(spark, tmp_path):
+    """Replay a small parquet through cms_stream; final state must equal
+    the batch cms_counts table counter-for-counter."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.sketches import cms_counts
+    from arcane_framework_spark.streaming.stateful import cms_stream
+
+    src = tmp_path / "stream_src"
+    items = spark.createDataFrame(
+        [(str(i % 17),) for i in range(300)], ["uid"]
+    )
+    items.repartition(3).write.parquet(str(src))
+
+    stream = spark.readStream.schema("uid string").parquet(str(src))
+    q = (
+        cms_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cms_state_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("cms_state_test")
+    w = Window.partitionBy("row")
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in sink.withColumn("__m", F.max("ver").over(w))
+        .filter(F.col("ver") == F.col("__m"))
+        .collect()
+    }
+    want = {
+        (r.row, r.bucket): r.cnt for r in cms_counts(items, "uid").collect()
+    }
+    assert got == want
