@@ -1751,3 +1751,7 @@ ORACLE_SQL["dedup_canonical_documents"] = _dedup_canonical_sql(_minhash_sql())
 from arcane_framework_spark.queries_eval import _pagerank_sql  # noqa: E402
 
 ORACLE_SQL["pagerank_documents"] = _pagerank_sql(_minhash_sql())
+
+from arcane_framework_spark.queries_eval import _triangle_stats_sql  # noqa: E402
+
+ORACLE_SQL["triangle_stats_documents"] = _triangle_stats_sql(_minhash_sql())

@@ -567,6 +567,55 @@ FROM exploded GROUP BY 1, 2
 """
 
 
+
+def triangle_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the MinHash
+    near-dup pair graph (operators/graph.py ``triangle_stats``) — the
+    cluster-cohesion diagnostic next to ``pagerank_documents``."""
+    from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
+    from arcane_framework_spark.operators.graph import triangle_stats
+    from arcane_framework_spark.queries import _planted_neardup_docs
+
+    pairs = minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
+    return triangle_stats(pairs)
+
+
+def _triangle_stats_sql(minhash_pairs_sql: str) -> str:
+    """Oracle: identical ordered-wedge join (registered from queries.py
+    after ``_minhash_sql`` exists, the ``_dedup_clusters_sql``
+    pattern)."""
+    return f"""
+WITH e AS (
+  SELECT id_a AS a, id_b AS b FROM ({minhash_pairs_sql}) mh
+),
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+per_node AS (
+  SELECT id, count(*)::BIGINT AS triangles FROM (
+    SELECT a AS id FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY id
+),
+deg AS (
+  SELECT id, count(*)::BIGINT AS degree FROM (
+    SELECT a AS id FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY id
+)
+SELECT deg.id AS doc_id, deg.degree,
+       coalesce(per_node.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN deg.degree >= 2 THEN
+         floor(2.0 * coalesce(per_node.triangles, 0)::DOUBLE
+               / (deg.degree::DOUBLE * (deg.degree - 1)::DOUBLE)
+               * 1e6 + 0.5) / 1e6
+       ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN per_node USING (id)
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -576,6 +625,7 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers_events": mad_outliers_events,
     "sorted_neighborhood_documents": sorted_neighborhood_documents,
     "streaming_cms_users": streaming_cms_users,
+    "triangle_stats_documents": triangle_stats_documents,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {

@@ -2704,3 +2704,30 @@ class TestSortedNeighborhood:
         got = sorted_neighborhood_pairs(docs).collect()
         assert len(got) == 12
         assert all(r.jaccard == 1.0 for r in got)
+
+
+class TestTriangleStats:
+    def test_clique_chain_and_isolated_edge(self, spark):
+        from arcane_framework_spark.operators.graph import triangle_stats
+
+        # 1-2-3 triangle (clique), 3-4 pendant, 5-6 isolated edge
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6)], ["id_a", "id_b"]
+        )
+        got = {r.doc_id: r for r in triangle_stats(pairs).collect()}
+        assert got[1].triangles == 1 and got[1].clustering == 1.0
+        assert got[2].triangles == 1 and got[2].clustering == 1.0
+        # node 3: degree 3, 1 triangle -> 2*1/(3*2) = 0.333333
+        assert got[3].degree == 3 and abs(got[3].clustering - 0.333333) < 1e-9
+        assert got[4].triangles == 0 and got[4].clustering == 0.0
+        assert got[5].clustering == 0.0 and got[6].degree == 1
+
+    def test_each_triangle_counted_once(self, spark):
+        from arcane_framework_spark.operators.graph import triangle_stats
+
+        # K4: every node in C(3,2)=3 triangles, coefficient 1
+        edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        got = triangle_stats(
+            spark.createDataFrame(edges, ["id_a", "id_b"])
+        ).collect()
+        assert all(r.triangles == 3 and r.clustering == 1.0 for r in got)
