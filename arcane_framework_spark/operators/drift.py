@@ -129,3 +129,60 @@ def mad_outliers(df: DataFrame, value_col: str = "value",
             (F.floor(z * F.lit(1e6) + F.lit(0.5)) / 1e6).alias("z"),
         )
     )
+
+
+#: Winsorization clip quantiles.
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def winsorized_stats(df: DataFrame, value_col: str = "value",
+                     key_col: str = "event_type",
+                     lo_q: float = WINSOR_LO,
+                     hi_q: float = WINSOR_HI) -> DataFrame:
+    """Per-group raw vs winsorized mean: clip at the [lo_q, hi_q]
+    exact percentiles, report both means + how many rows were clipped —
+    the standard heavy-tail-robust aggregate for reward/metric columns
+    (one fat-fingered value stops moving the mean).
+
+    One percentile pass (group-cardinality output, broadcast back), one
+    value pass. Both means are fixed-pointed to micro-units PER ROW and
+    summed as longs, so the result is partitioning-independent and
+    engine-exact. Returns (key, n, lo, hi, n_clipped, mean_raw,
+    mean_winsorized).
+    """
+    cuts = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, {lo_q!r})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi_q!r})").alias("__hi"),
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    fp = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    agg = (
+        df.join(F.broadcast(cuts), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__lo").alias("__lo"),
+            F.min("__hi").alias("__hi"),
+            F.sum(
+                F.when((v < F.col("__lo")) | (v > F.col("__hi")), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_clipped"),
+            F.sum(fp(v)).alias("__sr"),
+            F.sum(fp(clipped)).alias("__sw"),
+        )
+    )
+    mean6 = lambda s: (  # noqa: E731
+        F.floor(F.col(s).cast("double") / F.col("n").cast("double") + F.lit(0.5))
+        / 1e6
+    )
+    return agg.select(
+        key_col,
+        "n",
+        (F.floor(F.col("__lo") * F.lit(1e6) + F.lit(0.5)) / 1e6).alias("lo"),
+        (F.floor(F.col("__hi") * F.lit(1e6) + F.lit(0.5)) / 1e6).alias("hi"),
+        "n_clipped",
+        mean6("__sr").alias("mean_raw"),
+        mean6("__sw").alias("mean_winsorized"),
+    )

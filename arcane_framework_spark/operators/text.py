@@ -710,3 +710,94 @@ def bpe_merge_candidates(docs: DataFrame, text_col: str = "text",
         .limit(top_k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+#: Interpolation weight of the bigram term (Jelinek-Mercer): exact
+#: binary doubles, so ``λ·p2 + (1−λ)·p1`` is bit-identical across
+#: engines given identical count ratios.
+BIGRAM_LAMBDA = 0.75
+#: Sentence-start sentinel: the first token's bigram context.
+BIGRAM_START = "<s>"
+
+
+def bigram_nll(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               lam: float = BIGRAM_LAMBDA) -> DataFrame:
+    """Per-document mean NLL under a Jelinek-Mercer interpolated bigram
+    LM fitted on the corpus itself: ``p(w|prev) = λ·c(prev,w)/c(prev) +
+    (1−λ)·c(w)/T`` — a strictly sharper quality/perplexity proxy than
+    ``unigram_nll`` (repetitive boilerplate scores LOW even when its
+    vocabulary is rare, because its transitions are predictable).
+
+    Shape: one per-doc position window builds bigram instances (doc-
+    sized partitions, no global sort), then all model statistics are
+    per-DISTINCT-(prev,w) aggregates; each pair's NLL is fixed-pointed
+    to micro-nats ONCE from exact integer counts, so per-doc long sums
+    are order/partitioning-independent (the ``unigram_nll`` contract).
+    Interpolation never hits zero probability: the unigram back-off
+    covers every observed token, so ``ln`` stays finite.
+
+    Returns (id, n_bigrams, sum_nll_micro, mean_nll).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        id_col,
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    big = toks.select(
+        id_col,
+        F.coalesce(F.lag("tok").over(w_doc), F.lit(BIGRAM_START)).alias(
+            "prev"
+        ),
+        F.col("tok").alias("w"),
+    )
+    inst = big.groupBy(id_col, "prev", "w").agg(
+        F.count(F.lit(1)).alias("c_inst")
+    )
+    c2 = inst.groupBy("prev", "w").agg(F.sum("c_inst").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    uni = toks.groupBy(F.col("tok").alias("w")).agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    tot = uni.agg(F.sum("cw").alias("__T"))
+
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    p = F.lit(float(lam)) * (
+        F.col("c2").cast("double") / F.col("c1").cast("double")
+    ) + F.lit(float(1.0 - lam)) * (
+        F.col("cw").cast("double") / F.col("__T").cast("double")
+    )
+    lp = with_broadcast_scalar(
+        c2.join(c1, "prev").join(uni, "w"), tot
+    ).select(
+        "prev",
+        "w",
+        F.floor(F.lit(-1e6) * F.log(p) + F.lit(0.5))
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        inst.join(lp, ["prev", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("c_inst").alias("n_bigrams"),
+            F.sum(F.col("c_inst") * F.col("lp_micro")).alias(
+                "sum_nll_micro"
+            ),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_nll_micro",
+            (
+                F.floor(
+                    F.col("sum_nll_micro") / F.col("n_bigrams") / 100.0
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("mean_nll"),
+        )
+    )

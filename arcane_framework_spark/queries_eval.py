@@ -616,6 +616,107 @@ FROM deg LEFT JOIN per_node USING (id)
 """
 
 
+
+def bigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean NLL under a Jelinek-Mercer interpolated bigram LM
+    (operators/text.py ``bigram_nll``) — the transition-aware quality
+    score next to ``unigram_nll_documents``."""
+    from arcane_framework_spark.operators.text import bigram_nll
+
+    t = load_tables(spark, sf_dir, "documents")
+    return bigram_nll(t["documents"].select("doc_id", "text"))
+
+
+def _bigram_nll_sql() -> str:
+    from arcane_framework_spark.operators.text import (
+        BIGRAM_LAMBDA,
+        BIGRAM_START,
+    )
+
+    lam = repr(float(BIGRAM_LAMBDA))
+    one_m = repr(float(1.0 - BIGRAM_LAMBDA))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents)
+  ) WHERE tok <> ''
+),
+big AS (
+  SELECT doc_id,
+         coalesce(lag(tok) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '{BIGRAM_START}') AS prev,
+         tok AS w
+  FROM tok
+),
+inst AS (
+  SELECT doc_id, prev, w, count(*)::BIGINT AS c_inst
+  FROM big GROUP BY 1, 2, 3
+),
+c2 AS (SELECT prev, w, sum(c_inst)::BIGINT AS c2 FROM inst GROUP BY 1, 2),
+c1 AS (SELECT prev, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+uni AS (SELECT tok AS w, count(*)::BIGINT AS cw FROM tok GROUP BY 1),
+tot AS (SELECT sum(cw)::BIGINT AS T FROM uni),
+lp AS (
+  SELECT c2.prev, c2.w,
+         CAST(floor(-1e6 * ln(
+             {lam} * (c2.c2::DOUBLE / c1.c1::DOUBLE)
+             + {one_m} * (uni.cw::DOUBLE / T::DOUBLE)) + 0.5)
+           AS BIGINT) AS lp_micro
+  FROM c2 JOIN c1 USING (prev) JOIN uni USING (w) CROSS JOIN tot
+)
+SELECT doc_id, sum(c_inst)::BIGINT AS n_bigrams,
+       sum(c_inst * lp_micro)::BIGINT AS sum_nll_micro,
+       floor(sum(c_inst * lp_micro)::DOUBLE / sum(c_inst) / 100.0 + 0.5)
+         / 1e4 AS mean_nll
+FROM inst JOIN lp USING (prev, w)
+GROUP BY doc_id
+"""
+
+
+
+def winsorized_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type raw vs winsorized mean at the exact [p01, p99]
+    clip (operators/drift.py ``winsorized_stats``)."""
+    from arcane_framework_spark.operators.drift import winsorized_stats
+
+    t = load_tables(spark, sf_dir, "events")
+    return winsorized_stats(t["events"])
+
+
+def _winsorized_sql() -> str:
+    from arcane_framework_spark.operators.drift import WINSOR_HI, WINSOR_LO
+
+    lo, hi = repr(float(WINSOR_LO)), repr(float(WINSOR_HI))
+    return rf"""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, {lo}) AS lo_v,
+         quantile_cont(value, {hi}) AS hi_v
+  FROM events GROUP BY 1
+),
+j AS (
+  SELECT e.event_type, e.value, c.lo_v, c.hi_v,
+         least(greatest(e.value, c.lo_v), c.hi_v) AS w
+  FROM events e JOIN cuts c USING (event_type)
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       floor(min(lo_v) * 1e6 + 0.5) / 1e6 AS lo,
+       floor(min(hi_v) * 1e6 + 0.5) / 1e6 AS hi,
+       sum(CASE WHEN value < lo_v OR value > hi_v THEN 1 ELSE 0 END)::BIGINT
+         AS n_clipped,
+       floor(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))::DOUBLE
+             / count(*)::DOUBLE + 0.5) / 1e6 AS mean_raw,
+       floor(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT))::DOUBLE
+             / count(*)::DOUBLE + 0.5) / 1e6 AS mean_winsorized
+FROM j
+GROUP BY event_type
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -626,6 +727,8 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sorted_neighborhood_documents": sorted_neighborhood_documents,
     "streaming_cms_users": streaming_cms_users,
     "triangle_stats_documents": triangle_stats_documents,
+    "bigram_nll_documents": bigram_nll_documents,
+    "winsorized_stats_events": winsorized_stats_events,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -636,4 +739,6 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "mad_outliers_events": _mad_outliers_sql(),
     "sorted_neighborhood_documents": _sorted_neighborhood_sql(),
     "streaming_cms_users": _streaming_cms_sql(),
+    "bigram_nll_documents": _bigram_nll_sql(),
+    "winsorized_stats_events": _winsorized_sql(),
 }

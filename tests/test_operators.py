@@ -2731,3 +2731,48 @@ class TestTriangleStats:
             spark.createDataFrame(edges, ["id_a", "id_b"])
         ).collect()
         assert all(r.triangles == 3 and r.clustering == 1.0 for r in got)
+
+
+class TestBigramNll:
+    def test_repetitive_doc_scores_lower_than_shuffled(self, spark):
+        from arcane_framework_spark.operators.text import bigram_nll
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat the cat sat the cat sat"),
+                (2, "sat the the cat sat cat the sat cat"),
+                (3, "zebra quark nimbus octave fjord"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id: r for r in bigram_nll(docs).collect()}
+        # identical unigram composition, but doc 1's transitions are
+        # predictable -> lower bigram NLL than the shuffled doc 2
+        assert got[1].mean_nll < got[2].mean_nll
+        assert got[1].n_bigrams == 9 and got[2].n_bigrams == 9
+
+    def test_backoff_keeps_probabilities_finite(self, spark):
+        from arcane_framework_spark.operators.text import bigram_nll
+
+        # every bigram in doc 2 is unseen elsewhere; unigram backoff
+        # must keep every probability > 0 (finite NLL)
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta alpha")], ["doc_id", "text"]
+        )
+        rows = bigram_nll(docs).collect()
+        assert all(r.sum_nll_micro > 0 for r in rows)
+
+
+class TestWinsorizedStats:
+    def test_outlier_stops_moving_the_mean(self, spark):
+        from arcane_framework_spark.operators.drift import winsorized_stats
+
+        rows = [(i, "a", 10.0) for i in range(99)] + [(99, "a", 100000.0)]
+        df = spark.createDataFrame(
+            rows, "event_id: long, event_type: string, value: double"
+        )
+        got = winsorized_stats(df).collect()[0]
+        assert got.n == 100 and got.n_clipped >= 1
+        assert got.mean_raw > 1000.0
+        assert got.mean_winsorized < got.mean_raw
+        assert got.mean_winsorized < 100.0
