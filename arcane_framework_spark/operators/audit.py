@@ -125,3 +125,64 @@ def coverage_gaps(events: DataFrame, ts_col: Column,
             .alias("first_missing_hour"),
         )
     )
+
+
+#: Types whose min/max stringify identically across engines. Doubles are
+#: EXCLUDED on purpose: '1.0' vs '1' formatting differs, and a profile
+#: column is for humans — n_distinct still covers them.
+PROFILE_MINMAX_TYPES = {"int", "bigint", "string"}
+
+
+def profile_columns(df: DataFrame) -> DataFrame:
+    """Schema profile: one row per column with null count, exact
+    distinct count, and (for safely-stringifiable types) min/max — the
+    first thing a pipeline runs against an unfamiliar 100 TB table
+    (reference parity: extends the C7 field-count / C9 schema-hash
+    contracts from a structural check to a content profile).
+
+    ONE scan: all per-column aggregates run in a single global
+    aggregation (the multi-count-distinct expand is the standard
+    profiling cost — ``n_cols`` passes over each row map-side, still one
+    job, no per-column scans), then the 1×(3·n_cols) row pivots to
+    column-cardinality rows with an explode. Timestamps stringify
+    through an explicit UTC format so both engines render identically.
+
+    Returns (col_name, n_null, n_distinct, min_val, max_val).
+    """
+    aggs = []
+    structs = []
+    for f in df.schema.fields:
+        c, t = f.name, f.dataType.simpleString()
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"__nd_{c}"))
+        if t in PROFILE_MINMAX_TYPES:
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        elif t in ("timestamp", "timestamp_ntz"):
+            fmt = "yyyy-MM-dd HH:mm:ss"
+            mn = F.date_format(F.min(c), fmt)
+            mx = F.date_format(F.max(c), fmt)
+        else:
+            mn = F.lit(None).cast("string")
+            mx = F.lit(None).cast("string")
+        aggs.append(mn.alias(f"__mn_{c}"))
+        aggs.append(mx.alias(f"__mx_{c}"))
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__nn_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_val"),
+                F.col(f"__mx_{c}").alias("max_val"),
+            )
+        )
+    return (
+        df.agg(*aggs)
+        .select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.col_name", "p.n_null", "p.n_distinct", "p.min_val",
+                "p.max_val")
+    )

@@ -195,3 +195,79 @@ def calibration_bins(scored: DataFrame, p_col: str = "p",
             "ece",
         )
     )
+
+
+def prototype_classifier_eval(vectors: DataFrame, stride: int,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              label_col: str = "label") -> DataFrame:
+    """Per-class precision/recall/F1 of a nearest-prototype classifier:
+    every ``stride``-th vector is a labeled prototype, every other
+    vector is classified by its max-cosine prototype (the ``ivf_assign``
+    argmax — prototypes broadcast, one map-side-combined shuffle).
+
+    The end-to-end eval loop a labeled-embedding pipeline runs after
+    distillation/quantization: does nearest-neighbor structure still
+    predict labels? F1 uses the exact identity ``2·tp/(n_pred+n_true)``
+    (one fixed-order division instead of composing two rounded ratios).
+    Classes never predicted get precision NULL; classes absent from the
+    test split get recall NULL.
+
+    Returns (label, n_true, n_pred, tp, precision, recall, f1).
+    """
+    from arcane_framework_spark.operators.similarity import ivf_assign
+
+    cent = vectors.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("clabel"),
+    )
+    test = vectors.filter(F.col(id_col) % stride != 0)
+    assigned = ivf_assign(test, cent)
+    joined = (
+        assigned.select("id", "cid")
+        .join(F.broadcast(cent.select("cid", "clabel")), "cid")
+        .join(
+            test.select(F.col(id_col).alias("id"), label_col), "id"
+        )
+    )
+    n_true = joined.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    n_pred = joined.groupBy(F.col("clabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        joined.filter(F.col(label_col) == F.col("clabel"))
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    base = (
+        n_true.join(n_pred, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    ratio6 = lambda num, den: (  # noqa: E731
+        F.floor(num.cast("double") * F.lit(1e6) / den.cast("double") + F.lit(0.5))
+        / 1e6
+    )
+    return base.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0, ratio6(F.col("tp"), F.col("n_pred"))
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0, ratio6(F.col("tp"), F.col("n_true"))
+        ).alias("recall"),
+        ratio6(
+            F.lit(2.0) * F.col("tp"), F.col("n_pred") + F.col("n_true")
+        ).alias("f1"),
+    )

@@ -717,6 +717,108 @@ GROUP BY event_type
 """
 
 
+
+def classifier_eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the nearest-prototype classifier
+    (operators/evalmetrics.py ``prototype_classifier_eval``): stride
+    prototypes (the IVF centroid convention), everything else
+    classified by max-cosine prototype."""
+    from arcane_framework_spark.operators.evalmetrics import (
+        prototype_classifier_eval,
+    )
+    from arcane_framework_spark.queries_ext import IVF_STRIDE
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    return prototype_classifier_eval(t["embeddings"], stride=IVF_STRIDE)
+
+
+def _classifier_eval_sql() -> str:
+    from arcane_framework_spark.queries_ext import IVF_STRIDE
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv, label AS clabel
+  FROM e WHERE vec_id % {IVF_STRIDE} = 0
+),
+test AS (SELECT * FROM e WHERE vec_id % {IVF_STRIDE} <> 0),
+scored AS (
+  SELECT test.vec_id, test.label, cent.cid, cent.clabel,
+         list_dot_product(test.v, cent.cv)
+           / (sqrt(list_dot_product(test.v, test.v))
+              * sqrt(list_dot_product(cent.cv, cent.cv))) AS cos
+  FROM test CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, label, clabel FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid) AS rn
+    FROM scored) WHERE rn = 1
+),
+nt AS (SELECT label, count(*)::BIGINT AS n_true FROM assigned GROUP BY 1),
+np AS (SELECT clabel AS label, count(*)::BIGINT AS n_pred
+       FROM assigned GROUP BY 1),
+tpc AS (SELECT label, count(*)::BIGINT AS tp FROM assigned
+        WHERE label = clabel GROUP BY 1),
+base AS (
+  SELECT coalesce(nt.label, np.label) AS label,
+         coalesce(nt.n_true, 0)::BIGINT AS n_true,
+         coalesce(np.n_pred, 0)::BIGINT AS n_pred
+  FROM nt FULL OUTER JOIN np ON nt.label = np.label
+)
+SELECT base.label, base.n_true, base.n_pred,
+       coalesce(tpc.tp, 0)::BIGINT AS tp,
+       CASE WHEN base.n_pred > 0 THEN
+         floor(coalesce(tpc.tp, 0)::DOUBLE * 1e6 / base.n_pred::DOUBLE
+               + 0.5) / 1e6 END AS precision,
+       CASE WHEN base.n_true > 0 THEN
+         floor(coalesce(tpc.tp, 0)::DOUBLE * 1e6 / base.n_true::DOUBLE
+               + 0.5) / 1e6 END AS recall,
+       floor(2.0 * coalesce(tpc.tp, 0) * 1e6
+             / (base.n_pred + base.n_true)::DOUBLE + 0.5) / 1e6 AS f1
+FROM base LEFT JOIN tpc ON base.label = tpc.label
+"""
+
+
+
+def profile_columns_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan schema/content profile of lineitem (operators/audit.py
+    ``profile_columns``): per-column nulls, exact distinct counts,
+    engine-safe min/max strings."""
+    from arcane_framework_spark.operators.audit import profile_columns
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    return profile_columns(t["lineitem"])
+
+
+def _profile_columns_sql() -> str:
+    cols = {
+        "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+        "l_linenumber": "int", "l_quantity": "dbl",
+        "l_extendedprice": "dbl", "l_discount": "dbl", "l_tax": "dbl",
+        "l_returnflag": "str", "l_linestatus": "str",
+        "l_shipdate": "ts",
+    }
+    parts = []
+    for c, t in cols.items():
+        if t in ("int", "str"):
+            mn, mx = f"min({c})::VARCHAR", f"max({c})::VARCHAR"
+        elif t == "ts":
+            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = mx = "NULL::VARCHAR"
+        parts.append(
+            f"SELECT '{c}' AS col_name,\n"
+            f"  sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,\n"
+            f"  count(DISTINCT {c})::BIGINT AS n_distinct,\n"
+            f"  {mn} AS min_val, {mx} AS max_val\nFROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -729,6 +831,8 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "triangle_stats_documents": triangle_stats_documents,
     "bigram_nll_documents": bigram_nll_documents,
     "winsorized_stats_events": winsorized_stats_events,
+    "classifier_eval_embeddings": classifier_eval_embeddings,
+    "profile_columns_lineitem": profile_columns_lineitem,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -741,4 +845,6 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "streaming_cms_users": _streaming_cms_sql(),
     "bigram_nll_documents": _bigram_nll_sql(),
     "winsorized_stats_events": _winsorized_sql(),
+    "classifier_eval_embeddings": _classifier_eval_sql(),
+    "profile_columns_lineitem": _profile_columns_sql(),
 }

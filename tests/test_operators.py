@@ -2776,3 +2776,58 @@ class TestWinsorizedStats:
         assert got.mean_raw > 1000.0
         assert got.mean_winsorized < got.mean_raw
         assert got.mean_winsorized < 100.0
+
+
+class TestClassifierEval:
+    def test_perfect_prototypes(self, spark):
+        from arcane_framework_spark.operators.evalmetrics import (
+            prototype_classifier_eval,
+        )
+
+        # two well-separated clusters along orthogonal axes; prototypes
+        # at ids 0 and 2 (stride 2)
+        rows = [
+            (0, [1.0, 0.0], 1), (1, [0.9, 0.1], 1),
+            (2, [0.0, 1.0], 2), (3, [0.1, 0.9], 2),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<double>, label: int"
+        )
+        got = {r.label: r for r in
+               prototype_classifier_eval(df, stride=2).collect()}
+        assert got[1].precision == 1.0 and got[1].recall == 1.0
+        assert got[2].f1 == 1.0
+
+    def test_never_predicted_class_null_precision(self, spark):
+        from arcane_framework_spark.operators.evalmetrics import (
+            prototype_classifier_eval,
+        )
+
+        # the only prototype (id 0) is label 1, so label-2 test rows can
+        # never be predicted: recall 0 for class 2, NULL precision.
+        rows = [
+            (0, [1.0, 0.0], 1), (1, [0.9, 0.1], 1), (3, [0.0, 1.0], 2),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id: long, embedding: array<double>, label: int"
+        )
+        got = {r.label: r for r in
+               prototype_classifier_eval(df, stride=2).collect()}
+        assert got[2].precision is None and got[2].recall == 0.0
+        # both test rows predicted as class 1, one correctly
+        assert got[1].precision == 0.5 and got[1].recall == 1.0
+
+
+class TestProfileColumns:
+    def test_nulls_distincts_minmax(self, spark):
+        from arcane_framework_spark.operators.audit import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a", 2.5), (2, "b", None), (2, None, 1.5)],
+            "k: long, s: string, v: double",
+        )
+        got = {r.col_name: r for r in profile_columns(df).collect()}
+        assert got["k"].n_distinct == 2 and got["k"].min_val == "1"
+        assert got["s"].n_null == 1 and got["s"].max_val == "b"
+        # doubles: engine-unsafe formatting -> NULL min/max, distinct kept
+        assert got["v"].min_val is None and got["v"].n_distinct == 2

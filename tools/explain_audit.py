@@ -36,6 +36,9 @@ EXPECTED_BNLJ = {
                                    # passes (corpus × broadcast centroids)
     "ivfpq_recall_embeddings",     # same composition + coarse-cell
                                    # assignment (corpus × broadcast cells)
+    "classifier_eval_embeddings",  # test set × broadcast labeled
+                                   # prototypes (the ivf_assign scored
+                                   # cross — prototype count ≪ N)
     "kmv_intersections_events",    # pair grid over the PER-SET theta
                                    # table (one row per set): pairwise
                                    # set algebra is quadratic in #sets
