@@ -271,3 +271,50 @@ def prototype_classifier_eval(vectors: DataFrame, stride: int,
             F.lit(2.0) * F.col("tp"), F.col("n_pred") + F.col("n_true")
         ).alias("f1"),
     )
+
+
+def two_proportion_ztest(units: DataFrame, cohort_col: str = "cohort",
+                         converted_col: str = "converted") -> DataFrame:
+    """Pooled two-proportion z-test between cohorts 0 (control) and 1
+    (treatment): the A/B readout a pipeline runs on a per-unit
+    conversion flag. All inputs are integer counts; the statistic uses
+    only ratios and ``sqrt`` (IEEE exactly-rounded — the one transcen-
+    dental that is engine-safe), in mirrored operand order.
+
+    One global conditional-sum aggregate (map-side combined). Returns a
+    single row (n_a, x_a, n_b, x_b, rate_a, rate_b, z); z is NULL when
+    either cohort is empty or the pooled rate is degenerate (0 or 1 —
+    zero variance).
+    """
+    is_a = F.col(cohort_col) == 0
+    is_b = F.col(cohort_col) == 1
+    conv = F.col(converted_col).cast("long")
+    agg = units.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_a, conv).otherwise(0)).cast("long").alias("x_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_b, conv).otherwise(0)).cast("long").alias("x_b"),
+    )
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    p1, p2 = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    z = (p1 - p2) / F.sqrt(
+        pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        r6(p1).alias("rate_a"),
+        r6(p2).alias("rate_b"),
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("x_a") + F.col("x_b") > 0)
+            & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b")),
+            r6(z),
+        ).alias("z"),
+    )

@@ -308,3 +308,48 @@ def interval_union(df: DataFrame, key_col: str, start_col: str,
         )
         .withColumnRenamed("key", key_col)
     )
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts_micros",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix of user journeys:
+    ``P(next_type | prev_type)`` from per-user time-ordered event
+    sequences — the session-flow model behind funnel design and
+    next-action prediction.
+
+    One per-user lag window (user-sized partitions, no global sort; the
+    ``(ts, id)`` tie-break makes the order total, so both engines build
+    identical sequences), then a transition-pair count aggregate —
+    output is |types|² rows, metadata-scale. ``prob`` is the row-
+    normalized rational count, fixed-point 6dp.
+
+    Returns (prev_type, next_type, cnt, prob).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = events.select(
+        user_col,
+        F.col(type_col).alias("next_type"),
+        F.lag(type_col).over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("cnt").alias("__tot"))
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        (
+            F.floor(
+                F.col("cnt").cast("double")
+                * F.lit(1e6)
+                / F.col("__tot").cast("double")
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("prob"),
+    )

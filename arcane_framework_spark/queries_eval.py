@@ -819,6 +819,88 @@ def _profile_columns_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+
+def event_transitions_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event journeys
+    (operators/temporal.py ``event_transitions``)."""
+    from arcane_framework_spark.operators.temporal import event_transitions
+    from arcane_framework_spark.session import ts_micros
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].withColumn("__tsm", ts_micros(t["events"]))
+    return event_transitions(ev, ts_col="__tsm")
+
+
+_EVENT_TRANSITIONS_SQL = r"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, count(*)::BIGINT AS cnt
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, sum(cnt)::BIGINT AS t FROM counts GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.cnt,
+       floor(c.cnt::DOUBLE * 1e6 / t.t::DOUBLE + 0.5) / 1e6 AS prob
+FROM counts c JOIN tot t USING (prev_type)
+"""
+
+
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of per-user purchase conversion between
+    the user_id-parity cohorts (operators/evalmetrics.py
+    ``two_proportion_ztest``) — unit of analysis is the USER (the unit
+    of randomization), not the event."""
+    from arcane_framework_spark.operators.evalmetrics import (
+        two_proportion_ztest,
+    )
+
+    t = load_tables(spark, sf_dir, "events")
+    units = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("cohort"), "converted")
+    )
+    return two_proportion_ztest(units)
+
+
+_AB_TEST_SQL = r"""
+WITH units AS (
+  SELECT user_id % 2 AS cohort,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN cohort = 0 THEN conv ELSE 0 END)::BIGINT AS x_a,
+         sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN cohort = 1 THEN conv ELSE 0 END)::BIGINT AS x_b
+  FROM units
+)
+SELECT n_a, x_a, n_b, x_b,
+       floor(x_a::DOUBLE / n_a::DOUBLE * 1e6 + 0.5) / 1e6 AS rate_a,
+       floor(x_b::DOUBLE / n_b::DOUBLE * 1e6 + 0.5) / 1e6 AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+                 AND x_a + x_b < n_a + n_b THEN
+         floor((x_a::DOUBLE / n_a::DOUBLE - x_b::DOUBLE / n_b::DOUBLE)
+               / sqrt((x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE
+                      * (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+                      * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+               * 1e6 + 0.5) / 1e6
+       END AS z
+FROM agg
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -833,6 +915,8 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_stats_events": winsorized_stats_events,
     "classifier_eval_embeddings": classifier_eval_embeddings,
     "profile_columns_lineitem": profile_columns_lineitem,
+    "event_transitions_users": event_transitions_users,
+    "ab_test_events": ab_test_events,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -847,4 +931,6 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "winsorized_stats_events": _winsorized_sql(),
     "classifier_eval_embeddings": _classifier_eval_sql(),
     "profile_columns_lineitem": _profile_columns_sql(),
+    "event_transitions_users": _EVENT_TRANSITIONS_SQL,
+    "ab_test_events": _AB_TEST_SQL,
 }

@@ -2831,3 +2831,58 @@ class TestProfileColumns:
         assert got["s"].n_null == 1 and got["s"].max_val == "b"
         # doubles: engine-unsafe formatting -> NULL min/max, distinct kept
         assert got["v"].min_val is None and got["v"].n_distinct == 2
+
+
+class TestEventTransitions:
+    def test_sequence_counts_and_row_normalization(self, spark):
+        from arcane_framework_spark.operators.temporal import (
+            event_transitions,
+        )
+
+        rows = [
+            (1, 1, 100, "view"), (2, 1, 200, "click"), (3, 1, 300, "view"),
+            (4, 2, 100, "view"), (5, 2, 200, "view"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id: long, user_id: long, ts_micros: long, event_type: string"
+        )
+        got = {(r.prev_type, r.next_type): r for r in
+               event_transitions(df).collect()}
+        assert got[("view", "click")].cnt == 1
+        assert got[("view", "view")].cnt == 1
+        assert got[("click", "view")].prob == 1.0
+        # row 'view' total = 2 -> probs 0.5 each
+        assert got[("view", "click")].prob == 0.5
+
+    def test_no_cross_user_transitions(self, spark):
+        from arcane_framework_spark.operators.temporal import (
+            event_transitions,
+        )
+
+        rows = [(1, 1, 100, "a"), (2, 2, 200, "b")]
+        df = spark.createDataFrame(
+            rows, "event_id: long, user_id: long, ts_micros: long, event_type: string"
+        )
+        assert event_transitions(df).count() == 0
+
+
+class TestTwoProportionZTest:
+    def test_known_value_and_degenerate_null(self, spark):
+        import math
+
+        from arcane_framework_spark.operators.evalmetrics import (
+            two_proportion_ztest,
+        )
+
+        rows = [(0, 1)] * 30 + [(0, 0)] * 70 + [(1, 1)] * 50 + [(1, 0)] * 50
+        df = spark.createDataFrame(rows, "cohort: int, converted: int")
+        r = two_proportion_ztest(df).collect()[0]
+        assert (r.n_a, r.x_a, r.n_b, r.x_b) == (100, 30, 100, 50)
+        p = 0.4
+        want = (0.3 - 0.5) / math.sqrt(p * (1 - p) * (0.01 + 0.01))
+        assert abs(r.z - want) < 1e-5
+
+        allconv = spark.createDataFrame(
+            [(0, 1), (1, 1)], "cohort: int, converted: int"
+        )
+        assert two_proportion_ztest(allconv).collect()[0].z is None
