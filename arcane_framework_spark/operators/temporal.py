@@ -353,3 +353,74 @@ def event_transitions(events: DataFrame, user_col: str = "user_id",
             / 1e6
         ).alias("prob"),
     )
+
+
+def kaplan_meier(units: DataFrame, duration_col: str = "duration",
+                 event_col: str = "event") -> DataFrame:
+    """Kaplan-Meier survival table from (duration, event∈{0,1}) units
+    (event=0 ⇒ right-censored at ``duration``): per distinct duration
+    the risk-set size, events, censorings, and the cumulative hazard in
+    micro-nats — ``S(t) = exp(−cum_lp_micro/1e6)``, left in integer
+    fixed point so both engines agree bit-for-bit (a cross-engine
+    cumulative PRODUCT of doubles would drift; a sum of pre-floored
+    per-step logs cannot).
+
+    The duration-grouped table is span-sized (days observed), so the
+    ordering windows run over metadata-scale rows — the group-offsets
+    window pattern, not a corpus window. If the risk set is ever fully
+    consumed by events (``d = n_risk`` ⇒ S hits exactly 0, infinite
+    hazard), ``cum_lp_micro`` is NULL from that point on — identically
+    in both engines; the integer d/c/n_risk columns stay exact
+    regardless.
+
+    Returns (t, n_risk, d, c, cum_lp_micro) ordered by nothing (the
+    caller sorts); one row per distinct duration.
+    """
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    ev = F.col(event_col).cast("long")
+    counts = units.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(ev).alias("d"),
+        F.sum(F.lit(1) - ev).alias("c"),
+    )
+    total = counts.agg(F.sum(F.col("d") + F.col("c")).alias("__tot"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risked = with_broadcast_scalar(counts, total).withColumn(
+        "n_risk",
+        F.col("__tot")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+    )
+    step = F.when(F.col("d") == 0, F.lit(0)).when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(
+            F.lit(-1e6)
+            * F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            )
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    out = (
+        risked.withColumn("__step", step)
+        .withColumn(
+            "__dead",
+            F.max(
+                F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+            ).over(w_incl),
+        )
+        .withColumn(
+            "cum_lp_micro",
+            F.when(
+                F.col("__dead") == 0, F.sum("__step").over(w_incl)
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.col("c").cast("long").alias("c"),
+        "cum_lp_micro",
+    )

@@ -901,6 +901,101 @@ FROM agg
 """
 
 
+
+#: Survival-entry day length in epoch micros.
+_DAY_US = 86_400_000_000
+
+
+def survival_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion: days from each user's first
+    signup to their first subsequent purchase, right-censored at the
+    stream's end for users who never convert (operators/temporal.py
+    ``kaplan_meier``). ``S(t) = exp(-cum_lp_micro/1e6)`` — the hazard
+    stays in engine-exact integer micro-nats."""
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.operators.temporal import kaplan_meier
+    from arcane_framework_spark.session import ts_micros
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id", "event_type", ts_micros(t["events"]).alias("tsm")
+    )
+    signup = ev.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("tsm").alias("t0"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("tsm") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tsm").alias("t1"))
+    )
+    mx = ev.agg(F.max("tsm").alias("__mx"))
+    units = with_broadcast_scalar(
+        signup.join(conv, "user_id", "left"), mx
+    ).select(
+        F.expr(
+            f"(coalesce(t1, __mx) - t0) div {_DAY_US}"
+        ).alias("duration"),
+        F.col("t1").isNotNull().cast("int").alias("event"),
+    )
+    return kaplan_meier(units)
+
+
+_SURVIVAL_SQL = rf"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsm FROM events
+),
+signup AS (
+  SELECT user_id, min(tsm) AS t0 FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+),
+conv AS (
+  SELECT e.user_id, min(e.tsm) AS t1
+  FROM ev e JOIN signup s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.tsm >= s.t0
+  GROUP BY 1
+),
+mx AS (SELECT max(tsm) AS mxts FROM ev),
+units AS (
+  SELECT (coalesce(c.t1, mx.mxts) - s.t0) // {_DAY_US} AS duration,
+         CASE WHEN c.t1 IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM signup s LEFT JOIN conv c USING (user_id) CROSS JOIN mx
+),
+counts AS (
+  SELECT duration AS t, sum(event)::BIGINT AS d,
+         sum(1 - event)::BIGINT AS c
+  FROM units GROUP BY 1
+),
+tot AS (SELECT sum(d + c)::BIGINT AS total FROM counts),
+risked AS (
+  SELECT t, d, c,
+         total - coalesce(sum(d + c) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS n_risk
+  FROM counts CROSS JOIN tot
+),
+stepped AS (
+  SELECT *,
+         CASE WHEN d = 0 THEN 0
+              WHEN d < n_risk THEN
+                CAST(floor(-1e6 * ln(1.0 - d::DOUBLE / n_risk::DOUBLE)
+                           + 0.5) AS BIGINT)
+         END AS step,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+             ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS dead
+  FROM risked
+)
+SELECT t, n_risk, d, c,
+       CASE WHEN dead = 0 THEN
+         sum(step) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       END::BIGINT AS cum_lp_micro
+FROM stepped
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -917,6 +1012,7 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_columns_lineitem": profile_columns_lineitem,
     "event_transitions_users": event_transitions_users,
     "ab_test_events": ab_test_events,
+    "survival_signup_purchase": survival_signup_purchase,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -933,4 +1029,5 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "profile_columns_lineitem": _profile_columns_sql(),
     "event_transitions_users": _EVENT_TRANSITIONS_SQL,
     "ab_test_events": _AB_TEST_SQL,
+    "survival_signup_purchase": _SURVIVAL_SQL,
 }

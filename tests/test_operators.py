@@ -2886,3 +2886,34 @@ class TestTwoProportionZTest:
             [(0, 1), (1, 1)], "cohort: int, converted: int"
         )
         assert two_proportion_ztest(allconv).collect()[0].z is None
+
+
+class TestKaplanMeier:
+    def test_risk_sets_hazard_and_extinction(self, spark):
+        import math
+
+        from arcane_framework_spark.operators.temporal import kaplan_meier
+
+        units = spark.createDataFrame(
+            [(1, 1), (2, 1), (2, 0), (3, 1)], "duration: long, event: int"
+        )
+        got = {r.t: r for r in kaplan_meier(units).collect()}
+        assert (got[1].n_risk, got[1].d, got[1].c) == (4, 1, 0)
+        assert (got[2].n_risk, got[2].d, got[2].c) == (3, 1, 1)
+        s1 = math.floor(-1e6 * math.log(1 - 1 / 4) + 0.5)
+        s2 = math.floor(-1e6 * math.log(1 - 1 / 3) + 0.5)
+        assert got[1].cum_lp_micro == s1
+        assert got[2].cum_lp_micro == s1 + s2
+        # t=3: the whole remaining risk set dies -> S=0, hazard infinite
+        assert got[3].n_risk == 1 and got[3].cum_lp_micro is None
+
+    def test_censor_only_step_keeps_survival_flat(self, spark):
+        from arcane_framework_spark.operators.temporal import kaplan_meier
+
+        units = spark.createDataFrame(
+            [(1, 0), (2, 1), (3, 0)], "duration: long, event: int"
+        )
+        got = {r.t: r for r in kaplan_meier(units).collect()}
+        assert got[1].cum_lp_micro == 0  # pure censoring: no hazard
+        assert got[2].n_risk == 2 and got[2].cum_lp_micro > 0
+        assert got[3].cum_lp_micro == got[2].cum_lp_micro
