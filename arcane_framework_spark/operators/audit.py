@@ -186,3 +186,33 @@ def profile_columns(df: DataFrame) -> DataFrame:
         .select("p.col_name", "p.n_null", "p.n_distinct", "p.min_val",
                 "p.max_val")
     )
+
+
+#: k-anonymity threshold for the governance report.
+K_ANON_K = 5
+
+
+def k_anonymity_report(df: DataFrame, qi_cols: Sequence[Column],
+                       k: int = K_ANON_K) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: how many
+    equivalence classes (distinct QI tuples) exist, and how many
+    classes/rows sit below the ``k`` re-identification floor — the
+    release gate a governance pipeline runs before publishing
+    event-level data.
+
+    One hash-aggregate onto class-cardinality rows, one 1-row summary
+    aggregate — scan-bounded. Returns a single row (n_rows, n_classes,
+    min_class_size, classes_below_k, rows_below_k).
+    """
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return classes.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__n").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_k"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("rows_below_k"),
+    )

@@ -1335,3 +1335,151 @@ def ivfpq_topk(df: DataFrame, centroids: DataFrame, codes: DataFrame,
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 "adc_cos", "rank")
     )
+
+
+#: MMR defaults: relevance/diversity trade-off (exact binary double) and
+#: the relevance-ranked candidate pool fed to the greedy loop.
+MMR_LAMBDA = 0.5
+MMR_POOL = 20
+
+
+def mmr_topk(candidates: DataFrame, queries: DataFrame, k: int,
+             pool: int = MMR_POOL, lam: float = MMR_LAMBDA,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str | None = None) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick ``argmax λ·cos(q,d) − (1−λ)·max_{s∈S}
+    cos(d,s)`` — the de-duplicating re-rank every RAG/retrieval stack
+    runs so the k results aren't k copies of the same document.
+
+    Two stages: (1) a relevance top-``pool`` per query (here brute-force
+    cosine — at scale feed any ANN stage's output instead; the pool is
+    the contract, not the scan), then (2) ``k`` unrolled greedy steps
+    over the pool-sized candidate table. Every step is candidate ⋈
+    selected on query_id (both sides ≤ pool rows per query, selected ≤
+    step rows), a max-sim aggregate, and a ``max_by`` argmax with the
+    deterministic (score, −id) tie-break — no driver loop state beyond
+    plan construction, no window over corpus rows. Step 1 is the pure
+    relevance argmax (S empty). All score arithmetic is mirrored
+    operand-order doubles; the DuckDB oracle unrolls the same steps.
+
+    Returns (query_id, vec_id, rank, relevance, mmr_score) with rank
+    1..k; ``mmr_score`` of rank 1 is its relevance (no diversity term).
+    """
+    from pyspark.sql import Window
+
+    query_id_col = query_id_col or id_col
+
+    def safe_norm(col: Column) -> Column:
+        n = norm_expr(col)
+        return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        safe_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__cv"),
+        safe_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            "id",
+            "__cv",
+            "__cn",
+            (
+                dot_expr(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "id")
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= pool)
+        .drop("__rn")
+    )
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    cand = scoped_persist(cand)
+
+    lam_l, lam_d = F.lit(float(lam)), F.lit(float(1.0 - lam))
+    # step 1: pure relevance argmax
+    sel = cand.groupBy("query_id").agg(
+        F.max_by(
+            F.struct("id", "__cv", "__cn", "rel"),
+            F.struct(F.col("rel").alias("s"), (-F.col("id")).alias("t")),
+        ).alias("p")
+    ).select(
+        "query_id",
+        F.col("p.id").alias("id"),
+        F.col("p.__cv").alias("__cv"),
+        F.col("p.__cn").alias("__cn"),
+        F.col("p.rel").alias("rel"),
+        F.lit(1).alias("rank"),
+        F.col("p.rel").alias("mmr_score"),
+    )
+    for step in range(2, k + 1):
+        rem = cand.join(
+            sel.select("query_id", "id"), ["query_id", "id"], "left_anti"
+        )
+        pairs = rem.join(
+            sel.select(
+                "query_id",
+                F.col("__cv").alias("__sv"),
+                F.col("__cn").alias("__sn"),
+            ),
+            "query_id",
+        ).select(
+            "query_id",
+            "id",
+            "__cv",
+            "__cn",
+            "rel",
+            (
+                dot_expr(F.col("__cv"), F.col("__sv"))
+                / (F.col("__cn") * F.col("__sn"))
+            ).alias("__sim"),
+        )
+        msim = pairs.groupBy("query_id", "id", "__cv", "__cn", "rel").agg(
+            F.max("__sim").alias("__msim")
+        )
+        picked = (
+            msim.withColumn(
+                "__score", lam_l * F.col("rel") - lam_d * F.col("__msim")
+            )
+            .groupBy("query_id")
+            .agg(
+                F.max_by(
+                    F.struct("id", "__cv", "__cn", "rel", "__score"),
+                    F.struct(
+                        F.col("__score").alias("s"), (-F.col("id")).alias("t")
+                    ),
+                ).alias("p")
+            )
+            .select(
+                "query_id",
+                F.col("p.id").alias("id"),
+                F.col("p.__cv").alias("__cv"),
+                F.col("p.__cn").alias("__cn"),
+                F.col("p.rel").alias("rel"),
+                F.lit(step).alias("rank"),
+                F.col("p.__score").alias("mmr_score"),
+            )
+        )
+        # Each step references sel TWICE (anti-join + selected-set join):
+        # without lineage truncation the logical plan doubles per step
+        # (the connected-components lesson, operators/graph.py).
+        sel = sel.unionByName(picked).localCheckpoint(eager=False)
+    return sel.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round("rel", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

@@ -996,6 +996,128 @@ FROM stepped
 """
 
 
+
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit of events under the quasi-identifier
+    (event_type, event date, floor(value)) (operators/audit.py
+    ``k_anonymity_report``, k=5)."""
+    from arcane_framework_spark.operators.audit import k_anonymity_report
+    from arcane_framework_spark.session import ts_timestamp
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type",
+        F.to_date(ts_timestamp(t["events"])).alias("__d"),
+        F.floor("value").alias("__v"),
+    )
+    return k_anonymity_report(
+        ev, [F.col("event_type"), F.col("__d"), F.col("__v")]
+    )
+
+
+_K_ANONYMITY_SQL = r"""
+WITH classes AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, floor(value) AS v,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT sum(n)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_classes,
+       min(n)::BIGINT AS min_class_size,
+       sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT AS classes_below_k,
+       sum(CASE WHEN n < 5 THEN n ELSE 0 END)::BIGINT AS rows_below_k
+FROM classes
+"""
+
+
+
+MMR_ENTRY_QUERIES = 10
+MMR_ENTRY_K = 5
+
+
+def mmr_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 retrieval for the standard query set
+    (operators/similarity.py ``mmr_topk``): relevance top-20 pool, then
+    five unrolled greedy diversity steps."""
+    from arcane_framework_spark.operators.similarity import mmr_topk
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return mmr_topk(
+        emb, emb.filter(F.col("vec_id") < MMR_ENTRY_QUERIES), k=MMR_ENTRY_K
+    )
+
+
+def _mmr_sql() -> str:
+    from arcane_framework_spark.operators.similarity import (
+        MMR_LAMBDA,
+        MMR_POOL,
+    )
+
+    lam = repr(float(MMR_LAMBDA))
+    lam_d = repr(float(1.0 - MMR_LAMBDA))
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    steps = []
+    for i in range(2, MMR_ENTRY_K + 1):
+        sim = cos.format(a="c.v", b="s.v")
+        steps.append(f"""
+cand{i} AS (
+  SELECT c.* FROM cand c
+  ANTI JOIN acc{i - 1} a ON c.query_id = a.query_id AND c.id = a.id
+),
+msim{i} AS (
+  SELECT c.query_id, c.id, c.v, c.rel, max({sim}) AS ms
+  FROM cand{i} c JOIN acc{i - 1} s USING (query_id)
+  GROUP BY c.query_id, c.id, c.v, c.rel
+),
+sel{i} AS (
+  SELECT query_id, id, v, rel, {i} AS rank, score AS mmr_score FROM (
+    SELECT *, {lam} * rel - {lam_d} * ms AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ({lam} * rel - {lam_d} * ms) DESC,
+                                       id) AS rn
+    FROM msim{i}) WHERE rn = 1
+),
+acc{i} AS (
+  SELECT * FROM acc{i - 1}
+  UNION ALL
+  SELECT query_id, id, v, rel, rank, mmr_score FROM sel{i}
+),""")
+    unrolled = "".join(steps).rstrip(",\n").rstrip(",")
+    qcos = cos.format(a="q.qv", b="e.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e
+  WHERE vec_id < {MMR_ENTRY_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id, e.v, {qcos} AS rel
+  FROM q CROSS JOIN e WHERE q.query_id <> e.vec_id
+),
+cand AS (
+  SELECT query_id, id, v, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, id) AS rn
+    FROM scored) WHERE rn <= {MMR_POOL}
+),
+sel1 AS (
+  SELECT query_id, id, v, rel, 1 AS rank, rel AS mmr_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, id) AS rn
+    FROM cand) WHERE rn = 1
+),
+acc1 AS (SELECT * FROM sel1),
+{unrolled}
+SELECT query_id, id AS vec_id, rank::INT AS rank,
+       round(rel, 6) AS relevance, round(mmr_score, 6) AS mmr_score
+FROM acc{MMR_ENTRY_K}
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -1013,6 +1135,8 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions_users": event_transitions_users,
     "ab_test_events": ab_test_events,
     "survival_signup_purchase": survival_signup_purchase,
+    "k_anonymity_events": k_anonymity_events,
+    "mmr_topk_embeddings": mmr_topk_embeddings,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -1030,4 +1154,6 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "event_transitions_users": _EVENT_TRANSITIONS_SQL,
     "ab_test_events": _AB_TEST_SQL,
     "survival_signup_purchase": _SURVIVAL_SQL,
+    "k_anonymity_events": _K_ANONYMITY_SQL,
+    "mmr_topk_embeddings": _mmr_sql(),
 }

@@ -2917,3 +2917,43 @@ class TestKaplanMeier:
         assert got[1].cum_lp_micro == 0  # pure censoring: no hazard
         assert got[2].n_risk == 2 and got[2].cum_lp_micro > 0
         assert got[3].cum_lp_micro == got[2].cum_lp_micro
+
+
+class TestMmrTopk:
+    def test_diversifies_away_from_duplicate(self, spark):
+        from arcane_framework_spark.operators.similarity import mmr_topk
+
+        # query q=[1,0]; docs 1,2 nearly identical high-relevance pair;
+        # doc 3 moderately relevant but orthogonal-ish to 1/2.
+        rows = [
+            (100, [1.0, 0.0]),            # query
+            (1, [0.9, 0.1]),              # identical pair: sim(1,2)=1
+            (2, [0.9, 0.1]),
+            (3, [0.8, -0.6]),             # less relevant, far from 1/2
+        ]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        got = sorted(
+            mmr_topk(
+                df, df.filter("vec_id = 100"), k=3, pool=10
+            ).collect(),
+            key=lambda r: r.rank,
+        )
+        assert got[0].vec_id == 1          # pure relevance first
+        assert got[1].vec_id == 3          # diversity beats near-dup 2
+        assert got[2].vec_id == 2
+        assert got[0].mmr_score == got[0].relevance
+
+    def test_rank1_is_relevance_argmax_per_query(self, spark):
+        from arcane_framework_spark.operators.similarity import mmr_topk
+
+        rows = [(i, [float(i % 7 + 1), float((i * 3) % 5 + 1)])
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+        queries = df.filter("vec_id < 3")
+        got = mmr_topk(df, queries, k=2, pool=5).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, {})[r.rank] = r
+        for qid, ranks in by_q.items():
+            assert set(ranks) == {1, 2}
+            assert ranks[1].relevance >= ranks[2].relevance - 1.0  # sane
