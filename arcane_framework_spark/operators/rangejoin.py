@@ -50,3 +50,35 @@ def range_join(points: DataFrame, intervals: DataFrame,
         )
         .drop("__bucket")
     )
+
+
+def interval_overlap(left: DataFrame, right: DataFrame,
+                     l_start: str = "s_us", l_end: str = "e_us",
+                     r_start: str = "h_us", r_end: str = "hend_us",
+                     broadcast_right: bool = True) -> DataFrame:
+    """Interval-overlap join: pair every left interval [l_start, l_end]
+    (closed) with each right interval [r_start, r_end) (half-open) it
+    intersects — the impact-analysis join (sessions × incident windows,
+    jobs × maintenance windows).
+
+    ``broadcast_right=True`` is the common case: the right side is a
+    small derived window set, so the join is map-side with the range
+    predicate applied in the stream — zero shuffle of the left side
+    beyond its own lineage. For two BIG interval sets, pre-bucket both
+    by time bin and equi-join on the bin instead (the blocking trick
+    every distributed interval join uses); this helper is the
+    broadcast-sized path. ``overlap_us`` is exact integer micros.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    cond = (F.col(l_start) < F.col(r_end)) & (
+        F.col(l_end) >= F.col(r_start)
+    )
+    return left.join(r, cond).withColumn(
+        "overlap_us",
+        F.greatest(
+            F.lit(0),
+            F.least(F.col(l_end), F.col(r_end) - F.lit(1))
+            - F.greatest(F.col(l_start), F.col(r_start))
+            + F.lit(1),
+        ).cast("long"),
+    )

@@ -1118,6 +1118,117 @@ FROM acc{MMR_ENTRY_K}
 """
 
 
+
+#: Incident threshold: hours with count > 1.5x the hourly average,
+#: compared by exact integer cross-multiplication (2*cnt*H > 3*total).
+_HOUR_US = 3_600_000_000
+
+
+def incident_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact analysis: which user sessions overlap anomalous-traffic
+    hours, and for how long. Sessions are the lag-gap intervals of
+    ``events_sessionize``; incidents are hours whose event count
+    exceeds 1.5x the hourly average (exact integer cross-multiply);
+    the overlap is operators/rangejoin.py ``interval_overlap`` with the
+    incident set broadcast. Returns one row per overlapping session:
+    (user_id, sess_no, s_us, e_us, n_incidents, overlap_us)."""
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.rangejoin import interval_overlap
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.queries_tpch import SESSION_GAP_US
+    from arcane_framework_spark.session import ts_micros
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id", "event_id", ts_micros(t["events"]).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    marked = ev.withColumn("__prev", F.lag("ts_us").over(w)).withColumn(
+        "__new",
+        (
+            F.col("__prev").isNull()
+            | (F.col("ts_us") - F.col("__prev") > SESSION_GAP_US)
+        ).cast("int"),
+    )
+    sessions = (
+        marked.withColumn("sess_no", F.sum("__new").over(w_run))
+        .groupBy("user_id", "sess_no")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+    )
+    hourly = ev.groupBy(
+        (F.expr(f"ts_us div {_HOUR_US}") * F.lit(_HOUR_US)).alias("h_us")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    stats = hourly.agg(
+        F.sum("__cnt").alias("__total"), F.count(F.lit(1)).alias("__h")
+    )
+    incidents = (
+        with_broadcast_scalar(hourly, stats)
+        .filter(
+            F.lit(2) * F.col("__cnt") * F.col("__h")
+            > F.lit(3) * F.col("__total")
+        )
+        .select("h_us", (F.col("h_us") + F.lit(_HOUR_US)).alias("hend_us"))
+    )
+    return (
+        interval_overlap(sessions, incidents)
+        .groupBy("user_id", "sess_no", "s_us", "e_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incidents"),
+            F.sum("overlap_us").cast("long").alias("overlap_us"),
+        )
+    )
+
+
+def _incident_overlap_sql() -> str:
+    from arcane_framework_spark.queries_tpch import SESSION_GAP_US
+
+    return rf"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, sess_no::BIGINT AS sess_no,
+         min(ts_us) AS s_us, max(ts_us) AS e_us FROM (
+    SELECT user_id, ts_us,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sess_no
+    FROM marked
+  ) GROUP BY 1, 2
+),
+hourly AS (
+  SELECT (ts_us // {_HOUR_US}) * {_HOUR_US} AS h_us,
+         count(*)::BIGINT AS cnt
+  FROM ev GROUP BY 1
+),
+stats AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS h FROM hourly),
+incidents AS (
+  SELECT h_us, h_us + {_HOUR_US} AS hend_us
+  FROM hourly CROSS JOIN stats
+  WHERE 2 * cnt * h > 3 * total
+)
+SELECT s.user_id, s.sess_no, s.s_us, s.e_us,
+       count(*)::BIGINT AS n_incidents,
+       sum(greatest(0, least(s.e_us, i.hend_us - 1)
+                       - greatest(s.s_us, i.h_us) + 1))::BIGINT AS overlap_us
+FROM sess s JOIN incidents i
+  ON s.s_us < i.hend_us AND s.e_us >= i.h_us
+GROUP BY 1, 2, 3, 4
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -1137,6 +1248,7 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "survival_signup_purchase": survival_signup_purchase,
     "k_anonymity_events": k_anonymity_events,
     "mmr_topk_embeddings": mmr_topk_embeddings,
+    "incident_overlap_sessions": incident_overlap_sessions,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -1156,4 +1268,5 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "survival_signup_purchase": _SURVIVAL_SQL,
     "k_anonymity_events": _K_ANONYMITY_SQL,
     "mmr_topk_embeddings": _mmr_sql(),
+    "incident_overlap_sessions": _incident_overlap_sql(),
 }

@@ -2957,3 +2957,39 @@ class TestMmrTopk:
         for qid, ranks in by_q.items():
             assert set(ranks) == {1, 2}
             assert ranks[1].relevance >= ranks[2].relevance - 1.0  # sane
+
+
+class TestIntervalOverlap:
+    def test_overlap_semantics_and_lengths(self, spark):
+        from arcane_framework_spark.operators.rangejoin import (
+            interval_overlap,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 100, 200), (2, 250, 260), (3, 395, 405)],
+            "sid: long, s_us: long, e_us: long",
+        )
+        right = spark.createDataFrame(
+            [(150, 400)], "h_us: long, hend_us: long"
+        )
+        got = {r.sid: r for r in interval_overlap(left, right).collect()}
+        # [100,200] ∩ [150,400) -> [150,200] = 51 micros inclusive
+        assert got[1].overlap_us == 51
+        # fully inside -> full length 11
+        assert got[2].overlap_us == 11
+        # [395,405] ∩ [150,400) -> [395,399] = 5
+        assert got[3].overlap_us == 5
+
+    def test_touching_at_open_end_excluded(self, spark):
+        from arcane_framework_spark.operators.rangejoin import (
+            interval_overlap,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 400, 500)], "sid: long, s_us: long, e_us: long"
+        )
+        right = spark.createDataFrame(
+            [(150, 400)], "h_us: long, hend_us: long"
+        )
+        # session starts exactly at the half-open end -> no pair
+        assert interval_overlap(left, right).count() == 0
