@@ -1229,6 +1229,73 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+
+def decayed_engagement_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-decayed engagement: Σ value · 2^(−age_days), the
+    recency-weighted activity score feeding retention/churn models. The
+    half-life-one-day decay base is 2 ON PURPOSE: 2^(−k) is an exact
+    binary double (computed as an integer shift — never ``pow``, whose
+    last-ulp behavior differs across libms), and division by it is
+    exact scaling, so per-row contributions are bit-identical in both
+    engines before the fixed-point rounding; ages > 62 days contribute
+    exactly 0 (sub-micro decay, shift-overflow guard).
+
+    One scan + one broadcast max-ts scalar + one per-user aggregate.
+    Returns (user_id, n_events, score)."""
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.session import ts_micros
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id", "value", ts_micros(t["events"]).alias("tsm")
+    )
+    mx = ev.agg(F.max("tsm").alias("__mx"))
+    aged = with_broadcast_scalar(ev, mx).withColumn(
+        "__age", F.expr("(__mx - tsm) div 86400000000")
+    )
+    # shiftleft's bit-count arg must be a Column-typed expression — the
+    # python API only takes a literal int, so this one goes through expr.
+    contrib = F.when(
+        F.col("__age") <= 62,
+        F.col("value")
+        / F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), CAST(__age AS INT)) "
+            "AS DOUBLE)"
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        aged.withColumn(
+            "__c_fp",
+            F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum("__c_fp").cast("double") / 1e6).alias("score"),
+        )
+    )
+
+
+_DECAYED_ENGAGEMENT_SQL = r"""
+WITH ev AS (
+  SELECT user_id, value, epoch_us(ts) AS tsm FROM events
+),
+mx AS (SELECT max(tsm) AS mxts FROM ev),
+aged AS (
+  SELECT user_id, value, (mxts - tsm) // 86400000000 AS age
+  FROM ev CROSS JOIN mx
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(CAST(floor(
+             CASE WHEN age <= 62
+                  THEN value / ((1::BIGINT << age::INT))::DOUBLE
+                  ELSE 0.0 END * 1e6 + 0.5) AS BIGINT))::DOUBLE / 1e6
+         AS score
+FROM aged
+GROUP BY user_id
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -1249,6 +1316,7 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity_events": k_anonymity_events,
     "mmr_topk_embeddings": mmr_topk_embeddings,
     "incident_overlap_sessions": incident_overlap_sessions,
+    "decayed_engagement_users": decayed_engagement_users,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -1269,4 +1337,5 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "k_anonymity_events": _K_ANONYMITY_SQL,
     "mmr_topk_embeddings": _mmr_sql(),
     "incident_overlap_sessions": _incident_overlap_sql(),
+    "decayed_engagement_users": _DECAYED_ENGAGEMENT_SQL,
 }
