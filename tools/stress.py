@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from arcane_framework_spark.operators.dedup import (  # noqa: E402
+from arcane_framework_spark.operators.dedup import (
+    edit_distance_pairs,  # noqa: E402
     incremental_minhash_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -38,6 +39,8 @@ from arcane_framework_spark.operators.multimodal import (  # noqa: E402
 from arcane_framework_spark.operators.graph import (  # noqa: E402
     dedup_clusters,
     incremental_components,
+    pagerank,
+    triangle_stats,
 )
 from arcane_framework_spark.operators.maintenance import (  # noqa: E402
     plan_compaction,
@@ -67,6 +70,7 @@ from arcane_framework_spark.operators.similarity import (  # noqa: E402
     knn_bruteforce,
     knn_bruteforce_vectorized,
     semantic_dedup,
+    mmr_topk,
 )
 from arcane_framework_spark.operators.text import (  # noqa: E402
     bigram_lift,
@@ -287,6 +291,21 @@ def main() -> None:
         # near-dup pairs -> clusters (graph closure on the pair output)
         "dedup_clusters": timed(
             lambda: dedup_clusters(minhash_lsh_pairs(docs))
+        ),
+        # r8 wave-2 surface at 10x: edit-distance blocking+verify over
+        # the full 10x corpus; the graph family (PageRank, triangles)
+        # over its MinHash pair graph; MMR re-rank for 500 queries
+        "edit_distance_pairs": timed(
+            lambda: edit_distance_pairs(docs)
+        ),
+        "pagerank_pairs": timed(
+            lambda: pagerank(minhash_lsh_pairs(docs))
+        ),
+        "triangle_stats_pairs": timed(
+            lambda: triangle_stats(minhash_lsh_pairs(docs))
+        ),
+        "mmr_topk_q500": timed(
+            lambda: mmr_topk(emb, queries, k=5)
         ),
         # distributed-prefix-sum packing over the enlarged corpus
         "pack_documents": timed(
