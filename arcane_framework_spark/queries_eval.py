@@ -1296,6 +1296,62 @@ GROUP BY user_id
 """
 
 
+
+def streaming_transitions_users(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-user transition counts maintained BY custom scalar streaming
+    state (streaming/stateful.py ``transitions_stream``): the state is
+    each user's last event only; micro-batches emit additive increments
+    and the consumer sums them — streaming totals ≡ batch
+    ``event_transitions`` counts ≡ DuckDB."""
+    from arcane_framework_spark.queries_ext import stream_conf
+    from arcane_framework_spark.session import ts_micros
+    from arcane_framework_spark.streaming.stateful import transitions_stream
+
+    t = load_tables(spark, sf_dir, "events")
+    schema = t["events"].schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = stream.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        ts_micros(stream).alias("ts_us"),
+    )
+    inc = transitions_stream(ev)
+    name = "streaming_transitions_sink"
+    with stream_conf(spark):
+        q = (
+            inc.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("inc").cast("long").alias("cnt"))
+    )
+
+
+_STREAMING_TRANSITIONS_SQL = r"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, count(*)::BIGINT AS cnt
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -1317,6 +1373,7 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_topk_embeddings": mmr_topk_embeddings,
     "incident_overlap_sessions": incident_overlap_sessions,
     "decayed_engagement_users": decayed_engagement_users,
+    "streaming_transitions_users": streaming_transitions_users,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -1338,4 +1395,5 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "mmr_topk_embeddings": _mmr_sql(),
     "incident_overlap_sessions": _incident_overlap_sql(),
     "decayed_engagement_users": _DECAYED_ENGAGEMENT_SQL,
+    "streaming_transitions_users": _STREAMING_TRANSITIONS_SQL,
 }

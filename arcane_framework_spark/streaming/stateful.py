@@ -330,3 +330,58 @@ def cms_stream(items: DataFrame, value_col: str = "uid") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transitions_stream(events: DataFrame, user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts_us",
+                       id_col: str = "event_id") -> DataFrame:
+    """Per-user event-transition counting as CUSTOM streaming state: the
+    state is just each user's LAST (event_type, ts) — scalar state, the
+    smallest possible footprint (contrast with the sketch twins' array
+    state) — and each micro-batch emits the transition-count increments
+    its rows produce. Downstream sums increments per (prev, next):
+    additive, so any micro-batch slicing yields the same totals as the
+    batch ``event_transitions`` as long as batches arrive in time order
+    (replay of a static parquet under availableNow does; a live
+    out-of-order stream would add a watermark + buffer here).
+
+    Rows are sorted by (ts, id) INSIDE the batch (pandas sort — the
+    state fn sees each user's whole batch slice), so the sequences are
+    identical to the batch operator's lag-window order.
+    """
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
+           state: GroupState) -> Iterator[\
+            "pd.DataFrame"]:
+        import pandas as pd
+
+        (user,) = key
+        last_type, ver = (
+            (state.get[0], int(state.get[1])) if state.exists else (None, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, id_col])
+        counts: dict = {}
+        for t in rows[type_col]:
+            if last_type is not None:
+                k = (last_type, t)
+                counts[k] = counts.get(k, 0) + 1
+            last_type = t
+        ver += 1
+        state.update((last_type, ver))
+        yield pd.DataFrame(
+            {
+                "prev_type": [k[0] for k in counts],
+                "next_type": [k[1] for k in counts],
+                "inc": list(counts.values()),
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType="prev_type string, next_type string, inc long",
+        stateStructType="last_type string, ver int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -474,3 +474,47 @@ def test_file_annotation_writer_merges_and_survives(tmp_path):
     FileAnnotationWriter(path)({"arcane/state": "ok", "other": "x"})
     with open(path) as fh:
         assert json.load(fh) == {"arcane/state": "ok", "other": "x"}
+
+
+def test_transitions_stream_increments_sum_to_batch_counts(spark, tmp_path):
+    """Replay events through transitions_stream in multiple batches; the
+    summed increments must equal the batch lag-window transition counts."""
+    import pyspark.sql.functions as F
+
+    from arcane_framework_spark.operators.temporal import event_transitions
+    from arcane_framework_spark.streaming.stateful import transitions_stream
+
+    rows = [
+        (i, i % 5, i * 1000, ["view", "click", "purchase"][i % 3])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts_us: long, event_type: string"
+    )
+    src = tmp_path / "trans_src"
+    df.repartition(4).write.parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        transitions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trans_test_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.prev_type, r.next_type): r.cnt
+        for r in spark.table("trans_test_sink")
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("inc").alias("cnt"))
+        .collect()
+    }
+    want = {
+        (r.prev_type, r.next_type): r.cnt
+        for r in event_transitions(
+            df, ts_col="ts_us"
+        ).select("prev_type", "next_type", "cnt").collect()
+    }
+    assert got == want
