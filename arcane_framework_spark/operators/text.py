@@ -801,3 +801,122 @@ def bigram_nll(docs: DataFrame, id_col: str = "doc_id",
             ).alias("mean_nll"),
         )
     )
+
+
+#: RAKE stopword list — deterministic and embedded (both engines see the
+#: identical set; a "real" deployment would load a language-specific
+#: list, the algebra is unchanged).
+RAKE_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "in", "is", "it", "its", "of", "on", "or", "that", "the",
+    "to", "was", "were", "will", "with",
+)
+#: Maximal phrase length kept (RAKE degenerates on long runs).
+RAKE_MAX_PHRASE = 3
+RAKE_TOP_K = 20
+
+
+def rake_keyphrases(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    top_k: int = RAKE_TOP_K) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (capped at ``RAKE_MAX_PHRASE``
+    words); each word scores ``degree/freq`` (degree = total length of
+    phrases containing it, freq = its phrase occurrences) and a phrase
+    scores the sum of its word scores — the cheap corpus-level keyword
+    surfacer that needs no model.
+
+    All statistics are integer counts; word scores fix-point to micro
+    units before the phrase sum, so ranking is engine-exact. Phrase
+    assembly is order-deterministic on both engines (position-sorted
+    struct collect here, ``string_agg(... ORDER BY pos)`` in the
+    oracle). One per-doc run-id window (doc-sized partitions), two
+    phrase-table aggregates, and a top-k over the phrase-cardinality
+    table. Returns (phrase, n_occurrences, score) — the global top-k
+    by (score desc, phrase).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        id_col,
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    toks = toks.withColumn(
+        "__stop",
+        F.col("tok").isin(*RAKE_STOPWORDS).cast("int"),
+    )
+    w_doc = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = toks.withColumn("__run", F.sum("__stop").over(w_doc)).filter(
+        F.col("__stop") == 0
+    )
+    phrases = (
+        runs.groupBy(id_col, "__run")
+        .agg(F.collect_list(F.struct("pos", "tok")).alias("__pt"))
+        .select(
+            F.transform(
+                F.array_sort("__pt"), lambda s: s["tok"]
+            ).alias("words")
+        )
+        .filter(F.size("words") <= RAKE_MAX_PHRASE)
+        .select(
+            F.array_join("words", " ").alias("phrase"),
+            "words",
+            F.size("words").alias("__len"),
+        )
+    )
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    phrases = scoped_persist(phrases)
+    word_stats = (
+        phrases.select(F.explode("words").alias("w"), "__len")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("__freq"),
+            F.sum("__len").alias("__deg"),
+        )
+        .withColumn(
+            "__ws_fp",
+            F.floor(
+                F.col("__deg").cast("double")
+                * F.lit(1e6)
+                / F.col("__freq").cast("double")
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    phrase_scores = (
+        phrases.select("phrase", F.explode("words").alias("w"))
+        .join(F.broadcast(word_stats.select("w", "__ws_fp")), "w")
+        .groupBy("phrase")
+        .agg(F.sum("__ws_fp").alias("__sum_fp"))
+    )
+    occurrences = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    # NOTE on the phrase score: summing per-OCCURRENCE word rows would
+    # multiply the score by n_occurrences; RAKE scores the phrase TYPE,
+    # so the join above must run on distinct (phrase, word) slots. The
+    # groupBy(phrase) sum over exploded occurrence rows would overcount —
+    # divide by occurrences instead (exact integer ratio).
+    scored = (
+        phrase_scores.join(occurrences, "phrase")
+        # __sum_fp is exactly n_occurrences * type_score_fp, so the
+        # integer div is exact (double division would round at scale).
+        .withColumn("__rank_fp", F.expr("__sum_fp div n_occurrences"))
+        .select(
+            "phrase",
+            "n_occurrences",
+            (F.col("__rank_fp").cast("double") / 1e6).alias("score"),
+            "__rank_fp",
+        )
+    )
+    w_top = Window.orderBy(F.col("__rank_fp").desc(), "phrase")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") <= top_k)
+        .select("phrase", "n_occurrences", "score")
+    )

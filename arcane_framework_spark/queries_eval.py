@@ -1352,6 +1352,75 @@ GROUP BY 1, 2
 """
 
 
+
+def rake_keyphrases_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 RAKE keyphrases over the corpus
+    (operators/text.py ``rake_keyphrases``)."""
+    from arcane_framework_spark.operators.text import rake_keyphrases
+
+    t = load_tables(spark, sf_dir, "documents")
+    return rake_keyphrases(t["documents"].select("doc_id", "text"))
+
+
+def _rake_sql() -> str:
+    from arcane_framework_spark.operators.text import (
+        RAKE_MAX_PHRASE,
+        RAKE_STOPWORDS,
+        RAKE_TOP_K,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents)
+  ) WHERE tok <> ''
+),
+runs AS (
+  SELECT doc_id, tok, pos, stp,
+         sum(stp) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM (SELECT *, CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END AS stp
+        FROM tok)
+),
+phr0 AS (
+  SELECT doc_id, run,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         count(*)::BIGINT AS len
+  FROM runs WHERE stp = 0
+  GROUP BY 1, 2
+),
+phr AS (SELECT phrase, len FROM phr0 WHERE len <= {RAKE_MAX_PHRASE}),
+ws AS (
+  SELECT w,
+         CAST(floor(sum(len)::DOUBLE * 1e6 / count(*)::DOUBLE + 0.5)
+              AS BIGINT) AS ws_fp
+  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM phr)
+  GROUP BY w
+),
+psum AS (
+  SELECT phrase, sum(ws_fp)::BIGINT AS sum_fp
+  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM phr)
+  JOIN ws USING (w)
+  GROUP BY phrase
+),
+occ AS (SELECT phrase, count(*)::BIGINT AS n_occurrences FROM phr GROUP BY 1),
+scored AS (
+  SELECT p.phrase, o.n_occurrences,
+         (p.sum_fp // o.n_occurrences)::BIGINT AS rank_fp
+  FROM psum p JOIN occ o USING (phrase)
+)
+SELECT phrase, n_occurrences, rank_fp::DOUBLE / 1e6 AS score FROM (
+  SELECT *, row_number() OVER (ORDER BY rank_fp DESC, phrase) AS rn
+  FROM scored
+) WHERE rn <= {RAKE_TOP_K}
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -1374,6 +1443,7 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incident_overlap_sessions": incident_overlap_sessions,
     "decayed_engagement_users": decayed_engagement_users,
     "streaming_transitions_users": streaming_transitions_users,
+    "rake_keyphrases_documents": rake_keyphrases_documents,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -1396,4 +1466,5 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "incident_overlap_sessions": _incident_overlap_sql(),
     "decayed_engagement_users": _DECAYED_ENGAGEMENT_SQL,
     "streaming_transitions_users": _STREAMING_TRANSITIONS_SQL,
+    "rake_keyphrases_documents": _rake_sql(),
 }

@@ -2993,3 +2993,38 @@ class TestIntervalOverlap:
         )
         # session starts exactly at the half-open end -> no pair
         assert interval_overlap(left, right).count() == 0
+
+
+class TestRakeKeyphrases:
+    def test_phrase_split_scoring_and_type_semantics(self, spark):
+        from arcane_framework_spark.operators.text import rake_keyphrases
+
+        docs = spark.createDataFrame(
+            [
+                (1, "deep learning is the best approach"),
+                (2, "deep learning and machine learning"),
+                (3, "the approach"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.phrase: r for r in rake_keyphrases(docs, top_k=10).collect()}
+        # stopwords split runs: 'is'/'the'/'and' never inside a phrase
+        assert "deep learning" in got
+        assert all("the" not in p.split() and "is" not in p.split()
+                   for p in got)
+        # phrases: [deep learning] x2, [best approach], [machine learning],
+        # [approach]. freq(learning)=3, deg(learning)=2+2+2=6 -> ws 2.0
+        # freq(deep)=2, deg=4 -> 2.0 => 'deep learning' scores 4.0
+        assert abs(got["deep learning"].score - 4.0) < 1e-9
+        assert got["deep learning"].n_occurrences == 2
+        # type semantics: repeated phrase does NOT multiply its score
+        assert abs(got["machine learning"].score - 4.0) < 1e-9
+
+    def test_long_runs_capped(self, spark):
+        from arcane_framework_spark.operators.text import rake_keyphrases
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+        )
+        # single 5-word run > max phrase length 3 -> nothing emitted
+        assert rake_keyphrases(docs).count() == 0
