@@ -1421,6 +1421,76 @@ SELECT phrase, n_occurrences, rank_fp::DOUBLE / 1e6 AS score FROM (
 """
 
 
+
+def prefix_filter_pairs_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """EXACT all-pairs shingle-set Jaccard >= 3/5 via prefix filtering
+    (operators/dedup.py ``prefix_filter_pairs``) — the recall-guaranteed
+    complement to the LSH family, over the shared planted corpus."""
+    from arcane_framework_spark.operators.dedup import prefix_filter_pairs
+    from arcane_framework_spark.queries import _planted_neardup_docs
+
+    return prefix_filter_pairs(_planted_neardup_docs(spark, sf_dir))
+
+
+def _prefix_filter_sql() -> str:
+    from arcane_framework_spark.operators.dedup import (
+        PREFIX_JACCARD_DEN,
+        PREFIX_JACCARD_NUM,
+    )
+
+    num, den = PREFIX_JACCARD_NUM, PREFIX_JACCARD_DEN
+    t = repr(float(num) / float(den))
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' ' || text
+  FROM documents WHERE doc_id % 7 = 0
+),
+tw AS (
+  SELECT doc_id AS id,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM corpus
+),
+toks AS (
+  SELECT id,
+         unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' '
+                                         || w[i+2])
+                ELSE [array_to_string(w, ' ')] END)) AS tok
+  FROM tw
+),
+dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY 1),
+sizes AS (SELECT id, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+ranked AS (
+  SELECT t.id, t.tok, s.n,
+         row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
+  FROM toks t JOIN dfreq d USING (tok) JOIN sizes s USING (id)
+),
+pref AS (
+  SELECT id, tok, n FROM ranked
+  WHERE rn <= n - ceil({t} * n) + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.id < b.id
+  WHERE least(a.n, b.n) * {den} >= greatest(a.n, b.n) * {num}
+),
+inter AS (
+  SELECT c.id_a, c.id_b, c.na, c.nb, count(*)::BIGINT AS ni
+  FROM cand c JOIN toks ta ON ta.id = c.id_a
+              JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(ni::DOUBLE / (na + nb - ni)::DOUBLE, 6) AS jaccard
+FROM inter WHERE ni * {den} >= {num} * (na + nb - ni)
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -1444,6 +1514,7 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decayed_engagement_users": decayed_engagement_users,
     "streaming_transitions_users": streaming_transitions_users,
     "rake_keyphrases_documents": rake_keyphrases_documents,
+    "prefix_filter_pairs_documents": prefix_filter_pairs_documents,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -1467,4 +1538,5 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "decayed_engagement_users": _DECAYED_ENGAGEMENT_SQL,
     "streaming_transitions_users": _STREAMING_TRANSITIONS_SQL,
     "rake_keyphrases_documents": _rake_sql(),
+    "prefix_filter_pairs_documents": _prefix_filter_sql(),
 }

@@ -3028,3 +3028,43 @@ class TestRakeKeyphrases:
         )
         # single 5-word run > max phrase length 3 -> nothing emitted
         assert rake_keyphrases(docs).count() == 0
+
+
+class TestPrefixFilterPairs:
+    def test_exactness_vs_bruteforce(self, spark):
+        """The prefix filter must lose NO pair vs brute-force shingle
+        Jaccard >= 3/5 — the guarantee that distinguishes it from LSH."""
+        import itertools
+
+        from arcane_framework_spark.operators.dedup import (
+            prefix_filter_pairs,
+        )
+
+        texts = {
+            1: "alpha beta gamma delta epsilon zeta",
+            2: "alpha beta gamma delta epsilon zeta eta",
+            3: "alpha beta gamma delta epsilon zeta eta theta",
+            4: "one two three four five six seven",
+            5: "one two three four five six seven",
+            6: "unrelated words entirely different content here now",
+        }
+        docs = spark.createDataFrame(
+            list(texts.items()), ["doc_id", "text"]
+        )
+
+        def shingles(t):
+            w = t.split()
+            return set(
+                " ".join(w[i:i + 3]) for i in range(len(w) - 2)
+            ) if len(w) >= 3 else {t}
+
+        want = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 3 / 5:
+                want[(a, b)] = round(j, 6)
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in prefix_filter_pairs(docs).collect()}
+        assert got == want
+        assert (4, 5) in got and got[(4, 5)] == 1.0
