@@ -1491,6 +1491,141 @@ FROM inter WHERE ni * {den} >= {num} * (na + nb - ni)
 """
 
 
+
+#: Vocabulary-growth diagnostic bucket count.
+VOCAB_GROWTH_BUCKETS = 10
+
+
+def vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth diagnostic: the corpus in 10 doc-id
+    buckets, per bucket the token volume and the NEW types first seen
+    there, with cumulative curves — the sanity check that a corpus
+    keeps contributing vocabulary (a flattening curve means new data is
+    rehashing old text). All integer counts; the bucket boundary is an
+    exact integer expression from a broadcast min/max."""
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.operators.text import tokens_expr
+
+    B = VOCAB_GROWTH_BUCKETS
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    rng = docs.agg(
+        F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx")
+    )
+    toks = with_broadcast_scalar(docs, rng).select(
+        # integer `div`, not `/`: double division + int-cast truncation
+        # can disagree with DuckDB's integer floor at precision edges
+        F.least(
+            F.lit(B - 1),
+            F.expr(f"((doc_id - __mn) * {B}) div (__mx - __mn + 1)"),
+        ).cast("int").alias("bucket"),
+        F.explode(tokens_expr("text")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vol = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first = toks.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    news = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        vol.join(news, "bucket", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)))
+        .select(
+            "bucket",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("new_types").cast("long").alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("cum_types", F.sum("new_types").over(w).cast("long"))
+    )
+
+
+def _vocab_growth_sql() -> str:
+    B = VOCAB_GROWTH_BUCKETS
+    return rf"""
+WITH rng AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+toks AS (
+  SELECT least({B - 1},
+               ((doc_id - mn) * {B} // (mx - mn + 1)))::INT AS bucket,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents CROSS JOIN rng
+),
+tk AS (SELECT * FROM toks WHERE tok <> ''),
+vol AS (SELECT bucket, count(*)::BIGINT AS n_tokens FROM tk GROUP BY 1),
+first AS (SELECT tok, min(bucket) AS bucket FROM tk GROUP BY 1),
+news AS (SELECT bucket, count(*)::BIGINT AS new_types FROM first GROUP BY 1)
+SELECT bucket, n_tokens,
+       coalesce(new_types, 0)::BIGINT AS new_types,
+       sum(n_tokens) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          )::BIGINT AS cum_tokens,
+       sum(coalesce(new_types, 0)) OVER (
+           ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS cum_types
+FROM vol LEFT JOIN news USING (bucket)
+"""
+
+
+
+EVENT_PATHS_TOP_K = 20
+
+
+def event_paths_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journey paths (the depth-2 extension of
+    ``event_transitions_users``): per-user double-lag windows build
+    (t1, t2, t3) path instances, counted and ranked globally — the
+    funnel-discovery query behind 'what do users actually do'."""
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.session import ts_micros
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id", "event_id", "event_type",
+        ts_micros(t["events"]).alias("tsm"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+    paths = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_top = Window.orderBy(F.col("cnt").desc(), "t1", "t2", "t3")
+    return (
+        paths.withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") <= EVENT_PATHS_TOP_K)
+        .select("t1", "t2", "t3", "cnt")
+    )
+
+
+_EVENT_PATHS_SQL = rf"""
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT t1, t2, t3, count(*)::BIGINT AS cnt
+  FROM seq WHERE t1 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, cnt FROM (
+  SELECT *, row_number() OVER (ORDER BY cnt DESC, t1, t2, t3) AS rn
+  FROM counts
+) WHERE rn <= 20
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -1515,6 +1650,8 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_transitions_users": streaming_transitions_users,
     "rake_keyphrases_documents": rake_keyphrases_documents,
     "prefix_filter_pairs_documents": prefix_filter_pairs_documents,
+    "vocab_growth_documents": vocab_growth_documents,
+    "event_paths_users": event_paths_users,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -1539,4 +1676,6 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "streaming_transitions_users": _STREAMING_TRANSITIONS_SQL,
     "rake_keyphrases_documents": _rake_sql(),
     "prefix_filter_pairs_documents": _prefix_filter_sql(),
+    "vocab_growth_documents": _vocab_growth_sql(),
+    "event_paths_users": _EVENT_PATHS_SQL,
 }
