@@ -1035,3 +1035,89 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
             .alias("jaccard"),
         )
     )
+
+
+#: Containment-join threshold: |A ∩ B| / |A| >= 9/10.
+CONTAIN_NUM = 9
+CONTAIN_DEN = 10
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      num: int = CONTAIN_NUM,
+                      den: int = CONTAIN_DEN) -> DataFrame:
+    """EXACT asymmetric shingle-set CONTAINMENT join: all ordered pairs
+    with ``|A ∩ B| / |A| >= num/den`` — "document A is quoted inside
+    document B". Jaccard-based dedup misses exactly this case: a short
+    document pasted into a much longer one has tiny Jaccard (the union
+    is dominated by B) but containment ~1.0, which is why quote /
+    boilerplate-inclusion detection needs the asymmetric measure.
+
+    Prefix filtering still applies on the CONTAINED side: order tokens
+    by global rarity; if A shares >= ceil(t*|A|) tokens with B it must
+    share one among A's first ``|A| - ceil(t*|A|) + 1`` rarest tokens.
+    The CONTAINER side cannot be prefix-shortened (containment puts no
+    lower bound on which of B's tokens participate), so B is indexed in
+    full — the classic AllPairs containment trade. The only admissible
+    size prune is ``|B| >= t*|A|`` (intersection <= |B|), applied by
+    integer cross-multiply before verification.
+
+    Shuffles: shingle aggregate, prefix-vs-postings join, pair verify —
+    same shape as ``prefix_filter_pairs``; no broadcast of per-doc
+    tables (sizes/dfreq join relationally; AQE picks broadcast when the
+    side is small). Returns (contained_id, container_id, containment >=
+    num/den, 6dp), exact integers until the single final division.
+    """
+    from pyspark.sql import Window
+
+    toks = _with_tokens(df, text_col, id_col).select(
+        "id", F.explode(shingles_from_tokens(F.col("toks"))).alias("tok")
+    )
+    toks = scoped_persist(toks)
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("__df", "tok")
+            ),
+        )
+        .join(sizes, "id")
+    )
+    t = float(num) / float(den)
+    # Prefix length |A| - ceil(t*|A|) + 1 (same double ceil both engines;
+    # a smaller ceil only enlarges the prefix — recall is preserved).
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + F.lit(1)
+    ).select("tok", F.col("id").alias("id_a"), F.col("__n").alias("__na"))
+    postings = toks.join(sizes, "id").select(
+        F.col("id").alias("id_b"), F.col("__n").alias("__nb"), "tok"
+    )
+    cand = (
+        prefix.join(postings, "tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("__nb") * F.lit(den) >= F.lit(num) * F.col("__na"))
+        .select("id_a", "id_b", "__na")
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "tok")
+    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b", "__na")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    return (
+        inter.filter(F.col("__ni") * F.lit(den) >= F.lit(num) * F.col("__na"))
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            F.round(
+                F.col("__ni").cast("double") / F.col("__na").cast("double"), 6
+            ).alias("containment"),
+        )
+    )

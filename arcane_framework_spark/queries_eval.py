@@ -1626,6 +1626,608 @@ SELECT t1, t2, t3, cnt FROM (
 """
 
 
+def containment_pairs_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """EXACT asymmetric containment join (operators/dedup.py
+    ``containment_pairs``): quote detection over a corpus where every
+    13th document is pasted together with its successor into a synthetic
+    "container" — the constituent docs have containment 1.0 against it
+    while their Jaccard vs the container is ~1/2 (union dominated by the
+    other half), i.e. exactly the pairs the symmetric dedup family
+    cannot see."""
+    from arcane_framework_spark.operators.dedup import containment_pairs
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select("doc_id", "text")
+    nxt = d.select(
+        F.col("doc_id").alias("__nid"), F.col("text").alias("__ntext")
+    )
+    quotes = (
+        d.filter(F.col("doc_id") % 13 == 0)
+        .join(nxt, F.col("__nid") == F.col("doc_id") + 1)
+        .select(
+            (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+            F.concat_ws(" ", "text", "__ntext").alias("text"),
+        )
+    )
+    return containment_pairs(d.unionByName(quotes))
+
+
+def _containment_sql() -> str:
+    from arcane_framework_spark.operators.dedup import (
+        CONTAIN_DEN,
+        CONTAIN_NUM,
+    )
+
+    num, den = CONTAIN_NUM, CONTAIN_DEN
+    t = repr(float(num) / float(den))
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT a.doc_id + 200000, a.text || ' ' || b.text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 13 = 0
+),
+tw AS (
+  SELECT doc_id AS id,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM corpus
+),
+toks AS (
+  SELECT id,
+         unnest(list_distinct(
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' '
+                                         || w[i+2])
+                ELSE [array_to_string(w, ' ')] END)) AS tok
+  FROM tw
+),
+dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY 1),
+sizes AS (SELECT id, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+ranked AS (
+  SELECT t.id, t.tok, s.n,
+         row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.tok) AS rn
+  FROM toks t JOIN dfreq d USING (tok) JOIN sizes s USING (id)
+),
+pref AS (
+  SELECT id AS id_a, n AS na, tok FROM ranked
+  WHERE rn <= n - ceil({t} * n) + 1
+),
+cand AS (
+  SELECT DISTINCT p.id_a, q.id AS id_b, p.na
+  FROM pref p
+  JOIN (SELECT t.id, t.tok, s.n AS nb
+        FROM toks t JOIN sizes s USING (id)) q USING (tok)
+  WHERE p.id_a <> q.id AND q.nb * {den} >= {num} * p.na
+),
+inter AS (
+  SELECT c.id_a, c.id_b, c.na, count(*)::BIGINT AS ni
+  FROM cand c JOIN toks ta ON ta.id = c.id_a
+              JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+  GROUP BY 1, 2, 3
+)
+SELECT id_a AS contained_id, id_b AS container_id,
+       round(ni::DOUBLE / na::DOUBLE, 6) AS containment
+FROM inter WHERE ni * {den} >= {num} * na
+"""
+
+
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per event type
+    between the early and late halves of the time range: the max ECDF
+    gap ``D = max_x |F_early(x) - F_late(x)|`` — the distribution-drift
+    test that, unlike the binned-TVD drift report, is sensitive at EVERY
+    threshold and needs no bin tuning. The split point is the integer
+    midpoint of a broadcast (min, max); the ECDF compare is the integer
+    cross-multiply ``|cum0*n1 - cum1*n0|`` over per-distinct-value
+    cumulative counts (one value-sorted window per event-type
+    partition); the single division happens once per type at the end."""
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.session import ts_micros
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type", "value", ts_micros(t["events"]).alias("ts_us")
+    )
+    rng = ev.agg(F.min("ts_us").alias("__mn"), F.max("ts_us").alias("__mx"))
+    sided = with_broadcast_scalar(ev, rng).select(
+        "event_type",
+        "value",
+        # ts*2 <= mn+mx is the halfway test without any division
+        (F.col("ts_us") * 2 <= F.col("__mn") + F.col("__mx"))
+        .cast("int")
+        .alias("__early"),
+    )
+    g = sided.groupBy("event_type", "value").agg(
+        F.sum("__early").alias("c0"),
+        F.sum(F.lit(1) - F.col("__early")).alias("c1"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c0").over(wt).alias("n0"),
+        F.sum("c1").over(wt).alias("n1"),
+    )
+    d = cum.withColumn(
+        "__d",
+        F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")),
+    )
+    return d.groupBy("event_type").agg(
+        F.max("n0").cast("long").alias("n_early"),
+        F.max("n1").cast("long").alias("n_late"),
+        F.round(
+            F.max("__d").cast("double")
+            / (F.max("n0").cast("double") * F.max("n1").cast("double")),
+            6,
+        ).alias("ks"),
+    )
+
+
+_KS_DRIFT_SQL = r"""
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
+),
+rng AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM ev),
+sided AS (
+  SELECT event_type, value,
+         CASE WHEN ts_us * 2 <= mn + mx THEN 1 ELSE 0 END AS early
+  FROM ev CROSS JOIN rng
+),
+g AS (
+  SELECT event_type, value,
+         sum(early)::BIGINT AS c0, sum(1 - early)::BIGINT AS c1
+  FROM sided GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         (sum(c0) OVER w)::BIGINT AS cum0,
+         (sum(c1) OVER w)::BIGINT AS cum1,
+         (sum(c0) OVER wt)::BIGINT AS n0,
+         (sum(c1) OVER wt)::BIGINT AS n1
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY event_type)
+)
+SELECT event_type, max(n0)::BIGINT AS n_early, max(n1)::BIGINT AS n_late,
+       round(max(abs(cum0*n1 - cum1*n0))::DOUBLE
+             / (max(n0)::DOUBLE * max(n1)::DOUBLE), 6) AS ks
+FROM cum GROUP BY 1
+"""
+
+
+def activity_gini_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of user activity per event type — the
+    training-data-balance diagnostic ("is the corpus dominated by a few
+    heavy users?"). Computed WITHOUT sorting users: group per-user
+    counts into distinct activity LEVELS (far fewer than users — the
+    window sorts levels, never users, per the repo's metadata-scale
+    window rule), then the sorted-index sum folds in closed form per
+    level: users at level x with multiplicity m occupying positions
+    cum_prev+1..cum_prev+m contribute ``x*(m*cum_prev + m(m+1)/2)`` to
+    ``sum(i*x_i)``. Gini = (2*S2 - (n+1)*S1) / (n*S1), exact integers
+    until one final division."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "events")
+    cnts = t["events"].groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    levels = cnts.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    w = Window.partitionBy("event_type").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lv = levels.withColumn("cum", F.sum("m").over(w))
+    agg = lv.groupBy("event_type").agg(
+        F.sum(F.col("x") * F.col("m")).alias("s1"),
+        F.sum(
+            F.expr("x * (m*(cum - m) + (m*(m+1)) div 2)")
+        ).alias("s2"),
+        F.sum("m").alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("s1").cast("long").alias("n_events"),
+        F.round(
+            (2 * F.col("s2") - (F.col("n") + 1) * F.col("s1")).cast("double")
+            / (F.col("n") * F.col("s1")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+_ACTIVITY_GINI_SQL = r"""
+WITH cnts AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS x FROM events GROUP BY 1, 2
+),
+lv AS (SELECT event_type, x, count(*)::BIGINT AS m FROM cnts GROUP BY 1, 2),
+c AS (
+  SELECT event_type, x, m,
+         (sum(m) OVER (PARTITION BY event_type ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )::BIGINT AS cum
+  FROM lv
+),
+a AS (
+  SELECT event_type,
+         sum(x*m)::BIGINT AS s1,
+         sum(x * (m*(cum - m) + (m*(m+1)) // 2))::BIGINT AS s2,
+         sum(m)::BIGINT AS n
+  FROM c GROUP BY 1
+)
+SELECT event_type, n AS n_users, s1 AS n_events,
+       round((2*s2 - (n+1)*s1)::DOUBLE / (n*s1)::DOUBLE, 6) AS gini
+FROM a
+"""
+
+
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CUSUM changepoint per event type over hourly counts: the
+    hour t maximizing ``|sum_{i<=t}(x_i - mean)|`` — where the event
+    rate shifted. Division-free: the cumulative deviation is scaled by
+    n_hours (``S_t = n*cum_t - t*total``, exact integers), the argmax is
+    a deterministic (|S| desc, hour asc) rank over per-type HOURLY rows
+    (metadata-scale windows — hours, never events)."""
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.session import ts_micros
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type", ts_micros(t["events"]).alias("ts_us")
+    )
+    hourly = ev.groupBy(
+        "event_type",
+        (F.expr(f"ts_us div {_HOUR_US}") * F.lit(_HOUR_US)).alias("h_us"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("h_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wo = Window.partitionBy("event_type").orderBy("h_us")
+    wt = Window.partitionBy("event_type")
+    s = (
+        hourly.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("idx", F.row_number().over(wo))
+        .withColumn("tot", F.sum("cnt").over(wt))
+        .withColumn("nh", F.count(F.lit(1)).over(wt))
+        .withColumn(
+            "__s",
+            F.abs(F.col("nh") * F.col("cum") - F.col("idx") * F.col("tot")),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("__s").desc(), "h_us"
+    )
+    return (
+        s.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("h_us").alias("change_hour_us"),
+            F.col("__s").cast("long").alias("cusum_scaled"),
+            F.col("nh").cast("long").alias("n_hours"),
+            F.col("tot").cast("long").alias("n_events"),
+        )
+    )
+
+
+_CUSUM_SQL = rf"""
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS h_us,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, h_us,
+         (sum(cnt) OVER (PARTITION BY event_type ORDER BY h_us
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )::BIGINT AS cum,
+         row_number() OVER (PARTITION BY event_type ORDER BY h_us) AS idx,
+         (sum(cnt) OVER (PARTITION BY event_type))::BIGINT AS tot,
+         (count(*) OVER (PARTITION BY event_type))::BIGINT AS nh
+  FROM hourly
+)
+SELECT event_type, h_us AS change_hour_us,
+       abs(nh*cum - idx*tot)::BIGINT AS cusum_scaled,
+       nh AS n_hours, tot AS n_events
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY abs(nh*cum - idx*tot) DESC, h_us) AS rn
+  FROM s
+) WHERE rn = 1
+"""
+
+
+#: Kappa quality filters: length gate (chars) and low-repetition gate
+#: (distinct tokens at least half the tokens).
+KAPPA_MIN_CHARS = 200
+
+
+def kappa_filters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two independent document quality
+    filters — the eval-suite question "do my cheap filters agree beyond
+    chance, or is one redundant / one broken?". Filter A: length gate
+    (n_chars >= 200). Filter B: low-repetition gate (distinct tokens >=
+    half the tokens). One scan builds the 2x2 contingency table as four
+    conditional sums; kappa = (N*(n11+n00) - (a1*b1 + a0*b0)) /
+    (N^2 - (a1*b1 + a0*b0)) — exact integers until one division."""
+    from arcane_framework_spark.operators.text import tokens_expr
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select("n_chars", "text")
+    # explode(array(...)) materializes the token array once (Generate
+    # barrier) — it is referenced twice below (size + distinct size).
+    feats = d.select(
+        "n_chars", F.explode(F.array(tokens_expr("text"))).alias("tk")
+    ).select(
+        (F.col("n_chars") >= KAPPA_MIN_CHARS).cast("int").alias("a"),
+        (F.size(F.array_distinct("tk")) * 2 >= F.size("tk"))
+        .cast("int")
+        .alias("b"),
+    )
+    agg = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("a * b")).alias("n11"),
+        F.sum(F.expr("a * (1 - b)")).alias("n10"),
+        F.sum(F.expr("(1 - a) * b")).alias("n01"),
+        F.sum(F.expr("(1 - a) * (1 - b)")).alias("n00"),
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n11").cast("long").alias("n_both"),
+        F.col("n10").cast("long").alias("n_len_only"),
+        F.col("n01").cast("long").alias("n_rep_only"),
+        F.col("n00").cast("long").alias("n_neither"),
+        F.round(
+            (F.col("n11") + F.col("n00")).cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("agree_rate"),
+        F.round(
+            (F.col("n") * (F.col("n11") + F.col("n00")) - pe_num).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n") - pe_num).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+_KAPPA_SQL = rf"""
+WITH feats AS (
+  SELECT CASE WHEN n_chars >= {KAPPA_MIN_CHARS} THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(list_distinct(tk)) * 2 >= len(tk)
+              THEN 1 ELSE 0 END AS b
+  FROM (SELECT n_chars,
+               string_split_regex(lower(trim(text)), '\s+') AS tk
+        FROM documents)
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(a * b)::BIGINT AS n11,
+         sum(a * (1 - b))::BIGINT AS n10,
+         sum((1 - a) * b)::BIGINT AS n01,
+         sum((1 - a) * (1 - b))::BIGINT AS n00
+  FROM feats
+)
+SELECT n AS n_docs, n11 AS n_both, n10 AS n_len_only,
+       n01 AS n_rep_only, n00 AS n_neither,
+       round((n11 + n00)::DOUBLE / n::DOUBLE, 6) AS agree_rate,
+       round((n*(n11 + n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+             )::DOUBLE
+             / (n*n - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))::DOUBLE,
+             6) AS kappa
+FROM agg
+"""
+
+
+def session_copairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type co-occurrence with lift: sessionize by
+    the 30-minute gap rule, reduce each session to its distinct type
+    set, count unordered type pairs across sessions, and score lift =
+    S*c_xy/(c_x*c_y) — the episode-mining primitive behind "which
+    behaviors cluster in a sitting". The pair join is per-session over
+    distinct TYPES (bounded by the type vocabulary, not events); the
+    final rank runs over pair-TYPE rows (metadata scale)."""
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.queries_tpch import SESSION_GAP_US
+    from arcane_framework_spark.session import ts_micros
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id", "event_id", "event_type",
+        ts_micros(t["events"]).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy(
+        "ts_us", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    marked = ev.withColumn("__prev", F.lag("ts_us").over(w)).withColumn(
+        "__new",
+        (
+            F.col("__prev").isNull()
+            | (F.col("ts_us") - F.col("__prev") > SESSION_GAP_US)
+        ).cast("int"),
+    )
+    st = (
+        marked.withColumn("sess_no", F.sum("__new").over(w_run))
+        .select("user_id", "sess_no", "event_type")
+        .distinct()
+    )
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    st = scoped_persist(st)
+    n_sess = st.select("user_id", "sess_no").distinct().agg(
+        F.count(F.lit(1)).alias("__s")
+    )
+    cx = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = st.select("user_id", "sess_no", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "sess_no", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "sess_no"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_sessions_both"))
+    )
+    # per-type totals are a type-cardinality table — genuinely broadcast
+    scored = (
+        with_broadcast_scalar(pairs, n_sess)
+        .join(
+            F.broadcast(cx.select(F.col("event_type").alias("type_a"),
+                                  F.col("c").alias("__ca"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(cx.select(F.col("event_type").alias("type_b"),
+                                  F.col("c").alias("__cb"))),
+            "type_b",
+        )
+        .select(
+            "type_a", "type_b",
+            F.col("n_sessions_both").cast("long").alias("n_sessions_both"),
+            F.round(
+                (F.col("__s") * F.col("n_sessions_both")).cast("double")
+                / (F.col("__ca") * F.col("__cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w_top = Window.orderBy(F.col("lift").desc(), "type_a", "type_b")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") <= 20)
+        .drop("__rn")
+    )
+
+
+def _session_copairs_sql() -> str:
+    from arcane_framework_spark.queries_tpch import SESSION_GAP_US
+
+    return rf"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+marked AS (
+  SELECT user_id, event_type, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+st AS (
+  SELECT DISTINCT user_id, sess_no, event_type FROM (
+    SELECT user_id, event_type,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sess_no
+    FROM marked
+  )
+),
+s AS (SELECT count(*)::BIGINT AS n_s
+      FROM (SELECT DISTINCT user_id, sess_no FROM st)),
+cx AS (SELECT event_type, count(*)::BIGINT AS c FROM st GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_sessions_both
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sess_no = b.sess_no
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_sessions_both, lift FROM (
+  SELECT p.type_a, p.type_b, p.n_sessions_both,
+         round((s.n_s * p.n_sessions_both)::DOUBLE
+               / (ca.c * cb.c)::DOUBLE, 6) AS lift,
+         row_number() OVER (
+             ORDER BY round((s.n_s * p.n_sessions_both)::DOUBLE
+                            / (ca.c * cb.c)::DOUBLE, 6) DESC,
+                      p.type_a, p.type_b) AS rn
+  FROM pairs p CROSS JOIN s
+  JOIN cx ca ON ca.event_type = p.type_a
+  JOIN cx cb ON cb.event_type = p.type_b
+) WHERE rn <= 20
+"""
+
+
+def bucketed_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free BIG-BIG join through storage: orders and lineitem
+    are both written as bucketed+sorted managed tables on the join key
+    (16 buckets, ``operators/scale.py write_bucketed``), then joined
+    bucket-aligned — the physical plan has NO Exchange between either
+    scan and the SortMergeJoin (asserted in tests/test_plans.py). This
+    is the recurring-fact-join answer at 100 TB: pay the shuffle once at
+    write time, every subsequent join of the two tables is co-located.
+    Revenue is summed in exact integer cents (floor(x*100 + 0.5)) so the
+    big-sum result is order-independent and engine-exact."""
+    from arcane_framework_spark.operators.scale import (
+        bucketed_join,
+        gc_stale_side_tables,
+        session_scoped_table,
+        write_bucketed,
+    )
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    ot = session_scoped_table(spark, "bj_orders")
+    lt = session_scoped_table(spark, "bj_lineitem")
+    gc_stale_side_tables(spark, "bj_orders")
+    gc_stale_side_tables(spark, "bj_lineitem")
+    write_bucketed(
+        t["orders"].select(
+            F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+        ),
+        ot, ["orderkey"], num_buckets=16, sort_cols=["orderkey"],
+    )
+    write_bucketed(
+        t["lineitem"].select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.expr(
+                "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        ),
+        lt, ["orderkey"], num_buckets=16, sort_cols=["orderkey"],
+    )
+    return (
+        bucketed_join(spark, ot, lt, ["orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+_BUCKETED_JOIN_SQL = r"""
+SELECT o_orderpriority, count(*)::BIGINT AS n_items,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT))::DOUBLE / 100.0, 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_neardup_documents": edit_neardup_documents,
     "query_likelihood_documents": query_likelihood_documents,
@@ -1652,6 +2254,13 @@ EVAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_filter_pairs_documents": prefix_filter_pairs_documents,
     "vocab_growth_documents": vocab_growth_documents,
     "event_paths_users": event_paths_users,
+    "containment_pairs_documents": containment_pairs_documents,
+    "ks_drift_events": ks_drift_events,
+    "activity_gini_events": activity_gini_events,
+    "cusum_changepoint_events": cusum_changepoint_events,
+    "kappa_filters_documents": kappa_filters_documents,
+    "session_copairs_events": session_copairs_events,
+    "bucketed_join_orders": bucketed_join_orders,
 }
 
 EVAL_ORACLE_SQL: dict[str, str] = {
@@ -1678,4 +2287,11 @@ EVAL_ORACLE_SQL: dict[str, str] = {
     "prefix_filter_pairs_documents": _prefix_filter_sql(),
     "vocab_growth_documents": _vocab_growth_sql(),
     "event_paths_users": _EVENT_PATHS_SQL,
+    "containment_pairs_documents": _containment_sql(),
+    "ks_drift_events": _KS_DRIFT_SQL,
+    "activity_gini_events": _ACTIVITY_GINI_SQL,
+    "cusum_changepoint_events": _CUSUM_SQL,
+    "kappa_filters_documents": _KAPPA_SQL,
+    "session_copairs_events": _session_copairs_sql(),
+    "bucketed_join_orders": _BUCKETED_JOIN_SQL,
 }

@@ -135,3 +135,27 @@ def test_incremental_disk_twin_bucketed_scan_no_corpus_exchange(spark):
     mem = _plan(spark, "incremental_dedup_documents")
     assert disk.count("Exchange") < mem.count("Exchange"), (
         disk.count("Exchange"), mem.count("Exchange"))
+
+
+def test_bucketed_big_big_join_exchange_free(spark):
+    # The recurring-fact-join story: both sides written bucketed on the
+    # join key, so the SortMergeJoin consumes the bucketing and neither
+    # scan shuffles — the ONLY Exchange left in the plan is the final
+    # 5-group aggregate, never the orders x lineitem join. At test scale
+    # Catalyst (rightly) broadcasts the tiny orders side, which is the
+    # correct SMALL plan but not the property under test — disable
+    # broadcast to see the 100 TB big-big shape.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "bucketed_join_orders")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Bucketed: true") == 2, plan.count("Bucketed: true")
+    assert "SortMergeJoin" in plan
+    # formatted mode prints each node once in the tree and once in the
+    # details — count the "(N) Exchange" detail headers.
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, exchanges
