@@ -47,6 +47,10 @@ from arcane_framework_spark.queries_pipeline import (
     PIPELINE_QUERIES,
 )
 from arcane_framework_spark.queries_tpch import TPCH_ORACLE_SQL, TPCH_QUERIES
+from arcane_framework_spark.queries_wave3 import (
+    WAVE3_ORACLE_SQL,
+    WAVE3_QUERIES,
+)
 from arcane_framework_spark.session import load_tables, ts_micros, ts_timestamp
 
 from arcane_framework_spark.operators.similarity import (  # noqa: E402
@@ -1697,6 +1701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **EXT_QUERIES,
     **PIPELINE_QUERIES,
     **EVAL_QUERIES,
+    **WAVE3_QUERIES,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1735,6 +1740,7 @@ ORACLE_SQL: dict[str, str] = {
     **EXT_ORACLE_SQL,
     **PIPELINE_ORACLE_SQL,
     **EVAL_ORACLE_SQL,
+    **WAVE3_ORACLE_SQL,
 }
 
 # Registered here (not in queries_ext) because their oracles embed the

@@ -130,10 +130,16 @@ def query_likelihood_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _query_likelihood_sql() -> str:
+def _query_likelihood_sql(k: int = QL_ENTRY_K,
+                          mu_val: float = QL_ENTRY_MU,
+                          tail: str | None = None) -> str:
+    """DuckDB spelling of the Dirichlet query-likelihood ranking,
+    parameterized on cutoff/μ/final-select so the RRF fusion oracle
+    (queries_wave3.py) composes the SAME scoring math instead of
+    duplicating it (mirrors bm25_core_sql's q_cte/tail design)."""
     from arcane_framework_spark.operators.retrieval import BM25_QUERIES
 
-    mu = repr(float(QL_ENTRY_MU))
+    mu = repr(float(mu_val))
     vals = ", ".join(
         f"({qid}, '{t}')"
         for qid, terms in sorted(BM25_QUERIES.items())
@@ -183,9 +189,10 @@ ranked AS (
                             ORDER BY score_fp DESC, doc_id) AS rank
   FROM scored
 )
+{tail if tail is not None else f'''
 SELECT query_id, doc_id,
        round(score_fp::DOUBLE / 1e6, 6) AS score, rank::INT AS rank
-FROM ranked WHERE rank <= {QL_ENTRY_K}
+FROM ranked WHERE rank <= {k}'''}
 """
 
 
