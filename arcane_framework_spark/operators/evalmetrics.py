@@ -318,3 +318,59 @@ def two_proportion_ztest(units: DataFrame, cohort_col: str = "cohort",
             r6(z),
         ).alias("z"),
     )
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between two columns
+    WITHOUT a global row sort (the AUC/Gini two-level pattern): per-
+    distinct-value counts -> DOUBLED average ranks (``2*cum_prev + m +
+    1`` keeps .5 ties integer) over value LEVELS, broadcast value->rank
+    maps joined back, ranks centered by their exact integer mean (n+1
+    in doubled units). Products are int64-exact to n ~ 1e9 rows and
+    summed as DECIMAL(38,0) (DuckDB mirrors with HUGEINT) — exact at
+    any corpus size; rho is one IEEE sqrt + division at the end.
+
+    Returns a single row (n_rows, spearman_rho)."""
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    def doubled_rank(col: str, out: str) -> DataFrame:
+        levels = df.groupBy(col).agg(F.count(F.lit(1)).alias("m"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return levels.select(
+            col,
+            (2 * (F.sum("m").over(w) - F.col("m")) + F.col("m") + 1)
+            .alias(out),
+        )
+
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = (
+        with_broadcast_scalar(df.select(col_a, col_b), n)
+        .join(F.broadcast(doubled_rank(col_a, "__r2a")), col_a)
+        .join(F.broadcast(doubled_rank(col_b, "__r2b")), col_b)
+        .select(
+            F.col("__n"),
+            (F.col("__r2a") - (F.col("__n") + 1)).alias("__ca"),
+            (F.col("__r2b") - (F.col("__n") + 1)).alias("__cb"),
+        )
+    )
+    agg = ranked.agg(
+        F.max("__n").alias("n"),
+        F.sum((F.col("__ca") * F.col("__cb")).cast("decimal(38,0)"))
+        .alias("sab"),
+        F.sum((F.col("__ca") * F.col("__ca")).cast("decimal(38,0)"))
+        .alias("saa"),
+        F.sum((F.col("__cb") * F.col("__cb")).cast("decimal(38,0)"))
+        .alias("sbb"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            F.col("sab").cast("double")
+            / F.sqrt(
+                F.col("saa").cast("double") * F.col("sbb").cast("double")
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

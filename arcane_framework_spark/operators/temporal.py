@@ -136,6 +136,51 @@ def window_funnel(events: DataFrame, steps: list[str],
     return allsets.groupBy(user_col).agg(F.max("level").alias("level"))
 
 
+def rolling_active_users(events: DataFrame, ts_us_col: str = "ts_us",
+                         user_col: str = "user_id",
+                         window_days: int = 7) -> DataFrame:
+    """Exact ``window_days``-rolling distinct actives (WAU) per day next
+    to daily actives (DAU) and the DAU/WAU stickiness ratio.
+
+    Sliding-window DISTINCT without rescanning ``window_days`` of raw
+    events per day: each distinct (user, day) pair fans out to the
+    ≤ ``window_days`` window-END days it supports (clipped to the last
+    observed day), then one distinct-count per window end. The fan-out
+    is bounded ``window_days``× of the user-day AGGREGATE — which is
+    already the DAU table — never of raw events; at 100 TB the shuffle
+    moves user-day pairs, not events. Returns (day_us, dau, wau,
+    stickiness)."""
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    day_us = 86_400_000_000
+    ud = events.select(
+        F.expr(f"{ts_us_col} div {day_us}").alias("day"),
+        F.col(user_col).alias("__u"),
+    ).distinct()
+    mx = ud.agg(F.max("day").alias("__mx"))
+    fan = with_broadcast_scalar(ud, mx).select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.col("day") + (window_days - 1), F.col("__mx")),
+            )
+        ).alias("wd"),
+    )
+    wau = fan.groupBy("wd").agg(
+        F.countDistinct("__u").cast("long").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return wau.join(dau, wau["wd"] == dau["day"]).select(
+        (F.col("wd") * day_us).alias("day_us"),
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+        ).alias("stickiness"),
+    )
+
+
 def retention_cohorts(events: DataFrame, user_col: str = "user_id",
                       date_col: str = "event_date") -> DataFrame:
     """Classic cohort retention: users bucketed by first-seen date, counted

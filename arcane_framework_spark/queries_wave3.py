@@ -1,6 +1,6 @@
 """Round-8 wave-3 extension queries: product/corpus health analytics.
 
-Five operators a training-data / analytics team runs weekly, each with
+Eight operators a training-data / analytics team runs weekly, each with
 the repo's standard contract — a Spark implementation whose arithmetic
 is exact-integer (or single-IEEE-operation) all the way to the last
 division, paired with a DuckDB oracle computing the identical plan so
@@ -17,6 +17,12 @@ the driver's value-hash compare is bit-for-bit:
 - ``chi2_independence_events``: event-type x day-of-week contingency
   with per-cell chi-squared contributions (division-free integer
   day-of-week, IEEE-deterministic per-cell scalar math).
+- ``rrf_fusion_documents``: reciprocal-rank fusion of the BM25 and
+  query-likelihood rankers (integer micro-unit contributions).
+- ``basket_rules_lineitem``: brand-level market-basket association
+  rules (support/confidence/lift, in-plan per-mille support floor).
+- ``rfm_segments_customers``: recency/frequency/monetary quintile
+  segmentation via integer rank buckets over value-level tables.
 
 Reference parity: these extend the SURVEY §2.9 LLM-pipeline surface
 (the reference, an ingestion framework, stops at delivering the rows;
@@ -56,40 +62,18 @@ def rolling_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the last observed day), then one distinct-count per window end.
     The fan-out is bounded 7x of the (user, day) table — which is
     already the DAU aggregate — never 7x of raw events; at 100 TB the
-    shuffle moves user-day pairs, not events."""
-    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    shuffle moves user-day pairs, not events (operators/temporal.py
+    ``rolling_active_users``; the 10x stress harness drives the same
+    operator)."""
+    from arcane_framework_spark.operators.temporal import (
+        rolling_active_users,
+    )
 
     t = load_tables(spark, sf_dir, "events")
     ev = t["events"].select(
         "user_id", ts_micros(t["events"]).alias("ts_us")
     )
-    ud = ev.select(
-        F.expr(f"ts_us div {_DAY_US}").alias("day"), "user_id"
-    ).distinct()
-    mx = ud.agg(F.max("day").alias("__mx"))
-    fan = with_broadcast_scalar(ud, mx).select(
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("day"), F.least(F.col("day") + 6, F.col("__mx"))
-            )
-        ).alias("wd"),
-    )
-    wau = fan.groupBy("wd").agg(
-        F.countDistinct("user_id").cast("long").alias("wau")
-    )
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    return (
-        wau.join(dau, wau["wd"] == dau["day"])
-        .select(
-            (F.col("wd") * _DAY_US).alias("day_us"),
-            "dau",
-            "wau",
-            F.round(
-                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
-            ).alias("stickiness"),
-        )
-    )
+    return rolling_active_users(ev)
 
 
 _ROLLING_ACTIVE_SQL = rf"""
@@ -198,20 +182,6 @@ FROM agg
 """
 
 
-def _doubled_rank(df: DataFrame, col: str, out: str) -> DataFrame:
-    """Map each distinct value of ``col`` to its DOUBLED average rank —
-    ``2*rank_avg = 2*cum_prev + m + 1`` stays integer even when ties
-    make the average rank end in .5. The window sorts distinct VALUE
-    levels, never rows (the repo's metadata-scale window rule), and the
-    resulting value->rank table is broadcast back onto the rows."""
-    levels = df.groupBy(col).agg(F.count(F.lit(1)).alias("m"))
-    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-    return levels.select(
-        col,
-        (2 * (F.sum("m").over(w) - F.col("m")) + F.col("m") + 1).alias(out),
-    )
-
-
 def spearman_corr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-corrected Spearman rank correlation between document length
     (n_chars) and whitespace token count — the monotone-association
@@ -224,42 +194,18 @@ def spearman_corr_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-mean products. The products fit int64 up to n ~ 1e9 docs and
     are summed as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact at
     any corpus size; rho is one double expression at the end (IEEE
-    sqrt, the two-proportion z-test precedent)."""
-    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    sqrt, the two-proportion z-test precedent). Core:
+    operators/evalmetrics.py ``spearman_corr`` (the 10x stress harness
+    drives the same operator)."""
+    from arcane_framework_spark.operators.evalmetrics import spearman_corr
     from arcane_framework_spark.operators.text import token_count_expr
 
     t = load_tables(spark, sf_dir, "documents")
     d = t["documents"].select(
         "n_chars", token_count_expr("text").alias("n_tok")
     )
-    ra = _doubled_rank(d, "n_chars", "r2a")
-    rb = _doubled_rank(d, "n_tok", "r2b")
-    n = d.agg(F.count(F.lit(1)).alias("__n"))
-    ranked = (
-        with_broadcast_scalar(d, n)
-        .join(F.broadcast(ra), "n_chars")
-        .join(F.broadcast(rb), "n_tok")
-        .select(
-            F.col("__n"),
-            (F.col("r2a") - (F.col("__n") + 1)).alias("ca"),
-            (F.col("r2b") - (F.col("__n") + 1)).alias("cb"),
-        )
-    )
-    agg = ranked.agg(
-        F.max("__n").alias("n"),
-        F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,0)")).alias("sab"),
-        F.sum((F.col("ca") * F.col("ca")).cast("decimal(38,0)")).alias("saa"),
-        F.sum((F.col("cb") * F.col("cb")).cast("decimal(38,0)")).alias("sbb"),
-    )
-    return agg.select(
-        F.col("n").cast("long").alias("n_docs"),
-        F.round(
-            F.col("sab").cast("double")
-            / F.sqrt(
-                F.col("saa").cast("double") * F.col("sbb").cast("double")
-            ),
-            6,
-        ).alias("spearman_rho"),
+    return spearman_corr(d, "n_chars", "n_tok").select(
+        F.col("n_rows").alias("n_docs"), "spearman_rho"
     )
 
 

@@ -590,6 +590,33 @@ def main() -> None:
         results["auto_salted_hot_layout"]
     )
 
+    # --- wave-3 ops on the 10x corpus ----------------------------------
+    # rolling 7-day WAU: the fan-out is bounded 7x of the (user, day)
+    # AGGREGATE — growth here must track distinct user-days, not events.
+    from arcane_framework_spark.operators.evalmetrics import spearman_corr
+    from arcane_framework_spark.operators.temporal import (
+        rolling_active_users,
+    )
+    from arcane_framework_spark.operators.text import token_count_expr
+
+    results["rolling_wau"] = timed(
+        lambda: rolling_active_users(
+            ev10.select("user_id", F.col("us").alias("ts_us"))
+        )
+    )
+    # Spearman over 10x docs: the rank tables are value-LEVEL scale —
+    # verify the level-table claim holds when rows grow 10x.
+    results["spearman_corr"] = timed(
+        lambda: spearman_corr(
+            docs.select(
+                F.length("text").alias("n_chars"),
+                token_count_expr("text").alias("n_tok"),
+            ),
+            "n_chars",
+            "n_tok",
+        )
+    )
+
     # native streaming session windows over the 10x events: drain through
     # an actual readStream (availableNow) and report the session-window
     # STATE SIZE the complete-mode aggregation carried.
