@@ -51,6 +51,10 @@ from arcane_framework_spark.queries_wave3 import (
     WAVE3_ORACLE_SQL,
     WAVE3_QUERIES,
 )
+from arcane_framework_spark.queries_wave4 import (
+    WAVE4_ORACLE_SQL,
+    WAVE4_QUERIES,
+)
 from arcane_framework_spark.session import load_tables, ts_micros, ts_timestamp
 
 from arcane_framework_spark.operators.similarity import (  # noqa: E402
@@ -1702,6 +1706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **PIPELINE_QUERIES,
     **EVAL_QUERIES,
     **WAVE3_QUERIES,
+    **WAVE4_QUERIES,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1741,6 +1746,7 @@ ORACLE_SQL: dict[str, str] = {
     **PIPELINE_ORACLE_SQL,
     **EVAL_ORACLE_SQL,
     **WAVE3_ORACLE_SQL,
+    **WAVE4_ORACLE_SQL,
 }
 
 # Registered here (not in queries_ext) because their oracles embed the

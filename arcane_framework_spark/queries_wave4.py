@@ -1,0 +1,308 @@
+"""Round-8 wave-4 extension queries: data-hygiene and dispersion audits.
+
+Three operators with the repo's standard exact-oracle contract:
+
+- ``encoding_audit_documents``: control-character / replacement-character
+  / non-ASCII hygiene rates per source, over a corpus with DETERMINISTIC
+  planted dirty documents (the synthetic corpus is clean — like the
+  near-dup families, the audit must be shown catching something).
+- ``fano_dispersion_events``: per-type Fano factor (variance/mean) of
+  hourly counts — the burstiness diagnostic that separates "steady
+  stream" from "batchy/bursty" event types (Poisson => Fano ~ 1).
+- ``decile_shift_events``: per-decile boundary drift between the early
+  and late time halves — the DIRECTION/magnitude profile that the KS
+  entry's single max-gap statistic cannot show.
+
+Cross-engine notes: regex classes use explicit ``\\xNN`` escapes (Java
+regex and RE2 agree on those); planted suffixes are built with chr() on
+the SQL side so the oracle source stays printable; decile boundaries are
+STORED values picked by integer rank conditions (``cum*10 >= k*n``) —
+no interpolation, no float arithmetic before the final delta.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.session import load_tables, ts_micros
+
+_HOUR_US = 3_600_000_000
+
+#: Planted dirty-doc id offsets (distinct from the near-dup families'
+#: 100k/300k/400k and the edit family's offsets).
+ENC_BELL_OFFSET = 500_000
+ENC_CTRL_OFFSET = 600_000
+
+#: Suffix codepoints: every 11th doc gains BEL + U+FFFD + NBSP (one
+#: control, one replacement, one non-ASCII); every 19th gains five C0
+#: control characters.
+ENC_BELL_CODES = (0x07, 0xFFFD, 0xA0)
+ENC_CTRL_CODES = (0x01, 0x02, 0x03, 0x04, 0x05)
+
+#: Character classes with explicit escapes — Java regex (Spark) and RE2
+#: (DuckDB) agree on \xNN classes. NUL excluded from planting (C-string
+#: hostile) but included in the class.
+CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+NON_ASCII_RE = r"[^\x00-\x7F]"
+REPLACEMENT_CHAR = "�"
+
+
+def _planted_dirty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "source", "text")
+    bell = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + ENC_BELL_OFFSET).alias("doc_id"),
+        "source",
+        F.concat(
+            F.col("text"), F.lit("".join(chr(c) for c in ENC_BELL_CODES))
+        ).alias("text"),
+    )
+    ctrl = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + ENC_CTRL_OFFSET).alias("doc_id"),
+        "source",
+        F.concat(
+            F.col("text"), F.lit("".join(chr(c) for c in ENC_CTRL_CODES))
+        ).alias("text"),
+    )
+    return docs.unionByName(bell).unionByName(ctrl)
+
+
+def encoding_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-encoding hygiene audit per source: how many documents carry
+    C0/DEL control characters, U+FFFD replacement characters (the
+    signature of a mis-decoded byte stream), and what fraction of the
+    characters are non-ASCII. The per-source report every ingest
+    pipeline gates on before text reaches a tokenizer. All counts are
+    exact integers (regexp occurrence counts summed per source); the
+    non-ASCII rate is micro-unit INTEGER division. Map-side only until
+    the tiny per-source aggregate."""
+    d = _planted_dirty_docs(spark, sf_dir)
+    feats = d.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.regexp_count("text", F.lit(CTRL_RE)).alias("n_ctrl"),
+        F.regexp_count("text", F.lit(NON_ASCII_RE)).alias("n_nonascii"),
+        F.regexp_count("text", F.lit(REPLACEMENT_CHAR)).alias("n_repl"),
+    )
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_ctrl") > 0).cast("long"))
+        .cast("long")
+        .alias("docs_with_ctrl"),
+        F.sum("n_ctrl").cast("long").alias("ctrl_chars"),
+        F.sum((F.col("n_repl") > 0).cast("long"))
+        .cast("long")
+        .alias("docs_with_replacement"),
+        F.sum("n_repl").cast("long").alias("replacement_chars"),
+        F.expr(
+            "CAST((sum(n_nonascii) * 1000000) div sum(n_chars) AS BIGINT)"
+        ).alias("nonascii_ppm"),
+    )
+
+
+def _encoding_sql() -> str:
+    bell = " || ".join(f"chr({c})" for c in ENC_BELL_CODES)
+    ctrl = " || ".join(f"chr({c})" for c in ENC_CTRL_CODES)
+    return rf"""
+WITH planted AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {ENC_BELL_OFFSET}, source, text || {bell}
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + {ENC_CTRL_OFFSET}, source, text || {ctrl}
+  FROM documents WHERE doc_id % 19 = 0
+),
+feats AS (
+  SELECT source,
+         length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '{CTRL_RE}'))::BIGINT AS n_ctrl,
+         len(regexp_extract_all(text, '{NON_ASCII_RE}'))::BIGINT
+           AS n_nonascii,
+         len(regexp_extract_all(text, chr(65533)))::BIGINT AS n_repl
+  FROM planted
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS docs_with_ctrl,
+       sum(n_ctrl)::BIGINT AS ctrl_chars,
+       sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS docs_with_replacement,
+       sum(n_repl)::BIGINT AS replacement_chars,
+       ((sum(n_nonascii) * 1000000) // sum(n_chars))::BIGINT
+         AS nonascii_ppm
+FROM feats GROUP BY 1
+"""
+
+
+def fano_dispersion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, variance/mean) of hourly event
+    counts per type: ~1 for a Poisson-steady stream, >>1 for bursty
+    arrivals, <1 for throttled/regular ones — the burstiness diagnostic
+    next to the hourly-anomaly z-scores. Population variance from exact
+    integer moments: ``fano = (n*Syy - Sy^2) / (n * Sy)`` — numerator
+    and denominator exact int64, ONE division, round 6. Hourly rows are
+    metadata scale."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type", ts_micros(t["events"]).alias("ts_us")
+    )
+    hourly = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {_HOUR_US}").alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    agg = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_hours"),
+        F.col("sy").cast("long").alias("n_events"),
+        F.expr("CAST((sy * 1000000) div n AS BIGINT)").alias(
+            "mean_per_hour_micro"
+        ),
+        F.round(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            .cast("double")
+            / (F.col("n") * F.col("sy")).cast("double"),
+            6,
+        ).alias("fano"),
+    )
+
+
+_FANO_SQL = rf"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_HOUR_US} AS h,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+         sum(y * y)::BIGINT AS syy
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, n AS n_hours, sy AS n_events,
+       ((sy * 1000000) // n)::BIGINT AS mean_per_hour_micro,
+       round((n*syy - sy*sy)::DOUBLE / (n*sy)::DOUBLE, 6) AS fano
+FROM agg
+"""
+
+
+def decile_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile drift profile of the value distribution between the
+    early and late time halves, per event type: boundary k (k=1..9) is
+    the smallest STORED value whose cumulative count satisfies
+    ``cum*10 >= k*n`` — exact integer rank conditions over per-distinct-
+    value level tables (the KS entry's cumulative pattern), zero
+    interpolation. Each level emits the k-range it covers
+    (``(10*cum_prev) div n + 1 .. (10*cum) div n``) — Spark's sequence()
+    REVERSES when start > stop, so the emptiness filter runs before the
+    explode on both engines. The early/late boundary tables join on
+    (type, k); the delta is one IEEE double subtraction of stored
+    values."""
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type", "value", ts_micros(t["events"]).alias("ts_us")
+    )
+    rng = ev.agg(F.min("ts_us").alias("__mn"), F.max("ts_us").alias("__mx"))
+    sided = with_broadcast_scalar(ev, rng).select(
+        "event_type",
+        "value",
+        (F.col("ts_us") * 2 <= F.col("__mn") + F.col("__mx"))
+        .cast("int")
+        .alias("half"),
+    )
+    levels = sided.groupBy("event_type", "half", "value").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    w = Window.partitionBy("event_type", "half").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("event_type", "half")
+    cum = (
+        levels.withColumn("cum", F.sum("m").over(w))
+        .withColumn("n", F.sum("m").over(wt))
+        .withColumn("k_lo", F.expr("(10 * (cum - m)) div n + 1"))
+        .withColumn("k_hi", F.least(F.expr("(10 * cum) div n"), F.lit(9)))
+        .filter(F.col("k_lo") <= F.col("k_hi"))
+    )
+    bounds = cum.select(
+        "event_type",
+        "half",
+        F.explode(F.sequence(F.col("k_lo"), F.col("k_hi"))).alias("k"),
+        "value",
+    )
+    early = bounds.filter(F.col("half") == 1).select(
+        "event_type", "k", F.col("value").alias("early_value")
+    )
+    late = bounds.filter(F.col("half") == 0).select(
+        "event_type", "k", F.col("value").alias("late_value")
+    )
+    return early.join(late, ["event_type", "k"]).select(
+        "event_type",
+        F.col("k").cast("int").alias("decile"),
+        "early_value",
+        "late_value",
+        (F.col("late_value") - F.col("early_value")).alias("shift"),
+    )
+
+
+_DECILE_SHIFT_SQL = r"""
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
+),
+rng AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM ev),
+sided AS (
+  SELECT event_type, value,
+         CASE WHEN ts_us * 2 <= mn + mx THEN 1 ELSE 0 END AS half
+  FROM ev CROSS JOIN rng
+),
+levels AS (
+  SELECT event_type, half, value, count(*)::BIGINT AS m
+  FROM sided GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, half, value, m,
+         (sum(m) OVER (PARTITION BY event_type, half ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )::BIGINT AS cum,
+         (sum(m) OVER (PARTITION BY event_type, half))::BIGINT AS n
+  FROM levels
+),
+ks AS (
+  SELECT event_type, half, value,
+         (10 * (cum - m)) // n + 1 AS k_lo,
+         least((10 * cum) // n, 9) AS k_hi
+  FROM cum
+  WHERE (10 * (cum - m)) // n + 1 <= least((10 * cum) // n, 9)
+),
+bounds AS (
+  SELECT event_type, half, unnest(generate_series(k_lo, k_hi)) AS k, value
+  FROM ks
+)
+SELECT e.event_type, e.k::INT AS decile,
+       e.value AS early_value, l.value AS late_value,
+       l.value - e.value AS shift
+FROM (SELECT * FROM bounds WHERE half = 1) e
+JOIN (SELECT * FROM bounds WHERE half = 0) l
+  ON e.event_type = l.event_type AND e.k = l.k
+"""
+
+
+WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "encoding_audit_documents": encoding_audit_documents,
+    "fano_dispersion_events": fano_dispersion_events,
+    "decile_shift_events": decile_shift_events,
+}
+
+WAVE4_ORACLE_SQL: dict[str, str] = {
+    "encoding_audit_documents": _encoding_sql(),
+    "fano_dispersion_events": _FANO_SQL,
+    "decile_shift_events": _DECILE_SHIFT_SQL,
+}

@@ -1,0 +1,84 @@
+"""Invariants for the wave-4 hygiene/dispersion operators
+(queries_wave4.py): planted-count closed forms and decile semantics the
+oracle compare cannot distinguish from a consistently-wrong pair."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_encoding_audit_planted_closed_form(spark):
+    """Every 11th doc gains 1 control + 1 replacement (+2 non-ASCII)
+    chars, every 19th gains 5 control chars; the base corpus is clean.
+    The audit totals must equal those plant counts exactly."""
+    from arcane_framework_spark.queries_wave4 import (
+        encoding_audit_documents,
+    )
+
+    rows = encoding_audit_documents(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n11 = docs.filter(F.col("doc_id") % 11 == 0).count()
+    n19 = docs.filter(F.col("doc_id") % 19 == 0).count()
+    tot = {
+        "docs_with_ctrl": sum(r["docs_with_ctrl"] for r in rows),
+        "ctrl_chars": sum(r["ctrl_chars"] for r in rows),
+        "docs_with_replacement": sum(
+            r["docs_with_replacement"] for r in rows
+        ),
+        "replacement_chars": sum(r["replacement_chars"] for r in rows),
+    }
+    assert tot["docs_with_ctrl"] == n11 + n19
+    assert tot["ctrl_chars"] == n11 + 5 * n19
+    assert tot["docs_with_replacement"] == n11
+    assert tot["replacement_chars"] == n11
+    assert all(r["nonascii_ppm"] >= 0 for r in rows)
+
+
+def test_decile_shift_semantics(spark):
+    """Each (type) emits exactly deciles 1..9, boundaries are
+    non-decreasing in k within each half, and each boundary is a stored
+    value from that type's half."""
+    from arcane_framework_spark.queries_wave4 import decile_shift_events
+
+    rows = decile_shift_events(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for t, rs in by_type.items():
+        ks = sorted(r["decile"] for r in rs)
+        assert ks == list(range(1, 10)), t
+        rs = sorted(rs, key=lambda r: r["decile"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["early_value"] <= b["early_value"], t
+            assert a["late_value"] <= b["late_value"], t
+        for r in rs:
+            assert r["shift"] == r["late_value"] - r["early_value"]
+
+
+def test_fano_matches_bruteforce(spark):
+    """Fano factor equals the population variance/mean of the hourly
+    counts computed directly."""
+    from arcane_framework_spark.queries_wave4 import fano_dispersion_events
+
+    rows = fano_dispersion_events(spark, SF_DIR).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 3600000000"
+            ).alias("h"),
+        )
+        .count()
+        .collect()
+    )
+    for r in rows:
+        ys = [x["count"] for x in ev if x["event_type"] == r["event_type"]]
+        n = len(ys)
+        mean = sum(ys) / n
+        var = sum((y - mean) ** 2 for y in ys) / n
+        assert abs(r["fano"] - var / mean) < 2e-6, r["event_type"]
+        assert r["n_hours"] == n
+        assert r["mean_per_hour_micro"] == (sum(ys) * 1_000_000) // n

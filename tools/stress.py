@@ -597,7 +597,6 @@ def main() -> None:
     from arcane_framework_spark.operators.temporal import (
         rolling_active_users,
     )
-    from arcane_framework_spark.operators.text import token_count_expr
 
     results["rolling_wau"] = timed(
         lambda: rolling_active_users(
