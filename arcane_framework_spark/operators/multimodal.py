@@ -1194,3 +1194,104 @@ def wav_spectral_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, SPECTRAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (dHash) — image near-dup blocking
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 8 cell rows x 9 cell columns -> 8 adjacent-column
+#: comparisons per row = 64 bits, emitted as two 32-bit halves so
+#: neither engine touches the int64 sign bit.
+DHASH_ROWS = 8
+DHASH_COLS = 9
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("hash_hi", LongType()),
+        StructField("hash_lo", LongType()),
+    ]
+)
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint per image asset —
+    the blocking key for image near-dup detection (a brightness shift
+    or re-encode keeps the hash; different content changes it).
+
+    The asset decodes through the repo's pure-numpy decoders
+    (``decode_image``), pixels sum to an 8x9 grid of integer CELL SUMS
+    (channel-summed — never a float mean), and bit (r, c) is the exact
+    integer comparison ``cell[r][c] < cell[r][c+1]``. Image dimensions
+    must be multiples of the grid (the caller controls synthesis /
+    resize). Arrow-batched map-only pass; the output is one 3-long row
+    per image, groupable/joinable at any corpus size."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(bytes(content)).astype(np.int64)
+                h, w = img.shape[0], img.shape[1]
+                if h % DHASH_ROWS or w % DHASH_COLS:
+                    raise ValueError(
+                        f"dhash needs dims divisible by "
+                        f"{DHASH_ROWS}x{DHASH_COLS}, got {h}x{w}"
+                    )
+                bh, bw = h // DHASH_ROWS, w // DHASH_COLS
+                cells = img.reshape(
+                    DHASH_ROWS, bh, DHASH_COLS, bw, img.shape[2]
+                ).sum(axis=(1, 3, 4))
+                bits = cells[:, :-1] < cells[:, 1:]
+                hi = lo = 0
+                for r in range(DHASH_ROWS):
+                    for c in range(DHASH_COLS - 1):
+                        if bits[r, c]:
+                            if r < 4:
+                                hi |= 1 << (r * 8 + c)
+                            else:
+                                lo |= 1 << ((r - 4) * 8 + c)
+                out.append((int(doc_id), hi, lo))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "hash_hi", "hash_lo"]
+            )
+
+    return assets.mapInPandas(batches, DHASH_SCHEMA)
+
+
+def synth_dhash_assets(ids: DataFrame, width: int = 18, height: int = 16,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Synthetic assets sized for the dHash grid (dims multiples of
+    8x9), format cycling bmp/ppm/png by id, seed ``id % 256`` — the
+    closed-form pixel rule keeps the hash SQL-computable."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids_col = pdf[id_col].astype("int64")
+            seeds = pdf["seed"].astype("int64")
+            content = [
+                synth_image_bytes(
+                    int(s), width, height, _SYNTH_FMTS[int(i) % 3]
+                )
+                for i, s in zip(ids_col, seeds)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids_col,
+                    "content": pd.Series(content, dtype="object"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return ids.mapInPandas(batches, schema)

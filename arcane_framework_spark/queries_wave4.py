@@ -295,14 +295,99 @@ JOIN (SELECT * FROM bounds WHERE half = 0) l
 """
 
 
+#: Planted dHash-variant id offset (brightness +1 twin of every 13th doc).
+DHASH_VARIANT_OFFSET = 700_000
+#: Asset dims — multiples of the 8x9 dHash grid.
+DHASH_W, DHASH_H = 18, 16
+
+
+def image_dhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) bucketing of image assets — the image-
+    modality near-dup blocking key next to the text family (MinHash /
+    SimHash / winnowing). One synthetic asset per doc (closed-form
+    gradient pixels, format cycling bmp/ppm/png) plus a planted
+    brightness+1 variant of every 13th doc whose id offset ALSO rotates
+    the format — equal hashes across formats prove decode consistency,
+    and a +1 brightness shift preserves most hashes (it only moves the
+    single mod-256 wrap seam). The hash is 64 exact integer cell-sum
+    comparisons over the decoded pixels (operators/multimodal.py
+    ``image_dhash``), emitted as two 32-bit halves (no int64 sign bit
+    on either engine); the output is the bucket table (hash, count,
+    id range) — metadata scale, never raw pairs."""
+    from arcane_framework_spark.operators.multimodal import (
+        image_dhash,
+        synth_dhash_assets,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id")
+    base = docs.select("doc_id", (F.col("doc_id") % 256).alias("seed"))
+    variant = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + DHASH_VARIANT_OFFSET).alias("doc_id"),
+        ((F.col("doc_id") % 256 + 1) % 256).alias("seed"),
+    )
+    ids = base.unionByName(variant)
+    hashes = image_dhash(synth_dhash_assets(ids, DHASH_W, DHASH_H))
+    return hashes.groupBy("hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+def _image_dhash_sql() -> str:
+    return rf"""
+WITH ids AS (
+  SELECT doc_id, doc_id % 256 AS seed FROM documents
+  UNION ALL
+  SELECT doc_id + {DHASH_VARIANT_OFFSET}, (doc_id % 256 + 1) % 256
+  FROM documents WHERE doc_id % 13 = 0
+),
+rs AS (SELECT unnest(generate_series(0, {DHASH_H - 1})) AS r),
+cs AS (SELECT unnest(generate_series(0, {DHASH_W - 1})) AS c),
+chs AS (SELECT unnest(generate_series(0, 2)) AS ch),
+px AS (
+  SELECT doc_id,
+         r // {DHASH_H // 8} AS cr, c // {DHASH_W // 9} AS cc,
+         (seed + 7*r + 3*c + ch) % 256 AS v
+  FROM ids CROSS JOIN rs CROSS JOIN cs CROSS JOIN chs
+),
+cells AS (
+  SELECT doc_id, cr, cc, sum(v)::BIGINT AS s FROM px GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT a.doc_id, a.cr, a.cc,
+         CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+  FROM cells a
+  JOIN cells b ON a.doc_id = b.doc_id AND a.cr = b.cr AND b.cc = a.cc + 1
+  WHERE a.cc < 8
+),
+hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN cr < 4
+                  THEN bit * (1::BIGINT << (cr*8 + cc)) ELSE 0 END
+            )::BIGINT AS hash_hi,
+         sum(CASE WHEN cr >= 4
+                  THEN bit * (1::BIGINT << ((cr-4)*8 + cc)) ELSE 0 END
+            )::BIGINT AS hash_lo
+  FROM bits GROUP BY 1
+)
+SELECT hash_hi, hash_lo, count(*)::BIGINT AS n_images,
+       min(doc_id)::BIGINT AS min_doc_id, max(doc_id)::BIGINT AS max_doc_id
+FROM hashes GROUP BY 1, 2
+"""
+
+
 WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit_documents": encoding_audit_documents,
     "fano_dispersion_events": fano_dispersion_events,
     "decile_shift_events": decile_shift_events,
+    "image_dhash_documents": image_dhash_documents,
 }
 
 WAVE4_ORACLE_SQL: dict[str, str] = {
     "encoding_audit_documents": _encoding_sql(),
     "fano_dispersion_events": _FANO_SQL,
     "decile_shift_events": _DECILE_SHIFT_SQL,
+    "image_dhash_documents": _image_dhash_sql(),
 }

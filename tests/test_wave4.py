@@ -82,3 +82,52 @@ def test_fano_matches_bruteforce(spark):
         assert abs(r["fano"] - var / mean) < 2e-6, r["event_type"]
         assert r["n_hours"] == n
         assert r["mean_per_hour_micro"] == (sum(ys) * 1_000_000) // n
+
+
+def test_image_dhash_matches_closed_form(spark):
+    """The decoded-pixel dHash equals a pure-Python recompute from the
+    synthetic pixel rule, across all three container formats."""
+    from arcane_framework_spark.operators.multimodal import (
+        image_dhash,
+        synth_dhash_assets,
+    )
+
+    ids = spark.createDataFrame(
+        [(i, (3 + i * 37) % 256) for i in range(24)], "doc_id: long, seed: long"
+    )
+    got = {
+        r["doc_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in image_dhash(synth_dhash_assets(ids, 18, 16)).collect()
+    }
+    for i in range(24):
+        seed = (3 + i * 37) % 256
+        cells = [[0] * 9 for _ in range(8)]
+        for r in range(16):
+            for c in range(18):
+                for ch in range(3):
+                    cells[r // 2][c // 2] += (seed + 7 * r + 3 * c + ch) % 256
+        hi = lo = 0
+        for r in range(8):
+            for c in range(8):
+                if cells[r][c] < cells[r][c + 1]:
+                    if r < 4:
+                        hi |= 1 << (r * 8 + c)
+                    else:
+                        lo |= 1 << ((r - 4) * 8 + c)
+        assert got[i] == (hi, lo), i
+
+
+def test_image_dhash_format_invariance(spark):
+    """The same seed must hash identically regardless of container
+    format (ids 0,1,2 cycle bmp/ppm/png)."""
+    from arcane_framework_spark.operators.multimodal import (
+        image_dhash,
+        synth_dhash_assets,
+    )
+
+    ids = spark.createDataFrame(
+        [(i, 42) for i in range(3)], "doc_id: long, seed: long"
+    )
+    rows = image_dhash(synth_dhash_assets(ids, 18, 16)).collect()
+    hashes = {(r["hash_hi"], r["hash_lo"]) for r in rows}
+    assert len(hashes) == 1
