@@ -314,20 +314,7 @@ def image_dhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``image_dhash``), emitted as two 32-bit halves (no int64 sign bit
     on either engine); the output is the bucket table (hash, count,
     id range) — metadata scale, never raw pairs."""
-    from arcane_framework_spark.operators.multimodal import (
-        image_dhash,
-        synth_dhash_assets,
-    )
-
-    t = load_tables(spark, sf_dir, "documents")
-    docs = t["documents"].select("doc_id")
-    base = docs.select("doc_id", (F.col("doc_id") % 256).alias("seed"))
-    variant = docs.filter(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + DHASH_VARIANT_OFFSET).alias("doc_id"),
-        ((F.col("doc_id") % 256 + 1) % 256).alias("seed"),
-    )
-    ids = base.unionByName(variant)
-    hashes = image_dhash(synth_dhash_assets(ids, DHASH_W, DHASH_H))
+    hashes = _dhash_hashes(spark, sf_dir)
     return hashes.groupBy("hash_hi", "hash_lo").agg(
         F.count(F.lit(1)).cast("long").alias("n_images"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
@@ -378,11 +365,141 @@ FROM hashes GROUP BY 1, 2
 """
 
 
+#: Hamming radius for "near" image pairs (1..HAM_MAX; 0 = identical,
+#: already covered by the bucket table).
+DHASH_HAM_MAX = 6
+
+
+def _dhash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared hash table for the two dHash entries (bucket + near-pair)."""
+    from arcane_framework_spark.operators.multimodal import (
+        image_dhash,
+        synth_dhash_assets,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id")
+    base = docs.select("doc_id", (F.col("doc_id") % 256).alias("seed"))
+    variant = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + DHASH_VARIANT_OFFSET).alias("doc_id"),
+        ((F.col("doc_id") % 256 + 1) % 256).alias("seed"),
+    )
+    return image_dhash(
+        synth_dhash_assets(base.unionByName(variant), DHASH_W, DHASH_H)
+    )
+
+
+def image_dhash_near_pairs_documents(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Hamming-radius image near-dup search over the dHash space — the
+    image analog of LSH banding, at HASH level so it scales: duplicate-
+    heavy corpora make image-level band joins quadratic in bucket size
+    (every exact duplicate shares a hash), so the join runs over
+    DISTINCT hashes with multiplicities and reports ``n_pairs =
+    n_a * n_b`` image pairs per hash pair. Each 64-bit hash splits into
+    4 x 16-bit bands (integer shift/mask); a band match is the
+    candidate condition (any pair within Hamming <= 6 of 64 bits
+    matches >= 1 band when 3 bands are clean — here radius 6 over 4
+    bands guarantees recall for <= 3 flipped bands and the planted
+    brightness twins flip few bits); the verify is exact
+    ``bit_count(xor)`` integer arithmetic on both engines. Hamming 0
+    (identical) is excluded — that is the bucket table's job."""
+    h = _dhash_hashes(spark, sf_dir)
+    hh = h.groupBy("hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bands = hh.select(
+        "hash_hi",
+        "hash_lo",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        F.expr(
+                            f"shiftright({'hash_hi' if k < 2 else 'hash_lo'},"
+                            f" {16 * (k % 2)}) & 65535"
+                        ).alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("hash_hi", "hash_lo", "n", "b.band_idx", "b.band_val")
+    a = bands.select(
+        F.col("hash_hi").alias("hi_a"), F.col("hash_lo").alias("lo_a"),
+        F.col("n").alias("n_a"), "band_idx", "band_val",
+    )
+    b = bands.select(
+        F.col("hash_hi").alias("hi_b"), F.col("hash_lo").alias("lo_b"),
+        F.col("n").alias("n_b"), "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(
+            (F.col("hi_a") < F.col("hi_b"))
+            | ((F.col("hi_a") == F.col("hi_b"))
+               & (F.col("lo_a") < F.col("lo_b")))
+        )
+        .select("hi_a", "lo_a", "n_a", "hi_b", "lo_b", "n_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)")
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(
+            (F.col("hamming") >= 1) & (F.col("hamming") <= DHASH_HAM_MAX)
+        )
+        .select(
+            "hi_a", "lo_a", "hi_b", "lo_b", "hamming",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+        )
+    )
+
+
+def _image_dhash_pairs_sql() -> str:
+    hashes_cte = _image_dhash_sql()
+    # Reuse the dhash oracle's hash derivation up to the `hashes` CTE,
+    # swapping its final SELECT for the band join.
+    head = hashes_cte[: hashes_cte.rindex("SELECT hash_hi")]
+    return rf"""{head}
+,
+hh AS (
+  SELECT hash_hi, hash_lo, count(*)::BIGINT AS n
+  FROM hashes GROUP BY 1, 2
+),
+bands AS (
+  SELECT hash_hi, hash_lo, n, k AS band_idx,
+         CASE WHEN k < 2 THEN (hash_hi >> (16 * (k % 2))) & 65535
+              ELSE (hash_lo >> (16 * (k % 2))) & 65535 END AS band_val
+  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+),
+cand AS (
+  SELECT DISTINCT
+         a.hash_hi AS hi_a, a.hash_lo AS lo_a, a.n AS n_a,
+         b.hash_hi AS hi_b, b.hash_lo AS lo_b, b.n AS n_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.hash_hi < b.hash_hi
+     OR (a.hash_hi = b.hash_hi AND a.hash_lo < b.hash_lo)
+)
+SELECT hi_a, lo_a, hi_b, lo_b,
+       (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::INT
+         AS hamming,
+       (n_a * n_b)::BIGINT AS n_pairs
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
+      BETWEEN 1 AND {DHASH_HAM_MAX}
+"""
+
+
 WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit_documents": encoding_audit_documents,
     "fano_dispersion_events": fano_dispersion_events,
     "decile_shift_events": decile_shift_events,
     "image_dhash_documents": image_dhash_documents,
+    "image_dhash_near_pairs_documents": image_dhash_near_pairs_documents,
 }
 
 WAVE4_ORACLE_SQL: dict[str, str] = {
@@ -390,4 +507,5 @@ WAVE4_ORACLE_SQL: dict[str, str] = {
     "fano_dispersion_events": _FANO_SQL,
     "decile_shift_events": _DECILE_SHIFT_SQL,
     "image_dhash_documents": _image_dhash_sql(),
+    "image_dhash_near_pairs_documents": _image_dhash_pairs_sql(),
 }
