@@ -494,12 +494,186 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))
 """
 
 
+#: Hamilton allocation: total sample slots to distribute across sources.
+HAMILTON_BUDGET = 10_000
+
+
+def did_estimator_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the treated cohort's value
+    lift per event type — the workhorse quasi-experimental estimator
+    (treated = odd user ids, period split at the integer time midpoint).
+    Event values are fixed to integer cents ONCE per row (double sums
+    are order-dependent; integer sums are not); the four cell means and
+    the DiD ``(T1-T0)-(C1-C0)`` are IEEE-double expressions over
+    exact-integer sums/counts, computed identically in both engines.
+    One hash aggregate over (type, cohort, period) — 4 cells per type."""
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type",
+        "user_id",
+        "value",
+        ts_micros(t["events"]).alias("ts_us"),
+    )
+    rng = ev.agg(F.min("ts_us").alias("__mn"), F.max("ts_us").alias("__mx"))
+    cells = (
+        with_broadcast_scalar(ev, rng)
+        .select(
+            "event_type",
+            (F.col("user_id") % 2).cast("int").alias("treated"),
+            (F.col("ts_us") * 2 > F.col("__mn") + F.col("__mx"))
+            .cast("int")
+            .alias("post"),
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("event_type", "treated", "post")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        )
+    )
+    mean = lambda tr, po: F.max(  # noqa: E731 — cell extractor
+        F.when(
+            (F.col("treated") == tr) & (F.col("post") == po),
+            F.col("s").cast("double") / F.col("n").cast("double"),
+        )
+    )
+    agg = cells.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        mean(1, 0).alias("__t0"),
+        mean(1, 1).alias("__t1"),
+        mean(0, 0).alias("__c0"),
+        mean(0, 1).alias("__c1"),
+    )
+    r6 = lambda c: F.round(c / 100.0, 6)  # noqa: E731 — cents → dollars
+    return agg.select(
+        "event_type",
+        "n_events",
+        r6(F.col("__t0")).alias("treated_pre"),
+        r6(F.col("__t1")).alias("treated_post"),
+        r6(F.col("__c0")).alias("control_pre"),
+        r6(F.col("__c1")).alias("control_post"),
+        r6(
+            (F.col("__t1") - F.col("__t0"))
+            - (F.col("__c1") - F.col("__c0"))
+        ).alias("did"),
+    )
+
+
+_DID_SQL = r"""
+WITH ev AS (
+  SELECT event_type, user_id, value, epoch_us(ts) AS ts_us FROM events
+),
+rng AS (SELECT min(ts_us) AS mn, max(ts_us) AS mx FROM ev),
+cells AS (
+  SELECT event_type,
+         (user_id % 2)::INT AS treated,
+         CASE WHEN ts_us * 2 > mn + mx THEN 1 ELSE 0 END AS post,
+         count(*)::BIGINT AS n,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS s
+  FROM ev CROSS JOIN rng
+  GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT event_type, sum(n)::BIGINT AS n_events,
+         max(CASE WHEN treated = 1 AND post = 0
+                  THEN s::DOUBLE / n::DOUBLE END) AS t0,
+         max(CASE WHEN treated = 1 AND post = 1
+                  THEN s::DOUBLE / n::DOUBLE END) AS t1,
+         max(CASE WHEN treated = 0 AND post = 0
+                  THEN s::DOUBLE / n::DOUBLE END) AS c0,
+         max(CASE WHEN treated = 0 AND post = 1
+                  THEN s::DOUBLE / n::DOUBLE END) AS c1
+  FROM cells GROUP BY 1
+)
+SELECT event_type, n_events,
+       round(t0 / 100.0, 6) AS treated_pre,
+       round(t1 / 100.0, 6) AS treated_post,
+       round(c0 / 100.0, 6) AS control_pre,
+       round(c1 / 100.0, 6) AS control_post,
+       round(((t1 - t0) - (c1 - c0)) / 100.0, 6) AS did
+FROM agg
+"""
+
+
+def allocation_hamilton_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Proportional sample-budget allocation across sources by the
+    Hamilton (largest-remainder) method — the deterministic integer
+    answer to "give me exactly N sample slots split fairly by corpus
+    share" (floor quotas always under-allocate; ranking the SCALED
+    remainders ``budget*n_src - floor*N`` hands out the shortfall one
+    slot at a time, ties broken by source name). Every quantity is an
+    exact integer; windows run over source rows (≤ dozens)."""
+    t = load_tables(spark, sf_dir, "documents")
+    src = t["documents"].groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wt = Window.partitionBy()
+    q = (
+        src.withColumn("__total", F.sum("n_docs").over(wt))
+        .withColumn(
+            "__floor",
+            F.expr(f"({HAMILTON_BUDGET} * n_docs) div __total"),
+        )
+        .withColumn(
+            "__rem",
+            F.expr(
+                f"{HAMILTON_BUDGET} * n_docs - __floor * __total"
+            ),
+        )
+        .withColumn("__short", F.lit(HAMILTON_BUDGET) - F.sum("__floor").over(wt))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("__rem").desc(), "source")
+            ),
+        )
+    )
+    return q.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (
+            F.col("__floor")
+            + (F.col("__rk") <= F.col("__short")).cast("long")
+        ).cast("long").alias("quota"),
+    )
+
+
+_HAMILTON_SQL = rf"""
+WITH src AS (
+  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+),
+q AS (
+  SELECT source, n_docs,
+         (sum(n_docs) OVER ())::BIGINT AS total,
+         (({HAMILTON_BUDGET} * n_docs) // (sum(n_docs) OVER ()))::BIGINT
+           AS fl
+  FROM src
+),
+r AS (
+  SELECT source, n_docs, fl,
+         ({HAMILTON_BUDGET} * n_docs - fl * total)::BIGINT AS rem,
+         ({HAMILTON_BUDGET} - sum(fl) OVER ())::BIGINT AS short
+  FROM q
+)
+SELECT source, n_docs,
+       (fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                       <= short THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM r
+"""
+
+
 WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit_documents": encoding_audit_documents,
     "fano_dispersion_events": fano_dispersion_events,
     "decile_shift_events": decile_shift_events,
     "image_dhash_documents": image_dhash_documents,
     "image_dhash_near_pairs_documents": image_dhash_near_pairs_documents,
+    "did_estimator_events": did_estimator_events,
+    "allocation_hamilton_documents": allocation_hamilton_documents,
 }
 
 WAVE4_ORACLE_SQL: dict[str, str] = {
@@ -508,4 +682,6 @@ WAVE4_ORACLE_SQL: dict[str, str] = {
     "decile_shift_events": _DECILE_SHIFT_SQL,
     "image_dhash_documents": _image_dhash_sql(),
     "image_dhash_near_pairs_documents": _image_dhash_pairs_sql(),
+    "did_estimator_events": _DID_SQL,
+    "allocation_hamilton_documents": _HAMILTON_SQL,
 }

@@ -131,3 +131,50 @@ def test_image_dhash_format_invariance(spark):
     rows = image_dhash(synth_dhash_assets(ids, 18, 16)).collect()
     hashes = {(r["hash_hi"], r["hash_lo"]) for r in rows}
     assert len(hashes) == 1
+
+
+def test_hamilton_allocation_invariants(spark):
+    """Quotas sum EXACTLY to the budget and each source gets its floor
+    share or floor+1 (the largest-remainder guarantee)."""
+    from arcane_framework_spark.queries_wave4 import (
+        HAMILTON_BUDGET,
+        allocation_hamilton_documents,
+    )
+
+    rows = allocation_hamilton_documents(spark, SF_DIR).collect()
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert sum(r["quota"] for r in rows) == HAMILTON_BUDGET
+    for r in rows:
+        fl = (HAMILTON_BUDGET * r["n_docs"]) // total_docs
+        assert r["quota"] in (fl, fl + 1), r["source"]
+
+
+def test_did_cells_match_bruteforce(spark):
+    """The four DiD cell means equal a direct pandas recompute."""
+    from arcane_framework_spark.queries_wave4 import did_estimator_events
+
+    rows = {r["event_type"]: r for r in
+            did_estimator_events(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "event_type",
+        "user_id % 2 AS treated",
+        "unix_micros(cast(ts as timestamp)) AS ts_us",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    ).collect()
+    mn = min(r["ts_us"] for r in ev)
+    mx = max(r["ts_us"] for r in ev)
+    for et, r in rows.items():
+        cells = {}
+        for x in ev:
+            if x["event_type"] != et:
+                continue
+            key = (x["treated"], 1 if x["ts_us"] * 2 > mn + mx else 0)
+            n, s = cells.get(key, (0, 0))
+            cells[key] = (n + 1, s + x["cents"])
+        want = {
+            k: round(s / n / 100.0, 6) for k, (n, s) in cells.items()
+        }
+        assert r["treated_pre"] == want[(1, 0)], et
+        assert r["treated_post"] == want[(1, 1)], et
+        assert r["control_pre"] == want[(0, 0)], et
+        assert r["control_post"] == want[(0, 1)], et
