@@ -666,6 +666,114 @@ FROM r
 """
 
 
+#: Shard-rebalance audit: shard counts before/after adding one shard.
+SHARDS_BEFORE = 32
+SHARDS_AFTER = 33
+
+
+def shard_rebalance_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """How much data moves when the cluster grows from 32 to 33 shards,
+    under (a) mod-hashing and (b) HRW/rendezvous (highest-random-weight)
+    consistent hashing — the operational question behind every
+    repartition/resharding plan at 100 TB. Mod moves ~(1 - 1/33) ≈ 97%
+    of rows; HRW provably moves only the ~1/33 that land on the new
+    shard. Both use the repo's engine-identical md5→int idiom; the HRW
+    argmax is a max(struct(weight, shard)) — deterministic (md5 ties
+    are impossible in practice and break by shard id), one aggregate
+    over an exploded doc×33 weight table. Output: 2 strategy rows with
+    exact moved counts and integer-ppm moved rates."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id")
+    hid = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT)"
+    )
+    mod = docs.select(
+        (
+            (hid % SHARDS_BEFORE)
+            != (hid % SHARDS_AFTER)
+        ).cast("long").alias("moved")
+    ).agg(
+        F.lit("mod").alias("strategy"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("moved").cast("long").alias("n_moved"),
+        F.expr("CAST((sum(moved) * 1000000) div count(1) AS BIGINT)")
+        .alias("moved_ppm"),
+    )
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SHARDS_AFTER - 1))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "s",
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',"
+            " CAST(s AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("wt"),
+    )
+    picks = w.groupBy("doc_id").agg(
+        F.max(
+            F.when(
+                F.col("s") < SHARDS_BEFORE,
+                F.struct(F.col("wt"), F.col("s")),
+            )
+        )["s"].alias("s_before"),
+        F.max(F.struct(F.col("wt"), F.col("s")))["s"].alias("s_after"),
+    )
+    hrw = picks.select(
+        (F.col("s_before") != F.col("s_after")).cast("long").alias("moved")
+    ).agg(
+        F.lit("hrw").alias("strategy"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("moved").cast("long").alias("n_moved"),
+        F.expr("CAST((sum(moved) * 1000000) div count(1) AS BIGINT)")
+        .alias("moved_ppm"),
+    )
+    return mod.unionByName(hrw)
+
+
+_SHARD_REBALANCE_SQL = rf"""
+WITH ids AS (SELECT doc_id FROM documents),
+modv AS (
+  SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {SHARDS_BEFORE}
+              <> ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {SHARDS_AFTER}
+         THEN 1 ELSE 0 END AS moved
+  FROM ids
+),
+w AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 8)
+         )::BIGINT AS wt
+  FROM ids CROSS JOIN
+       (SELECT unnest(generate_series(0, {SHARDS_AFTER - 1})) AS s)
+),
+picks AS (
+  SELECT doc_id,
+         (max(CASE WHEN s < {SHARDS_BEFORE}
+                   THEN struct_pack(wt := wt, s := s) END)).s AS s_before,
+         (max(struct_pack(wt := wt, s := s))).s AS s_after
+  FROM (SELECT doc_id, s, wt FROM w) GROUP BY doc_id
+),
+hrw AS (
+  SELECT CASE WHEN s_before <> s_after THEN 1 ELSE 0 END AS moved
+  FROM picks
+)
+SELECT 'mod' AS strategy, count(*)::BIGINT AS n_docs,
+       sum(moved)::BIGINT AS n_moved,
+       ((sum(moved) * 1000000) // count(*))::BIGINT AS moved_ppm
+FROM modv
+UNION ALL
+SELECT 'hrw', count(*)::BIGINT, sum(moved)::BIGINT,
+       ((sum(moved) * 1000000) // count(*))::BIGINT
+FROM hrw
+"""
+
+
 WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit_documents": encoding_audit_documents,
     "fano_dispersion_events": fano_dispersion_events,
@@ -674,6 +782,7 @@ WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dhash_near_pairs_documents": image_dhash_near_pairs_documents,
     "did_estimator_events": did_estimator_events,
     "allocation_hamilton_documents": allocation_hamilton_documents,
+    "shard_rebalance_documents": shard_rebalance_documents,
 }
 
 WAVE4_ORACLE_SQL: dict[str, str] = {
@@ -684,4 +793,5 @@ WAVE4_ORACLE_SQL: dict[str, str] = {
     "image_dhash_near_pairs_documents": _image_dhash_pairs_sql(),
     "did_estimator_events": _DID_SQL,
     "allocation_hamilton_documents": _HAMILTON_SQL,
+    "shard_rebalance_documents": _SHARD_REBALANCE_SQL,
 }

@@ -178,3 +178,18 @@ def test_did_cells_match_bruteforce(spark):
         assert r["treated_post"] == want[(1, 1)], et
         assert r["control_pre"] == want[(0, 0)], et
         assert r["control_post"] == want[(0, 1)], et
+
+
+def test_shard_rebalance_expectations(spark):
+    """HRW must move roughly 1/33 of docs; mod-hash must move the vast
+    majority — the whole point of consistent hashing."""
+    from arcane_framework_spark.queries_wave4 import (
+        shard_rebalance_documents,
+    )
+
+    rows = {r["strategy"]: r for r in
+            shard_rebalance_documents(spark, SF_DIR).collect()}
+    assert rows["mod"]["moved_ppm"] > 900_000
+    assert rows["hrw"]["moved_ppm"] < 100_000
+    assert rows["hrw"]["n_moved"] > 0
+    assert rows["mod"]["n_docs"] == rows["hrw"]["n_docs"]
