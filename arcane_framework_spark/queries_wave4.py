@@ -774,6 +774,127 @@ FROM hrw
 """
 
 
+#: Vocab shift: minimum combined term count and how many risers/fallers
+#: to report.
+VOCAB_SHIFT_MIN_COUNT = 20
+VOCAB_SHIFT_TOP = 20
+
+
+def vocab_shift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which WORDS drove the drift between two corpus halves (doc-id
+    split — the "old crawl vs new crawl" question after the corpus-level
+    diff fires). Per-term add-one-smoothed rate ratio, log-free (libm is
+    not cross-engine): each half's term rate goes to exact NANO units by
+    integer division (``(c+1)*1e9 div (T+V)``), the ratio to micro units
+    by a second integer division — two deterministic truncations, same
+    on both engines, monotone in the true odds ratio. Top risers and
+    fallers by the integer score (ties by term); rank windows run over
+    the filtered term-TYPE table."""
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.operators.text import tokens_expr
+
+    t = load_tables(spark, sf_dir, "documents")
+    toks = (
+        t["documents"]
+        .select(
+            (F.col("doc_id") % 2).alias("half"),
+            F.explode(tokens_expr("text")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.lit(1) - F.col("half")).alias("c0"),
+        F.sum("half").alias("c1"),
+    )
+    tot = counts.agg(
+        F.sum("c0").alias("__t0"),
+        F.sum("c1").alias("__t1"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    scored = (
+        with_broadcast_scalar(
+            counts.filter(
+                F.col("c0") + F.col("c1") >= VOCAB_SHIFT_MIN_COUNT
+            ),
+            tot,
+        )
+        .withColumn(
+            "__r1",
+            F.expr("((c1 + 1) * 1000000000) div (__t1 + __v)"),
+        )
+        .withColumn(
+            "__r0",
+            F.expr("((c0 + 1) * 1000000000) div (__t0 + __v)"),
+        )
+        .withColumn(
+            "ratio_micro", F.expr("(__r1 * 1000000) div __r0")
+        )
+    )
+    w_up = Window.orderBy(F.col("ratio_micro").desc(), "term")
+    w_dn = Window.orderBy(F.col("ratio_micro").asc(), "term")
+    up = (
+        scored.withColumn("rank", F.row_number().over(w_up))
+        .filter(F.col("rank") <= VOCAB_SHIFT_TOP)
+        .withColumn("direction", F.lit("rising"))
+    )
+    dn = (
+        scored.withColumn("rank", F.row_number().over(w_dn))
+        .filter(F.col("rank") <= VOCAB_SHIFT_TOP)
+        .withColumn("direction", F.lit("falling"))
+    )
+    return up.unionByName(dn).select(
+        "direction",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        F.col("c0").cast("long").alias("n_old"),
+        F.col("c1").cast("long").alias("n_new"),
+        F.col("ratio_micro").cast("long").alias("ratio_micro"),
+    )
+
+
+def _vocab_shift_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id % 2 AS half,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term, sum(1 - half)::BIGINT AS c0, sum(half)::BIGINT AS c1
+  FROM toks WHERE term <> '' GROUP BY 1
+),
+tot AS (
+  SELECT sum(c0)::BIGINT AS t0, sum(c1)::BIGINT AS t1,
+         count(*)::BIGINT AS v
+  FROM counts
+),
+scored AS (
+  SELECT term, c0, c1,
+         ((((c1 + 1) * 1000000000) // (t1 + v)) * 1000000)
+           // (((c0 + 1) * 1000000000) // (t0 + v)) AS ratio_micro
+  FROM counts CROSS JOIN tot
+  WHERE c0 + c1 >= {VOCAB_SHIFT_MIN_COUNT}
+),
+up AS (
+  SELECT 'rising' AS direction,
+         row_number() OVER (ORDER BY ratio_micro DESC, term) AS rank,
+         term, c0, c1, ratio_micro
+  FROM scored
+),
+dn AS (
+  SELECT 'falling' AS direction,
+         row_number() OVER (ORDER BY ratio_micro ASC, term) AS rank,
+         term, c0, c1, ratio_micro
+  FROM scored
+)
+SELECT direction, rank::INT AS rank, term,
+       c0 AS n_old, c1 AS n_new, ratio_micro::BIGINT AS ratio_micro
+FROM (SELECT * FROM up WHERE rank <= {VOCAB_SHIFT_TOP}
+      UNION ALL
+      SELECT * FROM dn WHERE rank <= {VOCAB_SHIFT_TOP})
+"""
+
+
 WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit_documents": encoding_audit_documents,
     "fano_dispersion_events": fano_dispersion_events,
@@ -783,6 +904,7 @@ WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "did_estimator_events": did_estimator_events,
     "allocation_hamilton_documents": allocation_hamilton_documents,
     "shard_rebalance_documents": shard_rebalance_documents,
+    "vocab_shift_documents": vocab_shift_documents,
 }
 
 WAVE4_ORACLE_SQL: dict[str, str] = {
@@ -794,4 +916,5 @@ WAVE4_ORACLE_SQL: dict[str, str] = {
     "did_estimator_events": _DID_SQL,
     "allocation_hamilton_documents": _HAMILTON_SQL,
     "shard_rebalance_documents": _SHARD_REBALANCE_SQL,
+    "vocab_shift_documents": _vocab_shift_sql(),
 }
