@@ -1,6 +1,7 @@
-"""Round-8 wave-4 extension queries: data-hygiene and dispersion audits.
+"""Round-8 wave-4 extension queries: hygiene, dispersion, image
+near-dup, causal/allocation, and infra audits.
 
-Three operators with the repo's standard exact-oracle contract:
+Eight operators with the repo's standard exact-oracle contract:
 
 - ``encoding_audit_documents``: control-character / replacement-character
   / non-ASCII hygiene rates per source, over a corpus with DETERMINISTIC
@@ -12,6 +13,17 @@ Three operators with the repo's standard exact-oracle contract:
 - ``decile_shift_events``: per-decile boundary drift between the early
   and late time halves — the DIRECTION/magnitude profile that the KS
   entry's single max-gap statistic cannot show.
+- ``image_dhash_documents`` / ``image_dhash_near_pairs_documents``:
+  perceptual-hash bucketing of decoded image assets and the
+  Hamming-radius band join over DISTINCT hashes.
+- ``did_estimator_events``: difference-in-differences value lift from
+  exact integer-cent cell sums.
+- ``allocation_hamilton_documents``: largest-remainder sample-budget
+  allocation in pure integer arithmetic.
+- ``shard_rebalance_documents``: mod vs HRW/rendezvous resharding
+  movement audit (md5-derived weights, max(struct) argmax).
+- ``vocab_shift_documents``: word-level drift attribution via log-free
+  integer rate ratios.
 
 Cross-engine notes: regex classes use explicit ``\\xNN`` escapes (Java
 regex and RE2 agree on those); planted suffixes are built with chr() on

@@ -615,6 +615,31 @@ def main() -> None:
             "n_tok",
         )
     )
+    # dHash over 50k decoded images + the hash-level Hamming band join:
+    # decode is map-only (linear in bytes); the pair search must stay
+    # bounded by DISTINCT hashes (256 seeds), not images.
+    from arcane_framework_spark.operators.multimodal import (
+        image_dhash,
+        synth_dhash_assets,
+    )
+
+    dh_ids = docs.select(
+        "doc_id", (F.col("doc_id") % 256).alias("seed")
+    )
+    results["image_dhash_50k"] = timed(
+        lambda: image_dhash(synth_dhash_assets(dh_ids, 18, 16))
+    )
+    # encoding hygiene regexp scan over the 10x corpus: map-only.
+    results["encoding_audit"] = timed(
+        lambda: docs.select(
+            F.regexp_count(
+                "text", F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+            ).alias("n_ctrl"),
+            F.regexp_count("text", F.lit(r"[^\x00-\x7F]")).alias(
+                "n_na"
+            ),
+        ).groupBy().sum("n_ctrl", "n_na")
+    )
 
     # native streaming session windows over the 10x events: drain through
     # an actual readStream (availableNow) and report the session-window
