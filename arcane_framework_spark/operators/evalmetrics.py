@@ -374,3 +374,112 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+def youden_threshold(scored: DataFrame, score_col: str = "score",
+                     y_col: str = "y", group_col: str = "score_name",
+                     bands: int = AUC_BANDS) -> DataFrame:
+    """Optimal operating point per score function: the threshold
+    maximizing Youden's J = TPR - FPR (classify positive when score >=
+    threshold) — the deliverable practitioners actually set after
+    reading an AUC. The argmax key is the exact integer cross-multiply
+    ``tp*n_neg - fp*n_pos`` (J scaled by n_pos*n_neg — no division
+    before the argmax), candidate thresholds are the distinct STORED
+    scores, and the cumulative counts reuse the ROC two-level pattern
+    (local windows inside monotone score bands + broadcast band
+    offsets — no global row sort). Ties break toward the smallest
+    threshold. Returns per group: threshold, tp/fp/fn/tn, youden_j,
+    precision, recall (each ONE final division, floor(x*1e6+0.5)/1e6
+    tie-safe rounding)."""
+    from pyspark.sql import Window
+
+    y = F.col(y_col).cast("long")
+    g = scored.groupBy(group_col, score_col).agg(
+        F.sum(y).alias("n_pos"),
+        F.sum(F.lit(1) - y).alias("n_neg"),
+    )
+    rng = g.groupBy(group_col).agg(
+        F.min(score_col).alias("__mn"), F.max(score_col).alias("__mx")
+    )
+    s = F.col(score_col)
+    band = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(bands - 1),
+            F.floor(
+                (s - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+                * F.lit(float(bands))
+            ).cast("int"),
+        )
+    )
+    banded = (
+        g.join(F.broadcast(rng), group_col)
+        .withColumn("__band", band)
+        .drop("__mn", "__mx")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        banded.groupBy(group_col, "__band")
+        .agg(F.sum("n_pos").alias("__bp"), F.sum("n_neg").alias("__bn"))
+        .withColumn(
+            "__off_pos", F.coalesce(F.sum("__bp").over(w_off), F.lit(0))
+        )
+        .withColumn(
+            "__off_neg", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+        )
+        .select(group_col, "__band", "__off_pos", "__off_neg")
+    )
+    w_loc = (
+        Window.partitionBy(group_col, "__band")
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy(group_col)
+    cum = (
+        banded.join(F.broadcast(offs), [group_col, "__band"])
+        .withColumn(
+            "__cum_pos",
+            F.col("__off_pos")
+            + F.coalesce(F.sum("n_pos").over(w_loc), F.lit(0)),
+        )
+        .withColumn(
+            "__cum_neg",
+            F.col("__off_neg")
+            + F.coalesce(F.sum("n_neg").over(w_loc), F.lit(0)),
+        )
+        .withColumn("__tot_pos", F.sum("n_pos").over(wt))
+        .withColumn("__tot_neg", F.sum("n_neg").over(wt))
+    )
+    tp = F.col("__tot_pos") - F.col("__cum_pos")
+    fp = F.col("__tot_neg") - F.col("__cum_neg")
+    j = tp * F.col("__tot_neg") - fp * F.col("__tot_pos")
+    pick = Window.partitionBy(group_col).orderBy(
+        j.desc(), F.col(score_col).asc()
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+
+    return (
+        cum.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            group_col,
+            F.col(score_col).alias("threshold"),
+            tp.cast("long").alias("tp"),
+            fp.cast("long").alias("fp"),
+            (F.col("__tot_pos") - tp).cast("long").alias("fn"),
+            (F.col("__tot_neg") - fp).cast("long").alias("tn"),
+            r6(
+                j.cast("double")
+                / (F.col("__tot_pos") * F.col("__tot_neg")).cast("double")
+            ).alias("youden_j"),
+            r6(tp.cast("double") / (tp + fp).cast("double")).alias(
+                "precision"
+            ),
+            r6(tp.cast("double") / F.col("__tot_pos").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )

@@ -907,6 +907,102 @@ FROM (SELECT * FROM up WHERE rank <= {VOCAB_SHIFT_TOP}
 """
 
 
+def threshold_pick_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal classification threshold (max Youden's J) for the same
+    three deterministic embedding scorers the ROC-AUC entry evaluates —
+    the operating point a practitioner sets after reading the AUC.
+    Fully integer argmax (``tp*n_neg - fp*n_pos`` over distinct STORED
+    scores, ROC two-level cumulative pattern); see
+    operators/evalmetrics.py ``youden_threshold``."""
+    from arcane_framework_spark.operators.evalmetrics import (
+        youden_threshold,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    y = (F.col("label") % 2).cast("long").alias("y")
+    scored = t["embeddings"].select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("dim0").alias("score_name"),
+                    F.element_at("embedding", 1)
+                    .cast("double")
+                    .alias("score"),
+                ),
+                F.struct(
+                    F.lit("dim4").alias("score_name"),
+                    F.element_at("embedding", 5)
+                    .cast("double")
+                    .alias("score"),
+                ),
+                F.struct(
+                    F.lit("maxdim").alias("score_name"),
+                    F.array_max("embedding").cast("double").alias("score"),
+                ),
+            )
+        ).alias("sc"),
+        y,
+    ).select(
+        F.col("sc.score_name").alias("score_name"),
+        F.col("sc.score").alias("score"),
+        "y",
+    )
+    return youden_threshold(scored)
+
+
+_THRESHOLD_PICK_SQL = r"""
+WITH sc AS (
+  SELECT 'dim0' AS score_name, embedding[1]::DOUBLE AS score,
+         (label % 2)::BIGINT AS y FROM embeddings
+  UNION ALL
+  SELECT 'dim4', embedding[5]::DOUBLE, (label % 2)::BIGINT FROM embeddings
+  UNION ALL
+  SELECT 'maxdim', list_max(embedding)::DOUBLE, (label % 2)::BIGINT
+  FROM embeddings
+),
+g AS (
+  SELECT score_name, score, sum(y)::BIGINT AS n_pos,
+         sum(1 - y)::BIGINT AS n_neg
+  FROM sc GROUP BY 1, 2
+),
+cum AS (
+  SELECT *,
+         coalesce(sum(n_pos) OVER (
+             PARTITION BY score_name ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0
+         )::BIGINT AS cum_pos,
+         coalesce(sum(n_neg) OVER (
+             PARTITION BY score_name ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0
+         )::BIGINT AS cum_neg,
+         (sum(n_pos) OVER (PARTITION BY score_name))::BIGINT AS tot_pos,
+         (sum(n_neg) OVER (PARTITION BY score_name))::BIGINT AS tot_neg
+  FROM g
+),
+x AS (
+  SELECT score_name, score,
+         tot_pos - cum_pos AS tp, tot_neg - cum_neg AS fp,
+         tot_pos, tot_neg,
+         (tot_pos - cum_pos) * tot_neg
+           - (tot_neg - cum_neg) * tot_pos AS j
+  FROM cum
+)
+SELECT score_name, score AS threshold,
+       tp::BIGINT AS tp, fp::BIGINT AS fp,
+       (tot_pos - tp)::BIGINT AS fn, (tot_neg - fp)::BIGINT AS tn,
+       floor(j::DOUBLE / (tot_pos * tot_neg)::DOUBLE * 1e6 + 0.5) / 1e6
+         AS youden_j,
+       floor(tp::DOUBLE / (tp + fp)::DOUBLE * 1e6 + 0.5) / 1e6
+         AS precision,
+       floor(tp::DOUBLE / tot_pos::DOUBLE * 1e6 + 0.5) / 1e6 AS recall
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY score_name
+                               ORDER BY j DESC, score ASC) AS rn
+  FROM x
+) WHERE rn = 1
+"""
+
+
 WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit_documents": encoding_audit_documents,
     "fano_dispersion_events": fano_dispersion_events,
@@ -917,6 +1013,7 @@ WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "allocation_hamilton_documents": allocation_hamilton_documents,
     "shard_rebalance_documents": shard_rebalance_documents,
     "vocab_shift_documents": vocab_shift_documents,
+    "threshold_pick_embeddings": threshold_pick_embeddings,
 }
 
 WAVE4_ORACLE_SQL: dict[str, str] = {
@@ -929,4 +1026,5 @@ WAVE4_ORACLE_SQL: dict[str, str] = {
     "allocation_hamilton_documents": _HAMILTON_SQL,
     "shard_rebalance_documents": _SHARD_REBALANCE_SQL,
     "vocab_shift_documents": _vocab_shift_sql(),
+    "threshold_pick_embeddings": _THRESHOLD_PICK_SQL,
 }

@@ -193,3 +193,35 @@ def test_shard_rebalance_expectations(spark):
     assert rows["hrw"]["moved_ppm"] < 100_000
     assert rows["hrw"]["n_moved"] > 0
     assert rows["mod"]["n_docs"] == rows["hrw"]["n_docs"]
+
+
+def test_youden_threshold_matches_bruteforce(spark):
+    """The picked threshold attains the true max of TPR-FPR over all
+    candidate thresholds, computed by brute force."""
+    from arcane_framework_spark.queries_wave4 import (
+        threshold_pick_embeddings,
+    )
+
+    rows = {r["score_name"]: r for r in
+            threshold_pick_embeddings(spark, SF_DIR).collect()}
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").selectExpr(
+        "element_at(embedding, 1) AS dim0",
+        "element_at(embedding, 5) AS dim4",
+        "array_max(embedding) AS maxdim",
+        "CAST(label % 2 AS LONG) AS y",
+    ).collect()
+    for name in ("dim0", "dim4", "maxdim"):
+        pts = [(float(r[name]), r["y"]) for r in emb]
+        n_pos = sum(y for _, y in pts)
+        n_neg = len(pts) - n_pos
+        best = None
+        for t in sorted({s for s, _ in pts}):
+            tp = sum(y for s, y in pts if s >= t)
+            fp = sum(1 - y for s, y in pts if s >= t)
+            j = tp * n_neg - fp * n_pos
+            if best is None or j > best[0] or (j == best[0] and t < best[1]):
+                best = (j, t, tp, fp)
+        r = rows[name]
+        assert r["threshold"] == best[1], name
+        assert (r["tp"], r["fp"]) == (best[2], best[3]), name
+        assert r["fn"] == n_pos - best[2] and r["tn"] == n_neg - best[3]
