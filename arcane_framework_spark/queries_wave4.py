@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from arcane_framework_spark.session import load_tables, ts_micros
 
 _HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
 
 #: Planted dirty-doc id offsets (distinct from the near-dup families'
 #: 100k/300k/400k and the edit family's offsets).
@@ -1003,6 +1004,166 @@ FROM (
 """
 
 
+def trend_break_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single trend breakpoint per event type: the day that splits
+    the daily-volume series into two OLS segments with minimal total
+    SSE — "when did the growth REGIME change, and from what slope to
+    what" (CUSUM sees mean shifts; this sees slope shifts). Candidate
+    breakpoints are the per-type daily rows (metadata scale); each
+    candidate's left/right segment moments come from inclusive integer
+    prefix sums (one value-ordered window per type), and the segment
+    SSEs are the identical IEEE-double expression on both engines
+    ``Syy - Sy^2/n - (n*Sxy - Sx*Sy)^2 / (n*(n*Sxx - Sx^2))`` over
+    int64-exact moments. The argmin key is the double total SSE with a
+    deterministic day tie-break; slopes are one division each."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type", ts_micros(t["events"]).alias("ts_us")
+    )
+    daily = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = Window.partitionBy("event_type")
+    xy = daily.withColumn("x", F.col("day") - F.min("day").over(wt))
+    w = Window.partitionBy("event_type").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        xy.withColumn("cn", F.count(F.lit(1)).over(w))
+        .withColumn("csx", F.sum("x").over(w))
+        .withColumn("csy", F.sum("y").over(w))
+        .withColumn("csxy", F.sum(F.col("x") * F.col("y")).over(w))
+        .withColumn("csxx", F.sum(F.col("x") * F.col("x")).over(w))
+        .withColumn("csyy", F.sum(F.col("y") * F.col("y")).over(w))
+        .withColumn("tn", F.count(F.lit(1)).over(wt))
+        .withColumn("tsx", F.sum("x").over(wt))
+        .withColumn("tsy", F.sum("y").over(wt))
+        .withColumn("tsxy", F.sum(F.col("x") * F.col("y")).over(wt))
+        .withColumn("tsxx", F.sum(F.col("x") * F.col("x")).over(wt))
+        .withColumn("tsyy", F.sum(F.col("y") * F.col("y")).over(wt))
+    )
+
+    def sse(n, sx, sy, sxy, sxx, syy):
+        n_d = n.cast("double")
+        num = (n * sxy - sx * sy).cast("double")
+        den = (n * (n * sxx - sx * sx)).cast("double")
+        return (
+            syy.cast("double")
+            - (sy.cast("double") * sy.cast("double")) / n_d
+            - (num * num) / den
+        )
+
+    L = sse(F.col("cn"), F.col("csx"), F.col("csy"), F.col("csxy"),
+            F.col("csxx"), F.col("csyy"))
+    rn_ = F.col("tn") - F.col("cn")
+    R = sse(rn_, F.col("tsx") - F.col("csx"), F.col("tsy") - F.col("csy"),
+            F.col("tsxy") - F.col("csxy"), F.col("tsxx") - F.col("csxx"),
+            F.col("tsyy") - F.col("csyy"))
+    single = sse(F.col("tn"), F.col("tsx"), F.col("tsy"), F.col("tsxy"),
+                 F.col("tsxx"), F.col("tsyy"))
+    slope = lambda n, sx, sy, sxy, sxx: F.round(  # noqa: E731
+        (n * sxy - sx * sy).cast("double")
+        / F.nullif(n * sxx - sx * sx, F.lit(0)).cast("double"),
+        6,
+    )
+    cand = (
+        cum.filter((F.col("cn") >= 2) & (F.col("tn") - F.col("cn") >= 2))
+        .withColumn("__sse2", L + R)
+        .withColumn("__sse1", single)
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("__sse2").asc(), F.col("day").asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            (F.col("day") * _DAY_US).alias("break_day_us"),
+            F.col("tn").cast("long").alias("n_days"),
+            F.round(F.col("__sse1"), 6).alias("sse_single"),
+            F.round(F.col("__sse2"), 6).alias("sse_two_segment"),
+            F.floor(
+                (F.lit(1.0) - F.col("__sse2") / F.col("__sse1"))
+                * F.lit(1_000_000.0)
+            ).cast("long").alias("improvement_ppm"),
+            slope(F.col("cn"), F.col("csx"), F.col("csy"),
+                  F.col("csxy"), F.col("csxx")).alias("slope_left"),
+            slope(rn_, F.col("tsx") - F.col("csx"),
+                  F.col("tsy") - F.col("csy"),
+                  F.col("tsxy") - F.col("csxy"),
+                  F.col("tsxx") - F.col("csxx")).alias("slope_right"),
+        )
+    )
+
+
+_TREND_BREAK_SQL = rf"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+xy AS (
+  SELECT event_type, day, y,
+         day - min(day) OVER (PARTITION BY event_type) AS x
+  FROM daily
+),
+cum AS (
+  SELECT event_type, day,
+         (count(*) OVER wc)::BIGINT AS cn,
+         (sum(x) OVER wc)::BIGINT AS csx,
+         (sum(y) OVER wc)::BIGINT AS csy,
+         (sum(x*y) OVER wc)::BIGINT AS csxy,
+         (sum(x*x) OVER wc)::BIGINT AS csxx,
+         (sum(y*y) OVER wc)::BIGINT AS csyy,
+         (count(*) OVER wt)::BIGINT AS tn,
+         (sum(x) OVER wt)::BIGINT AS tsx,
+         (sum(y) OVER wt)::BIGINT AS tsy,
+         (sum(x*y) OVER wt)::BIGINT AS tsxy,
+         (sum(x*x) OVER wt)::BIGINT AS tsxx,
+         (sum(y*y) OVER wt)::BIGINT AS tsyy
+  FROM xy
+  WINDOW wc AS (PARTITION BY event_type ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (PARTITION BY event_type)
+),
+cand AS (
+  SELECT *,
+         (csyy::DOUBLE - (csy::DOUBLE * csy::DOUBLE) / cn::DOUBLE
+          - ((cn*csxy - csx*csy)::DOUBLE * (cn*csxy - csx*csy)::DOUBLE)
+            / ((cn * (cn*csxx - csx*csx))::DOUBLE))
+         +
+         ((tsyy-csyy)::DOUBLE
+          - ((tsy-csy)::DOUBLE * (tsy-csy)::DOUBLE) / (tn-cn)::DOUBLE
+          - (((tn-cn)*(tsxy-csxy) - (tsx-csx)*(tsy-csy))::DOUBLE
+             * ((tn-cn)*(tsxy-csxy) - (tsx-csx)*(tsy-csy))::DOUBLE)
+            / (((tn-cn) * ((tn-cn)*(tsxx-csxx)
+                           - (tsx-csx)*(tsx-csx)))::DOUBLE)
+         ) AS sse2,
+         (tsyy::DOUBLE - (tsy::DOUBLE * tsy::DOUBLE) / tn::DOUBLE
+          - ((tn*tsxy - tsx*tsy)::DOUBLE * (tn*tsxy - tsx*tsy)::DOUBLE)
+            / ((tn * (tn*tsxx - tsx*tsx))::DOUBLE)) AS sse1
+  FROM cum
+  WHERE cn >= 2 AND tn - cn >= 2
+)
+SELECT event_type, day * {_DAY_US} AS break_day_us, tn AS n_days,
+       round(sse1, 6) AS sse_single,
+       round(sse2, 6) AS sse_two_segment,
+       CAST(floor((1.0 - sse2 / sse1) * 1000000.0) AS BIGINT)
+         AS improvement_ppm,
+       round((cn*csxy - csx*csy)::DOUBLE
+             / nullif(cn*csxx - csx*csx, 0)::DOUBLE, 6) AS slope_left,
+       round(((tn-cn)*(tsxy-csxy) - (tsx-csx)*(tsy-csy))::DOUBLE
+             / nullif((tn-cn)*(tsxx-csxx) - (tsx-csx)*(tsx-csx),
+                      0)::DOUBLE, 6) AS slope_right
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY sse2 ASC, day ASC) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
 WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit_documents": encoding_audit_documents,
     "fano_dispersion_events": fano_dispersion_events,
@@ -1014,6 +1175,7 @@ WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_rebalance_documents": shard_rebalance_documents,
     "vocab_shift_documents": vocab_shift_documents,
     "threshold_pick_embeddings": threshold_pick_embeddings,
+    "trend_break_events": trend_break_events,
 }
 
 WAVE4_ORACLE_SQL: dict[str, str] = {
@@ -1027,4 +1189,5 @@ WAVE4_ORACLE_SQL: dict[str, str] = {
     "shard_rebalance_documents": _SHARD_REBALANCE_SQL,
     "vocab_shift_documents": _vocab_shift_sql(),
     "threshold_pick_embeddings": _THRESHOLD_PICK_SQL,
+    "trend_break_events": _TREND_BREAK_SQL,
 }

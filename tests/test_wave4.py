@@ -225,3 +225,27 @@ def test_youden_threshold_matches_bruteforce(spark):
         assert r["threshold"] == best[1], name
         assert (r["tp"], r["fp"]) == (best[2], best[3]), name
         assert r["fn"] == n_pos - best[2] and r["tn"] == n_neg - best[3]
+
+
+def test_trend_break_invariants(spark):
+    """Two segments can never fit worse than one; the breakpoint is an
+    observed day; both slopes are finite."""
+    from arcane_framework_spark.queries_wave4 import trend_break_events
+
+    rows = trend_break_events(spark, SF_DIR).collect()
+    assert rows
+    days = {
+        (r["event_type"], r["day"])
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "unix_micros(cast(ts as timestamp)) div 86400000000 AS day",
+        )
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r["sse_two_segment"] <= r["sse_single"] + 1e-6, r
+        assert r["improvement_ppm"] >= 0
+        assert (r["event_type"], r["break_day_us"] // 86_400_000_000) in days
+        assert r["slope_left"] is not None and r["slope_right"] is not None
