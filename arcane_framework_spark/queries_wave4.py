@@ -1164,6 +1164,91 @@ FROM (
 """
 
 
+#: Weekday-adjusted anomalies reported per type.
+WDAY_ANOM_TOP = 3
+
+
+def weekday_adjusted_anomaly_events(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted daily anomalies: the raw hourly-anomaly
+    entry flags every weekend as anomalous when traffic has a weekly
+    rhythm — this one subtracts each type's day-of-week mean first and
+    ranks days by the absolute RESIDUAL. The dow mean goes to exact
+    micro-units by integer division (deterministic), the residual
+    ``y*1e6 - mean_micro`` stays an exact integer, and the per-type
+    rank (|residual| desc, day asc) runs over daily rows — metadata
+    scale. Day-of-week is the calendar-free ``(epoch_day + 4) % 7``."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_type", ts_micros(t["events"]).alias("ts_us")
+    )
+    daily = ev.groupBy(
+        "event_type", F.expr(f"ts_us div {_DAY_US}").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    daily = daily.withColumn("dow", ((F.col("day") + 4) % 7))
+    wd = Window.partitionBy("event_type", "dow")
+    adj = (
+        daily.withColumn(
+            "mean_micro",
+            F.expr("(sum(y) OVER (PARTITION BY event_type, dow)"
+                   " * 1000000) div"
+                   " count(1) OVER (PARTITION BY event_type, dow)"),
+        )
+        .withColumn("n_dow_days", F.count(F.lit(1)).over(wd))
+        .withColumn(
+            "residual_micro",
+            F.col("y") * F.lit(1_000_000) - F.col("mean_micro"),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("residual_micro")).desc(), F.col("day").asc()
+    )
+    return (
+        adj.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") <= WDAY_ANOM_TOP)
+        .select(
+            "event_type",
+            F.col("__rn").cast("int").alias("rank"),
+            (F.col("day") * _DAY_US).alias("day_us"),
+            F.col("dow").cast("int").alias("dow"),
+            F.col("y").cast("long").alias("n_events"),
+            F.col("mean_micro").cast("long").alias("dow_mean_micro"),
+            F.col("residual_micro").cast("long").alias("residual_micro"),
+            F.col("n_dow_days").cast("long").alias("n_dow_days"),
+        )
+    )
+
+
+_WDAY_ANOM_SQL = rf"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+adj AS (
+  SELECT event_type, day, (day + 4) % 7 AS dow, y,
+         ((sum(y) OVER (PARTITION BY event_type, (day + 4) % 7)
+          ) * 1000000)
+           // (count(*) OVER (PARTITION BY event_type, (day + 4) % 7))
+           AS mean_micro,
+         (count(*) OVER (PARTITION BY event_type, (day + 4) % 7)
+         )::BIGINT AS n_dow_days
+  FROM daily
+)
+SELECT event_type, rn::INT AS rank, day * {_DAY_US} AS day_us,
+       dow::INT AS dow, y AS n_events,
+       mean_micro::BIGINT AS dow_mean_micro,
+       (y * 1000000 - mean_micro)::BIGINT AS residual_micro,
+       n_dow_days
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY abs(y * 1000000 - mean_micro) DESC, day ASC) AS rn
+  FROM adj
+) WHERE rn <= {WDAY_ANOM_TOP}
+"""
+
+
 WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit_documents": encoding_audit_documents,
     "fano_dispersion_events": fano_dispersion_events,
@@ -1176,6 +1261,7 @@ WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_shift_documents": vocab_shift_documents,
     "threshold_pick_embeddings": threshold_pick_embeddings,
     "trend_break_events": trend_break_events,
+    "weekday_adjusted_anomaly_events": weekday_adjusted_anomaly_events,
 }
 
 WAVE4_ORACLE_SQL: dict[str, str] = {
@@ -1190,4 +1276,5 @@ WAVE4_ORACLE_SQL: dict[str, str] = {
     "vocab_shift_documents": _vocab_shift_sql(),
     "threshold_pick_embeddings": _THRESHOLD_PICK_SQL,
     "trend_break_events": _TREND_BREAK_SQL,
+    "weekday_adjusted_anomaly_events": _WDAY_ANOM_SQL,
 }
