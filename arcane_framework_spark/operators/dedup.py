@@ -215,13 +215,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-duplicate pairs via MinHash-LSH, with exact Jaccard.
+def minhash_pair_counts(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """MinHash-LSH candidate pairs with the EXACT integer overlap counts
+    ``(id_a, id_b, na, nb, ni)`` — |A|, |B|, |A∩B| over distinct
+    shingles. The integer form is what threshold logic should consume
+    (``jaccard >= t`` ⟺ ``ni*10 >= t10*(na+nb-ni)``, no float boundary
+    ties); ``minhash_lsh_pairs`` derives the rounded Jaccard view.
 
     Pipeline: signature table (explode → codegen md5 → partial-agg min) →
-    band rows → bucket self-join → distinct pairs → exact shingle-Jaccard
-    verification. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    band rows → bucket self-join → distinct pairs → exact shingle
+    intersection sizes.
 
     The signature table is persisted for the duration of the job: it is
     consumed by both sides of the bucket self-join, and re-deriving it means
@@ -242,24 +246,34 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     sh = _with_tokens(df, text_col, id_col).select(
         "id", shingles_from_tokens(F.col("toks")).alias("shingles")
     ).transform(scoped_persist)
-    sized = (
+    return (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.size("sh_a").alias("__na"),
-            F.size("sh_b").alias("__nb"),
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("__ni"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("ni"),
         )
     )
-    # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are distinct).
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash-LSH, with exact Jaccard.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b — the rounded view of
+    ``minhash_pair_counts``; |A∪B| = |A|+|B|-|A∩B| (shingle arrays are
+    distinct).
+    """
+    sized = minhash_pair_counts(df, text_col, id_col)
     return sized.select(
         "id_a",
         "id_b",
         F.round(
-            F.col("__ni").cast("double")
-            / (F.col("__na") + F.col("__nb") - F.col("__ni")).cast("double"),
+            F.col("ni").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ni")).cast("double"),
             6,
         ).alias("jaccard"),
     )

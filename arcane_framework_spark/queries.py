@@ -675,7 +675,82 @@ def minhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
 
 
-def _minhash_sql() -> str:
+#: Jaccard thresholds swept by dedup_threshold_sweep_documents, in tenths.
+SWEEP_T10S = (5, 6, 7, 8, 9)
+
+
+def dedup_threshold_sweep_documents(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Near-dup rate as a function of the Jaccard threshold — the sweep
+    a data team reads before committing to a dedup cutoff (how many
+    pairs/docs does 0.7 merge that 0.9 would not?). One pass of the
+    MinHash-LSH candidate machinery (``minhash_pair_counts`` — shared
+    with the pairs entry, so bench prep substitution still applies to
+    its signature/shingle tables), then each threshold's survivors via
+    the EXACT integer test ``ni*10 >= t10*(na+nb-ni)`` — no float
+    boundary ties. Per threshold: surviving pairs and distinct docs
+    touched; the sweep fan-out is 5x of the candidate-pair table
+    (already output-scale), never of the corpus."""
+    from arcane_framework_spark.operators.dedup import minhash_pair_counts
+
+    sized = minhash_pair_counts(_planted_neardup_docs(spark, sf_dir))
+    sweep = (
+        sized.select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            "ni",
+            F.explode(
+                F.array(*[F.lit(t) for t in SWEEP_T10S])
+            ).alias("t10"),
+        )
+        .filter(
+            F.col("ni") * 10
+            >= F.col("t10") * (F.col("na") + F.col("nb") - F.col("ni"))
+        )
+    )
+    pairs = sweep.groupBy("t10").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    ids = sweep.select(
+        "t10", F.explode(F.array("id_a", "id_b")).alias("id")
+    )
+    docs = ids.groupBy("t10").agg(
+        F.countDistinct("id").cast("long").alias("n_docs")
+    )
+    return pairs.join(docs, "t10").select(
+        (F.col("t10") * 10).cast("int").alias("threshold_pct"),
+        "n_pairs",
+        "n_docs",
+    )
+
+
+def _sweep_sql() -> str:
+    t10s = ", ".join(str(t) for t in SWEEP_T10S)
+    return _minhash_sql(tail=rf"""
+,
+sweep AS (
+  SELECT t10, id_a, id_b
+  FROM sized CROSS JOIN (SELECT unnest([{t10s}]) AS t10)
+  WHERE ni * 10 >= t10 * (na + nb - ni)
+),
+p AS (SELECT t10, count(*)::BIGINT AS n_pairs FROM sweep GROUP BY 1),
+d AS (
+  SELECT t10, count(DISTINCT id)::BIGINT AS n_docs
+  FROM (SELECT t10, id_a AS id FROM sweep
+        UNION ALL SELECT t10, id_b FROM sweep)
+  GROUP BY 1
+)
+SELECT (t10 * 10)::INT AS threshold_pct, n_pairs, n_docs
+FROM p JOIN d USING (t10)""")
+
+
+def _minhash_sql(tail: str | None = None) -> str:
+    """DuckDB spelling of the MinHash-LSH pipeline; ``tail`` swaps the
+    final SELECT over the ``sized`` CTE (id_a, id_b, na, nb, ni) so the
+    threshold-sweep oracle composes the same machinery (the
+    bm25_core_sql / query-likelihood tail pattern)."""
     from arcane_framework_spark.operators.dedup import (
         MINHASH_A,
         MINHASH_B,
@@ -752,9 +827,10 @@ sized AS (
   JOIN sh sa ON sa.doc_id = id_a
   JOIN sh sb ON sb.doc_id = id_b
 )
+{tail if tail is not None else '''
 SELECT id_a, id_b,
        round(ni::DOUBLE / (na + nb - ni)::DOUBLE, 6) AS jaccard
-FROM sized
+FROM sized'''}
 """
 
 
@@ -1687,6 +1763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_datacard_documents": corpus_datacard_documents,
     "dedup_exact_documents": dedup_exact_documents,
     "minhash_pairs_documents": minhash_pairs_documents,
+    "dedup_threshold_sweep_documents": dedup_threshold_sweep_documents,
     "leakage_guarded_split_documents": leakage_guarded_split_documents,
     "incremental_dedup_documents": incremental_dedup_documents,
     "incremental_dedup_disk_documents": incremental_dedup_disk_documents,
@@ -1725,6 +1802,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_datacard_documents": _DATACARD_SQL,
     "dedup_exact_documents": _DEDUP_EXACT_SQL,
     "minhash_pairs_documents": _minhash_sql(),
+    "dedup_threshold_sweep_documents": _sweep_sql(),
     "leakage_guarded_split_documents": _leakage_split_sql(),
     "incremental_dedup_documents": _incremental_dedup_sql(),
     # the storage twin shares the in-memory path's oracle VERBATIM —
