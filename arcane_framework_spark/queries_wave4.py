@@ -1249,6 +1249,130 @@ FROM (
 """
 
 
+def price_reconciliation_orders(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Cross-table arithmetic reconciliation: does each order's stored
+    total equal the recomputed ``sum(extendedprice*(1+tax)*(1-discount))``
+    over its line items — the classic finance-pipeline consistency gate
+    (and on THIS synthetic corpus it fires: the generator does not
+    maintain the TPC-H invariant, which is exactly what the audit is
+    for). Per-lineitem amounts fix to integer cents ONCE (one IEEE
+    product + floor per row — order-independent integer sums), the
+    stored total likewise; per-priority summary reports mismatch counts
+    and exact absolute-difference cents. One co-partitioned aggregate +
+    one join."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"),
+        F.expr(
+            "CAST(floor(l_extendedprice * (1 + l_tax) * (1 - l_discount)"
+            " * 100 + 0.5) AS BIGINT)"
+        ).alias("cents"),
+    )
+    calc = li.groupBy("okey").agg(F.sum("cents").alias("calc_cents"))
+    od = t["orders"].select(
+        F.col("o_orderkey").alias("okey"),
+        "o_orderpriority",
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        ).alias("stored_cents"),
+    )
+    j = od.join(calc, "okey").withColumn(
+        "diff", F.abs(F.col("stored_cents") - F.col("calc_cents"))
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum((F.col("diff") > 0).cast("long"))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.sum("diff").cast("long").alias("sum_abs_diff_cents"),
+        F.max("diff").cast("long").alias("max_abs_diff_cents"),
+    )
+
+
+_PRICE_RECON_SQL = r"""
+WITH calc AS (
+  SELECT l_orderkey AS okey,
+         sum(CAST(floor(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                        * 100 + 0.5) AS BIGINT))::BIGINT AS calc_cents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o_orderpriority,
+         abs(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             - calc_cents) AS diff
+  FROM orders JOIN calc ON o_orderkey = okey
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)::BIGINT AS n_mismatched,
+       sum(diff)::BIGINT AS sum_abs_diff_cents,
+       max(diff)::BIGINT AS max_abs_diff_cents
+FROM j GROUP BY 1
+"""
+
+
+def date_gaps_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness calendar: per month, how many calendar days
+    have NO orders — the "did ingestion skip days" audit run before any
+    time-series computation trusts the data. Distinct order dates per
+    (year, month) vs the month's calendar length (``last_day`` — pure
+    calendar arithmetic, locale-free on both engines); the first and
+    last observed months are flagged partial (their gaps are expected).
+    Output is month-cardinality."""
+    t = load_tables(spark, sf_dir, "orders")
+    d = t["orders"].select(F.col("o_orderdate").alias("dt"))
+    bym = d.groupBy(
+        F.year("dt").alias("y"), F.month("dt").alias("m")
+    ).agg(
+        F.countDistinct("dt").cast("long").alias("days_observed"),
+        F.dayofmonth(F.last_day(F.min("dt"))).cast("long").alias(
+            "days_in_month"
+        ),
+    )
+    wt = Window.partitionBy()
+    flagged = (
+        bym.withColumn(
+            "__ym", F.col("y") * 100 + F.col("m")
+        )
+        .withColumn("__mn", F.min("__ym").over(wt))
+        .withColumn("__mx", F.max("__ym").over(wt))
+    )
+    return flagged.select(
+        F.col("y").cast("int").alias("year"),
+        F.col("m").cast("int").alias("month"),
+        "days_observed",
+        "days_in_month",
+        (F.col("days_in_month") - F.col("days_observed"))
+        .cast("long")
+        .alias("missing_days"),
+        (
+            (F.col("__ym") == F.col("__mn"))
+            | (F.col("__ym") == F.col("__mx"))
+        ).cast("int").alias("is_partial_month"),
+    )
+
+
+_DATE_GAPS_SQL = r"""
+WITH bym AS (
+  SELECT year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+         count(DISTINCT o_orderdate)::BIGINT AS days_observed,
+         day(last_day(min(o_orderdate)))::BIGINT AS days_in_month
+  FROM orders GROUP BY 1, 2
+),
+f AS (
+  SELECT *, y * 100 + m AS ym,
+         min(y * 100 + m) OVER () AS mn,
+         max(y * 100 + m) OVER () AS mx
+  FROM bym
+)
+SELECT y AS year, m AS month, days_observed, days_in_month,
+       (days_in_month - days_observed)::BIGINT AS missing_days,
+       (CASE WHEN ym = mn OR ym = mx THEN 1 ELSE 0 END)::INT
+         AS is_partial_month
+FROM f
+"""
+
+
 WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encoding_audit_documents": encoding_audit_documents,
     "fano_dispersion_events": fano_dispersion_events,
@@ -1262,6 +1386,8 @@ WAVE4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "threshold_pick_embeddings": threshold_pick_embeddings,
     "trend_break_events": trend_break_events,
     "weekday_adjusted_anomaly_events": weekday_adjusted_anomaly_events,
+    "price_reconciliation_orders": price_reconciliation_orders,
+    "date_gaps_orders": date_gaps_orders,
 }
 
 WAVE4_ORACLE_SQL: dict[str, str] = {
@@ -1277,4 +1403,6 @@ WAVE4_ORACLE_SQL: dict[str, str] = {
     "threshold_pick_embeddings": _THRESHOLD_PICK_SQL,
     "trend_break_events": _TREND_BREAK_SQL,
     "weekday_adjusted_anomaly_events": _WDAY_ANOM_SQL,
+    "price_reconciliation_orders": _PRICE_RECON_SQL,
+    "date_gaps_orders": _DATE_GAPS_SQL,
 }
