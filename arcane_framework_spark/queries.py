@@ -473,6 +473,47 @@ FROM ranked
 """
 
 
+def lang_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs stored label with
+    per-true-language recall in exact micro-units — the eval artifact
+    behind "which languages does the heuristic confuse, and how often".
+    Wraps the same ``with_language`` expression the per-doc entry uses
+    (and the identical oracle SQL via a GROUP BY tail), one hash
+    aggregate to |langs|² cells; row totals by a cell-scale window."""
+    from pyspark.sql import Window
+
+    cells = (
+        with_language(load_tables(spark, sf_dir, "documents")["documents"])
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST((n * 1000000) div (sum(n) OVER"
+            " (PARTITION BY lang)) AS BIGINT)"
+        ).alias("rate_ppm"),
+        F.sum("n").over(wr).cast("long").alias("n_true_lang"),
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH percell AS (
+  SELECT lang, lang_pred, count(*)::BIGINT AS n
+  FROM ({_lang_id_sql()}) GROUP BY 1, 2
+)
+SELECT lang, lang_pred, n AS n_docs,
+       ((n * 1000000) // (sum(n) OVER (PARTITION BY lang)))::BIGINT
+         AS rate_ppm,
+       (sum(n) OVER (PARTITION BY lang))::BIGINT AS n_true_lang
+FROM percell
+"""
+
+
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per source."""
     t = load_tables(spark, sf_dir, "documents")
@@ -1758,6 +1799,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_delta_join_customer": cdc_delta_join_customer,
     "text_stats_documents": text_stats_documents,
     "lang_id_documents": lang_id_documents,
+    "lang_confusion_documents": lang_confusion_documents,
     "token_count_by_source": token_count_by_source,
     "fingerprint_documents": fingerprint_documents,
     "corpus_datacard_documents": corpus_datacard_documents,
@@ -1797,6 +1839,7 @@ ORACLE_SQL: dict[str, str] = {
     "cdc_delta_join_customer": _CDC_DELTA_JOIN_SQL,
     "text_stats_documents": _TEXT_STATS_SQL,
     "lang_id_documents": _lang_id_sql(),
+    "lang_confusion_documents": _lang_confusion_sql(),
     "token_count_by_source": _TOKEN_COUNT_SQL,
     "fingerprint_documents": _FINGERPRINT_SQL,
     "corpus_datacard_documents": _DATACARD_SQL,
