@@ -171,12 +171,17 @@ def rolling_active_users(events: DataFrame, ts_us_col: str = "ts_us",
         F.countDistinct("__u").cast("long").alias("wau")
     )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    return wau.join(dau, wau["wd"] == dau["day"]).select(
+    # LEFT join: a calendar day with WAU>0 but zero events that day (gap
+    # day) must surface as dau=0 / stickiness=0.0, not silently vanish
+    # from the engagement series.
+    return wau.join(dau, wau["wd"] == dau["day"], "left").select(
         (F.col("wd") * day_us).alias("day_us"),
-        "dau",
+        F.coalesce(F.col("dau"), F.lit(0).cast("long")).alias("dau"),
         "wau",
         F.round(
-            F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+            / F.col("wau").cast("double"),
+            6,
         ).alias("stickiness"),
     )
 

@@ -90,9 +90,9 @@ wau AS (
   SELECT wd, count(DISTINCT user_id)::BIGINT AS wau FROM fan GROUP BY 1
 ),
 dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1)
-SELECT wd * {_DAY_US} AS day_us, dau, wau,
-       round(dau::DOUBLE / wau::DOUBLE, 6) AS stickiness
-FROM wau JOIN dau ON wd = day
+SELECT wd * {_DAY_US} AS day_us, coalesce(dau, 0)::BIGINT AS dau, wau,
+       round(coalesce(dau, 0)::DOUBLE / wau::DOUBLE, 6) AS stickiness
+FROM wau LEFT JOIN dau ON wd = day
 """
 
 
@@ -265,11 +265,16 @@ def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the square/divide in IEEE doubles (deterministic). Window totals
     run over 9 digit rows — metadata scale."""
     t = load_tables(spark, sf_dir, "orders")
+    # cents > 0 guard: a zero/negative total would yield digit 0 (or a
+    # NULL cast from '-'), and element_at(array, 0) throws in Spark while
+    # the DuckDB CASE just returns NULL — filter before digit extraction
+    # in BOTH engines so behavior matches if the generator ever emits
+    # non-positive totals.
     cents = t["orders"].select(
         F.expr(
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
         ).alias("cents")
-    )
+    ).filter(F.col("cents") > 0)
     dig = cents.select(
         F.substring(F.col("cents").cast("string"), 1, 1)
         .cast("int")
@@ -309,6 +314,7 @@ def _benford_sql() -> str:
 WITH cents AS (
   SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders
+  WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0
 ),
 dig AS (SELECT substr(cents::VARCHAR, 1, 1)::INT AS digit FROM cents),
 obs AS (

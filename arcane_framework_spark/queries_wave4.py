@@ -411,12 +411,16 @@ def image_dhash_near_pairs_documents(spark: SparkSession,
     DISTINCT hashes with multiplicities and reports ``n_pairs =
     n_a * n_b`` image pairs per hash pair. Each 64-bit hash splits into
     4 x 16-bit bands (integer shift/mask); a band match is the
-    candidate condition (any pair within Hamming <= 6 of 64 bits
-    matches >= 1 band when 3 bands are clean — here radius 6 over 4
-    bands guarantees recall for <= 3 flipped bands and the planted
-    brightness twins flip few bits); the verify is exact
-    ``bit_count(xor)`` integer arithmetic on both engines. Hamming 0
-    (identical) is excluded — that is the bucket table's job."""
+    candidate condition. Recall is GUARANTEED only when >= 1 band is
+    clean (pigeonhole: always true for <= 3 flipped bits; a Hamming
+    4..6 pair that spreads flips across all four bands, e.g. 2+2+1+1,
+    is silently missed) — so the radius-6 report is best-effort beyond
+    Hamming 3. The planted brightness twins flip few, clustered bits,
+    which is why they survive banding here; use 8 x 8-bit bands for
+    guaranteed recall up to Hamming 7 at 2x the candidate fan-out. The
+    verify is exact ``bit_count(xor)`` integer arithmetic on both
+    engines. Hamming 0 (identical) is excluded — that is the bucket
+    table's job."""
     h = _dhash_hashes(spark, sf_dir)
     hh = h.groupBy("hash_hi", "hash_lo").agg(
         F.count(F.lit(1)).alias("n")
@@ -802,7 +806,10 @@ def vocab_shift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a second integer division — two deterministic truncations, same
     on both engines, monotone in the true odds ratio. Top risers and
     fallers by the integer score (ties by term); rank windows run over
-    the filtered term-TYPE table."""
+    the filtered term-TYPE table.  Bound: the NANO rate truncates to 0
+    once a half's token total exceeds 1e9; the ratio divisor is
+    nullif-guarded so such terms yield NULL ratio_micro (identically in
+    both engines) rather than Spark-NULL / DuckDB-error divergence."""
     from arcane_framework_spark.operators.scale import with_broadcast_scalar
     from arcane_framework_spark.operators.text import tokens_expr
 
@@ -840,7 +847,11 @@ def vocab_shift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("((c0 + 1) * 1000000000) div (__t0 + __v)"),
         )
         .withColumn(
-            "ratio_micro", F.expr("(__r1 * 1000000) div __r0")
+            # nullif guard: once a half's token total exceeds 1e9 the
+            # scaled rate truncates to 0; emit NULL (both engines agree)
+            # instead of Spark-NULL / DuckDB-error divergence.
+            "ratio_micro",
+            F.expr("(__r1 * 1000000) div nullif(__r0, 0)"),
         )
     )
     w_up = Window.orderBy(F.col("ratio_micro").desc(), "term")
@@ -884,7 +895,7 @@ tot AS (
 scored AS (
   SELECT term, c0, c1,
          ((((c1 + 1) * 1000000000) // (t1 + v)) * 1000000)
-           // (((c0 + 1) * 1000000000) // (t0 + v)) AS ratio_micro
+           // nullif(((c0 + 1) * 1000000000) // (t0 + v), 0) AS ratio_micro
   FROM counts CROSS JOIN tot
   WHERE c0 + c1 >= {VOCAB_SHIFT_MIN_COUNT}
 ),
@@ -1083,8 +1094,13 @@ def trend_break_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tn").cast("long").alias("n_days"),
             F.round(F.col("__sse1"), 6).alias("sse_single"),
             F.round(F.col("__sse2"), 6).alias("sse_two_segment"),
+            # nullif guard: a perfectly linear series has sse1 == 0 and
+            # the unguarded ratio is NaN — Spark casts NaN->long as 0 but
+            # DuckDB errors; NULL improvement_ppm agrees cross-engine.
             F.floor(
-                (F.lit(1.0) - F.col("__sse2") / F.col("__sse1"))
+                (F.lit(1.0)
+                 - F.col("__sse2")
+                 / F.nullif(F.col("__sse1"), F.lit(0.0)))
                 * F.lit(1_000_000.0)
             ).cast("long").alias("improvement_ppm"),
             slope(F.col("cn"), F.col("csx"), F.col("csy"),
@@ -1149,7 +1165,7 @@ cand AS (
 SELECT event_type, day * {_DAY_US} AS break_day_us, tn AS n_days,
        round(sse1, 6) AS sse_single,
        round(sse2, 6) AS sse_two_segment,
-       CAST(floor((1.0 - sse2 / sse1) * 1000000.0) AS BIGINT)
+       CAST(floor((1.0 - sse2 / nullif(sse1, 0.0)) * 1000000.0) AS BIGINT)
          AS improvement_ppm,
        round((cn*csxy - csx*csy)::DOUBLE
              / nullif(cn*csxx - csx*csx, 0)::DOUBLE, 6) AS slope_left,
