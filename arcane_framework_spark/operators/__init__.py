@@ -25,6 +25,7 @@ from arcane_framework_spark.operators.relational import (  # noqa: F401
 )
 from arcane_framework_spark.operators.similarity import (  # noqa: F401
     ann_banded_pairs,
+    ann_lsh_pairs,
     hard_negatives,
     ivf_topk,
     knn_bruteforce,

@@ -76,7 +76,10 @@ class ChangeTrackingSource:
                  checkpoint: VersionCheckpoint,
                  version_column: str = SYS_CHANGE_VERSION,
                  op_column: str = SYS_CHANGE_OPERATION,
-                 partitioning_expression: str | None = None):
+                 partitioning_expression: str | None = None,
+                 version_query_executor:
+                 Callable[[str], int | None] | None = None,
+                 lookback_seconds: int = 86400):
         self.table_provider = table_provider
         self.changes_provider = changes_provider
         self.pk_columns = pk_columns
@@ -84,6 +87,12 @@ class ChangeTrackingSource:
         self.version_column = version_column
         self.op_column = op_column
         self.partitioning_expression = partitioning_expression
+        # Optional server-side watermark discovery: a callable that runs
+        # the generated T-SQL against the source and returns the scalar
+        # (or None for DBNull). Lookback default 86400 s mirrors the
+        # reference ctor default (SqlServerChangeTrackingSource.cs:128).
+        self.version_query_executor = version_query_executor
+        self.lookback_seconds = lookback_seconds
 
     def _finalize(self, df: DataFrame) -> DataFrame:
         from arcane_framework_spark.plans.spec import validate_source_columns
@@ -100,10 +109,37 @@ class ChangeTrackingSource:
         """Backfill: whole table with synthesized version 0 / op 'I'."""
         return self._finalize(with_change_defaults(self.table_provider()))
 
-    def delta(self) -> DataFrame:
-        """One incremental tick: changes after the checkpointed version,
-        joined delete-preserving to the current table state."""
+    def resolve_start_version(self) -> int:
+        """Lower bound for this tick's ``version > bound`` change scan.
+
+        Without a ``version_query_executor`` this is the checkpointed
+        version (file-watermark mode). With one, it mirrors the
+        reference's per-tick watermark discovery
+        (SqlServerChangeTrackingSource.cs:271-287,389-408): run
+        ``min_commit_version_query`` (lookback-bounded on cold start),
+        take MIN(commit_ts) as the next version to fetch, and scan
+        CHANGETABLE from ``newVersion - 1`` so that exact version is
+        included (cs:408 passes ``newVersion - 1``). A None scalar means
+        no commits to fetch — return ``2**63 - 2`` so the tick reads
+        nothing (cs:408 ``GetValueOrDefault(long.MaxValue) - 1``).
+        """
         last = self.checkpoint.read()
+        if self.version_query_executor is None:
+            return last
+        from arcane_framework_spark.sources.tsql import (
+            min_commit_version_query,
+        )
+
+        query = min_commit_version_query(last, self.lookback_seconds)
+        new_version = self.version_query_executor(query)
+        if new_version is None:
+            return 2**63 - 2
+        return new_version - 1
+
+    def delta(self) -> DataFrame:
+        """One incremental tick: changes after the resolved start version,
+        joined delete-preserving to the current table state."""
+        last = self.resolve_start_version()
         changes = changes_since(
             self.changes_provider(), self.version_column, last
         )

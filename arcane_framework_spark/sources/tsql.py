@@ -112,10 +112,23 @@ def pk_discovery_query(schema: str, table: str) -> str:
 
 
 def min_commit_version_query(last_version: int, lookback_seconds: int) -> str:
-    """Watermark discovery: earliest commit after the checkpoint, bounded by
-    the cold-start lookback window (T2/T3)."""
+    """Watermark discovery: earliest commit after the checkpoint (T2/T3).
+
+    Two-branch shape mirroring the reference's
+    ``GetChangeTrackingVersion`` (SqlServerChangeTrackingSource.cs:271-287):
+    cold start (``last_version <= 0``) bounds the scan by the lookback
+    window on ``commit_time``; a warm tick filters ``commit_ts`` strictly
+    past the checkpoint. Executed by
+    ``ChangeTrackingSource.resolve_start_version`` each tick; a NULL/None
+    result means "no commits yet" and the tick reads nothing.
+    """
+    if last_version <= 0:
+        return (
+            "SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table "
+            "WHERE commit_time > "
+            f"DATEADD(second, -{lookback_seconds}, SYSUTCDATETIME())"
+        )
     return (
         "SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table "
-        f"WHERE commit_ts > {last_version} AND commit_time > "
-        f"DATEADD(second, -{lookback_seconds}, SYSUTCDATETIME())"
+        f"WHERE commit_ts > {last_version}"
     )

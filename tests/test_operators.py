@@ -235,6 +235,37 @@ def test_ann_banded_pairs_scaled_vector_is_exact_dup(spark):
     assert got == {(1, 2): 1.0}
 
 
+def test_ann_lsh_pairs_parity_with_banded(spark):
+    """ann_lsh_pairs (full-signature AND-amplified bucket join) is the
+    high-precision end of the same hyperplane-LSH family as
+    ann_banded_pairs: a full P-bit signature match implies every band
+    matches, so its pair set is a SUBSET of the banded pairs at the same
+    planes, with bit-identical cosines on the overlap."""
+    import random
+
+    from arcane_framework_spark.operators.similarity import (
+        ann_banded_pairs,
+        ann_lsh_pairs,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    # plant exact-direction twins so the full-signature path fires
+    rows += [(100 + i, [2.0 * x for x in rows[i][1]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in ann_lsh_pairs(df, dim=8, num_planes=8).collect()}
+    banded = {(r.id_a, r.id_b): r.cosine
+              for r in ann_banded_pairs(df, dim=8, num_planes=8,
+                                        band_size=4).collect()}
+    assert lsh, "twins must collide on the full signature"
+    assert set(lsh) <= set(banded)
+    assert all(banded[k] == v for k, v in lsh.items())
+    for i in range(5):
+        assert (i, 100 + i) in lsh and lsh[(i, 100 + i)] == 1.0
+
+
 def test_ivf_topk_identical_vector_ranks_first(spark):
     from arcane_framework_spark.operators.similarity import ivf_topk
 

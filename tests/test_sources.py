@@ -323,6 +323,73 @@ def test_version_checkpoint_roundtrip(tmp_path):
     assert cp.read() == 42
 
 
+def test_min_commit_version_query_two_branches():
+    """T-SQL shape mirrors GetChangeTrackingVersion
+    (SqlServerChangeTrackingSource.cs:271-287): cold start bounds
+    commit_time by the lookback window; warm ticks filter commit_ts past
+    the checkpoint."""
+    from arcane_framework_spark.sources.tsql import min_commit_version_query
+
+    cold = min_commit_version_query(0, 3600)
+    assert cold.startswith("SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table")
+    assert "commit_time > DATEADD(second, -3600, SYSUTCDATETIME())" in cold
+    assert "commit_ts >" not in cold
+
+    warm = min_commit_version_query(42, 3600)
+    assert warm.startswith("SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table")
+    assert "commit_ts > 42" in warm
+    assert "DATEADD" not in warm
+
+    # checkpoint sentinel -1 (VersionCheckpoint cold read) is also cold start
+    assert "DATEADD" in min_commit_version_query(-1, 60)
+
+
+def test_ct_watermark_discovery_drives_delta(spark, tmp_path):
+    """Server-side watermark discovery wired end-to-end
+    (SqlServerChangeTrackingSource.cs:271-287,389-418): the resolved
+    MIN(commit_ts) minus one becomes the CHANGETABLE lower bound, so the
+    discovered version itself is included; a NULL scalar means an empty
+    tick; a warm checkpoint switches the query to the commit_ts branch."""
+    table = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "id: int, name: string"
+    )
+    changes = spark.createDataFrame(
+        [(1, 10, "U"), (3, 11, "D"), (2, 5, "U")],
+        "id: int, SYS_CHANGE_VERSION: long, SYS_CHANGE_OPERATION: string",
+    )
+    commit_versions = [5, 10, 11]  # the fake sys.dm_tran_commit_table
+    seen_queries = []
+
+    def executor(query):
+        seen_queries.append(query)
+        if "commit_ts >" in query:
+            last = int(query.rsplit("commit_ts > ", 1)[1])
+            later = [v for v in commit_versions if v > last]
+        else:  # cold-start lookback branch: everything is "recent" here
+            later = commit_versions
+        return min(later) if later else None
+
+    cp = VersionCheckpoint(str(tmp_path / "ct" / "version.json"))
+    src = ChangeTrackingSource(
+        table_provider=lambda: table,
+        changes_provider=lambda: changes,
+        pk_columns=["id"],
+        checkpoint=cp,
+        version_query_executor=executor,
+    )
+    # cold start: lookback branch, discovered min=5, bound 4 → all 3 changes
+    assert {r.id for r in src.delta().collect()} == {1, 2, 3}
+    assert "DATEADD" in seen_queries[0]
+
+    cp.write(5)  # warm tick: commit_ts branch, min>5 is 10, bound 9
+    assert {r.id for r in src.delta().collect()} == {1, 3}
+    assert "commit_ts > 5" in seen_queries[1]
+
+    cp.write(11)  # caught up: executor returns None → empty tick
+    assert src.delta().count() == 0
+    assert src.resolve_start_version() == 2**63 - 2
+
+
 # ---------------------------------------------------------------------------
 # URL templating + URI providers (F8, P4, P5) and OpenAPI schema (F7)
 # ---------------------------------------------------------------------------
