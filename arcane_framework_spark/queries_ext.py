@@ -145,6 +145,214 @@ WHERE round(ni::DOUBLE / (na + nb - ni)::DOUBLE, 6) >= {NGRAM_MIN_JACCARD}
 """
 
 
+#: Sample-size target for the cap-recall measurement (mod-based sample,
+#: same in-plan scheme as lsh_recall_documents).
+NGRAM_RECALL_TARGET = 128
+
+#: Planted boilerplate-cluster size. Strictly above NGRAM_MAX_BLOCK so the
+#: degenerate block is guaranteed to be dropped by the capped path — the
+#: cohort whose recall the cap zeroes out by design.
+NGRAM_BOILER_COPIES = 80
+
+_BOILER_OFFSET = 900_000
+
+
+def ngram_cap_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the NGRAM_MAX_BLOCK degenerate-block guard actually costs:
+    capped-path pairs vs EXACT all-pairs char-4-gram Jaccard ground truth
+    on a deterministic sample, reported per cohort.
+
+    Sample = every ``mod``-th doc (``mod = greatest(1, n_docs //
+    NGRAM_RECALL_TARGET)``, computed in-plan) + their planted doubled-text
+    twins + a planted boilerplate cluster: the corpus's min-doc_id text
+    replicated ``NGRAM_BOILER_COPIES`` (> NGRAM_MAX_BLOCK) times, so one
+    block is GUARANTEED degenerate. Ground truth is quadratic in the
+    FIXED sample size only (broadcast non-equi join, never the corpus);
+    at 100x the corpus the modulus grows 100x and the measurement stays
+    ~TARGET² while the production path stays blocked+capped.
+
+    Output: (cohort, n_true, n_found, n_missed, recall) — the
+    'boilerplate' cohort (any pair touching the planted cluster) shows
+    the cap dropping a degenerate block entirely (recall 0 there is the
+    DESIGNED trade: b²/2 verifications saved per pathological key); the
+    'corpus' cohort is the honest recall of the capped blocked path on
+    real corpus text — at 10x stress scale 20,240/50,000 doc-block
+    memberships land in capped blocks, which is the drift this entry and
+    the stress harness's ngram_block_stats watch round-over-round.
+    """
+    from arcane_framework_spark.operators.dedup import _ngram_keyed
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    mod_df = docs.agg(F.count(F.lit(1)).alias("__n")).select(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("__n") / NGRAM_RECALL_TARGET).cast("long"),
+        ).alias("__mod")
+    )
+    sampled = with_broadcast_scalar(docs, mod_df)
+    base = sampled.filter(F.col("doc_id") % F.col("__mod") == 0).select(
+        "doc_id", "text"
+    )
+    planted = sampled.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % F.col("__mod") == 0)
+    ).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    boiler = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.lit(NGRAM_BOILER_COPIES - 1))
+            ).alias("__i"),
+            "text",
+        )
+        .select(
+            (F.lit(_BOILER_OFFSET) + F.col("__i")).cast("long").alias(
+                "doc_id"
+            ),
+            "text",
+        )
+    )
+    sample = base.unionByName(planted).unionByName(boiler)
+
+    grams = _ngram_keyed(sample, "text", "doc_id").select("id", "grams")
+    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    exact = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size("ga").alias("__na"),
+            F.size("gb").alias("__nb"),
+            F.size(F.array_intersect("ga", "gb")).alias("__ni"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__ni").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__ni")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("__j"),
+        )
+        .filter(F.col("__j") >= NGRAM_MIN_JACCARD)
+    )
+    truth = exact.select(
+        "id_a",
+        "id_b",
+        F.when(
+            (F.col("id_a") >= _BOILER_OFFSET)
+            | (F.col("id_b") >= _BOILER_OFFSET),
+            F.lit("boilerplate"),
+        ).otherwise(F.lit("corpus")).alias("cohort"),
+    )
+    found = ngram_jaccard_pairs(
+        sample, min_jaccard=NGRAM_MIN_JACCARD
+    ).select("id_a", "id_b")
+    hit = truth.join(found, ["id_a", "id_b"], "semi")
+    tr = truth.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    fo = hit.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_found")
+    )
+    return tr.join(fo, "cohort", "left").select(
+        "cohort",
+        "n_true",
+        F.coalesce(F.col("n_found"), F.lit(0).cast("long")).alias("n_found"),
+        (F.col("n_true") - F.coalesce(F.col("n_found"), F.lit(0)))
+        .cast("long")
+        .alias("n_missed"),
+        F.round(
+            F.coalesce(F.col("n_found"), F.lit(0)).cast("double")
+            / F.col("n_true").cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _ngram_cap_recall_sql() -> str:
+    k = CHAR_NGRAM
+    mod = f"(SELECT greatest(1, count(*) // {NGRAM_RECALL_TARGET}) FROM documents)"
+    return rf"""
+WITH sample AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, text || ' ' || text FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id % {mod} = 0
+  UNION ALL
+  SELECT ({_BOILER_OFFSET} + i)::BIGINT, b.text
+  FROM (SELECT unnest(range(0, {NGRAM_BOILER_COPIES})) AS i)
+  CROSS JOIN (SELECT text FROM documents ORDER BY doc_id LIMIT 1) b
+),
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM sample
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(s) >= {k}
+           THEN list_transform(range(1, len(s) - {k - 2}),
+                               i -> substr(s, i::INT, {k}))
+           ELSE [s] END) AS g
+  FROM norm
+),
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.g, b.g))::DOUBLE
+               / (len(a.g) + len(b.g)
+                  - len(list_intersect(a.g, b.g)))::DOUBLE, 6) AS j
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT id_a, id_b,
+         CASE WHEN id_a >= {_BOILER_OFFSET} OR id_b >= {_BOILER_OFFSET}
+              THEN 'boilerplate' ELSE 'corpus' END AS cohort
+  FROM exact WHERE j >= {NGRAM_MIN_JACCARD}
+),
+keyed0 AS (
+  SELECT doc_id, g,
+         array_to_string(
+           list_sort(list_transform(g, x -> md5(x)))[1:{NGRAM_SKETCH_K}],
+           '|') AS bk
+  FROM grams
+),
+keyed AS (
+  SELECT k.* FROM keyed0 k
+  JOIN (SELECT bk, count(*) AS cnt FROM keyed0 GROUP BY bk) s USING (bk)
+  WHERE s.cnt <= {NGRAM_MAX_BLOCK}
+),
+found AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.doc_id < b.doc_id
+  WHERE least(len(a.g), len(b.g))::DOUBLE
+        >= ({NGRAM_MIN_JACCARD} - 1e-6)
+           * greatest(len(a.g), len(b.g))::DOUBLE
+    AND round(len(list_intersect(a.g, b.g))::DOUBLE
+              / (len(a.g) + len(b.g)
+                 - len(list_intersect(a.g, b.g)))::DOUBLE, 6)
+        >= {NGRAM_MIN_JACCARD}
+),
+hit AS (
+  SELECT cohort, id_a FROM truth SEMI JOIN found USING (id_a, id_b)
+),
+tr AS (SELECT cohort, count(*)::BIGINT AS n_true FROM truth GROUP BY 1),
+fo AS (SELECT cohort, count(*)::BIGINT AS n_found FROM hit GROUP BY 1)
+SELECT tr.cohort, n_true,
+       coalesce(n_found, 0)::BIGINT AS n_found,
+       (n_true - coalesce(n_found, 0))::BIGINT AS n_missed,
+       round(coalesce(n_found, 0)::DOUBLE / n_true::DOUBLE, 6) AS recall
+FROM tr LEFT JOIN fo USING (cohort)
+"""
+
+
 def simhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-banded near-dup pairs (Hamming ≤ 1) over the planted corpus.
 
@@ -4538,6 +4746,7 @@ FROM outcomes o LEFT JOIN build m USING (key)
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_documents": ngram_jaccard_documents,
+    "ngram_cap_recall_documents": ngram_cap_recall_documents,
     "simhash_neardup_documents": simhash_neardup_documents,
     "cosine_neardup_embeddings": cosine_neardup_embeddings,
     "ivf_topk_embeddings": ivf_topk_embeddings,
@@ -4613,6 +4822,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_documents": _ngram_jaccard_sql(),
+    "ngram_cap_recall_documents": _ngram_cap_recall_sql(),
     "simhash_neardup_documents": _simhash_neardup_sql(),
     "cosine_neardup_embeddings": _cosine_neardup_sql(),
     "ivf_topk_embeddings": _IVF_SQL,
