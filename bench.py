@@ -18,6 +18,33 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: Pinned cross-round comparison subset: the 49 catalog entries from the
+#: round-1 driver sample (CORRECTNESS_r01.json), all still present. This
+#: list is FROZEN — do not append new entries (they'd break
+#: round-over-round comparability); the full catalog total already covers
+#: growth. BENCH_FULL.json reports core_subset_total (best-of) and
+#: core_subset_median_total over exactly these names so steady-state
+#: regressions are readable without hand-intersecting rounds.
+CORE_SUBSET = (
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "merge_key_lineitem", "date_partition_orders", "cdc_latest_state_events",
+    "cdc_delta_join_customer", "text_stats_documents", "lang_id_documents",
+    "token_count_by_source", "fingerprint_documents", "dedup_exact_documents",
+    "minhash_pairs_documents", "simhash_documents", "knn_bruteforce_embeddings",
+    "ann_lsh_buckets_embeddings", "events_hourly_rollup", "events_json_extract",
+    "q4_late_shipment_priority", "q6_revenue_forecast", "q7_nation_trade_volume",
+    "q10_returned_items", "q13_order_count_distribution", "q14_promo_revenue",
+    "q15_top_suppliers", "q17_small_quantity_revenue", "q18_large_volume_orders",
+    "q19_disjunctive_predicates", "q22_inactive_customers", "q8_market_share",
+    "q12_shipping_modes", "q16_supplier_part_counts", "rollup_order_priority",
+    "cube_order_status", "ntile_customer_value", "setops_repeat_customers",
+    "events_sessionize", "ngram_jaccard_documents", "simhash_neardup_documents",
+    "cosine_neardup_embeddings", "ivf_topk_embeddings",
+    "multimodal_features_documents", "bpe_token_stats_documents",
+    "streaming_hourly_rollup", "events_quantiles", "pivot_events_by_cohort",
+    "tfidf_top_terms", "approx_user_counts", "kmeans_embeddings",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,10 +111,12 @@ def main() -> None:
 
     passes: list[dict[str, float]] = []
     pass_errors: list[dict[str, str]] = []
-    # TWO full passes: this host shows a ±30% noise band between identical
-    # runs, so per-query best-of-2 is reported — round-over-round deltas
-    # then compare steady-state numbers, not scheduler luck.
-    for _ in range(2):
+    # THREE full passes: this host shows a ±30% noise band between
+    # identical runs. `value` stays best-of (continuity with prior rounds
+    # and BASELINE.md comparisons); per-query MEDIANS are reported
+    # alongside so a regression is distinguishable from scheduler luck —
+    # median-of-3 moves only when the steady state moves.
+    for _ in range(3):
         t: dict[str, float] = {}
         errs: dict[str, str] = {}
         for name, fn in QUERIES.items():
@@ -123,10 +152,18 @@ def main() -> None:
         if name not in errors
     }
 
+    import statistics
+
     timings = {
         name: min(p[name] for p in passes if name in p)
         for name in QUERIES
         if any(name in p for p in passes)
+    }
+    medians = {
+        name: round(
+            statistics.median(p[name] for p in passes if name in p), 3
+        )
+        for name in timings
     }
     spread = {
         name: round(
@@ -135,6 +172,13 @@ def main() -> None:
         for name in timings
     }
     total = round(sum(timings.values()) + prep_sec, 3)
+    median_total = round(sum(medians.values()) + prep_sec, 3)
+    core_subset_total = round(
+        sum(timings[n] for n in CORE_SUBSET if n in timings), 3
+    )
+    core_subset_median_total = round(
+        sum(medians[n] for n in CORE_SUBSET if n in medians), 3
+    )
 
     # Full per-query timings for humans / the judge.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
@@ -146,6 +190,11 @@ def main() -> None:
              "n_queries": len(timings), "prep_sec": prep_sec,
              "prep_breakdown": prep_breakdown,
              "spread": spread,
+             "medians": medians,
+             "median_total": median_total,
+             "core_subset": list(CORE_SUBSET),
+             "core_subset_total": core_subset_total,
+             "core_subset_median_total": core_subset_median_total,
              "pass_totals": [round(sum(p.values()), 3) for p in passes]},
             fh, indent=1, sort_keys=True,
         )
@@ -165,6 +214,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "prep_sec": prep_sec,
+        "median_total": median_total,
+        "core_subset_total": core_subset_total,
+        "core_subset_median_total": core_subset_median_total,
         "pass_totals": [round(sum(p.values()), 3) for p in passes],
         "full": "BENCH_FULL.json",
     }

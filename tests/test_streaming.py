@@ -121,6 +121,120 @@ def test_stream_drift_mid_stream_maps_to_exit_code(spark, tmp_path):
     assert result.exit_code == EXIT_RESTART
 
 
+def test_cdm_schema_drift_restart_choreography_end_to_end(spark, tmp_path):
+    """The full schema-drift → restart loop in ONE test, over the CDM file
+    source (reference: ArcaneExceptionHandler.cs:41-47 maps
+    SchemaMismatchException → annotate arcane/state=schema-mismatch + exit
+    SUCCESS so the operator restarts the job in backfill;
+    CdmChangeFeedSource.cs:374-404 is the per-poll drift check;
+    HostBuilderExtensions.cs:187-191 the exit-code contract):
+
+      1. a CDM change-feed stream processes a micro-batch, then the
+         entity schema mutates on disk and a new change file lands;
+      2. the next micro-batch's drift check raises SchemaMismatchError →
+         the runner annotates the job and exits SUCCESS(0);
+      3. the supervisor reads the annotation, flips the backfill env flag
+         (plans/spec.from_env), and restarts: a NEW source instance picks
+         up the drifted schema and re-ingests the base entity;
+      4. a fresh availableNow drain of the change feed recovers — both
+         the pre-drift and post-drift files parse under the new schema.
+    """
+    from test_sources import CDM_ATTRS, _write_cdm_fixture
+
+    from arcane_framework_spark.plans.spec import (
+        ENV_BACKFILL,
+        ENV_SPEC,
+        from_env,
+    )
+    from arcane_framework_spark.sources.cdm import CdmChangeFeedSource
+    from arcane_framework_spark.streaming.runner import FileAnnotationWriter
+
+    root = _write_cdm_fixture(tmp_path)
+    feed_dir = root / "ChangeFeed" / "widgets"
+    ann_path = str(tmp_path / "annotations.json")
+    out_dir = str(tmp_path / "out")
+    src = CdmChangeFeedSource(spark, str(root), "widgets")
+    batches: list[tuple[int, int]] = []
+
+    def drift_mid_stream() -> None:
+        # the "source system migrated" event: schema gains EXTRA and a
+        # new 8-column change file lands
+        (root / "ChangeFeed" / "widgets.cdm.json").write_text(
+            json.dumps({"definitions": [{
+                "entityName": "widgets",
+                "hasAttributes": CDM_ATTRS
+                + [{"name": "EXTRA", "dataFormat": "string"}],
+            }]})
+        )
+        (feed_dir / "0002.csv").write_text(
+            '103,"widget","0X03",,"INSERT","0X0C","0X0F","extra-val"\n'
+        )
+
+    def fb(batch_df, batch_id):
+        # per-poll drift check, the reference's GetChanges preamble
+        src.check_schema_drift()
+        batches.append((batch_id, batch_df.count()))
+        batch_df.write.mode("append").parquet(out_dir)
+        if len(batches) == 1:
+            drift_mid_stream()
+
+    # -- stage 1+2: stream until the drift kills it ----------------------
+    runner = StreamRunner(annotate=FileAnnotationWriter(ann_path))
+    from datetime import timedelta
+
+    result = runner.run_stream(
+        src.stream(),
+        fb,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        backfill=False,
+        trigger_interval=timedelta(seconds=1),
+    )
+    assert batches == [(0, 2)]  # first tick processed the pre-drift file
+    assert result.exit_code == EXIT_SUCCESS  # mismatch → SUCCESS, not FATAL
+    assert result.error is not None
+    with open(ann_path, encoding="utf-8") as fh:
+        assert json.load(fh) == {
+            STATE_ANNOTATION_KEY: SCHEMA_MISMATCH_ANNOTATION
+        }
+
+    # -- stage 3: supervisor restarts in backfill ------------------------
+    with open(ann_path, encoding="utf-8") as fh:
+        state = json.load(fh)[STATE_ANNOTATION_KEY]
+    assert state == SCHEMA_MISMATCH_ANNOTATION
+    spec = from_env({ENV_SPEC: "{}", ENV_BACKFILL: "true"})
+    assert spec.backfill  # the operator's restart flips this env flag
+
+    src2 = CdmChangeFeedSource(spark, str(root), "widgets")  # new schema
+    assert "EXTRA" in src2.schema.field_names
+    backfill_out = str(tmp_path / "backfill_out")
+    r2 = StreamRunner().run_batch(
+        lambda: src2.backfill().write.mode("overwrite").parquet(backfill_out)
+    )
+    assert r2.exit_code == EXIT_SUCCESS
+    base_rows = spark.read.parquet(backfill_out)
+    assert base_rows.count() == 2 and "EXTRA" in base_rows.columns
+
+    # -- stage 4: recovery — drain the feed under the new schema ---------
+    feed_out = str(tmp_path / "feed_out")
+
+    def fb2(batch_df, batch_id):
+        src2.check_schema_drift()  # schema now stable → no error
+        batch_df.write.mode("append").parquet(feed_out)
+
+    r3 = StreamRunner().run_stream(
+        src2.stream(),
+        fb2,
+        checkpoint_dir=str(tmp_path / "ckpt2"),  # fresh checkpoint: re-ingest
+        backfill=True,
+    )
+    assert r3.exit_code == EXIT_SUCCESS
+    recovered = spark.read.parquet(feed_out)
+    by_id = {r.RECID: r for r in recovered.collect()}
+    assert set(by_id) == {101, 102, 103}
+    assert by_id[103].EXTRA == "extra-val"  # post-drift column ingested
+    assert by_id[101].EXTRA is None  # pre-drift rows align under new schema
+
+
 # ---------------------------------------------------------------------------
 # Stateful streaming operators (T7/T8 extensions)
 # ---------------------------------------------------------------------------
