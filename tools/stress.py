@@ -37,6 +37,7 @@ from arcane_framework_spark.operators.multimodal import (  # noqa: E402
     wav_spectral_features,
 )
 from arcane_framework_spark.operators.graph import (  # noqa: E402
+    PR_ITERATIONS,
     dedup_clusters,
     incremental_components,
     pagerank,
@@ -298,8 +299,12 @@ def main() -> None:
         "edit_distance_pairs": timed(
             lambda: edit_distance_pairs(docs)
         ),
-        "pagerank_pairs": timed(
-            lambda: pagerank(minhash_lsh_pairs(docs))
+        # iteration count pinned in the artifact (and asserted below): a
+        # "just bump PR_ITERATIONS" cost change must show up as a diff
+        # here AND in operators/graph.py.
+        "pagerank_pairs": dict(
+            timed(lambda: pagerank(minhash_lsh_pairs(docs))),
+            iterations=PR_ITERATIONS,
         ),
         "triangle_stats_pairs": timed(
             lambda: triangle_stats(minhash_lsh_pairs(docs))
@@ -465,6 +470,8 @@ def main() -> None:
             )
         ),
     }
+
+    assert PR_ITERATIONS == 5, f"PR_ITERATIONS drifted: {PR_ITERATIONS}"
 
     # --- r6 wave on the 10x corpus -------------------------------------
     from arcane_framework_spark.operators.temporal import interval_union
