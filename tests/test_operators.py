@@ -14,6 +14,7 @@ from arcane_framework_spark.operators.relational import (
     changes_since,
     delta_join,
     latest_state,
+    project,
 )
 from arcane_framework_spark.operators.similarity import (
     hyperplane_weights,
@@ -45,6 +46,16 @@ def test_changes_since_filters_versions(spark):
     df = _changes(spark)
     got = changes_since(df, "sys_change_version", 14)
     assert {r.sys_change_version for r in got.collect()} == {20, 15, 30}
+
+
+def test_project_reorders_and_prunes(spark):
+    """R3/R10 — explicit projection & column ALIGNMENT: output column
+    order follows the requested sequence (parquet writers downstream are
+    order-sensitive), absent columns are pruned."""
+    df = spark.createDataFrame([(1, "a", 2.0)], "x: int, y: string, z: double")
+    out = project(df, ["z", "x"])
+    assert out.columns == ["z", "x"]
+    assert out.first() == (2.0, 1)
 
 
 def test_latest_state_folds_and_drops_deletes(spark):
