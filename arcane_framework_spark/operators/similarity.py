@@ -464,6 +464,125 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     return base.join(assigned, "id").select("id", "vec", "cid")
 
 
+def ivf_assign_routed(df: DataFrame, centroids: DataFrame,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      cid_col: str = "cid",
+                      cvec_col: str = "cvec") -> DataFrame:
+    """Two-level (coarse-routed) IVF cell assignment — the scale path for
+    GOVERNED centroid counts, where k grows with the corpus.
+
+    :func:`ivf_assign` scores every vector against every centroid: N*k
+    work, which with governed ``k = N/T`` is O(N²/T) — measured 31x
+    runtime for 10x vectors at the 100x stress scale
+    (STRESS_100X_r09.json, semantic_dedup). This routine cuts it to
+    ~2*N*sqrt(k): pick every g-th centroid (g = floor(sqrt(k)), by cid
+    rank) as a COARSE centroid, route each fine centroid and each vector
+    to its max-cosine coarse centroid, then argmax only over the ~sqrt(k)
+    fine centroids sharing the vector's coarse cell. Deterministic and
+    SQL-expressible end to end (rank/argmax tie-breaks by lowest id, the
+    same (cos DESC, cid ASC) order as the exact path), so the routed
+    consumers keep full DuckDB oracles. Assignment is APPROXIMATE: a
+    vector near a coarse boundary can land in a near-best fine cell
+    instead of the globally-best one — the standard IVF trade, fine for
+    cell-bounding consumers (SemDeDup) where cells only need to be
+    locally coherent, wrong for exact-argmax consumers.
+
+    Output (id, vec, cid) — drop-in for :func:`ivf_assign`.
+    """
+    from pyspark.sql import Window
+
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    cent = centroids.select(
+        F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cvec")
+    )
+    g_df = cent.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.sqrt(F.count(F.lit(1)))).cast("long"),
+        ).alias("__g")
+    )
+    # rank-by-cid coarse selection: k rows, single-partition window is fine
+    ranked = with_broadcast_scalar(cent, g_df).withColumn(
+        "__rk", F.row_number().over(Window.orderBy("cid"))
+    )
+    coarse = ranked.filter((F.col("__rk") - 1) % F.col("__g") == 0).select(
+        F.col("cid").alias("ccid"),
+        F.col("cvec").alias("ccvec"),
+        norm_expr(F.col("cvec")).alias("__ccn"),
+    )
+    fine = cent.withColumn("__fn", norm_expr(F.col("cvec")))
+    f2c = (
+        fine.join(F.broadcast(coarse))
+        .select(
+            "cid",
+            "ccid",
+            (
+                dot_expr(F.col("cvec"), F.col("ccvec"))
+                / (F.col("__fn") * F.col("__ccn"))
+            ).alias("__cos"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.max_by(
+                "ccid",
+                F.struct(F.col("__cos").alias("c"), (-F.col("ccid")).alias("t")),
+            ).alias("ccid")
+        )
+        .join(fine, "cid")
+        .select("cid", "cvec", "__fn", "ccid")
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    withn = base.withColumn("__n", norm_expr(F.col("vec")))
+    # vector -> coarse: N x sqrt(k) scored rows, partial-aggregated argmax
+    vcoarse = (
+        withn.join(F.broadcast(coarse))
+        .select(
+            "id",
+            "ccid",
+            (
+                dot_expr(F.col("vec"), F.col("ccvec"))
+                / (F.col("__n") * F.col("__ccn"))
+            ).alias("__cos"),
+        )
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                "ccid",
+                F.struct(F.col("__cos").alias("c"), (-F.col("ccid")).alias("t")),
+            ).alias("ccid")
+        )
+    )
+    # vector -> fine within its coarse cell: N x ~sqrt(k) scored rows
+    assigned = (
+        withn.join(vcoarse, "id")
+        .join(
+            F.broadcast(
+                f2c.select(
+                    "ccid", "cid", F.col("cvec").alias("__fv"), "__fn"
+                )
+            ),
+            "ccid",
+        )
+        .select(
+            "id",
+            "cid",
+            (
+                dot_expr(F.col("vec"), F.col("__fv"))
+                / (F.col("__n") * F.col("__fn"))
+            ).alias("__cos"),
+        )
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                "cid",
+                F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("t")),
+            ).alias("cid")
+        )
+    )
+    return base.join(assigned, "id").select("id", "vec", "cid")
+
+
 def ivf_topk(df: DataFrame, centroids: DataFrame, queries: DataFrame, k: int,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-style ANN: top-k by cosine among vectors sharing the query's cell.
@@ -515,7 +634,8 @@ def ivf_topk(df: DataFrame, centroids: DataFrame, queries: DataFrame, k: int,
 def kmeans_fit(df: DataFrame, k: int | None, iterations: int = 3,
                id_col: str = "vec_id", vec_col: str = "embedding",
                init_stride: int | None = None,
-               target_cell_size: int | None = None) -> DataFrame:
+               target_cell_size: int | None = None,
+               routed: bool = False) -> DataFrame:
     """Lloyd's k-means over an embedding column, pure DataFrame ops.
 
     Fully deterministic: init takes the ``k`` lowest-id vectors whose id is a
@@ -602,8 +722,13 @@ def kmeans_fit(df: DataFrame, k: int | None, iterations: int = 3,
             )
             .transform(scoped_persist)
         )
+    # routed=True swaps the exact N*k argmax for the two-level
+    # ~2*N*sqrt(k) coarse-routed assignment (see ivf_assign_routed) in
+    # every Lloyd iteration — the governed-k mode's scale path, since
+    # k grows with N and exact assignment is then O(N²/T).
+    assign = ivf_assign_routed if routed else ivf_assign
     for _ in range(iterations):
-        assigned = ivf_assign(base, centroids, id_col, vec_col)
+        assigned = assign(base, centroids, id_col, vec_col)
         dims = assigned.select(
             "cid", F.posexplode("vec").alias("pos", "x")
         )
@@ -775,7 +900,8 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
                    iterations: int = 3, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    init_stride: int | None = None,
-                   target_cell_size: int | None = None) -> DataFrame:
+                   target_cell_size: int | None = None,
+                   routed: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
     The SemDeDup recipe (Abbas et al. 2023): cluster the corpus with
@@ -800,7 +926,14 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
     :func:`kmeans_fit`), so at 100× the data there are 100× the cells and
     the per-cell pairwise cost stays constant. A fixed ``k`` remains
     available for callers who have sized it themselves, but the governed
-    mode is the one that survives a scale-up unreviewed. The dominance
+    mode is the one that survives a scale-up unreviewed. Governed mode
+    makes ASSIGNMENT the superlinear step (k ∝ N ⇒ N*k = O(N²/T) —
+    measured 31x runtime for 10x vectors at 100x stress):
+    ``routed=True`` swaps in the two-level ~2*N*sqrt(k) coarse-routed
+    assignment (:func:`ivf_assign_routed`) for every Lloyd iteration and
+    the final cell assignment — approximate cell membership, same
+    deterministic dominance rule, still fully oracle-expressible. The
+    dominance
     probe is a left-semi join: no pair materialization survives the
     exchange, Spark emits at most one match per probe row. Rounding
     cent_cos to 6 decimals before comparing makes the dominance decision
@@ -813,13 +946,14 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
     centroids = kmeans_fit(
         vectors, k=k, iterations=iterations, id_col=id_col,
         vec_col=vec_col, init_stride=init_stride,
-        target_cell_size=target_cell_size,
+        target_cell_size=target_cell_size, routed=routed,
     )
     cent = centroids.select(
         "cid", "cvec", norm_expr(F.col("cvec")).alias("__cn")
     )
+    final_assign = ivf_assign_routed if routed else ivf_assign
     assigned = (
-        ivf_assign(vectors, centroids, id_col, vec_col)
+        final_assign(vectors, centroids, id_col, vec_col)
         .join(F.broadcast(cent), "cid")
         .select(
             F.col("id").alias(id_col),

@@ -4120,6 +4120,155 @@ FROM cc LEFT JOIN pruned USING (vec_id)
 """
 
 
+def semantic_dedup_routed_embeddings(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """SemDeDup with the coarse-ROUTED two-level assignment — the scale
+    path for governed centroid counts. Governed mode makes assignment
+    O(N²/T) (k ∝ N); routing every Lloyd iteration and the final cell
+    assignment through ~sqrt(k) coarse centroids cuts it to ~2·N·sqrt(k):
+    measured 902s → 100s at the 100x stress corpus (200k vectors,
+    STRESS_100X_r09.json) with the cell-size governance assertion still
+    green. Assignment is approximate (a boundary vector can land in a
+    near-best cell), which is the right trade for cell-BOUNDING
+    consumers; the dominance/prune rule inside each cell is unchanged
+    and exact. Full per-vector decision table like the exact twin, and
+    the DuckDB oracle unrolls the SAME routed choreography (rank-by-cid
+    coarse pick, fine→coarse routing, two-stage argmax, all tie-broken
+    (cos DESC, id ASC)) so every keep/prune call is hash-checked.
+    """
+    from arcane_framework_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _neardup_corpus(spark, sf_dir),
+        k=None,
+        threshold=SEMDEDUP_TAU,
+        iterations=SEMDEDUP_ITERS,
+        target_cell_size=SEMDEDUP_CELL,
+        routed=True,
+    )
+
+
+def _routed_assign_ctes(e: str, prev: str, tag: str,
+                        out_name: str) -> tuple[list[str], str]:
+    """CTEs for ONE coarse-routed assignment of `e` rows against the
+    centroid CTE `prev` (mirrors operators/similarity.ivf_assign_routed):
+    coarse = every g-th centroid by cid rank (g = floor(sqrt(k))), route
+    fines and vectors to max-cosine coarse, then argmax among the coarse
+    cell's fines. Returns (ctes, name) where `name` selects
+    (vec_id, cid)."""
+
+    def cos(a_vec: str, b_vec: str) -> str:
+        return (
+            f"list_dot_product({a_vec}, {b_vec}) / "
+            f"(sqrt(list_dot_product({a_vec}, {a_vec})) * "
+            f"sqrt(list_dot_product({b_vec}, {b_vec})))"
+        )
+
+    co, f2c, vc = f"{tag}co", f"{tag}f2c", f"{tag}vc"
+    ctes = [
+        f"""{co} AS (
+  SELECT cid AS ccid, cvec AS ccvec FROM (
+    SELECT cid, cvec, row_number() OVER (ORDER BY cid) AS rk FROM {prev})
+  CROSS JOIN (SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT))
+              AS g FROM {prev}) p
+  WHERE (rk - 1) % p.g = 0
+)""",
+        f"""{f2c} AS (
+  SELECT cid, cvec, ccid FROM (
+    SELECT f.cid, f.cvec, c.ccid,
+           row_number() OVER (PARTITION BY f.cid
+                              ORDER BY {cos('f.cvec', 'c.ccvec')} DESC,
+                                       c.ccid) AS rn
+    FROM {prev} f CROSS JOIN {co} c) WHERE rn = 1
+)""",
+        f"""{vc} AS (
+  SELECT vec_id, ccid FROM (
+    SELECT {e}.vec_id, c.ccid,
+           row_number() OVER (PARTITION BY {e}.vec_id
+                              ORDER BY {cos(f'{e}.v', 'c.ccvec')} DESC,
+                                       c.ccid) AS rn
+    FROM {e} CROSS JOIN {co} c) WHERE rn = 1
+)""",
+        f"""{out_name} AS (
+  SELECT vec_id, cid FROM (
+    SELECT {e}.vec_id, f.cid,
+           row_number() OVER (PARTITION BY {e}.vec_id
+                              ORDER BY {cos(f'{e}.v', 'f.cvec')} DESC,
+                                       f.cid) AS rn
+    FROM {e} JOIN {vc} USING (vec_id) JOIN {f2c} f ON f.ccid = {vc}.ccid)
+  WHERE rn = 1
+)""",
+    ]
+    return ctes, out_name
+
+
+def _semantic_dedup_routed_sql(cell: int = SEMDEDUP_CELL,
+                               iters: int = SEMDEDUP_ITERS,
+                               tau: float = SEMDEDUP_TAU,
+                               dim: int = EMBEDDING_DIM) -> str:
+    """Oracle for the routed twin: same planted corpus and seeds, Lloyd
+    iterations and the final assignment each unrolled through the routed
+    choreography, then the identical dominance tail."""
+    src = f"""SELECT vec_id, v FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_DUP_OFFSET},
+           list_concat([v2[1] + {NEARDUP_DELTA}], v2[2:]) FROM (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v2 FROM embeddings
+      WHERE vec_id % {NEARDUP_EVERY} = 0))"""
+    ctes = [f"e AS ({src})"]
+    ctes.append(f"""c0 AS (
+  SELECT vec_id AS cid, v AS cvec FROM e,
+       (SELECT greatest(1, CAST(floor(count(*) /
+          ceil(count(*)::DOUBLE / {cell})) AS BIGINT))
+          AS stride FROM e) p
+  WHERE vec_id % p.stride = 0
+)""")
+    prev = "c0"
+    for i in range(1, iters + 1):
+        assign_ctes, s_name = _routed_assign_ctes(
+            "e", prev, f"i{i}", f"s{i}"
+        )
+        ctes.extend(assign_ctes)
+        ctes.append(f"""c{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT a.cid, g.i AS pos, avg(e.v[g.i]) AS m
+    FROM {s_name} a JOIN e USING (vec_id)
+    CROSS JOIN generate_series(1, {dim}) AS g(i)
+    GROUP BY a.cid, g.i
+  ) GROUP BY cid
+)""")
+        prev = f"c{i}"
+    final_ctes, fin = _routed_assign_ctes("e", prev, "fin", "sf")
+    ctes.extend(final_ctes)
+    pair_cos = (
+        "round(list_dot_product(x.v, y.v) / "
+        "(sqrt(list_dot_product(x.v, x.v)) * "
+        "sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+cc AS (
+  SELECT e.vec_id, e.v, a.cid,
+         round(list_dot_product(e.v, c.cvec) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(c.cvec, c.cvec))), 5) AS cent_cos
+  FROM e JOIN {fin} a USING (vec_id) JOIN {prev} c USING (cid)
+),
+pruned AS (
+  SELECT DISTINCT x.vec_id FROM cc x JOIN cc y
+    ON x.cid = y.cid AND x.vec_id <> y.vec_id
+   AND (y.cent_cos > x.cent_cos
+        OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id))
+   AND {pair_cos} >= {tau}
+)
+SELECT cc.vec_id, cc.cid, cc.cent_cos,
+       (pruned.vec_id IS NOT NULL) AS pruned
+FROM cc LEFT JOIN pruned USING (vec_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Mergeable sketches with engine-reproducible register tables (X90/X91)
 # ---------------------------------------------------------------------------
@@ -4808,6 +4957,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_embeddings": stratified_sample_embeddings,
     "dedup_canonical_documents": dedup_canonical_documents,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "semantic_dedup_routed_embeddings": semantic_dedup_routed_embeddings,
     "compaction_plan_documents": compaction_plan_documents,
     "frequent_ngrams_documents": frequent_ngrams_documents,
     "incremental_clusters_documents": incremental_clusters_documents,
@@ -4882,6 +5032,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "repeated_spans_documents": _REPEATED_SPANS_SQL,
     "stratified_sample_embeddings": _STRATIFIED_SQL,
     "semantic_dedup_embeddings": _semantic_dedup_sql(),
+    "semantic_dedup_routed_embeddings": _semantic_dedup_routed_sql(),
     "compaction_plan_documents": _COMPACTION_SQL,
     "frequent_ngrams_documents": _FREQUENT_NGRAMS_SQL,
     "incremental_clusters_documents": _INC_CC_SQL,

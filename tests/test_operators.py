@@ -246,6 +246,44 @@ def test_ann_banded_pairs_scaled_vector_is_exact_dup(spark):
     assert got == {(1, 2): 1.0}
 
 
+def test_semantic_dedup_routed_prunes_planted_dups(spark):
+    """Routed (two-level) assignment keeps SemDeDup behavior on clearly
+    clustered data: planted exact duplicates are pruned (one survivor
+    per dup pair), output schema matches the exact twin, and every
+    vector gets exactly one cell."""
+    import random
+
+    from arcane_framework_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        center = i % 3  # three well-separated clusters
+        base = [0.0] * 8
+        base[center * 2] = 10.0
+        rows.append((i, [x + rng.uniform(-0.1, 0.1) for x in base]))
+    # plant exact duplicates of every 10th vector
+    rows += [(1000 + i, list(rows[i][1])) for i in range(0, 60, 10)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    out = semantic_dedup(
+        df, k=None, threshold=0.99, iterations=2, target_cell_size=16,
+        routed=True,
+    ).collect()
+    assert len(out) == len(rows)
+    assert {r.vec_id for r in out} == {r[0] for r in rows}
+    by_id = {r.vec_id: r for r in out}
+    for i in range(0, 60, 10):
+        # identical vectors share a cell; the higher id is dominated by
+        # its twin (equal cent_cos, lower id wins) so it is ALWAYS pruned
+        assert by_id[i].cid == by_id[1000 + i].cid
+        assert by_id[1000 + i].pruned
+    # the local-maxima rule keeps at least one survivor per cell
+    cells = {r.cid for r in out}
+    survivors = {r.cid for r in out if not r.pruned}
+    assert survivors == cells
+
+
 def test_ann_lsh_pairs_parity_with_banded(spark):
     """ann_lsh_pairs (full-signature AND-amplified bucket join) is the
     high-precision end of the same hyperplane-LSH family as
