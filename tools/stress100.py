@@ -160,6 +160,16 @@ def main() -> None:
 
     # ---- family 2: ngram Jaccard (cap-governed) -----------------------
     results["ngram_block_stats"] = ngram_block_stats(docs).first().asDict()
+    bs = results["ngram_block_stats"]
+    # cap-bite ratio: the share of doc-block memberships the
+    # NGRAM_MAX_BLOCK guard drops on this corpus. On a 100x
+    # copy-duplicated corpus nearly every block is degenerate, so the
+    # bite approaches 1.0 BY DESIGN — bounded runtime is the trade, and
+    # the oracle-gated ngram_cap_recall_documents entry measures the
+    # recall side of it on real corpus text.
+    results["ngram_cap_bite"] = round(
+        bs["docs_dropped"] / max(bs["n_docs"], 1), 4
+    )
     results["ngram_jaccard_pairs"] = timed(
         lambda: ngram_jaccard_pairs(docs, min_jaccard=0.5)
     )
