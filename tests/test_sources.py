@@ -940,6 +940,55 @@ def test_polling_jdbc_query_shape(spark):
     assert q == "SELECT * FROM [mydb].[dbo].[orders]"
 
 
+def test_polling_from_jdbc_builds_pushdown_reader():
+    """S1 JDBC constructor (SqlServerSource.cs:103-107): from_jdbc wires a
+    provider that issues the generated plain SELECT as a JDBC `query` option
+    (server-side pushdown, not table-name dbtable scan), forwards extra
+    reader options, and carries pk_columns into the source. Verified with a
+    recording fake session — no JDBC server in this sandbox."""
+    from arcane_framework_spark.sources.polling import PollingTableSource
+
+    recorded = {}
+
+    class _FakeReader:
+        def __init__(self):
+            self.fmt = None
+            self.opts = {}
+
+        def format(self, fmt):
+            self.fmt = fmt
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            recorded["fmt"] = self.fmt
+            recorded["opts"] = dict(self.opts)
+            return "sentinel-df"
+
+    class _FakeSpark:
+        @property
+        def read(self):
+            return _FakeReader()
+
+    src = PollingTableSource.from_jdbc(
+        _FakeSpark(), "jdbc:sqlserver://host;db=mydb", "mydb", "dbo",
+        "orders", pk_columns=["o_orderkey"],
+        options={"fetchsize": "10000"},
+    )
+    assert isinstance(src, PollingTableSource)
+    assert src.pk_columns == ["o_orderkey"]
+    assert src.table_provider() == "sentinel-df"
+    assert recorded["fmt"] == "jdbc"
+    assert recorded["opts"]["url"] == "jdbc:sqlserver://host;db=mydb"
+    assert recorded["opts"]["query"] == (
+        "SELECT * FROM [mydb].[dbo].[orders]"
+    )
+    assert recorded["opts"]["fetchsize"] == "10000"
+
+
 def test_rest_source_retries_transient_transport(spark):
     """C11 (RestApiSource.cs:355-361): first N transport failures retry with
     1 s backoff; the sweep still completes. Non-transient errors raise."""
