@@ -30,6 +30,14 @@ from arcane_framework_spark.operators.cache import scoped_persist
 #: Default hyperplane count (LSH signature bits) — shared with the oracle.
 NUM_PLANES = 16
 
+#: Routed SemDeDup hard cell cap, as a multiple of target_cell_size: a
+#: routed cell larger than FACTOR * target splits into rank-contiguous
+#: sub-cells of at most that size (see semantic_dedup). 8x leaves the
+#: split dormant on balanced corpora while turning the quadratic-probe
+#: bound from a k-means tendency into a guarantee — at 100x stress the
+#: routed argmax was measured to overfill a cell 1614 vs target 64.
+SEMDEDUP_SPLIT_FACTOR = 8
+
 
 @lru_cache(maxsize=None)
 def hyperplane_weights(num_planes: int, dim: int) -> tuple[tuple[int, ...], ...]:
@@ -932,8 +940,25 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
     ``routed=True`` swaps in the two-level ~2*N*sqrt(k) coarse-routed
     assignment (:func:`ivf_assign_routed`) for every Lloyd iteration and
     the final cell assignment — approximate cell membership, same
-    deterministic dominance rule, still fully oracle-expressible. The
-    dominance
+    deterministic dominance rule, still fully oracle-expressible.
+
+    Routed mode additionally HARD-CAPS cell size. The routed argmax can
+    pile vectors into fine cells inside dense coarse regions — measured
+    at 100x stress: max cell 1614 vs target 64, which un-bounds the
+    quadratic probe the cells exist to bound. So after the final routed
+    assignment, any cell larger than ``SEMDEDUP_SPLIT_FACTOR *
+    target_cell_size`` is split deterministically into rank-contiguous
+    sub-cells (FAISS-style list capping): members are ranked by id
+    within their cell, grouped ``cap`` at a time, and each sub-cell is
+    re-keyed by its MINIMUM member id (collision-free across cells
+    since member ids are unique, scale-safe: both windows partition by
+    cid). The output ``cid`` IS the sub-cell — the unit that bounded
+    the pairwise work — while ``cent_cos`` stays relative to the routed
+    centroid. A cross-sub-cell duplicate pair is missed by
+    construction: that is the same recall trade the cap itself makes,
+    and the gate hash-checks the identical split in the DuckDB oracle.
+
+    The dominance
     probe is a left-semi join: no pair materialization survives the
     exchange, Spark emits at most one match per probe row. Rounding
     cent_cos to 6 decimals before comparing makes the dominance decision
@@ -952,12 +977,32 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
         "cid", "cvec", norm_expr(F.col("cvec")).alias("__cn")
     )
     final_assign = ivf_assign_routed if routed else ivf_assign
+    raw = final_assign(vectors, centroids, id_col, vec_col)
+    if routed and target_cell_size is not None:
+        from pyspark.sql import Window
+
+        cap = SEMDEDUP_SPLIT_FACTOR * target_cell_size
+        wrk = Window.partitionBy("cid").orderBy("id")
+        wsub = Window.partitionBy("cid", "__sub")
+        # rank-contiguous split, sub-cell re-keyed by its min member id:
+        # collision-free (ids unique), deterministic, both windows
+        # partitioned by cid — no single-partition stage at any scale.
+        raw = (
+            raw.withColumn(
+                "__sub",
+                F.floor((F.row_number().over(wrk) - 1) / F.lit(cap)).cast(
+                    "long"
+                ),
+            )
+            .withColumn("__cell", F.min("id").over(wsub))
+        )
+    else:
+        raw = raw.withColumn("__cell", F.col("cid"))
     assigned = (
-        final_assign(vectors, centroids, id_col, vec_col)
-        .join(F.broadcast(cent), "cid")
+        raw.join(F.broadcast(cent), "cid")
         .select(
             F.col("id").alias(id_col),
-            "cid",
+            F.col("__cell").alias("cid"),
             "vec",
             # Norm precomputed ONCE per row: the pairwise probe below reads
             # it from both sides instead of re-folding vec·vec per PAIR —

@@ -4127,14 +4127,18 @@ def semantic_dedup_routed_embeddings(spark: SparkSession,
     O(N²/T) (k ∝ N); routing every Lloyd iteration and the final cell
     assignment through ~sqrt(k) coarse centroids cuts it to ~2·N·sqrt(k):
     measured 902s → 100s at the 100x stress corpus (200k vectors,
-    STRESS_100X_r09.json) with the cell-size governance assertion still
-    green. Assignment is approximate (a boundary vector can land in a
-    near-best cell), which is the right trade for cell-BOUNDING
-    consumers; the dominance/prune rule inside each cell is unchanged
-    and exact. Full per-vector decision table like the exact twin, and
-    the DuckDB oracle unrolls the SAME routed choreography (rank-by-cid
-    coarse pick, fine→coarse routing, two-stage argmax, all tie-broken
-    (cos DESC, id ASC)) so every keep/prune call is hash-checked.
+    STRESS_100X_r09.json). Assignment is approximate (a boundary vector
+    can land in a near-best cell) — and measured at 100x it OVERFILLS
+    dense cells (max 1614 vs target 64), so the operator hard-caps:
+    cells beyond SEMDEDUP_SPLIT_FACTOR * target split into
+    rank-contiguous sub-cells re-keyed by min member id, making the
+    quadratic-probe bound a guarantee (the stress harness asserts
+    max_cell <= the cap exactly). The dominance/prune rule inside each
+    (sub-)cell is unchanged and exact. Full per-vector decision table
+    like the exact twin, and the DuckDB oracle unrolls the SAME routed
+    choreography (rank-by-cid coarse pick, fine→coarse routing,
+    two-stage argmax, all tie-broken (cos DESC, id ASC)) plus the SAME
+    split, so every keep/prune call is hash-checked.
     """
     from arcane_framework_spark.operators.similarity import semantic_dedup
 
@@ -4241,6 +4245,27 @@ def _semantic_dedup_routed_sql(cell: int = SEMDEDUP_CELL,
         prev = f"c{i}"
     final_ctes, fin = _routed_assign_ctes("e", prev, "fin", "sf")
     ctes.extend(final_ctes)
+    from arcane_framework_spark.operators.similarity import (
+        SEMDEDUP_SPLIT_FACTOR,
+    )
+
+    cap = SEMDEDUP_SPLIT_FACTOR * cell
+    # Hard cell cap, mirroring semantic_dedup's routed split: members
+    # ranked by vec_id within their routed cell, grouped `cap` at a
+    # time, each sub-cell re-keyed by its min member id. Integer //
+    # matches Spark floor((rn-1)/cap) exactly (both floor division on
+    # exact small ints).
+    ctes.append(f"""split AS (
+  SELECT vec_id, cid,
+         (row_number() OVER (PARTITION BY cid ORDER BY vec_id) - 1)
+           // {cap} AS sub
+  FROM {fin}
+)""")
+    ctes.append("""cells AS (
+  SELECT vec_id, cid,
+         min(vec_id) OVER (PARTITION BY cid, sub) AS cell
+  FROM split
+)""")
     pair_cos = (
         "round(list_dot_product(x.v, y.v) / "
         "(sqrt(list_dot_product(x.v, x.v)) * "
@@ -4250,11 +4275,11 @@ def _semantic_dedup_routed_sql(cell: int = SEMDEDUP_CELL,
     return f"""
 WITH {joined},
 cc AS (
-  SELECT e.vec_id, e.v, a.cid,
+  SELECT e.vec_id, e.v, a.cell AS cid,
          round(list_dot_product(e.v, c.cvec) /
                (sqrt(list_dot_product(e.v, e.v)) *
                 sqrt(list_dot_product(c.cvec, c.cvec))), 5) AS cent_cos
-  FROM e JOIN {fin} a USING (vec_id) JOIN {prev} c USING (cid)
+  FROM e JOIN cells a USING (vec_id) JOIN {prev} c ON c.cid = a.cid
 ),
 pruned AS (
   SELECT DISTINCT x.vec_id FROM cc x JOIN cc y

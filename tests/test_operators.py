@@ -284,6 +284,40 @@ def test_semantic_dedup_routed_prunes_planted_dups(spark):
     assert survivors == cells
 
 
+def test_semantic_dedup_routed_hard_caps_cell_size(spark):
+    """The routed path's hard cell cap: 40 IDENTICAL vectors all route to
+    one cell (worst-case overfill, the shape measured at 100x stress:
+    max 1614 vs target 64), and with target_cell_size=2 the cap is
+    SEMDEDUP_SPLIT_FACTOR*2 = 16, so the cell must split into
+    rank-contiguous sub-cells of 16/16/8, each re-keyed by its MIN
+    member id. Within a sub-cell every pair has cosine 1 and equal
+    cent_cos, so the lowest id is the unique survivor."""
+    from arcane_framework_spark.operators.similarity import (
+        SEMDEDUP_SPLIT_FACTOR,
+        semantic_dedup,
+    )
+
+    vec = [3.0, 1.0, 2.0, 0.5]
+    rows = [(i, list(vec)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    cap = SEMDEDUP_SPLIT_FACTOR * 2
+    assert cap == 16
+    out = semantic_dedup(
+        df, k=None, threshold=0.9, iterations=1, target_cell_size=2,
+        routed=True,
+    ).collect()
+    assert len(out) == 40
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r.cid] = sizes.get(r.cid, 0) + 1
+    # hard bound holds EXACTLY, and sub-cells are keyed by min member id
+    assert max(sizes.values()) <= cap
+    assert sizes == {0: 16, 16: 16, 32: 8}
+    survivors = sorted(r.vec_id for r in out if not r.pruned)
+    assert survivors == [0, 16, 32]
+
+
 def test_ann_lsh_pairs_parity_with_banded(spark):
     """ann_lsh_pairs (full-signature AND-amplified bucket join) is the
     high-precision end of the same hyperplane-LSH family as
