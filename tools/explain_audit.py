@@ -44,6 +44,17 @@ EXPECTED_BNLJ = {
                                    # set algebra is quadratic in #sets
                                    # by definition, and the table is
                                    # sets-sized, never corpus-sized
+    "semantic_dedup_routed_embeddings",  # two-level assignment: corpus ×
+                                   # broadcast COARSE centroids (~sqrt(k)
+                                   # rows) then × the routed fine subset —
+                                   # the same corpus×broadcast-centroid
+                                   # scan class as ivf/kmeans, with the
+                                   # broadcast side sqrt(k)-sized
+    "ngram_cap_recall_documents",  # exact all-pairs char-ngram ground
+                                   # truth on a count-derived FIXED-SIZE
+                                   # sample (same class as lsh_recall):
+                                   # the broadcast side is the sample,
+                                   # never the corpus
 }
 
 #: No query is allowed a CartesianProduct: lsh_recall's exact all-pairs
