@@ -4294,6 +4294,83 @@ FROM cc LEFT JOIN pruned USING (vec_id)
 """
 
 
+def semantic_dedup_agreement_embeddings(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """What the routed approximation costs in DECISIONS: exact vs routed
+    SemDeDup prune flags compared per vector, aggregated to the decision
+    confusion (prune_both / prune_exact_only / prune_routed_only) and an
+    integer agreement rate — the same quantified-trade treatment
+    ngram_cap_recall_documents gives the block cap (X157). The routed
+    path buys ~10x assignment speed at 100x stress (870s → 88s) with
+    approximate cell membership plus the hard cell cap; this entry is
+    the standing measurement that the keep/prune decisions stay
+    near-identical on the planted corpus, and the drift alarm if a
+    future routing change quietly degrades them.
+
+    All five outputs are exact longs (counts and a floor-divided ppm),
+    so the cross-engine hash is bit-stable. Cost note: builds BOTH
+    twins (two governed k-means runs); the corpus subtree is shared via
+    scoped_persist, and this is by design the catalog's only
+    double-pipeline entry.
+    """
+    from arcane_framework_spark.operators.similarity import semantic_dedup
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    ex = semantic_dedup(
+        corpus, k=None, threshold=SEMDEDUP_TAU,
+        iterations=SEMDEDUP_ITERS, target_cell_size=SEMDEDUP_CELL,
+    ).select("vec_id", F.col("pruned").alias("pe"))
+    ro = semantic_dedup(
+        corpus, k=None, threshold=SEMDEDUP_TAU,
+        iterations=SEMDEDUP_ITERS, target_cell_size=SEMDEDUP_CELL,
+        routed=True,
+    ).select("vec_id", F.col("pruned").alias("pr"))
+    j = ex.join(ro, "vec_id")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("pe") & F.col("pr"), 1).otherwise(0))
+        .cast("long").alias("prune_both"),
+        F.sum(F.when(F.col("pe") & ~F.col("pr"), 1).otherwise(0))
+        .cast("long").alias("prune_exact_only"),
+        F.sum(F.when(~F.col("pe") & F.col("pr"), 1).otherwise(0))
+        .cast("long").alias("prune_routed_only"),
+        F.sum(F.when(F.col("pe") == F.col("pr"), 1).otherwise(0))
+        .cast("long").alias("__agree"),
+    )
+    return agg.select(
+        "n_vectors",
+        "prune_both",
+        "prune_exact_only",
+        "prune_routed_only",
+        F.expr("CAST(__agree * 1000000 DIV n_vectors AS BIGINT)").alias(
+            "agreement_ppm"
+        ),
+    )
+
+
+def _semantic_dedup_agreement_sql() -> str:
+    """Oracle: both full pipelines as nested-WITH CTEs (DuckDB supports a
+    WITH query as a CTE body), joined on vec_id, same integer outputs —
+    `//` matches Spark `DIV` (floor division on non-negative longs)."""
+    return f"""
+WITH ex AS ({_semantic_dedup_sql()}),
+ro AS ({_semantic_dedup_routed_sql()}),
+j AS (
+  SELECT ex.vec_id, ex.pruned AS pe, ro.pruned AS pr
+  FROM ex JOIN ro USING (vec_id)
+)
+SELECT count(*)::BIGINT AS n_vectors,
+       sum(CASE WHEN pe AND pr THEN 1 ELSE 0 END)::BIGINT AS prune_both,
+       sum(CASE WHEN pe AND NOT pr THEN 1 ELSE 0 END)::BIGINT
+         AS prune_exact_only,
+       sum(CASE WHEN NOT pe AND pr THEN 1 ELSE 0 END)::BIGINT
+         AS prune_routed_only,
+       (sum(CASE WHEN pe = pr THEN 1 ELSE 0 END)::BIGINT * 1000000)
+         // count(*)::BIGINT AS agreement_ppm
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Mergeable sketches with engine-reproducible register tables (X90/X91)
 # ---------------------------------------------------------------------------
@@ -4983,6 +5060,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical_documents": dedup_canonical_documents,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "semantic_dedup_routed_embeddings": semantic_dedup_routed_embeddings,
+    "semantic_dedup_agreement_embeddings": semantic_dedup_agreement_embeddings,
     "compaction_plan_documents": compaction_plan_documents,
     "frequent_ngrams_documents": frequent_ngrams_documents,
     "incremental_clusters_documents": incremental_clusters_documents,
@@ -5058,6 +5136,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "stratified_sample_embeddings": _STRATIFIED_SQL,
     "semantic_dedup_embeddings": _semantic_dedup_sql(),
     "semantic_dedup_routed_embeddings": _semantic_dedup_routed_sql(),
+    "semantic_dedup_agreement_embeddings": _semantic_dedup_agreement_sql(),
     "compaction_plan_documents": _COMPACTION_SQL,
     "frequent_ngrams_documents": _FREQUENT_NGRAMS_SQL,
     "incremental_clusters_documents": _INC_CC_SQL,
