@@ -758,7 +758,16 @@ def kmeans_fit(df: DataFrame, k: int | None, iterations: int = 3,
         # iteration i+1 starts from k cached rows, not re-derived lineage
         means.count()
         centroids.unpersist()
-        centroids = means
+        # Routed mode MUST also truncate the LOGICAL lineage, not just
+        # cache the rows: the routed assignment inlines the HOF cosine
+        # into several argmax/join sites, so plan size compounds per
+        # iteration and Catalyst re-optimizes the whole chain on every
+        # broadcast job of the NEXT consumer — measured 17.1s vs 1.7s
+        # for one 2100-row assignment against lineage vs checkpointed
+        # centroids (driver-side planning, independent of data scale).
+        # Same localCheckpoint pattern as operators/graph.py pointer
+        # jumping; k rows only, content deterministic.
+        centroids = means.localCheckpoint() if routed else means
     base.unpersist()
     return centroids
 
