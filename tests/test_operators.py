@@ -284,6 +284,24 @@ def test_semantic_dedup_routed_prunes_planted_dups(spark):
     assert survivors == cells
 
 
+def test_routed_kmeans_truncates_lineage(spark):
+    """Routed k-means must return CHECKPOINTED centroids: persisting only
+    caches the data — the compounded per-iteration plan still gets
+    re-optimized by Catalyst on every broadcast job of the next consumer
+    (measured 17.1s vs 1.7s for one 2100-row assignment). The returned
+    plan must therefore be a flat scan (LogicalRDD), not a join tree."""
+    from arcane_framework_spark.operators.similarity import kmeans_fit
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cent = kmeans_fit(
+        df, k=None, iterations=1, target_cell_size=8, routed=True
+    )
+    plan = cent._jdf.queryExecution().logical().toString()
+    assert "LogicalRDD" in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_semantic_dedup_routed_hard_caps_cell_size(spark):
     """The routed path's hard cell cap: 40 IDENTICAL vectors all route to
     one cell (worst-case overfill, the shape measured at 100x stress:
