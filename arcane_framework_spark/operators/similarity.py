@@ -525,7 +525,17 @@ def ivf_assign_routed(df: DataFrame, centroids: DataFrame,
         .select(
             "cid",
             "ccid",
-            (
+            # A coarse centroid IS a fine centroid (coarse is a rank
+            # subset of fine); pin its self-route above any computed
+            # cosine so every coarse cell provably contains at least
+            # one fine member (itself). Without the pin, an fp-ulp
+            # anomaly between self-cos (dot/(n*n) can round below 1)
+            # and a near-duplicate's cos could route a coarse centroid
+            # away from itself, leaving its cell fine-empty — and the
+            # inner join below would then silently DROP every vector
+            # coarse-routed there. The oracle SQL pins identically.
+            F.when(F.col("cid") == F.col("ccid"), F.lit(2.0))
+            .otherwise(
                 dot_expr(F.col("cvec"), F.col("ccvec"))
                 / (F.col("__fn") * F.col("__ccn"))
             ).alias("__cos"),
@@ -767,7 +777,17 @@ def kmeans_fit(df: DataFrame, k: int | None, iterations: int = 3,
         # centroids (driver-side planning, independent of data scale).
         # Same localCheckpoint pattern as operators/graph.py pointer
         # jumping; k rows only, content deterministic.
-        centroids = means.localCheckpoint() if routed else means
+        if routed:
+            centroids = means.localCheckpoint()
+            # the checkpoint holds the rows now — release the scoped
+            # cache immediately instead of pinning every iteration's
+            # `means` until cache_scope exit (the exact path's
+            # centroids.unpersist() above handles its own chain, but a
+            # checkpointed DataFrame is a NEW plan, so that call is a
+            # no-op on the cached `means` without this)
+            means.unpersist()
+        else:
+            centroids = means
     base.unpersist()
     return centroids
 
@@ -918,7 +938,8 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
                    vec_col: str = "embedding",
                    init_stride: int | None = None,
                    target_cell_size: int | None = None,
-                   routed: bool = False) -> DataFrame:
+                   routed: bool = False,
+                   split_factor: int = SEMDEDUP_SPLIT_FACTOR) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
     The SemDeDup recipe (Abbas et al. 2023): cluster the corpus with
@@ -990,7 +1011,7 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
     if routed and target_cell_size is not None:
         from pyspark.sql import Window
 
-        cap = SEMDEDUP_SPLIT_FACTOR * target_cell_size
+        cap = split_factor * target_cell_size
         wrk = Window.partitionBy("cid").orderBy("id")
         wsub = Window.partitionBy("cid", "__sub")
         # rank-contiguous split, sub-cell re-keyed by its min member id:

@@ -51,6 +51,10 @@ from arcane_framework_spark.queries_wave3 import (
     WAVE3_ORACLE_SQL,
     WAVE3_QUERIES,
 )
+from arcane_framework_spark.queries_wave5 import (
+    WAVE5_ORACLE_SQL,
+    WAVE5_QUERIES,
+)
 from arcane_framework_spark.queries_wave4 import (
     WAVE4_ORACLE_SQL,
     WAVE4_QUERIES,
@@ -1826,6 +1830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **EVAL_QUERIES,
     **WAVE3_QUERIES,
     **WAVE4_QUERIES,
+    **WAVE5_QUERIES,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1868,6 +1873,7 @@ ORACLE_SQL: dict[str, str] = {
     **EVAL_ORACLE_SQL,
     **WAVE3_ORACLE_SQL,
     **WAVE4_ORACLE_SQL,
+    **WAVE5_ORACLE_SQL,
 }
 
 # Registered here (not in queries_ext) because their oracles embed the

@@ -154,7 +154,12 @@ NGRAM_RECALL_TARGET = 128
 #: cohort whose recall the cap zeroes out by design.
 NGRAM_BOILER_COPIES = 80
 
-_BOILER_OFFSET = 900_000
+# The boilerplate-cluster id offset is NOT a constant: it is derived
+# in-plan as max(doc_id) + _DUP_OFFSET + 1 (strictly above every corpus
+# id and every _DUP_OFFSET-planted twin id) in BOTH engines, so no scale
+# factor can make boiler ids collide with real ids and silently mislabel
+# cohorts. Ids never appear in this entry's output, only cohort labels,
+# so the derivation costs one 1-row broadcast aggregate per engine.
 
 
 def ngram_cap_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,19 +206,22 @@ def ngram_cap_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
         F.concat_ws(" ", "text", "text").alias("text"),
     )
+    boff_df = docs.agg(
+        (F.max("doc_id") + F.lit(_DUP_OFFSET) + F.lit(1))
+        .cast("long")
+        .alias("__boff")
+    )
     boiler = (
-        docs.orderBy("doc_id")
-        .limit(1)
+        with_broadcast_scalar(docs.orderBy("doc_id").limit(1), boff_df)
         .select(
             F.explode(
                 F.sequence(F.lit(0), F.lit(NGRAM_BOILER_COPIES - 1))
             ).alias("__i"),
             "text",
+            "__boff",
         )
         .select(
-            (F.lit(_BOILER_OFFSET) + F.col("__i")).cast("long").alias(
-                "doc_id"
-            ),
+            (F.col("__boff") + F.col("__i")).cast("long").alias("doc_id"),
             "text",
         )
     )
@@ -244,12 +252,12 @@ def ngram_cap_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__j") >= NGRAM_MIN_JACCARD)
     )
-    truth = exact.select(
+    truth = with_broadcast_scalar(exact, boff_df).select(
         "id_a",
         "id_b",
         F.when(
-            (F.col("id_a") >= _BOILER_OFFSET)
-            | (F.col("id_b") >= _BOILER_OFFSET),
+            (F.col("id_a") >= F.col("__boff"))
+            | (F.col("id_b") >= F.col("__boff")),
             F.lit("boilerplate"),
         ).otherwise(F.lit("corpus")).alias("cohort"),
     )
@@ -281,6 +289,7 @@ def ngram_cap_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngram_cap_recall_sql() -> str:
     k = CHAR_NGRAM
     mod = f"(SELECT greatest(1, count(*) // {NGRAM_RECALL_TARGET}) FROM documents)"
+    boff = f"(SELECT max(doc_id) + {_DUP_OFFSET} + 1 FROM documents)"
     return rf"""
 WITH sample AS (
   SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0
@@ -288,7 +297,7 @@ WITH sample AS (
   SELECT doc_id + {_DUP_OFFSET}, text || ' ' || text FROM documents
   WHERE doc_id % 7 = 0 AND doc_id % {mod} = 0
   UNION ALL
-  SELECT ({_BOILER_OFFSET} + i)::BIGINT, b.text
+  SELECT ({boff} + i)::BIGINT, b.text
   FROM (SELECT unnest(range(0, {NGRAM_BOILER_COPIES})) AS i)
   CROSS JOIN (SELECT text FROM documents ORDER BY doc_id LIMIT 1) b
 ),
@@ -313,7 +322,7 @@ exact AS (
 ),
 truth AS (
   SELECT id_a, id_b,
-         CASE WHEN id_a >= {_BOILER_OFFSET} OR id_b >= {_BOILER_OFFSET}
+         CASE WHEN id_a >= {boff} OR id_b >= {boff}
               THEN 'boilerplate' ELSE 'corpus' END AS cohort
   FROM exact WHERE j >= {NGRAM_MIN_JACCARD}
 ),
@@ -4152,6 +4161,40 @@ def semantic_dedup_routed_embeddings(spark: SparkSession,
     )
 
 
+#: Forced-split twin's cap multiplier: cap = 1 x target = 64, BELOW the
+#: routed max cell observed at sf0.01 (129), so the rank-split branch —
+#: Spark's floor((rn-1)/cap) sub-cell windows AND the oracle's
+#: split/cells CTEs — demonstrably executes in every gate run. The
+#: production entries keep SEMDEDUP_SPLIT_FACTOR=8 (cap 512), where the
+#: split is a stress-scale guard that gate-scale corpora cannot reach.
+SEMDEDUP_FORCED_SPLIT_FACTOR = 1
+
+
+def semantic_dedup_split_embeddings(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Routed SemDeDup with the hard cell cap FORCED to bind at gate
+    scale (split_factor=1 -> cap = target = 64; routed cells at sf0.01
+    reach 129). Exists so the cap's cross-engine semantics — row_number
+    ties by id, floor-division sub-cell keys, min-member-id re-keying —
+    are hash-checked in BOTH engines every round, not just unit-tested
+    on the Spark side and stress-asserted at 100x: `//` vs floor() and
+    rank-tie divergences would surface here immediately. Same planted
+    corpus, same dominance tail; only the cap differs from
+    semantic_dedup_routed_embeddings.
+    """
+    from arcane_framework_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _neardup_corpus(spark, sf_dir),
+        k=None,
+        threshold=SEMDEDUP_TAU,
+        iterations=SEMDEDUP_ITERS,
+        target_cell_size=SEMDEDUP_CELL,
+        routed=True,
+        split_factor=SEMDEDUP_FORCED_SPLIT_FACTOR,
+    )
+
+
 def _routed_assign_ctes(e: str, prev: str, tag: str,
                         out_name: str) -> tuple[list[str], str]:
     """CTEs for ONE coarse-routed assignment of `e` rows against the
@@ -4181,7 +4224,9 @@ def _routed_assign_ctes(e: str, prev: str, tag: str,
   SELECT cid, cvec, ccid FROM (
     SELECT f.cid, f.cvec, c.ccid,
            row_number() OVER (PARTITION BY f.cid
-                              ORDER BY {cos('f.cvec', 'c.ccvec')} DESC,
+                              ORDER BY (CASE WHEN f.cid = c.ccid THEN 2.0
+                                        ELSE {cos('f.cvec', 'c.ccvec')}
+                                        END) DESC,
                                        c.ccid) AS rn
     FROM {prev} f CROSS JOIN {co} c) WHERE rn = 1
 )""",
@@ -4209,7 +4254,8 @@ def _routed_assign_ctes(e: str, prev: str, tag: str,
 def _semantic_dedup_routed_sql(cell: int = SEMDEDUP_CELL,
                                iters: int = SEMDEDUP_ITERS,
                                tau: float = SEMDEDUP_TAU,
-                               dim: int = EMBEDDING_DIM) -> str:
+                               dim: int = EMBEDDING_DIM,
+                               split_factor: int | None = None) -> str:
     """Oracle for the routed twin: same planted corpus and seeds, Lloyd
     iterations and the final assignment each unrolled through the routed
     choreography, then the identical dominance tail."""
@@ -4249,7 +4295,8 @@ def _semantic_dedup_routed_sql(cell: int = SEMDEDUP_CELL,
         SEMDEDUP_SPLIT_FACTOR,
     )
 
-    cap = SEMDEDUP_SPLIT_FACTOR * cell
+    cap = (split_factor if split_factor is not None
+           else SEMDEDUP_SPLIT_FACTOR) * cell
     # Hard cell cap, mirroring semantic_dedup's routed split: members
     # ranked by vec_id within their routed cell, grouped `cap` at a
     # time, each sub-cell re-keyed by its min member id. Integer //
@@ -5060,6 +5107,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical_documents": dedup_canonical_documents,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "semantic_dedup_routed_embeddings": semantic_dedup_routed_embeddings,
+    "semantic_dedup_split_embeddings": semantic_dedup_split_embeddings,
     "semantic_dedup_agreement_embeddings": semantic_dedup_agreement_embeddings,
     "compaction_plan_documents": compaction_plan_documents,
     "frequent_ngrams_documents": frequent_ngrams_documents,
@@ -5136,6 +5184,9 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "stratified_sample_embeddings": _STRATIFIED_SQL,
     "semantic_dedup_embeddings": _semantic_dedup_sql(),
     "semantic_dedup_routed_embeddings": _semantic_dedup_routed_sql(),
+    "semantic_dedup_split_embeddings": _semantic_dedup_routed_sql(
+        split_factor=SEMDEDUP_FORCED_SPLIT_FACTOR
+    ),
     "semantic_dedup_agreement_embeddings": _semantic_dedup_agreement_sql(),
     "compaction_plan_documents": _COMPACTION_SQL,
     "frequent_ngrams_documents": _FREQUENT_NGRAMS_SQL,

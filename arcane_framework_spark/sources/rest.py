@@ -181,6 +181,40 @@ class TemplatedFieldType:
     FILTER_DATE_BETWEEN_TO = "FILTER_DATE_BETWEEN_TO"
 
 
+class TemplatedFieldPlacement:
+    """Template field placements (reference: TemplatedFieldPlacement.cs)."""
+
+    URL = "URL"
+    BODY = "BODY"
+
+
+@dataclass(frozen=True)
+class RestApiTemplatedField:
+    """A declared template field: kind + name + format + placement.
+
+    Mirrors the reference's configuration record
+    (RestApi/Models/RestApiTemplatedField.cs): the URI providers select
+    fields out of this list BY TYPE — first FILTER_DATE_FROM /
+    FILTER_DATE_BETWEEN_FROM fills the range start, first
+    FILTER_DATE_BETWEEN_TO the range end, RESPONSE_PAGE the page slot
+    (SimpleUriProvider.cs:70, PagedUriProvider.cs:74-111) — rather than
+    by positional constructor argument. ``format_string`` is a Python
+    ``strftime`` pattern (the reference uses .NET format strings; the
+    semantics — per-field date rendering — are the same).
+    """
+
+    field_type: str
+    field_name: str
+    format_string: str = "%Y-%m-%dT%H:%M:%S"
+    placement: str = TemplatedFieldPlacement.URL
+
+
+def _first_field(fields: list["RestApiTemplatedField"],
+                 *types: str) -> "RestApiTemplatedField | None":
+    """FirstOrDefault over field types, in declaration order."""
+    return next((f for f in fields if f.field_type in types), None)
+
+
 class RestApiTemplate:
     """``@field`` placeholder substitution in a URL/body template.
 
@@ -239,6 +273,29 @@ class SimpleUriProvider:
         self.clock = clock or (lambda: datetime.now(timezone.utc))
         self._first_sweep = True
 
+    @classmethod
+    def from_templated_fields(cls, template: str,
+                              fields: list[RestApiTemplatedField],
+                              backfill_start: datetime,
+                              **kwargs) -> "SimpleUriProvider":
+        """Build from a declared field list, selecting the date filter BY
+        TYPE exactly as the reference does (SimpleUriProvider.cs:70: first
+        field whose type is FILTER_DATE_FROM or FILTER_DATE_BETWEEN_FROM);
+        the field's own format_string wins over any date_format kwarg.
+        """
+        date = _first_field(
+            fields,
+            TemplatedFieldType.FILTER_DATE_FROM,
+            TemplatedFieldType.FILTER_DATE_BETWEEN_FROM,
+        )
+        if date is None:
+            raise ValueError(
+                "SimpleUriProvider requires a FILTER_DATE_FROM or "
+                "FILTER_DATE_BETWEEN_FROM templated field"
+            )
+        kwargs["date_format"] = date.format_string
+        return cls(template, date.field_name, backfill_start, **kwargs)
+
     def next_uri(self, page_token: str | None = None) -> str:
         if self.is_backfilling:
             start = self.backfill_start
@@ -267,7 +324,8 @@ class PagedUriProvider:
                  date_from_field: str, date_to_field: str,
                  range_start: datetime, range_end: datetime,
                  range_step: timedelta = timedelta(days=1),
-                 date_format: str = "%Y-%m-%dT%H:%M:%S"):
+                 date_format: str = "%Y-%m-%dT%H:%M:%S",
+                 date_to_format: str | None = None):
         fields = [page_field, date_from_field, date_to_field]
         self.template = RestApiTemplate(template, fields)
         self.page_field = page_field
@@ -277,7 +335,45 @@ class PagedUriProvider:
         self.range_end = range_end
         self.range_step = range_step
         self.date_format = date_format
+        # the reference renders each field with ITS OWN format string
+        # (PagedUriProvider.cs:80,98); to-field falls back to from-format
+        self.date_to_format = date_to_format or date_format
         self._cursor = range_start
+
+    @classmethod
+    def from_templated_fields(cls, template: str,
+                              fields: list[RestApiTemplatedField],
+                              range_start: datetime, range_end: datetime,
+                              **kwargs) -> "PagedUriProvider":
+        """Build from a declared field list, selecting BY TYPE exactly as
+        the reference does (PagedUriProvider.cs:74-111): first
+        FILTER_DATE_FROM/FILTER_DATE_BETWEEN_FROM -> range start, first
+        FILTER_DATE_BETWEEN_TO -> range end, RESPONSE_PAGE -> page slot —
+        and raising the reference's error when a paged API declares no
+        page field (PagedUriProvider.cs:113-117). Each date field renders
+        with its own format_string.
+        """
+        page = _first_field(fields, TemplatedFieldType.RESPONSE_PAGE)
+        if page is None:
+            raise ValueError(
+                "No field in either body or request url has a `page` "
+                "parameter, though API is initialized as paged"
+            )
+        dfrom = _first_field(
+            fields,
+            TemplatedFieldType.FILTER_DATE_FROM,
+            TemplatedFieldType.FILTER_DATE_BETWEEN_FROM,
+        )
+        dto = _first_field(fields, TemplatedFieldType.FILTER_DATE_BETWEEN_TO)
+        if dfrom is None or dto is None:
+            raise ValueError(
+                "PagedUriProvider requires FILTER_DATE_[BETWEEN_]FROM and "
+                "FILTER_DATE_BETWEEN_TO templated fields"
+            )
+        kwargs["date_format"] = dfrom.format_string
+        kwargs["date_to_format"] = dto.format_string
+        return cls(template, page.field_name, dfrom.field_name,
+                   dto.field_name, range_start, range_end, **kwargs)
 
     def has_read_all_pages(self) -> bool:
         return self._cursor >= self.range_end
@@ -295,7 +391,7 @@ class PagedUriProvider:
             self.template.reset()
             .resolve_field(self.page_field, str(page_token or 1))
             .resolve_field(self.date_from_field, slice_from.strftime(self.date_format))
-            .resolve_field(self.date_to_field, slice_to.strftime(self.date_format))
+            .resolve_field(self.date_to_field, slice_to.strftime(self.date_to_format))
             .resolve()
         )
 

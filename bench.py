@@ -179,6 +179,17 @@ def main() -> None:
     core_subset_median_total = round(
         sum(medians[n] for n in CORE_SUBSET if n in medians), 3
     )
+    # The frozen subset exists for round-over-round comparability — a
+    # renamed/removed/errored member silently shrinking the total is the
+    # exact failure the freeze guards against, so surface it loudly.
+    core_missing = sorted(n for n in CORE_SUBSET if n not in timings)
+    if core_missing:
+        print(
+            f"WARNING: {len(core_missing)} frozen core-subset entries "
+            f"missing from timings (core_subset_total NOT comparable "
+            f"round-over-round): {core_missing}",
+            file=sys.stderr,
+        )
 
     # Full per-query timings for humans / the judge.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
@@ -195,6 +206,8 @@ def main() -> None:
              "core_subset": list(CORE_SUBSET),
              "core_subset_total": core_subset_total,
              "core_subset_median_total": core_subset_median_total,
+             "n_core_present": len(CORE_SUBSET) - len(core_missing),
+             "core_missing": core_missing,
              "pass_totals": [round(sum(p.values()), 3) for p in passes]},
             fh, indent=1, sort_keys=True,
         )
@@ -217,6 +230,8 @@ def main() -> None:
         "median_total": median_total,
         "core_subset_total": core_subset_total,
         "core_subset_median_total": core_subset_median_total,
+        "n_core_present": len(CORE_SUBSET) - len(core_missing),
+        "core_missing": core_missing,
         "pass_totals": [round(sum(p.values()), 3) for p in passes],
         "full": "BENCH_FULL.json",
     }

@@ -336,6 +336,56 @@ def test_semantic_dedup_routed_hard_caps_cell_size(spark):
     assert survivors == [0, 16, 32]
 
 
+def test_semantic_dedup_split_entry_binds_at_gate_scale(spark):
+    """The forced-split catalog twin (split_factor=1 -> cap 64) must make
+    the cap BIND on the gate corpus, not just exist: routed cells at
+    sf0.01 reach 129 members, so the output must contain (a) no cell
+    above the cap and (b) at least one sub-cell at EXACTLY the cap —
+    proof a cell overflowed and was rank-split. Cross-engine equivalence
+    of the firing split (row_number ties, floor-division sub-keys,
+    min-member re-keying) is what the entry's DuckDB oracle hash-checks
+    in every gate run; this test pins the Spark-side precondition that
+    makes that check meaningful at gate scale."""
+    from arcane_framework_spark.queries_ext import (
+        SEMDEDUP_CELL,
+        SEMDEDUP_FORCED_SPLIT_FACTOR,
+        semantic_dedup_split_embeddings,
+    )
+
+    out = semantic_dedup_split_embeddings(spark, "/root/testdata/sf0.01")
+    sizes = [
+        r["n"]
+        for r in out.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    ]
+    cap = SEMDEDUP_FORCED_SPLIT_FACTOR * SEMDEDUP_CELL
+    assert sum(sizes) == 525  # every planted-corpus vector still assigned
+    assert max(sizes) <= cap
+    assert cap in sizes, f"cap never bound: sizes={sorted(sizes)}"
+
+
+def test_ivf_assign_routed_never_drops_vectors(spark):
+    """Routed assignment is a chain of inner joins (vector->coarse,
+    coarse->fine via f2c, base->assigned); if a coarse cell ended up with
+    NO fine member (an fp-ulp self-routing anomaly between near-duplicate
+    centroids), its vectors would silently vanish. The f2c self-route pin
+    (cid == ccid sorts above any computed cosine) makes that structurally
+    impossible — every coarse centroid is its own cell's fine member.
+    Exercise the worst case: EXACT-duplicate centroids (self-cos ties
+    with a twin's cos at 1.0 in both engines' fp) and assert the row
+    count invariant."""
+    from arcane_framework_spark.operators.similarity import ivf_assign_routed
+
+    # 12 centroids, every one an exact duplicate of its neighbor pair —
+    # before the pin, a coarse centroid could tie-route to its twin.
+    cvec = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [2.0, 1.0]]
+    cents = [(i, list(cvec[i % 4])) for i in range(12)]
+    cdf = spark.createDataFrame(cents, "cid: long, cvec: array<double>")
+    rows = [(i, [float(1 + i % 5), float(i % 3)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = ivf_assign_routed(df, cdf)
+    assert out.count() == 200
+
+
 def test_ann_lsh_pairs_parity_with_banded(spark):
     """ann_lsh_pairs (full-signature AND-amplified bucket join) is the
     high-precision end of the same hyperplane-LSH family as

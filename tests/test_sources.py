@@ -5,6 +5,7 @@ Mirrors the reference's mock-backed operator tests (SURVEY.md §5 categories
 """
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -449,6 +450,67 @@ def test_paged_uri_provider_range_sweep():
     assert p.has_read_all_pages()
     p.reset_range()
     assert not p.has_read_all_pages()
+
+
+def test_uri_providers_from_templated_fields():
+    """Typed-field construction mirrors the reference's by-type selection
+    (RestApiTemplatedField.cs + PagedUriProvider.cs:74-117): the first
+    FILTER_DATE_[BETWEEN_]FROM field fills the range start, the first
+    FILTER_DATE_BETWEEN_TO the end, RESPONSE_PAGE the page slot; each
+    date field renders with ITS OWN format string; and a paged API with
+    no page field raises the reference's error."""
+    from datetime import datetime, timedelta, timezone
+
+    import pytest
+
+    from arcane_framework_spark.sources.rest import (
+        PagedUriProvider,
+        RestApiTemplatedField,
+        SimpleUriProvider,
+        TemplatedFieldType,
+    )
+
+    fields = [
+        RestApiTemplatedField(
+            TemplatedFieldType.FILTER_DATE_BETWEEN_FROM, "f", "%Y-%m-%d"
+        ),
+        RestApiTemplatedField(
+            TemplatedFieldType.FILTER_DATE_BETWEEN_TO, "t",
+            "%Y-%m-%dT%H:%M:%S"
+        ),
+        RestApiTemplatedField(TemplatedFieldType.RESPONSE_PAGE, "p"),
+    ]
+    paged = PagedUriProvider.from_templated_fields(
+        "https://api/x?page=@p&from=@f&to=@t", fields,
+        range_start=datetime(2024, 1, 1), range_end=datetime(2024, 1, 3),
+        range_step=timedelta(days=1),
+    )
+    # from-field uses its own date-only format, to-field its full format
+    assert paged.next_uri(2) == (
+        "https://api/x?page=2&from=2024-01-01&to=2024-01-02T00:00:00"
+    )
+    with pytest.raises(ValueError, match="initialized as paged"):
+        PagedUriProvider.from_templated_fields(
+            "https://api/x?from=@f&to=@t", fields[:2],
+            range_start=datetime(2024, 1, 1),
+            range_end=datetime(2024, 1, 3),
+        )
+
+    simple = SimpleUriProvider.from_templated_fields(
+        "https://api/x?from=@d",
+        [RestApiTemplatedField(
+            TemplatedFieldType.FILTER_DATE_FROM, "d", "%Y/%m/%d"
+        )],
+        backfill_start=datetime(2020, 2, 3, tzinfo=timezone.utc),
+        is_backfilling=True,
+    )
+    assert simple.next_uri() == "https://api/x?from=2020/02/03"
+    with pytest.raises(ValueError, match="FILTER_DATE_FROM"):
+        SimpleUriProvider.from_templated_fields(
+            "https://api/x?page=@p",
+            [RestApiTemplatedField(TemplatedFieldType.RESPONSE_PAGE, "p")],
+            backfill_start=datetime(2020, 1, 1, tzinfo=timezone.utc),
+        )
 
 
 def test_openapi_schema_nested_structs():
@@ -1476,3 +1538,136 @@ def test_rest_datasource_stream_date_range_sweep(spark, tmp_path):
         assert got == expected  # all completed slices drained, no dupes
     finally:
         server.shutdown()
+
+
+def test_ct_datasource_stream_resumes_from_commit_log(spark, tmp_path):
+    """S2/T2 as a native streaming DataSource: the change-tracking version
+    watermark lives in Spark's OWN commit log (reference
+    SqlServerChangeTrackingSource.cs:455-459 checkpoints the highest
+    version fully processed). Kill the query between batches, append new
+    change versions to the feed, restart on the SAME checkpoint: the
+    recovered stream must deliver exactly the new deltas — every version
+    exactly once across both runs, no duplicate delta, no gap."""
+    import time as _time
+
+    from arcane_framework_spark.sources.ct_datasource import CtDataSource
+
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_feed(name: str, rows: list[tuple]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(feed, exist_ok=True)
+        pk, val, ver, op = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "pk": list(pk),
+                    "val": list(val),
+                    "SYS_CHANGE_VERSION": list(ver),
+                    "SYS_CHANGE_OPERATION": list(op),
+                }
+            ),
+            os.path.join(feed, name),
+        )
+
+    def versions() -> list[int]:
+        try:
+            return sorted(
+                r.SYS_CHANGE_VERSION for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    spark.dataSource.register(CtDataSource)
+
+    def start():
+        return (
+            spark.readStream.format("arcane_ct")
+            .schema(
+                "pk LONG, val STRING, SYS_CHANGE_VERSION LONG, "
+                "SYS_CHANGE_OPERATION STRING"
+            )
+            .option("path", feed)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    write_feed("b0.parquet", [(1, "a", 1, "I"), (2, "b", 2, "I"),
+                              (1, "a2", 3, "U")])
+    q = start()
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if versions() == [1, 2, 3]:
+                break
+            _time.sleep(0.5)
+        assert versions() == [1, 2, 3]
+        _time.sleep(2)  # let the last batch's commit land in the ckpt
+    finally:
+        q.stop()
+
+    # feed grows while the stream is down (including a DELETE)
+    write_feed("b1.parquet", [(3, "c", 4, "I"), (2, None, 5, "D")])
+    q = start()
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if {4, 5} <= set(versions()):
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    got = versions()
+    assert {4, 5} <= set(got)
+    assert got == sorted(set(got)), got  # no duplicate delta across restart
+    assert got == [1, 2, 3, 4, 5]       # and no gap
+    ops = {
+        (r.pk, r.SYS_CHANGE_VERSION): r.SYS_CHANGE_OPERATION
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ops[(2, 5)] == "D"  # deletes flow through like the reference
+
+
+def test_ct_datasource_empty_tick_holds_offset(spark, tmp_path):
+    """An empty change feed must hold the watermark (re-polled next
+    trigger), and start_version must bound the FIRST batch — the
+    backfill→stream handoff where the snapshot already carries
+    synthesized version 0."""
+    from arcane_framework_spark.sources.ct_datasource import CtStreamReader
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(
+        "pk LONG, SYS_CHANGE_VERSION LONG, SYS_CHANGE_OPERATION STRING"
+    )
+    reader = CtStreamReader(
+        schema, {"path": str(tmp_path / "nofeed"), "start_version": "0"}
+    )
+    assert reader.initialOffset() == {"version": 0}
+    rows, off = reader.read({"version": 0})
+    assert list(rows) == [] and off == {"version": 0}
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed = str(tmp_path / "nofeed")
+    os.makedirs(feed)
+    pq.write_table(
+        pa.table({"pk": [1, 2], "SYS_CHANGE_VERSION": [0, 7],
+                  "SYS_CHANGE_OPERATION": ["I", "U"]}),
+        os.path.join(feed, "b.parquet"),
+    )
+    rows, off = reader.read({"version": 0})
+    # version 0 is the backfill snapshot — already delivered, not re-read
+    assert list(rows) == [(2, 7, "U")]
+    assert off == {"version": 7}
+    # replay of the committed range is bounded on both sides
+    replay = list(reader.readBetweenOffsets({"version": 0}, {"version": 7}))
+    assert replay == [(2, 7, "U")]

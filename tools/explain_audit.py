@@ -44,6 +44,11 @@ EXPECTED_BNLJ = {
                                    # set algebra is quadratic in #sets
                                    # by definition, and the table is
                                    # sets-sized, never corpus-sized
+    "semantic_dedup_split_embeddings",  # routed twin with the cap forced
+                                   # to bind — identical plan class to
+                                   # semantic_dedup_routed_embeddings
+                                   # below (the split is windows, not a
+                                   # join)
     "semantic_dedup_routed_embeddings",  # two-level assignment: corpus ×
                                    # broadcast COARSE centroids (~sqrt(k)
                                    # rows) then × the routed fine subset —
@@ -55,6 +60,13 @@ EXPECTED_BNLJ = {
                                    # sample (same class as lsh_recall):
                                    # the broadcast side is the sample,
                                    # never the corpus
+    "semantic_dedup_agreement_embeddings",  # runs BOTH SemDeDup twins
+                                   # (exact + routed) to measure decision
+                                   # agreement, so it inherits the
+                                   # corpus × broadcast-centroid BNLJ
+                                   # class from each allowlisted
+                                   # constituent; at 100 TB this entry
+                                   # runs on a sample by design (X159)
 }
 
 #: No query is allowed a CartesianProduct: lsh_recall's exact all-pairs

@@ -208,10 +208,14 @@ def main() -> None:
             emb, k=None, threshold=0.9, iterations=2, target_cell_size=64
         )
     )
+    # Materialize the decision table ONCE for the cell stats AND the
+    # routed-vs-exact agreement below (this second run existed before —
+    # it fed only the cell stats; now both consumers share it).
+    exact_dec = semantic_dedup(
+        emb, k=None, threshold=0.9, iterations=2, target_cell_size=64
+    ).persist()
     cell = (
-        semantic_dedup(
-            emb, k=None, threshold=0.9, iterations=2, target_cell_size=64
-        )
+        exact_dec
         .groupBy("cid")
         .count()
         .agg(
@@ -242,11 +246,12 @@ def main() -> None:
             routed=True,
         )
     )
+    routed_dec = semantic_dedup(
+        emb, k=None, threshold=0.9, iterations=2, target_cell_size=64,
+        routed=True,
+    ).persist()
     rcell = (
-        semantic_dedup(
-            emb, k=None, threshold=0.9, iterations=2, target_cell_size=64,
-            routed=True,
-        )
+        routed_dec
         .groupBy("cid")
         .count()
         .agg(
@@ -271,6 +276,40 @@ def main() -> None:
     assert rcell["max_cell"] <= hard_cap, (
         results["semantic_dedup_routed_cells"]
     )
+
+    # Routed-vs-exact DECISION agreement at the scale where the hard cap
+    # actually binds (round-9 verdict task 3): the X159 catalog entry
+    # measures this at sf0.01 where no cell can reach the cap; here the
+    # cap is asserted == max_cell above, so this confusion is the routed
+    # approximation's decision cost WITH capping in effect. Cheap: one
+    # join of the two already-persisted decision tables.
+    conf = (
+        exact_dec.select("vec_id", F.col("pruned").alias("pe"))
+        .join(routed_dec.select("vec_id", F.col("pruned").alias("pr")),
+              "vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("pe") & F.col("pr"), 1).otherwise(0))
+            .alias("prune_both"),
+            F.sum(F.when(F.col("pe") & ~F.col("pr"), 1).otherwise(0))
+            .alias("prune_exact_only"),
+            F.sum(F.when(~F.col("pe") & F.col("pr"), 1).otherwise(0))
+            .alias("prune_routed_only"),
+            F.sum(F.when(F.col("pe") == F.col("pr"), 1).otherwise(0))
+            .alias("agree"),
+        )
+        .first()
+    )
+    results["semantic_dedup_agreement"] = {
+        "n_vectors": conf["n_vectors"],
+        "prune_both": conf["prune_both"],
+        "prune_exact_only": conf["prune_exact_only"],
+        "prune_routed_only": conf["prune_routed_only"],
+        "agreement_ppm": conf["agree"] * 1_000_000 // conf["n_vectors"],
+        "cap_bound": int(rcell["max_cell"]) == hard_cap,
+    }
+    exact_dec.unpersist()
+    routed_dec.unpersist()
 
     # ---- family 4: IVF-PQ train + encode + ADC search -----------------
     def _ivfpq():
