@@ -1887,6 +1887,12 @@ from arcane_framework_spark.queries_ext import (  # noqa: E402
 ORACLE_SQL["dedup_clusters_documents"] = _dedup_clusters_sql(_minhash_sql())
 ORACLE_SQL["dedup_canonical_documents"] = _dedup_canonical_sql(_minhash_sql())
 
+from arcane_framework_spark.queries_wave5 import (  # noqa: E402
+    dedup_rate_by_source_sql,
+)
+
+ORACLE_SQL["dedup_rate_by_source_documents"] = dedup_rate_by_source_sql()
+
 from arcane_framework_spark.queries_eval import _pagerank_sql  # noqa: E402
 
 ORACLE_SQL["pagerank_documents"] = _pagerank_sql(_minhash_sql())

@@ -155,10 +155,416 @@ FROM scored
 """
 
 
+def dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING: the selection step that completes
+    :func:`dsir_weights_documents`.
+
+    Each doc is kept with probability proportional to its
+    ``score_per_token`` (capped at 1), targeting an expected budget of
+    ``DSIR_BUDGET_PCT`` percent of the corpus — deterministic PPS
+    sampling: u = 24-bit integer from an md5 of the salted doc id (salt
+    ``sel|`` decorrelates it from the feature-bucket hash), keep iff
+    ``u * T < spt * B * 2^24`` where T = sum of all scores and
+    B = N * PCT // 100. The comparison is computed in double in BOTH
+    engines with identical association order — IEEE multiplication is
+    exactly rounded, so identical inputs give identical bits and the
+    decision is engine-independent (integers would overflow 2^63 at
+    corpus scale: spt*B*2^24 ~ 1e22 at N=1e9).
+
+    Scale: the totals are a 1-row broadcast (same pattern as every
+    governed modulus); selection itself is MAP-ONLY over the scored
+    table — no global sort, no top-k shuffle, which is the reason PPS
+    beats rank-the-corpus selection at 100 TB (the X34 lesson).
+    """
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    scored = _dsir_scored(spark, sf_dir)
+    tot = scored.agg(
+        F.sum("score_per_token").cast("long").alias("__t"),
+        F.expr(
+            f"CAST(count(*) * {DSIR_BUDGET_PCT} DIV 100 AS BIGINT)"
+        ).alias("__b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sel|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(DSIR_U_BITS)
+    )
+    return (
+        with_broadcast_scalar(scored, tot)
+        .withColumn("__u", u)
+        .filter(
+            F.col("__u").cast("double") * F.col("__t").cast("double")
+            < F.col("score_per_token").cast("double")
+            * F.col("__b").cast("double")
+            * F.lit(float(DSIR_U_BITS))
+        )
+        .select("doc_id", "n_tokens", "score_per_token")
+    )
+
+
+def _dsir_core_ctes() -> str:
+    """The shared scoring CTE chain (toks/tb/w/scored), for composition."""
+    return _DSIR_SQL[_DSIR_SQL.index("WITH") + 4 : _DSIR_SQL.index(
+        "SELECT doc_id, n_tokens"
+    )].rstrip().rstrip(")") + ")"
+
+
+_DSIR_SELECT_SQL = rf"""
+WITH {_dsir_core_ctes()},
+spt AS (
+  SELECT doc_id, n_tokens,
+         CAST(score // n_tokens AS BIGINT) AS score_per_token
+  FROM scored
+),
+tot AS (
+  SELECT CAST(sum(score_per_token) AS BIGINT) AS t,
+         CAST(count(*) * {DSIR_BUDGET_PCT} // 100 AS BIGINT) AS b
+  FROM spt
+)
+SELECT doc_id, n_tokens, score_per_token
+FROM spt CROSS JOIN tot
+WHERE CAST(CAST(concat('0x', substring(
+             md5('sel|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {DSIR_U_BITS} AS DOUBLE) * CAST(t AS DOUBLE)
+      < CAST(score_per_token AS DOUBLE) * CAST(b AS DOUBLE)
+        * {float(DSIR_U_BITS)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup-rate report (corpus-composition view of the MinHash
+# pair machinery). Oracle registered in queries.py (it embeds
+# _minhash_sql, which is defined after this module loads).
+# ---------------------------------------------------------------------------
+
+#: Jaccard threshold (in tenths) above which a pair counts as a near-dup
+#: for the per-source rate — the same 0.8 the incremental-dedup family
+#: uses, tested as the exact integer cross-multiplication.
+DEDUP_RATE_T10 = 8
+
+
+def dedup_rate_by_source_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Near-duplication rate per ``source`` — the corpus-composition
+    report a data team reads to find WHICH feed is flooding the corpus
+    with duplicates (dedup governance, not just dedup execution).
+
+    Composes the shared MinHash-LSH pair machinery on the planted corpus
+    (so the rates are non-trivial at gate scale), thresholds pairs at
+    Jaccard >= 0.8 via the exact integer test ``ni*10 >= 8*(na+nb-ni)``,
+    maps planted ids back to their base doc (the ``_DUP_OFFSET``
+    re-insertion is the planting scheme itself, so the inverse is exact
+    at planted scales), and reports per source: docs, near-dup members,
+    and an integer ppm rate.
+
+    Scale: pair discovery is the banded bucket join (never all-pairs);
+    the member set is distinct doc ids (bounded by the corpus); the
+    report is one groupBy(source) over documents left-joined to members.
+    """
+    from arcane_framework_spark.operators.dedup import minhash_pair_counts
+    from arcane_framework_spark.queries import _DUP_OFFSET, _planted_neardup_docs
+
+    t = load_tables(spark, sf_dir, "documents")
+    sized = minhash_pair_counts(_planted_neardup_docs(spark, sf_dir))
+    hits = sized.filter(
+        F.col("ni") * 10
+        >= F.lit(DEDUP_RATE_T10) * (F.col("na") + F.col("nb") - F.col("ni"))
+    )
+    members = (
+        hits.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+        )
+        .select(
+            F.when(
+                F.col("id") >= _DUP_OFFSET, F.col("id") - _DUP_OFFSET
+            ).otherwise(F.col("id")).alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    docs = t["documents"].select("doc_id", "source")
+    return (
+        docs.join(members, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.expr(
+                "CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("dup_rate_ppm"),
+        )
+    )
+
+
+def dedup_rate_by_source_sql() -> str:
+    """Oracle tail over the shared MinHash ``sized`` CTE (see queries.py
+    registration)."""
+    from arcane_framework_spark.queries import _DUP_OFFSET, _minhash_sql
+
+    return _minhash_sql(tail=rf"""
+,
+hits AS (
+  SELECT id_a, id_b FROM sized
+  WHERE ni * 10 >= {DEDUP_RATE_T10} * (na + nb - ni)
+),
+mem AS (
+  SELECT DISTINCT CASE WHEN id >= {_DUP_OFFSET} THEN id - {_DUP_OFFSET}
+                       ELSE id END AS doc_id
+  FROM (SELECT id_a AS id FROM hits UNION ALL SELECT id_b FROM hits)
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_docs,
+       CAST(sum(CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS dup_rate_ppm
+FROM documents d LEFT JOIN mem USING (doc_id)
+GROUP BY d.source
+""")
+
+
+def streaming_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of DSIR scoring: weights are learned OFFLINE (the
+    batch bucket table), then arriving documents are scored ENTIRELY
+    per-row — tokens hashed to buckets and weight-summed through a
+    4096-entry map literal — so the stream path has no join, no shuffle,
+    no state, no watermark: the shape a firehose quality-scorer runs in
+    production (model trained offline, applied map-only in-stream).
+
+    The 4096-row weight collect is the same documented bounded-driver
+    pattern as the broadcast query matrix (DSIR_BUCKETS is a constant —
+    the table CANNOT grow with the corpus). Scores are the identical
+    exact longs as :func:`dsir_weights_documents` (same md5 buckets, same
+    smoothed integer ratios), so the twin shares its DuckDB oracle
+    verbatim — the stream result is hash-checked against the batch SQL.
+    """
+    from arcane_framework_spark.queries_ext import stream_conf
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    wtab = (
+        toks.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+                .cast("long")
+                % F.lit(DSIR_BUCKETS)
+            ).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("__ns"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") % DSIR_TARGET_MOD == 0, 1
+                ).otherwise(0)
+            ).alias("__nt"),
+        )
+        .select(
+            "b",
+            F.expr(
+                f"CAST({DSIR_SCALE} * (__nt + 1) DIV (__ns + 1) AS BIGINT)"
+            ).alias("__w"),
+        )
+        .collect()
+    )
+    wmap = F.map_from_arrays(
+        F.array(*[F.lit(int(r["b"])) for r in wtab]),
+        F.array(*[F.lit(int(r["__w"])) for r in wtab]),
+    )
+
+    stream = (
+        spark.readStream.schema(t["documents"].schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tok_arr = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: x != "",
+    )
+    bucket = lambda x: (  # noqa: E731 — tiny expression builder
+        F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+        % F.lit(DSIR_BUCKETS)
+    )
+    scored = (
+        stream.select("doc_id", tok_arr.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.aggregate(
+                "__toks",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.coalesce(
+                    F.try_element_at(wmap, bucket(x)), F.lit(0).cast("long")
+                ),
+            ).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            F.expr("CAST(score DIV n_tokens AS BIGINT)").alias(
+                "score_per_token"
+            ),
+        )
+    )
+    name = "streaming_dsir_scoring_sink"
+    with stream_conf(spark):
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance from a change feed (the rollup-table
+# analog of incremental dedup: apply deltas to a materialized aggregate,
+# never re-scan the base).
+# ---------------------------------------------------------------------------
+
+#: Deterministic change-feed split of the events table: every 13th event
+#: arrives in the DELTA batch (insert op); every 17th BASE event is
+#: retracted (delete op referencing an existing row).
+ROLLUP_INS_MOD = 13
+ROLLUP_DEL_MOD = 17
+
+
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally MAINTAINED rollup == full recompute — the CDC
+    consumer contract (R11/T9) applied to aggregates instead of row
+    state: a materialized per-key rollup absorbs a delta batch of
+    insert/delete ops by ADDING signed partial aggregates, never
+    re-scanning the base table.
+
+    The feed split is deterministic (see ROLLUP_*_MOD); measures are
+    per-row cents fixed-point (``floor(value*100 + 0.5)``, the q9
+    lesson) so every sum is an exact long in both engines. The Spark
+    side computes base_agg ⊕ delta_agg (full-outer merge on the key,
+    zero-count keys dropped — a delete can empty a key); the DuckDB
+    oracle computes the same rollup by DIRECT GROUP BY over the
+    effective row set, so the gate hash-proves the incremental path
+    equals the recompute, the same equivalence treatment
+    incremental_dedup gets.
+
+    Scale: base_agg is the stored rollup (at 100 TB it is a parquet
+    side table, re-aggregated never); the delta batch is tick-sized;
+    the merge joins |keys| rows, not |events|.
+    """
+    t = load_tables(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    base = ev.filter(F.col("event_id") % ROLLUP_INS_MOD != 0)
+    ins = ev.filter(F.col("event_id") % ROLLUP_INS_MOD == 0)
+    dels = base.filter(F.col("event_id") % ROLLUP_DEL_MOD == 0)
+
+    base_agg = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("cents").cast("long").alias("__s"),
+    )
+    delta = ins.select(
+        "event_type", F.lit(1).alias("__w"), F.col("cents")
+    ).unionByName(
+        dels.select(
+            "event_type", F.lit(-1).alias("__w"), F.col("cents")
+        )
+    )
+    delta_agg = delta.groupBy("event_type").agg(
+        F.sum("__w").cast("long").alias("__dn"),
+        F.sum(F.col("__w") * F.col("cents")).cast("long").alias("__ds"),
+    )
+    merged = base_agg.join(delta_agg, "event_type", "full_outer").select(
+        "event_type",
+        (
+            F.coalesce(F.col("__n"), F.lit(0))
+            + F.coalesce(F.col("__dn"), F.lit(0))
+        ).cast("long").alias("n_events"),
+        (
+            F.coalesce(F.col("__s"), F.lit(0))
+            + F.coalesce(F.col("__ds"), F.lit(0))
+        ).cast("long").alias("total_cents"),
+    )
+    return merged.filter(F.col("n_events") > 0).select(
+        "event_type",
+        "n_events",
+        "total_cents",
+        F.expr("CAST(total_cents DIV n_events AS BIGINT)").alias(
+            "avg_cents"
+        ),
+    )
+
+
+_INCREMENTAL_ROLLUP_SQL = rf"""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+effective AS (
+  -- base rows that were not retracted, plus the delta inserts
+  SELECT event_type, cents FROM ev
+  WHERE event_id % {ROLLUP_INS_MOD} != 0
+    AND NOT (event_id % {ROLLUP_DEL_MOD} = 0)
+  UNION ALL
+  SELECT event_type, cents FROM ev WHERE event_id % {ROLLUP_INS_MOD} = 0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+FROM effective
+GROUP BY event_type
+"""
+
+
 WAVE5_QUERIES = {
     "dsir_weights_documents": dsir_weights_documents,
+    "dsir_select_documents": dsir_select_documents,
+    "dedup_rate_by_source_documents": dedup_rate_by_source_documents,
+    "streaming_dsir_scoring": streaming_dsir_scoring,
+    "incremental_rollup_events": incremental_rollup_events,
 }
 
 WAVE5_ORACLE_SQL: dict[str, str] = {
     "dsir_weights_documents": _DSIR_SQL,
+    "dsir_select_documents": _DSIR_SELECT_SQL,
+    # The streaming twin emits the identical exact longs as the batch
+    # scorer (same buckets, same ratios, map-only application) — it
+    # shares the batch oracle verbatim.
+    "streaming_dsir_scoring": _DSIR_SQL,
+    "incremental_rollup_events": _INCREMENTAL_ROLLUP_SQL,
 }

@@ -1,0 +1,150 @@
+"""Semantic invariants for the wave-5 data-selection operators
+(queries_wave5.py): properties the oracle hash-compare cannot distinguish
+from a consistently-wrong implementation in both engines."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_dsir_weights_enrich_target_cohort(spark):
+    """DSIR's whole point: the target cohort must score at least as high
+    as the rest of the corpus on average (its own tokens define the
+    high-weight buckets), and every weight-derived quantity must be a
+    positive exact long."""
+    from arcane_framework_spark.queries_wave5 import (
+        DSIR_TARGET_MOD,
+        dsir_weights_documents,
+    )
+
+    rows = dsir_weights_documents(spark, SF_DIR).collect()
+    assert rows and all(
+        r["score"] > 0 and r["n_tokens"] > 0 and r["score_per_token"] >= 0
+        for r in rows
+    )
+    tgt = [
+        r["score_per_token"] for r in rows if r["doc_id"] % DSIR_TARGET_MOD == 0
+    ]
+    rest = [
+        r["score_per_token"] for r in rows if r["doc_id"] % DSIR_TARGET_MOD != 0
+    ]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) >= sum(rest) / len(rest)
+
+
+def test_dsir_select_budget_and_exact_predicate(spark):
+    """PPS selection must land near the expected budget (binomial noise
+    band) AND match a from-scratch Python recomputation of the selection
+    predicate doc-by-doc — a third independent implementation (hashlib
+    md5, exact ints, one float compare) alongside Spark and the DuckDB
+    oracle. (A cohort-enrichment assertion would be statistically unsound
+    here: the synthetic corpus is homogeneous, so the target cohort's
+    score edge is ~0.5% — real but far below selection noise.)"""
+    import hashlib
+
+    from arcane_framework_spark.queries_wave5 import (
+        DSIR_BUDGET_PCT,
+        DSIR_U_BITS,
+        dsir_select_documents,
+        dsir_weights_documents,
+    )
+
+    all_rows = dsir_weights_documents(spark, SF_DIR).collect()
+    sel = {r["doc_id"] for r in dsir_select_documents(spark, SF_DIR).collect()}
+    n, k = len(all_rows), len(sel)
+    assert 0 < k < n
+    # expected k = n * PCT/100; allow a wide binomial band (4 sigma-ish)
+    exp = n * DSIR_BUDGET_PCT / 100
+    assert abs(k - exp) <= max(8, 4 * (exp ** 0.5)), (k, exp)
+
+    t = sum(r["score_per_token"] for r in all_rows)
+    b = n * DSIR_BUDGET_PCT // 100
+    expected = {
+        r["doc_id"]
+        for r in all_rows
+        if (
+            int(
+                hashlib.md5(f"sel|{r['doc_id']}".encode()).hexdigest()[:8],
+                16,
+            )
+            % DSIR_U_BITS
+        )
+        * float(t)
+        < float(r["score_per_token"]) * float(b) * float(DSIR_U_BITS)
+    }
+    assert sel == expected
+
+
+def test_dedup_rate_by_source_counts_planted(spark):
+    """The planted corpus re-inserts every 7th doc as a near-dup, so the
+    aggregate dup membership must be positive, every source's members
+    must not exceed its docs, and total docs must equal the corpus."""
+    from arcane_framework_spark.queries_wave5 import (
+        dedup_rate_by_source_documents,
+    )
+
+    rows = dedup_rate_by_source_documents(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(0 <= r["n_dup_docs"] <= r["n_docs"] for r in rows)
+    assert sum(r["n_dup_docs"] for r in rows) > 0
+    for r in rows:
+        assert r["dup_rate_ppm"] == r["n_dup_docs"] * 1_000_000 // r["n_docs"]
+
+
+def test_streaming_dsir_matches_batch(spark):
+    """The streaming scorer must emit the IDENTICAL exact longs as the
+    batch scorer for every doc (same buckets, same smoothed ratios) —
+    the property that lets the twin share the batch oracle verbatim."""
+    from arcane_framework_spark.queries_wave5 import (
+        dsir_weights_documents,
+        streaming_dsir_scoring,
+    )
+
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["score"])
+        for r in dsir_weights_documents(spark, SF_DIR).collect()
+    }
+    stream = {
+        r["doc_id"]: (r["n_tokens"], r["score"])
+        for r in streaming_dsir_scoring(spark, SF_DIR).collect()
+    }
+    assert batch == stream
+
+
+def test_incremental_rollup_equals_recompute(spark):
+    """The maintained rollup must equal a from-scratch Spark recompute
+    over the effective row set — the same equivalence the DuckDB oracle
+    checks, asserted engine-internally so a symmetric cross-engine bug
+    cannot hide it."""
+    from arcane_framework_spark.queries_wave5 import (
+        ROLLUP_DEL_MOD,
+        ROLLUP_INS_MOD,
+        incremental_rollup_events,
+    )
+
+    inc = {
+        r["event_type"]: (r["n_events"], r["total_cents"], r["avg_cents"])
+        for r in incremental_rollup_events(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").selectExpr(
+        "event_id", "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    eff = ev.filter(
+        (
+            (F.col("event_id") % ROLLUP_INS_MOD != 0)
+            & (F.col("event_id") % ROLLUP_DEL_MOD != 0)
+        )
+        | (F.col("event_id") % ROLLUP_INS_MOD == 0)
+    )
+    direct = {
+        r["event_type"]: (r["n"], r["s"], r["s"] // r["n"])
+        for r in eff.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert inc == direct and inc
