@@ -1671,3 +1671,68 @@ def test_ct_datasource_empty_tick_holds_offset(spark, tmp_path):
     # replay of the committed range is bounded on both sides
     replay = list(reader.readBetweenOffsets({"version": 0}, {"version": 7}))
     assert replay == [(2, 7, "U")]
+
+
+def test_ct_datasource_stream_static_delta_join(spark, tmp_path):
+    """End-to-end composition on the NATIVE stream: arcane_ct change rows
+    stream-static delta-joined (R2, delete-preserving) to the current
+    table snapshot — the full reference tick (CHANGETABLE rows joined
+    back to table state, GetSelectDeltaQuery.sql:7-8) running on Spark's
+    own streaming machinery instead of the driver loop."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcane_framework_spark.operators.relational import delta_join
+    from arcane_framework_spark.sources.ct_datasource import CtDataSource
+
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    os.makedirs(feed)
+    pq.write_table(
+        pa.table({
+            "pk": [1, 2, 3],
+            "SYS_CHANGE_VERSION": [1, 2, 3],
+            "SYS_CHANGE_OPERATION": ["I", "U", "D"],
+        }),
+        os.path.join(feed, "b0.parquet"),
+    )
+    # current table state: pk 3 already deleted server-side; pk 1, 2 live
+    table = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "pk LONG, val STRING"
+    )
+
+    spark.dataSource.register(CtDataSource)
+    changes = (
+        spark.readStream.format("arcane_ct")
+        .schema(
+            "pk LONG, SYS_CHANGE_VERSION LONG, SYS_CHANGE_OPERATION STRING"
+        )
+        .option("path", feed)
+        .load()
+    )
+    joined = delta_join(changes, table, ["pk"])
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        rows = []
+        while _time.time() < deadline:
+            try:
+                rows = spark.read.parquet(out).collect()
+            except Exception:
+                rows = []
+            if len(rows) == 3:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {r.pk: (r.SYS_CHANGE_OPERATION, r.val) for r in rows}
+    # inserts/updates carry payload; the delete survives with NULL payload
+    assert got == {1: ("I", "alpha"), 2: ("U", "beta"), 3: ("D", None)}
