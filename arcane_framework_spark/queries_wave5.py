@@ -551,12 +551,247 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-probe IVF recall curve: the nprobe knob every IVF deployment tunes
+# (probe more cells -> higher recall, proportionally more candidates).
+# ---------------------------------------------------------------------------
+
+#: Probe counts swept by the recall curve.
+IVF_PROBE_SET = (1, 2, 4)
+
+
+def ivf_multiprobe_recall_embeddings(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Recall@k of multi-probe IVF vs exact ground truth, per probe count
+    — the measured recall/cost curve behind the nprobe knob (probe-1 is
+    `ivf_topk_embeddings`; this quantifies what probing 2 and 4 cells
+    buys, the X157/X159 quantified-trade treatment applied to the ANN
+    family).
+
+    Corpus vectors keep their probe-1 cell assignment (each appears in
+    exactly ONE cell, so multi-probe candidates are duplicate-free by
+    construction); each query ranks ALL centroids once and searches its
+    top-P cells. Ground truth is exact brute-force top-k over the same
+    queries — the query side is a fixed-size set, so the exact scan is
+    bounded like lsh_recall's. Output per probe count: (probes, hits,
+    possible, recall_ppm) — all exact integers.
+
+    Scale: candidate volume is P·N/k_cells per query; the centroid
+    ranking is |Q|·k_cells against a broadcast centroid table; the
+    ground-truth scan is |Q|·N with the QUERY side broadcast — every
+    join here keeps the corpus un-shuffled.
+    """
+    from arcane_framework_spark.operators.similarity import (
+        dot_expr,
+        ivf_assign,
+        norm_expr,
+    )
+    from arcane_framework_spark.queries_ext import (
+        IVF_K,
+        IVF_NUM_QUERIES,
+        IVF_STRIDE,
+    )
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    assigned = ivf_assign(emb, centroids).withColumn(
+        "__n", norm_expr(F.col("vec"))
+    )
+    queries = emb.filter(F.col("vec_id") < IVF_NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        norm_expr(F.col("embedding")).alias("__qn"),
+    )
+    max_p = max(IVF_PROBE_SET)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("cid")
+    )
+    qcells = (
+        queries.join(
+            F.broadcast(
+                centroids.select(
+                    "cid", "cvec", norm_expr(F.col("cvec")).alias("__cn")
+                )
+            )
+        )
+        .select(
+            "query_id",
+            "qv",
+            "__qn",
+            "cid",
+            (
+                dot_expr(F.col("qv"), F.col("cvec"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("__ccos"),
+        )
+        .withColumn("__crn", F.row_number().over(wq))
+        .filter(F.col("__crn") <= max_p)
+        .drop("__ccos")
+    )
+    cand = (
+        qcells.join(assigned, "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "__crn",
+            (
+                dot_expr(F.col("qv"), F.col("vec"))
+                / (F.col("__qn") * F.col("__n"))
+            ).alias("__cos"),
+        )
+    )
+    probed = cand.join(
+        F.broadcast(
+            spark.createDataFrame(
+                [(p,) for p in IVF_PROBE_SET], "probes: int"
+            )
+        ),
+        F.col("__crn") <= F.col("probes"),
+    )
+    wk = Window.partitionBy("probes", "query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    ivfk = (
+        probed.withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= IVF_K)
+        .select("probes", "query_id", "neighbor_id")
+    )
+    wg = Window.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    gt = (
+        F.broadcast(queries)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot_expr(F.col("qv"), F.col("embedding"))
+                / (F.col("__qn") * norm_expr(F.col("embedding")))
+            ).alias("__cos"),
+        )
+        .withColumn("__rk", F.row_number().over(wg))
+        .filter(F.col("__rk") <= IVF_K)
+        .select("query_id", "neighbor_id")
+    )
+    probes_df = spark.createDataFrame(
+        [(p,) for p in IVF_PROBE_SET], "probes: int"
+    )
+    hits = (
+        ivfk.join(gt, ["query_id", "neighbor_id"])
+        .groupBy("probes")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    possible = gt.count()
+    return (
+        probes_df.join(hits, "probes", "left")
+        .select(
+            "probes",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.lit(possible).cast("long").alias("possible"),
+            F.expr(
+                f"CAST(coalesce(hits, 0) * 1000000 DIV {possible} AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _ivf_multiprobe_sql() -> str:
+    from arcane_framework_spark.queries_ext import (
+        IVF_K,
+        IVF_NUM_QUERIES,
+        IVF_STRIDE,
+    )
+
+    probes = ", ".join(str(p) for p in IVF_PROBE_SET)
+    max_p = max(IVF_PROBE_SET)
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_STRIDE} = 0
+),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'cent.cv')} DESC,
+                                       cent.cid) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id < {IVF_NUM_QUERIES}),
+qcells AS (
+  SELECT query_id, qv, cid, crn FROM (
+    SELECT q.query_id, q.qv, cent.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos('q.qv', 'cent.cv')} DESC,
+                                       cent.cid) AS crn
+    FROM q CROSS JOIN cent) WHERE crn <= {max_p}
+),
+cand AS (
+  SELECT qc.query_id, a.vec_id AS neighbor_id, qc.crn,
+         {cos('qc.qv', 'a.v')} AS c
+  FROM qcells qc JOIN assigned a ON qc.cid = a.cid
+  WHERE a.vec_id <> qc.query_id
+),
+pr AS (SELECT unnest([{probes}])::INT AS probes),
+ivfk AS (
+  SELECT probes, query_id, neighbor_id FROM (
+    SELECT pr.probes, cand.query_id, cand.neighbor_id,
+           row_number() OVER (PARTITION BY pr.probes, cand.query_id
+                              ORDER BY cand.c DESC,
+                                       cand.neighbor_id) AS rk
+    FROM cand JOIN pr ON cand.crn <= pr.probes)
+  WHERE rk <= {IVF_K}
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos('q.qv', 'e.v')} DESC,
+                                       e.vec_id) AS rk
+    FROM q JOIN e ON e.vec_id <> q.query_id)
+  WHERE rk <= {IVF_K}
+),
+hits AS (
+  SELECT probes, CAST(count(*) AS BIGINT) AS hits
+  FROM ivfk JOIN gt USING (query_id, neighbor_id)
+  GROUP BY probes
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS possible FROM gt)
+SELECT pr.probes,
+       CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+       tot.possible,
+       CAST(coalesce(hits.hits, 0) * 1000000 // tot.possible AS BIGINT)
+         AS recall_ppm
+FROM pr LEFT JOIN hits USING (probes) CROSS JOIN tot
+"""
+
+
 WAVE5_QUERIES = {
     "dsir_weights_documents": dsir_weights_documents,
     "dsir_select_documents": dsir_select_documents,
     "dedup_rate_by_source_documents": dedup_rate_by_source_documents,
     "streaming_dsir_scoring": streaming_dsir_scoring,
     "incremental_rollup_events": incremental_rollup_events,
+    "ivf_multiprobe_recall_embeddings": ivf_multiprobe_recall_embeddings,
 }
 
 WAVE5_ORACLE_SQL: dict[str, str] = {
@@ -567,4 +802,5 @@ WAVE5_ORACLE_SQL: dict[str, str] = {
     # shares the batch oracle verbatim.
     "streaming_dsir_scoring": _DSIR_SQL,
     "incremental_rollup_events": _INCREMENTAL_ROLLUP_SQL,
+    "ivf_multiprobe_recall_embeddings": _ivf_multiprobe_sql(),
 }

@@ -148,3 +148,27 @@ def test_incremental_rollup_equals_recompute(spark):
         .collect()
     }
     assert inc == direct and inc
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    """Probing more cells can only ADD candidates (corpus vectors hold
+    fixed probe-1 assignments), so recall must be non-decreasing in the
+    probe count, bounded by possible, and probe counts must match the
+    configured sweep."""
+    from arcane_framework_spark.queries_wave5 import (
+        IVF_PROBE_SET,
+        ivf_multiprobe_recall_embeddings,
+    )
+
+    rows = sorted(
+        ivf_multiprobe_recall_embeddings(spark, SF_DIR).collect(),
+        key=lambda r: r["probes"],
+    )
+    assert [r["probes"] for r in rows] == sorted(IVF_PROBE_SET)
+    hits = [r["hits"] for r in rows]
+    assert hits == sorted(hits)  # non-decreasing
+    assert all(0 <= r["hits"] <= r["possible"] for r in rows)
+    assert all(
+        r["recall_ppm"] == r["hits"] * 1_000_000 // r["possible"]
+        for r in rows
+    )

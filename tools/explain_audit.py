@@ -55,6 +55,13 @@ EXPECTED_BNLJ = {
                                    # the same corpus×broadcast-centroid
                                    # scan class as ivf/kmeans, with the
                                    # broadcast side sqrt(k)-sized
+    "ivf_multiprobe_recall_embeddings",  # query-set × candidate/centroid
+                                   # scans (the knn_bruteforce class: the
+                                   # broadcast side is the FIXED-size
+                                   # query set / centroid table) plus a
+                                   # 3-row probe-grid non-equi join —
+                                   # every build side here is bounded by
+                                   # construction, never corpus-sized
     "ngram_cap_recall_documents",  # exact all-pairs char-ngram ground
                                    # truth on a count-derived FIXED-SIZE
                                    # sample (same class as lsh_recall):
