@@ -785,6 +785,156 @@ FROM pr LEFT JOIN hits USING (probes) CROSS JOIN tot
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental semantic dedup: a new embedding batch pruned against the
+# EXISTING corpus's cells — no re-clustering, the embedding-modality
+# analog of incremental_dedup_documents.
+# ---------------------------------------------------------------------------
+
+
+def incremental_semantic_dedup_embeddings(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """New embedding batch deduped against the existing corpus WITHOUT
+    re-clustering: corpus vectors keep their cell assignments (in
+    production a materialized side table, like the incremental-dedup
+    signature table), the arriving batch is assigned to the SAME frozen
+    codebook (broadcast), and a new vector is pruned when some corpus
+    cell-mate has cosine >= the SemDeDup threshold. Corpus members are
+    never re-judged — exactly the asymmetry a daily-ingest pipeline
+    wants (the corpus is settled; only arrivals are questioned).
+
+    Batch = the planted near-dup twins (vec_id % NEARDUP_EVERY == 0,
+    first dimension shifted by NEARDUP_DELTA — same planting as the LSH
+    family, so most arrivals DO have a corpus near-dup and the decision
+    table is non-trivial at gate scale). Codebook = the deterministic
+    corpus stride (IVF_STRIDE), standing in for the frozen k-means
+    centroids like ivf_topk's.
+
+    Output per arrival: (vec_id, cid, pruned). Scale: one broadcast
+    assignment per side, one cid-keyed join of the (tiny) batch against
+    corpus cells — the corpus is scanned once and never shuffled
+    against itself; nothing re-clusters.
+    """
+    from arcane_framework_spark.operators.similarity import (
+        dot_expr,
+        ivf_assign,
+        norm_expr,
+    )
+    from arcane_framework_spark.queries_ext import (
+        EMBEDDING_DIM,
+        IVF_STRIDE,
+        NEARDUP_DELTA,
+        NEARDUP_EVERY,
+        SEMDEDUP_TAU,
+        _DUP_OFFSET,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    newb = emb.filter(F.col("vec_id") % NEARDUP_EVERY == 0).select(
+        (F.col("vec_id") + F.lit(_DUP_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(
+                F.get(F.col("embedding"), 0) + F.lit(NEARDUP_DELTA)
+            ),
+            F.slice(F.col("embedding"), 2, EMBEDDING_DIM - 1),
+        ).alias("embedding"),
+    )
+    corpus_cells = ivf_assign(emb, cent).withColumn(
+        "__n", norm_expr(F.col("vec"))
+    )
+    new_cells = ivf_assign(newb, cent).withColumn(
+        "__n", norm_expr(F.col("vec"))
+    )
+    pair_cos = F.round(
+        dot_expr(F.col("nv"), F.col("cv")) / (F.col("nn") * F.col("cn")), 6
+    )
+    pruned = (
+        new_cells.select(
+            F.col("id").alias("vec_id"),
+            "cid",
+            F.col("vec").alias("nv"),
+            F.col("__n").alias("nn"),
+        )
+        .join(
+            corpus_cells.select(
+                "cid", F.col("vec").alias("cv"), F.col("__n").alias("cn")
+            ),
+            "cid",
+        )
+        .filter(pair_cos >= F.lit(SEMDEDUP_TAU))
+        .select("vec_id")
+        .distinct()
+        .withColumn("__p", F.lit(True))
+    )
+    return (
+        new_cells.select(F.col("id").alias("vec_id"), "cid")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id", "cid", F.coalesce("__p", F.lit(False)).alias("pruned")
+        )
+    )
+
+
+def _incremental_semantic_sql() -> str:
+    from arcane_framework_spark.queries_ext import (
+        IVF_STRIDE,
+        NEARDUP_DELTA,
+        NEARDUP_EVERY,
+        SEMDEDUP_TAU,
+        _DUP_OFFSET,
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_STRIDE} = 0
+),
+newb AS (
+  SELECT vec_id + {_DUP_OFFSET} AS vec_id,
+         list_concat([v[1] + {NEARDUP_DELTA}], v[2:]) AS v
+  FROM e WHERE vec_id % {NEARDUP_EVERY} = 0
+),
+corpus_cells AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos('e.v', 'cent.cv')} DESC,
+                                       cent.cid) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1
+),
+new_cells AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT n.vec_id, n.v, cent.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY {cos('n.v', 'cent.cv')} DESC,
+                                       cent.cid) AS rn
+    FROM newb n CROSS JOIN cent) WHERE rn = 1
+),
+pruned AS (
+  SELECT DISTINCT n.vec_id
+  FROM new_cells n JOIN corpus_cells c ON n.cid = c.cid
+  WHERE round({cos('n.v', 'c.v')}, 6) >= {SEMDEDUP_TAU}
+)
+SELECT n.vec_id, n.cid, (p.vec_id IS NOT NULL) AS pruned
+FROM new_cells n LEFT JOIN pruned p USING (vec_id)
+"""
+
+
 WAVE5_QUERIES = {
     "dsir_weights_documents": dsir_weights_documents,
     "dsir_select_documents": dsir_select_documents,
@@ -792,6 +942,8 @@ WAVE5_QUERIES = {
     "streaming_dsir_scoring": streaming_dsir_scoring,
     "incremental_rollup_events": incremental_rollup_events,
     "ivf_multiprobe_recall_embeddings": ivf_multiprobe_recall_embeddings,
+    "incremental_semantic_dedup_embeddings":
+        incremental_semantic_dedup_embeddings,
 }
 
 WAVE5_ORACLE_SQL: dict[str, str] = {
@@ -803,4 +955,5 @@ WAVE5_ORACLE_SQL: dict[str, str] = {
     "streaming_dsir_scoring": _DSIR_SQL,
     "incremental_rollup_events": _INCREMENTAL_ROLLUP_SQL,
     "ivf_multiprobe_recall_embeddings": _ivf_multiprobe_sql(),
+    "incremental_semantic_dedup_embeddings": _incremental_semantic_sql(),
 }

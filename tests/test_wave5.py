@@ -172,3 +172,19 @@ def test_ivf_multiprobe_recall_monotone(spark):
         r["recall_ppm"] == r["hits"] * 1_000_000 // r["possible"]
         for r in rows
     )
+
+
+def test_incremental_semantic_dedup_prunes_planted_twins(spark):
+    """Arrivals are planted near-dups of corpus vectors, so MOST must be
+    pruned (their twin shares the cell and cosine ~0.99+), none may be
+    judged against vectors outside their cell, and corpus members are
+    never emitted (only arrivals are questioned)."""
+    from arcane_framework_spark.queries_ext import _DUP_OFFSET
+    from arcane_framework_spark.queries_wave5 import (
+        incremental_semantic_dedup_embeddings,
+    )
+
+    rows = incremental_semantic_dedup_embeddings(spark, SF_DIR).collect()
+    assert rows and all(r["vec_id"] >= _DUP_OFFSET for r in rows)
+    n_pruned = sum(1 for r in rows if r["pruned"])
+    assert n_pruned > len(rows) // 2  # planted twins mostly found

@@ -55,6 +55,11 @@ EXPECTED_BNLJ = {
                                    # the same corpus×broadcast-centroid
                                    # scan class as ivf/kmeans, with the
                                    # broadcast side sqrt(k)-sized
+    "incremental_semantic_dedup_embeddings",  # two ivf_assign calls
+                                   # (corpus × broadcast centroids, the
+                                   # ivf/kmeans class); the batch-vs-
+                                   # corpus probe itself is a cid-keyed
+                                   # equi-join, not a nested loop
     "ivf_multiprobe_recall_embeddings",  # query-set × candidate/centroid
                                    # scans (the knn_bruteforce class: the
                                    # broadcast side is the FIXED-size
