@@ -976,8 +976,10 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
     pile vectors into fine cells inside dense coarse regions — measured
     at 100x stress: max cell 1614 vs target 64, which un-bounds the
     quadratic probe the cells exist to bound. So after the final routed
-    assignment, any cell larger than ``SEMDEDUP_SPLIT_FACTOR *
-    target_cell_size`` is split deterministically into rank-contiguous
+    assignment, any cell larger than ``split_factor * target_cell_size``
+    (default ``SEMDEDUP_SPLIT_FACTOR``; the forced-split catalog twin
+    passes 1 so the branch fires — and is cross-engine hash-checked —
+    at gate scale) is split deterministically into rank-contiguous
     sub-cells (FAISS-style list capping): members are ranked by id
     within their cell, grouped ``cap`` at a time, and each sub-cell is
     re-keyed by its MINIMUM member id (collision-free across cells

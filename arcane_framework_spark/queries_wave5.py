@@ -935,6 +935,126 @@ FROM new_cells n LEFT JOIN pruned p USING (vec_id)
 """
 
 
+def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental semantic dedup, built on
+    ``foreachBatch`` — the pattern for per-batch logic that needs full
+    relational ops (argmax assignment, joins) a stateless stream cannot
+    express and a stateful one should not hold state for: each arriving
+    micro-batch is assigned to the FROZEN corpus codebook and pruned
+    against the static corpus cell table, exactly the batch operator,
+    then appended to the sink. Decisions depend only on (arrival, static
+    corpus), so the result is independent of how the stream slices into
+    batches — which is what lets the twin share the batch entry's oracle
+    verbatim (and is asserted across a forced multi-batch split in the
+    tests).
+
+    The static corpus cell table is persisted ONCE before the stream
+    starts (a stream re-evaluates its static side per micro-batch
+    otherwise — the streaming_incremental_dedup lesson); at 100 TB it is
+    the materialized side table the batch twin documents. The in-test
+    sink is a driver accumulator (arrivals are tick-sized by
+    construction); production foreachBatch writes parquet via K1's
+    adapter (sinks/parquet_sink.py) unchanged.
+    """
+    from arcane_framework_spark.operators.similarity import (
+        dot_expr,
+        ivf_assign,
+        norm_expr,
+    )
+    from arcane_framework_spark.queries_ext import (
+        EMBEDDING_DIM,
+        IVF_STRIDE,
+        NEARDUP_DELTA,
+        NEARDUP_EVERY,
+        SEMDEDUP_TAU,
+        _DUP_OFFSET,
+        stream_conf,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    corpus_cells = (
+        ivf_assign(emb, cent)
+        .withColumn("__n", norm_expr(F.col("vec")))
+        .select("cid", F.col("vec").alias("cv"), F.col("__n").alias("cn"))
+        .persist()
+    )
+    corpus_cells.count()
+
+    stream = (
+        spark.readStream.schema(t["embeddings"].schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    arrivals = stream.filter(F.col("vec_id") % NEARDUP_EVERY == 0).select(
+        (F.col("vec_id") + F.lit(_DUP_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(
+                F.get(F.col("embedding").cast("array<double>"), 0)
+                + F.lit(NEARDUP_DELTA)
+            ),
+            F.slice(
+                F.col("embedding").cast("array<double>"),
+                2,
+                EMBEDDING_DIM - 1,
+            ),
+        ).alias("embedding"),
+    )
+
+    acc: list = []
+
+    def judge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_cells = ivf_assign(batch_df, cent).withColumn(
+            "__n", norm_expr(F.col("vec"))
+        )
+        pair_cos = F.round(
+            dot_expr(F.col("nv"), F.col("cv")) / (F.col("nn") * F.col("cn")),
+            6,
+        )
+        pruned = (
+            new_cells.select(
+                F.col("id").alias("vec_id"),
+                "cid",
+                F.col("vec").alias("nv"),
+                F.col("__n").alias("nn"),
+            )
+            .join(corpus_cells, "cid")
+            .filter(pair_cos >= F.lit(SEMDEDUP_TAU))
+            .select("vec_id")
+            .distinct()
+            .withColumn("__p", F.lit(True))
+        )
+        out = (
+            new_cells.select(F.col("id").alias("vec_id"), "cid")
+            .join(pruned, "vec_id", "left")
+            .select(
+                "vec_id",
+                "cid",
+                F.coalesce("__p", F.lit(False)).alias("pruned"),
+            )
+        )
+        acc.extend(out.collect())
+
+    try:
+        with stream_conf(spark):
+            q = (
+                arrivals.writeStream.foreachBatch(judge_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        corpus_cells.unpersist()
+    return spark.createDataFrame(
+        acc, "vec_id: long, cid: long, pruned: boolean"
+    )
+
+
 WAVE5_QUERIES = {
     "dsir_weights_documents": dsir_weights_documents,
     "dsir_select_documents": dsir_select_documents,
@@ -944,6 +1064,7 @@ WAVE5_QUERIES = {
     "ivf_multiprobe_recall_embeddings": ivf_multiprobe_recall_embeddings,
     "incremental_semantic_dedup_embeddings":
         incremental_semantic_dedup_embeddings,
+    "streaming_semantic_dedup": streaming_semantic_dedup,
 }
 
 WAVE5_ORACLE_SQL: dict[str, str] = {
@@ -956,4 +1077,7 @@ WAVE5_ORACLE_SQL: dict[str, str] = {
     "incremental_rollup_events": _INCREMENTAL_ROLLUP_SQL,
     "ivf_multiprobe_recall_embeddings": _ivf_multiprobe_sql(),
     "incremental_semantic_dedup_embeddings": _incremental_semantic_sql(),
+    # foreachBatch twin: batch-split-independent decisions (arrival vs
+    # static corpus only) — shares the batch oracle verbatim.
+    "streaming_semantic_dedup": _incremental_semantic_sql(),
 }

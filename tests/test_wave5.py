@@ -188,3 +188,105 @@ def test_incremental_semantic_dedup_prunes_planted_twins(spark):
     assert rows and all(r["vec_id"] >= _DUP_OFFSET for r in rows)
     n_pruned = sum(1 for r in rows if r["pruned"])
     assert n_pruned > len(rows) // 2  # planted twins mostly found
+
+
+def test_streaming_semantic_dedup_batch_split_independent(spark, tmp_path):
+    """foreachBatch decisions depend only on (arrival, static corpus), so
+    slicing the arrival stream into MANY micro-batches must give the
+    identical decision table as the batch operator — the property that
+    lets the twin share the batch oracle. Forced here: arrivals written
+    as 5 separate files, maxFilesPerTrigger=1 (5 micro-batches)."""
+    from pyspark.sql import functions as F
+
+    from arcane_framework_spark.operators.similarity import (
+        dot_expr,
+        ivf_assign,
+        norm_expr,
+    )
+    from arcane_framework_spark.queries_ext import (
+        IVF_STRIDE,
+        SEMDEDUP_TAU,
+    )
+    from arcane_framework_spark.queries_wave5 import (
+        incremental_semantic_dedup_embeddings,
+    )
+
+    batch = {
+        r["vec_id"]: (r["cid"], r["pruned"])
+        for r in incremental_semantic_dedup_embeddings(
+            spark, SF_DIR
+        ).collect()
+    }
+
+    # rebuild the same arrivals, write as 5 files, re-judge per micro-batch
+    from arcane_framework_spark.queries_ext import (
+        EMBEDDING_DIM,
+        NEARDUP_DELTA,
+        NEARDUP_EVERY,
+        _DUP_OFFSET,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent = emb.filter(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    corpus_cells = (
+        ivf_assign(emb, cent)
+        .withColumn("__n", norm_expr(F.col("vec")))
+        .select("cid", F.col("vec").alias("cv"), F.col("__n").alias("cn"))
+        .persist()
+    )
+    arrivals = emb.filter(F.col("vec_id") % NEARDUP_EVERY == 0).select(
+        (F.col("vec_id") + F.lit(_DUP_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(F.get(F.col("embedding"), 0) + F.lit(NEARDUP_DELTA)),
+            F.slice(F.col("embedding"), 2, EMBEDDING_DIM - 1),
+        ).alias("embedding"),
+    )
+    src = str(tmp_path / "arrivals")
+    arrivals.repartition(5).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    acc = []
+    n_batches = []
+
+    def judge(bdf, bid):
+        n_batches.append(bid)
+        nc = ivf_assign(bdf, cent).withColumn("__n", norm_expr(F.col("vec")))
+        pc = F.round(
+            dot_expr(F.col("nv"), F.col("cv")) / (F.col("nn") * F.col("cn")),
+            6,
+        )
+        pruned = (
+            nc.select(
+                F.col("id").alias("vec_id"), "cid",
+                F.col("vec").alias("nv"), F.col("__n").alias("nn"),
+            )
+            .join(corpus_cells, "cid")
+            .filter(pc >= F.lit(SEMDEDUP_TAU))
+            .select("vec_id").distinct().withColumn("__p", F.lit(True))
+        )
+        acc.extend(
+            nc.select(F.col("id").alias("vec_id"), "cid")
+            .join(pruned, "vec_id", "left")
+            .select(
+                "vec_id", "cid",
+                F.coalesce("__p", F.lit(False)).alias("pruned"),
+            )
+            .collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(judge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    corpus_cells.unpersist()
+    assert len(n_batches) >= 2  # the split actually happened
+    stream_result = {r["vec_id"]: (r["cid"], r["pruned"]) for r in acc}
+    assert stream_result == batch

@@ -648,6 +648,52 @@ def main() -> None:
         ).groupBy().sum("n_ctrl", "n_na")
     )
 
+    # DSIR scoring over the 10x corpus (round-10): one token explode,
+    # one 4096-bucket hash-agg, broadcast weight join, per-doc sum —
+    # must grow ~linearly in corpus tokens (the weight table CANNOT
+    # grow; a superlinearity here means the broadcast degraded).
+    from arcane_framework_spark.queries_wave5 import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        DSIR_TARGET_MOD,
+    )
+
+    def _dsir_10x():
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        ).filter(F.col("tok") != "")
+        tokb = toks.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+                .cast("long")
+                % F.lit(DSIR_BUCKETS)
+            ).alias("b"),
+        )
+        wtab = tokb.groupBy("b").agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") % DSIR_TARGET_MOD == 0, 1
+                ).otherwise(0)
+            ).alias("nt"),
+        ).select(
+            "b",
+            F.expr(
+                f"CAST({DSIR_SCALE} * (nt + 1) DIV (ns + 1) AS BIGINT)"
+            ).alias("w"),
+        )
+        return (
+            tokb.join(F.broadcast(wtab), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("w").alias("score"))
+        )
+
+    results["dsir_scoring"] = timed(_dsir_10x)
+
     # native streaming session windows over the 10x events: drain through
     # an actual readStream (availableNow) and report the session-window
     # STATE SIZE the complete-mode aggregation carried.
