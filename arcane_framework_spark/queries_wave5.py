@@ -935,6 +935,139 @@ FROM new_cells n LEFT JOIN pruned p USING (vec_id)
 """
 
 
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene audit: vector count, zero-norm vectors
+    (cosine is undefined on them — the NULL-cosine source every ANN
+    operator upstream has to guard), unit-normalized fraction (|norm-1|
+    <= 1e-3, detects whether the embedder already L2-normalized), and
+    the rounded norm range. The embedding-modality counterpart of
+    encoding_audit_documents: the one-pass gate a pipeline runs before
+    pointing dedup/ANN at a new embedding dump.
+
+    Map-only until a 1-row aggregate; norms are sqrt (IEEE-exact both
+    engines), comparisons on rounded values.
+    """
+    from arcane_framework_spark.operators.similarity import norm_expr
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    norms = emb.select(F.round(norm_expr(F.col("v")), 6).alias("nm"))
+    return norms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("nm") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_norm"),
+        F.sum(
+            F.when(F.abs(F.col("nm") - 1.0) <= 0.001, 1).otherwise(0)
+        ).cast("long").alias("n_unit"),
+        F.round(F.min("nm"), 6).alias("min_norm"),
+        F.round(F.max("nm"), 6).alias("max_norm"),
+    ).select(
+        "n_vectors",
+        "n_zero_norm",
+        "n_unit",
+        F.expr("CAST(n_unit * 1000000 DIV n_vectors AS BIGINT)").alias(
+            "unit_ppm"
+        ),
+        "min_norm",
+        "max_norm",
+    )
+
+
+_NORM_AUDIT_SQL = """
+WITH norms AS (
+  SELECT round(sqrt(list_dot_product(v, v)), 6) AS nm
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(CASE WHEN nm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_norm,
+         CAST(sum(CASE WHEN abs(nm - 1.0) <= 0.001 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_unit,
+         round(min(nm), 6) AS min_norm,
+         round(max(nm), 6) AS max_norm
+  FROM norms
+)
+SELECT n_vectors, n_zero_norm, n_unit,
+       CAST(n_unit * 1000000 // n_vectors AS BIGINT) AS unit_ppm,
+       min_norm, max_norm
+FROM agg
+"""
+
+
+def lsh_precision_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate PRECISION of the MinHash-LSH banding — the complement of
+    lsh_recall_documents: of all banded candidate pairs, how many survive
+    exact Jaccard verification at each sweep threshold. Low precision
+    means the bands are wasting verification work (too few rows per
+    band / too many bands); the pair a data team reads next to the
+    recall number when tuning the banding. Integer threshold test,
+    ppm output — all exact.
+    """
+    from arcane_framework_spark.operators.dedup import minhash_pair_counts
+    from arcane_framework_spark.queries import (
+        SWEEP_T10S,
+        _planted_neardup_docs,
+    )
+
+    sized = minhash_pair_counts(_planted_neardup_docs(spark, sf_dir))
+    cand = sized.select(
+        "id_a",
+        "id_b",
+        "ni",
+        (F.col("na") + F.col("nb") - F.col("ni")).alias("__u"),
+    ).transform(lambda d: d.persist())
+    n_cand = cand.count()
+    swept = cand.select(
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_T10S])).alias("t10"),
+        "ni",
+        "__u",
+    )
+    out = (
+        swept.groupBy("t10")
+        .agg(
+            F.sum(
+                F.when(F.col("ni") * 10 >= F.col("t10") * F.col("__u"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_verified"),
+        )
+        .select(
+            (F.col("t10") * 10).cast("int").alias("threshold_pct"),
+            F.lit(n_cand).cast("long").alias("n_candidates"),
+            "n_verified",
+            F.expr(
+                f"CAST(n_verified * 1000000 DIV {max(n_cand, 1)} AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+    )
+    cand.unpersist()
+    return out
+
+
+def lsh_precision_sql() -> str:
+    """Oracle tail over the shared MinHash ``sized`` CTE (registered in
+    queries.py beside dedup_rate_by_source)."""
+    from arcane_framework_spark.queries import SWEEP_T10S, _minhash_sql
+
+    t10s = ", ".join(str(t) for t in SWEEP_T10S)
+    return _minhash_sql(tail=rf"""
+,
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM sized)
+SELECT (t10 * 10)::INT AS threshold_pct,
+       tot.n_candidates,
+       CAST(sum(CASE WHEN ni * 10 >= t10 * (na + nb - ni)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       CAST(sum(CASE WHEN ni * 10 >= t10 * (na + nb - ni)
+                     THEN 1 ELSE 0 END) * 1000000
+            // greatest(tot.n_candidates, 1) AS BIGINT) AS precision_ppm
+FROM sized CROSS JOIN (SELECT unnest([{t10s}]) AS t10) CROSS JOIN tot
+GROUP BY t10, tot.n_candidates
+""")
+
+
 def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of incremental semantic dedup, built on
     ``foreachBatch`` — the pattern for per-batch logic that needs full
@@ -1065,6 +1198,8 @@ WAVE5_QUERIES = {
     "incremental_semantic_dedup_embeddings":
         incremental_semantic_dedup_embeddings,
     "streaming_semantic_dedup": streaming_semantic_dedup,
+    "embedding_norm_audit": embedding_norm_audit,
+    "lsh_precision_documents": lsh_precision_documents,
 }
 
 WAVE5_ORACLE_SQL: dict[str, str] = {
@@ -1080,4 +1215,6 @@ WAVE5_ORACLE_SQL: dict[str, str] = {
     # foreachBatch twin: batch-split-independent decisions (arrival vs
     # static corpus only) — shares the batch oracle verbatim.
     "streaming_semantic_dedup": _incremental_semantic_sql(),
+    "embedding_norm_audit": _NORM_AUDIT_SQL,
+    # lsh_precision_documents registered in queries.py (embeds _minhash_sql)
 }

@@ -290,3 +290,32 @@ def test_streaming_semantic_dedup_batch_split_independent(spark, tmp_path):
     assert len(n_batches) >= 2  # the split actually happened
     stream_result = {r["vec_id"]: (r["cid"], r["pruned"]) for r in acc}
     assert stream_result == batch
+
+
+def test_lsh_precision_monotone_and_bounded(spark):
+    """Precision must be non-increasing as the threshold rises (fewer
+    pairs verify at stricter Jaccard), candidates are constant across
+    thresholds, and verified <= candidates."""
+    from arcane_framework_spark.queries_wave5 import lsh_precision_documents
+
+    rows = sorted(
+        lsh_precision_documents(spark, SF_DIR).collect(),
+        key=lambda r: r["threshold_pct"],
+    )
+    assert len({r["n_candidates"] for r in rows}) == 1
+    ver = [r["n_verified"] for r in rows]
+    assert ver == sorted(ver, reverse=True)
+    assert all(0 <= r["n_verified"] <= r["n_candidates"] for r in rows)
+
+
+def test_embedding_norm_audit_counts(spark):
+    """Audit fields must be internally consistent and match a direct
+    recount of the raw table."""
+    from arcane_framework_spark.queries_wave5 import embedding_norm_audit
+
+    row = embedding_norm_audit(spark, SF_DIR).collect()[0]
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert row["n_vectors"] == n
+    assert 0 <= row["n_zero_norm"] <= n and 0 <= row["n_unit"] <= n
+    assert row["unit_ppm"] == row["n_unit"] * 1_000_000 // n
+    assert row["min_norm"] <= row["max_norm"]
