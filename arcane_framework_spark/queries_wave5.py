@@ -1068,6 +1068,155 @@ GROUP BY t10, tot.n_candidates
 """)
 
 
+def pretrain_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining prep pipeline as ONE DataFrame program, with
+    a funnel row per stage: raw -> Gopher quality rules -> exact dedup
+    (md5 fingerprint, keep min doc_id) -> near-dup prune (MinHash-LSH
+    pairs at Jaccard >= 0.8, drop the greater id when a surviving lesser
+    cell-mate exists). Every stage reuses the catalog's single-purpose
+    machinery — the showpiece that a user's end-to-end prep run is the
+    COMPOSITION of gated operators, not a separate code path.
+
+    The near-dup stage is the greedy lowest-id keep over verified pairs
+    among exact-stage survivors (well-defined in one pass; the full
+    transitive-closure variant is dedup_clusters/dedup_canonical). Token
+    counts per stage use the quality funnel's exact integer definition.
+
+    Scale: one map pass for features/flags, the banded pair machinery
+    (never all-pairs), one anti-join per pruning stage; at 100 TB each
+    stage materializes to parquet between runs — the funnel numbers are
+    the cheap byproduct of the same plan.
+    """
+    from arcane_framework_spark.operators.dedup import minhash_pair_counts
+    from arcane_framework_spark.operators.text import (
+        _with_token_barrier,
+        quality_rules_exprs,
+    )
+    from arcane_framework_spark.queries import _planted_neardup_docs
+    from pyspark.sql import Window
+
+    corpus = _planted_neardup_docs(spark, sf_dir)
+    feat = _with_token_barrier(corpus, "text")
+    rules = quality_rules_exprs(F.col("__toks"), "text")
+    n_tokens = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+        .otherwise(F.size(F.col("__toks"))).cast("long")
+    feat = feat.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.md5(F.col("text")).alias("__fp"),
+        (rules["pass_len"] & rules["pass_wordlen"] & rules["pass_stop"])
+        .alias("__keep"),
+    ).transform(lambda d: d.persist())
+    q = feat.filter(F.col("__keep"))
+    ex = (
+        q.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens")
+        .transform(lambda d: d.persist())
+    )
+    sized = minhash_pair_counts(corpus)
+    verified = sized.filter(
+        F.col("ni") * 10
+        >= F.lit(DEDUP_RATE_T10) * (F.col("na") + F.col("nb") - F.col("ni"))
+    )
+    drop_ids = (
+        verified.join(
+            ex.select(F.col("doc_id").alias("id_a")), "id_a", "semi"
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = ex.join(drop_ids, "doc_id", "anti")
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    out = (
+        stage("stage1_raw", feat)
+        .unionByName(stage("stage2_quality", q))
+        .unionByName(stage("stage3_exact", ex))
+        .unionByName(stage("stage4_neardup", nd))
+    )
+    result = out.localCheckpoint()
+    feat.unpersist()
+    ex.unpersist()
+    return result
+
+
+def pretrain_funnel_sql() -> str:
+    """Oracle tail over the shared MinHash CTEs (registered in queries.py):
+    `corpus` and `sized` come from _minhash_sql; the quality flags are the
+    quality_filter oracle's exact expressions applied to `corpus`."""
+    from arcane_framework_spark.operators.text import (
+        QUALITY_MAX_MEAN_WORD_LEN,
+        QUALITY_MAX_TOKENS,
+        QUALITY_MIN_STOPWORD_HITS,
+        QUALITY_MIN_TOKENS,
+        STOPWORDS,
+    )
+    from arcane_framework_spark.queries import _minhash_sql
+
+    swlist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return _minhash_sql(tail=rf"""
+,
+feat AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+         END::BIGINT AS n_tokens,
+         len(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE AS squeezed,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> t IN ({swlist}))) AS sw_hits,
+         md5(text) AS fp
+  FROM corpus
+),
+q AS (
+  SELECT doc_id, n_tokens, fp FROM feat
+  WHERE n_tokens >= {QUALITY_MIN_TOKENS} AND n_tokens <= {QUALITY_MAX_TOKENS}
+    AND squeezed / greatest(n_tokens, 1)::DOUBLE
+        <= {QUALITY_MAX_MEAN_WORD_LEN}::DOUBLE
+    AND sw_hits >= {QUALITY_MIN_STOPWORD_HITS}
+),
+ex AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM q) WHERE rn = 1
+),
+nd AS (
+  SELECT e.doc_id, e.n_tokens FROM ex e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sized s JOIN ex a ON a.doc_id = s.id_a
+    WHERE s.id_b = e.doc_id
+      AND s.ni * 10 >= {DEDUP_RATE_T10} * (s.na + s.nb - s.ni))
+)
+SELECT stage, n_docs, n_tokens FROM (
+  SELECT 'stage1_raw' AS stage, count(*)::BIGINT AS n_docs,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM feat
+  UNION ALL
+  SELECT 'stage2_quality', count(*)::BIGINT,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q
+  UNION ALL
+  SELECT 'stage3_exact', count(*)::BIGINT,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM ex
+  UNION ALL
+  SELECT 'stage4_neardup', count(*)::BIGINT,
+         CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM nd
+)
+""")
+
+
 def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of incremental semantic dedup, built on
     ``foreachBatch`` — the pattern for per-batch logic that needs full
@@ -1200,6 +1349,7 @@ WAVE5_QUERIES = {
     "streaming_semantic_dedup": streaming_semantic_dedup,
     "embedding_norm_audit": embedding_norm_audit,
     "lsh_precision_documents": lsh_precision_documents,
+    "pretrain_funnel_documents": pretrain_funnel_documents,
 }
 
 WAVE5_ORACLE_SQL: dict[str, str] = {

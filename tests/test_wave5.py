@@ -319,3 +319,28 @@ def test_embedding_norm_audit_counts(spark):
     assert 0 <= row["n_zero_norm"] <= n and 0 <= row["n_unit"] <= n
     assert row["unit_ppm"] == row["n_unit"] * 1_000_000 // n
     assert row["min_norm"] <= row["max_norm"]
+
+
+def test_pretrain_funnel_monotone(spark):
+    """Each stage can only shrink the corpus: docs and tokens must be
+    non-increasing through the funnel, stage1 must equal the planted
+    corpus size, and the near-dup stage must drop at least one planted
+    twin (the planting guarantees verified pairs exist)."""
+    from arcane_framework_spark.queries import _planted_neardup_docs
+    from arcane_framework_spark.queries_wave5 import (
+        pretrain_funnel_documents,
+    )
+
+    rows = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in pretrain_funnel_documents(spark, SF_DIR).collect()
+    }
+    order = ["stage1_raw", "stage2_quality", "stage3_exact",
+             "stage4_neardup"]
+    assert list(rows) and set(rows) == set(order)
+    docs = [rows[s][0] for s in order]
+    toks = [rows[s][1] for s in order]
+    assert docs == sorted(docs, reverse=True)
+    assert toks == sorted(toks, reverse=True)
+    assert docs[0] == _planted_neardup_docs(spark, SF_DIR).count()
+    assert docs[3] < docs[2]  # near-dup stage actually pruned
