@@ -1013,13 +1013,15 @@ def lsh_precision_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _planted_neardup_docs,
     )
 
+    from arcane_framework_spark.operators.cache import scoped_persist
+
     sized = minhash_pair_counts(_planted_neardup_docs(spark, sf_dir))
     cand = sized.select(
         "id_a",
         "id_b",
         "ni",
         (F.col("na") + F.col("nb") - F.col("ni")).alias("__u"),
-    ).transform(lambda d: d.persist())
+    ).transform(scoped_persist)
     n_cand = cand.count()
     swept = cand.select(
         F.explode(F.array(*[F.lit(t) for t in SWEEP_T10S])).alias("t10"),
@@ -1043,7 +1045,10 @@ def lsh_precision_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_ppm"),
         )
     )
-    cand.unpersist()
+    # cache released by the caller's cache_scope (scoped_persist): the
+    # returned plan still READS the cached candidates — an eager
+    # unpersist here would force the whole pair machinery to recompute
+    # at execution time.
     return out
 
 
