@@ -1736,3 +1736,16 @@ def test_ct_datasource_stream_static_delta_join(spark, tmp_path):
     got = {r.pk: (r.SYS_CHANGE_OPERATION, r.val) for r in rows}
     # inserts/updates carry payload; the delete survives with NULL payload
     assert got == {1: ("I", "alpha"), 2: ("U", "beta"), 3: ("D", None)}
+
+
+def test_ct_datasource_requires_version_column(spark):
+    """The version column IS the watermark: a schema without it cannot
+    produce offsets, so the reader refuses loudly at construction."""
+    from pyspark.sql.types import StructType
+
+    from arcane_framework_spark.sources.ct_datasource import CtStreamReader
+
+    with pytest.raises(ValueError, match="version column"):
+        CtStreamReader(
+            StructType.fromDDL("pk LONG, val STRING"), {"path": "/nowhere"}
+        )
