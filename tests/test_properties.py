@@ -282,3 +282,87 @@ def test_gif_decode_never_crashes_on_mutation(pos, value, truncate):
         decode_gif(bytes(good))
     except (ValueError, NotImplementedError):
         pass  # the documented failure modes
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: CT feed reader bounds + templated-field selection
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-3, max_value=40), min_size=0,
+             max_size=25),
+    st.integers(min_value=-5, max_value=45),
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=45)),
+)
+def test_ct_feed_rows_version_bounds_property(versions, lo, hi):
+    """_feed_rows must return exactly the rows with lo < version <= hi
+    (hi=None: unbounded above) and report the feed-wide max version —
+    the invariants Spark's commit-log resume and readBetweenOffsets
+    replay are built on."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcane_framework_spark.sources.ct_datasource import _feed_rows
+
+    with tempfile.TemporaryDirectory() as feed:
+        if versions:
+            pq.write_table(
+                pa.table({
+                    "pk": list(range(len(versions))),
+                    "SYS_CHANGE_VERSION": versions,
+                }),
+                f"{feed}/b.parquet",
+            )
+        rows, max_seen = _feed_rows(
+            feed, "SYS_CHANGE_VERSION", ["pk", "SYS_CHANGE_VERSION"],
+            lo, hi,
+        )
+        expect = sorted(
+            (i, v) for i, v in enumerate(versions)
+            if v > lo and (hi is None or v <= hi)
+        )
+        assert sorted(rows) == expect
+        assert max_seen == (max(versions) if versions else lo)
+
+
+@settings(max_examples=100)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["RESPONSE_PAGE", "FILTER_DATE_FROM",
+             "FILTER_DATE_BETWEEN_FROM", "FILTER_DATE_BETWEEN_TO"]
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_templated_field_first_by_declaration_order(kinds):
+    """_first_field mirrors the reference's FirstOrDefault: for any
+    declared field list, the selected field is the FIRST whose type is in
+    the requested set, or None — independent of what follows it."""
+    from arcane_framework_spark.sources.rest import (
+        RestApiTemplatedField,
+        _first_field,
+    )
+
+    fields = [
+        RestApiTemplatedField(k, f"f{i}") for i, k in enumerate(kinds)
+    ]
+    want_types = ("FILTER_DATE_FROM", "FILTER_DATE_BETWEEN_FROM")
+    got = _first_field(fields, *want_types)
+    expect = next(
+        (f for f in fields if f.field_type in want_types), None
+    )
+    assert got is expect
+    page = _first_field(fields, "RESPONSE_PAGE")
+    assert (page is None) == ("RESPONSE_PAGE" not in kinds)
+    if page is not None:
+        assert page.field_type == "RESPONSE_PAGE"
+        assert all(
+            f.field_type != "RESPONSE_PAGE"
+            for f in fields[: fields.index(page)]
+        )
