@@ -1890,12 +1890,14 @@ ORACLE_SQL["dedup_canonical_documents"] = _dedup_canonical_sql(_minhash_sql())
 from arcane_framework_spark.queries_wave5 import (  # noqa: E402
     dedup_rate_by_source_sql,
     lsh_precision_sql,
+    minhash_calibration_sql,
     pretrain_funnel_sql,
 )
 
 ORACLE_SQL["dedup_rate_by_source_documents"] = dedup_rate_by_source_sql()
 ORACLE_SQL["lsh_precision_documents"] = lsh_precision_sql()
 ORACLE_SQL["pretrain_funnel_documents"] = pretrain_funnel_sql()
+ORACLE_SQL["minhash_calibration_documents"] = minhash_calibration_sql()
 
 from arcane_framework_spark.queries_eval import _pagerank_sql  # noqa: E402
 

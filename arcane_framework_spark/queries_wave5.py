@@ -1073,6 +1073,139 @@ GROUP BY t10, tot.n_candidates
 """)
 
 
+def token_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed token-length histogram per source — the
+    sequence-length profile a packing/curriculum planner reads before
+    choosing a context length (how much of each feed lands in the
+    512-1023 bucket vs the tails). Bucket = floor(log2(n_tokens))
+    computed EXACTLY as ``length(bin(n_tokens)) - 1`` (binary-string
+    length, identical in Spark and DuckDB — no libm log anywhere);
+    empty docs land in bucket 0 alongside length-1 docs by that same
+    convention (bin(0)='0'). Map-only to a (source × ~12 buckets)
+    aggregate; token sums are exact longs.
+    """
+    from arcane_framework_spark.operators.text import token_count_expr
+
+    t = load_tables(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "source", token_count_expr("text").alias("n_tokens")
+    )
+    return (
+        d.select(
+            "source",
+            "n_tokens",
+            (F.length(F.bin(F.col("n_tokens"))) - 1)
+            .cast("int")
+            .alias("log2_bucket"),
+        )
+        .groupBy("source", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_TOKEN_HISTOGRAM_SQL = rf"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+         END::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT source,
+       (length(bin(n_tokens)) - 1)::INT AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM d
+GROUP BY source, (length(bin(n_tokens)) - 1)::INT
+"""
+
+
+def minhash_calibration_documents(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """MinHash estimator CALIBRATION: for every banded candidate pair,
+    the 16-permutation signature agreement count vs the exact shingle
+    Jaccard, aggregated per agreement level — the measured answer to
+    "how biased is est=agree/16 on OUR corpus", which is what decides
+    whether the estimator-verified incremental path
+    (incremental_minhash_pairs) can replace exact verification at a
+    given threshold. Output per agree count: pair count, the implied
+    estimate (ppm), and the mean exact Jaccard (ppm, integer mean of
+    per-pair integer ppms — no float summation anywhere).
+
+    Scale: candidates come from the banded bucket join; the signature
+    join adds two hash joins on doc id against the (already derived)
+    16-column signature table.
+    """
+    from arcane_framework_spark.operators.dedup import (
+        NUM_HASHES,
+        minhash_pair_counts,
+        minhash_signatures,
+    )
+    from arcane_framework_spark.queries import _planted_neardup_docs
+
+    corpus = _planted_neardup_docs(spark, sf_dir)
+    sized = minhash_pair_counts(corpus)
+    sigs = minhash_signatures(corpus)
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"s{i}").alias(f"__a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"s{i}").alias(f"__b{i}") for i in range(NUM_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    )
+    cal = (
+        sized.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            agree.cast("int").alias("agree16"),
+            F.expr(
+                "CAST(ni * 1000000 DIV (na + nb - ni) AS BIGINT)"
+            ).alias("__jppm"),
+        )
+    )
+    return cal.groupBy("agree16").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            f"CAST(first(agree16) * 1000000 DIV {NUM_HASHES} AS BIGINT)"
+        ).alias("est_jaccard_ppm"),
+        F.expr("CAST(sum(__jppm) DIV count(*) AS BIGINT)").alias(
+            "mean_true_jaccard_ppm"
+        ),
+    )
+
+
+def minhash_calibration_sql() -> str:
+    """Oracle tail over the shared MinHash ``sig``/``sized`` CTEs
+    (registered in queries.py)."""
+    from arcane_framework_spark.operators.dedup import NUM_HASHES
+    from arcane_framework_spark.queries import _minhash_sql
+
+    return _minhash_sql(tail=rf"""
+,
+cal AS (
+  SELECT len(list_filter(range(1, {NUM_HASHES + 1}),
+                         i -> sa.sig[i] = sb.sig[i]))::INT AS agree16,
+         s.ni * 1000000 // (s.na + s.nb - s.ni) AS j_ppm
+  FROM sized s
+  JOIN sig sa ON sa.doc_id = s.id_a
+  JOIN sig sb ON sb.doc_id = s.id_b
+)
+SELECT agree16,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(agree16 * 1000000 // {NUM_HASHES} AS BIGINT) AS est_jaccard_ppm,
+       CAST(sum(j_ppm) // count(*) AS BIGINT) AS mean_true_jaccard_ppm
+FROM cal GROUP BY agree16
+""")
+
+
 def pretrain_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole pretraining prep pipeline as ONE DataFrame program, with
     a funnel row per stage: raw -> Gopher quality rules -> exact dedup
@@ -1355,6 +1488,8 @@ WAVE5_QUERIES = {
     "embedding_norm_audit": embedding_norm_audit,
     "lsh_precision_documents": lsh_precision_documents,
     "pretrain_funnel_documents": pretrain_funnel_documents,
+    "token_histogram_documents": token_histogram_documents,
+    "minhash_calibration_documents": minhash_calibration_documents,
 }
 
 WAVE5_ORACLE_SQL: dict[str, str] = {
@@ -1371,5 +1506,7 @@ WAVE5_ORACLE_SQL: dict[str, str] = {
     # static corpus only) — shares the batch oracle verbatim.
     "streaming_semantic_dedup": _incremental_semantic_sql(),
     "embedding_norm_audit": _NORM_AUDIT_SQL,
-    # lsh_precision_documents registered in queries.py (embeds _minhash_sql)
+    "token_histogram_documents": _TOKEN_HISTOGRAM_SQL,
+    # lsh_precision_documents and pretrain_funnel_documents registered in
+    # queries.py (their oracles embed _minhash_sql)
 }

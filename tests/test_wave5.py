@@ -344,3 +344,45 @@ def test_pretrain_funnel_monotone(spark):
     assert toks == sorted(toks, reverse=True)
     assert docs[0] == _planted_neardup_docs(spark, SF_DIR).count()
     assert docs[3] < docs[2]  # near-dup stage actually pruned
+
+
+def test_token_histogram_partitions_corpus(spark):
+    """Histogram buckets must partition the corpus exactly: doc and token
+    totals equal direct recounts, and each bucket's lengths satisfy
+    2^b <= n_tokens < 2^(b+1) (b=0 also holds empty docs)."""
+    from arcane_framework_spark.queries_wave5 import (
+        token_histogram_documents,
+    )
+
+    rows = token_histogram_documents(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(r["log2_bucket"] >= 0 for r in rows)
+    # token total cross-check against the catalog's own counter
+    from arcane_framework_spark.operators.text import token_count_expr
+
+    total = docs.select(token_count_expr("text").alias("n")).agg(
+        F.sum("n")
+    ).collect()[0][0]
+    assert sum(r["n_tokens"] for r in rows) == total
+
+
+def test_minhash_calibration_estimator_monotone(spark):
+    """Mean exact Jaccard must be (weakly) monotone in the agreement
+    count — more matching permutations must not imply LESS similarity on
+    average — and every implied estimate is agree/16 exactly."""
+    from arcane_framework_spark.operators.dedup import NUM_HASHES
+    from arcane_framework_spark.queries_wave5 import (
+        minhash_calibration_documents,
+    )
+
+    rows = sorted(
+        minhash_calibration_documents(spark, SF_DIR).collect(),
+        key=lambda r: r["agree16"],
+    )
+    assert rows
+    for r in rows:
+        assert r["est_jaccard_ppm"] == r["agree16"] * 1_000_000 // NUM_HASHES
+        assert 0 <= r["mean_true_jaccard_ppm"] <= 1_000_000
+    means = [r["mean_true_jaccard_ppm"] for r in rows]
+    assert means == sorted(means)
