@@ -269,6 +269,13 @@ def dedup_rate_by_source_documents(spark: SparkSession,
     at planted scales), and reports per source: docs, near-dup members,
     and an integer ppm rate.
 
+    The inverse mapping's validity contract — every REAL ``doc_id`` is
+    below ``_DUP_OFFSET`` — is enforced in-plan (``assert_true`` on the
+    report side): if the corpus ever grows into the planted-id space the
+    entry FAILS LOUDLY instead of silently folding real docs onto wrong
+    bases. (The planting helper itself would collide first at that point;
+    the guard turns that scale cliff into an explicit error.)
+
     Scale: pair discovery is the banded bucket join (never all-pairs);
     the member set is distinct doc ids (bounded by the corpus); the
     report is one groupBy(source) over documents left-joined to members.
@@ -294,7 +301,17 @@ def dedup_rate_by_source_documents(spark: SparkSession,
         .distinct()
         .withColumn("__dup", F.lit(1))
     )
-    docs = t["documents"].select("doc_id", "source")
+    # assert_true is NULL for every in-contract row (filter keeps all),
+    # and raises the moment a real doc_id enters the planted-id space
+    docs = t["documents"].select("doc_id", "source").filter(
+        F.assert_true(
+            F.col("doc_id") < F.lit(_DUP_OFFSET),
+            F.lit(
+                f"doc_id >= {_DUP_OFFSET} collides with the planted-dup "
+                "id space; the >=offset inverse mapping would mislabel"
+            ),
+        ).isNull()
+    )
     return (
         docs.join(members, "doc_id", "left")
         .groupBy("source")
@@ -666,6 +683,11 @@ def ivf_multiprobe_recall_embeddings(spark: SparkSession,
     wg = Window.partitionBy("query_id").orderBy(
         F.col("__cos").desc(), F.col("neighbor_id")
     )
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    # persisted before the eager count() below so the brute-force |Q|×N
+    # ground-truth scan executes ONCE (count + hits join share it);
+    # released by the caller's cache_scope
     gt = (
         F.broadcast(queries)
         .join(emb, F.col("vec_id") != F.col("query_id"))
@@ -680,6 +702,7 @@ def ivf_multiprobe_recall_embeddings(spark: SparkSession,
         .withColumn("__rk", F.row_number().over(wg))
         .filter(F.col("__rk") <= IVF_K)
         .select("query_id", "neighbor_id")
+        .transform(scoped_persist)
     )
     probes_df = spark.createDataFrame(
         [(p,) for p in IVF_PROBE_SET], "probes: int"
@@ -1355,26 +1378,16 @@ SELECT stage, n_docs, n_tokens FROM (
 """)
 
 
-def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of incremental semantic dedup, built on
-    ``foreachBatch`` — the pattern for per-batch logic that needs full
-    relational ops (argmax assignment, joins) a stateless stream cannot
-    express and a stateful one should not hold state for: each arriving
-    micro-batch is assigned to the FROZEN corpus codebook and pruned
-    against the static corpus cell table, exactly the batch operator,
-    then appended to the sink. Decisions depend only on (arrival, static
-    corpus), so the result is independent of how the stream slices into
-    batches — which is what lets the twin share the batch entry's oracle
-    verbatim (and is asserted across a forced multi-batch split in the
-    tests).
-
-    The static corpus cell table is persisted ONCE before the stream
-    starts (a stream re-evaluates its static side per micro-batch
-    otherwise — the streaming_incremental_dedup lesson); at 100 TB it is
-    the materialized side table the batch twin documents. The in-test
-    sink is a driver accumulator (arrivals are tick-sized by
-    construction); production foreachBatch writes parquet via K1's
-    adapter (sinks/parquet_sink.py) unchanged.
+def run_semantic_dedup_stream(spark: SparkSession, sf_dir: str,
+                              decision_sink) -> None:
+    """Drive the availableNow semantic-dedup arrival stream, delivering
+    each micro-batch's DECISIONS DataFrame ``(vec_id, cid, pruned)`` to
+    ``decision_sink(df, batch_id)`` — the production seam: pass
+    ``ParquetStreamSink(path).foreach_batch()`` (K1) and the stream writes the
+    protocol parquet layout; the gate entry passes a driver accumulator
+    (arrivals are tick-sized by construction). Both paths run the SAME
+    per-batch plan; the K1 route is executed in
+    ``tests/test_wave5.py::test_streaming_semantic_dedup_k1_parquet_sink``.
     """
     from arcane_framework_spark.operators.similarity import (
         dot_expr,
@@ -1426,8 +1439,6 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
 
-    acc: list = []
-
     def judge_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_cells = ivf_assign(batch_df, cent).withColumn(
             "__n", norm_expr(F.col("vec"))
@@ -1458,7 +1469,7 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("__p", F.lit(False)).alias("pruned"),
             )
         )
-        acc.extend(out.collect())
+        decision_sink(out, batch_id)
 
     try:
         with stream_conf(spark):
@@ -1470,6 +1481,36 @@ def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
     finally:
         corpus_cells.unpersist()
+
+
+def streaming_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental semantic dedup, built on
+    ``foreachBatch`` — the pattern for per-batch logic that needs full
+    relational ops (argmax assignment, joins) a stateless stream cannot
+    express and a stateful one should not hold state for: each arriving
+    micro-batch is assigned to the FROZEN corpus codebook and pruned
+    against the static corpus cell table, exactly the batch operator,
+    then appended to the sink. Decisions depend only on (arrival, static
+    corpus), so the result is independent of how the stream slices into
+    batches — which is what lets the twin share the batch entry's oracle
+    verbatim (and is asserted across a forced multi-batch split in the
+    tests).
+
+    The static corpus cell table is persisted ONCE before the stream
+    starts (a stream re-evaluates its static side per micro-batch
+    otherwise — the streaming_incremental_dedup lesson); at 100 TB it is
+    the materialized side table the batch twin documents. The gate
+    entry's sink is a driver accumulator (arrivals are tick-sized by
+    construction, so the accumulation is one tick's decisions, not
+    unbounded); the production sink is K1's ``foreach_batch`` parquet
+    adapter through the SAME ``run_semantic_dedup_stream`` seam —
+    executed, not asserted, in
+    ``test_streaming_semantic_dedup_k1_parquet_sink``.
+    """
+    acc: list = []
+    run_semantic_dedup_stream(
+        spark, sf_dir, lambda out, _bid: acc.extend(out.collect())
+    )
     return spark.createDataFrame(
         acc, "vec_id: long, cid: long, pruned: boolean"
     )

@@ -52,6 +52,27 @@ from pyspark.sql.types import StructType
 from arcane_framework_spark.contracts.columns import SYS_CHANGE_VERSION
 
 
+def _footer_version_bounds(md, version_col: str):
+    """(min, max) of ``version_col`` from the parquet FOOTER row-group
+    statistics — no data pages touched. Returns None when any row group
+    lacks min/max stats (caller falls back to reading the column);
+    (None, None) for a zero-row-group file."""
+    vmin = vmax = None
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        stats = None
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            if col.path_in_schema == version_col:
+                stats = col.statistics
+                break
+        if stats is None or not stats.has_min_max:
+            return None
+        vmin = stats.min if vmin is None else min(vmin, stats.min)
+        vmax = stats.max if vmax is None else max(vmax, stats.max)
+    return vmin, vmax
+
+
 def _feed_rows(path: str, version_col: str, schema_fields: list[str],
                lo: int, hi: int | None) -> tuple[list[tuple], int]:
     """Rows with ``lo < version <= hi`` (hi=None: no upper bound) from the
@@ -60,7 +81,19 @@ def _feed_rows(path: str, version_col: str, schema_fields: list[str],
     Listing + filtering happens per call: the feed is append-only, so new
     files between calls are exactly the new deltas. Missing/empty dir is a
     cold feed, not an error.
+
+    Per-tick cost is bounded by DELTA size, not feed age (the reference's
+    CHANGETABLE scans are delta-bounded too): each file's version range is
+    read from its parquet footer statistics, and files entirely at or below
+    the committed watermark (``max <= lo``) — i.e. the ever-growing history
+    — are skipped without touching their data pages. Files whose footer
+    cannot be read (a writer still mid-append) are tolerated and skipped
+    this tick; the feed contract is that a file's versions exceed every
+    version already durable when its write began (append-only CDC), so an
+    in-flight file can never hold versions at or below an offset committed
+    while it was unreadable — it is simply the next delta.
     """
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -73,11 +106,36 @@ def _feed_rows(path: str, version_col: str, schema_fields: list[str],
     )
     if not files:
         return [], lo
-    table = pq.ParquetDataset(files).read()
-    versions = table.column(version_col)
-    max_seen = pc.max(versions).as_py()
+
+    max_seen: int | None = None
+    candidates: list[str] = []
+    for f in files:
+        try:
+            pf = pq.ParquetFile(f)
+            bounds = _footer_version_bounds(pf.metadata, version_col)
+            if bounds is None:  # stats absent: bound from the one column
+                versions = pf.read(columns=[version_col]).column(version_col)
+                fmin = pc.min(versions).as_py()
+                fmax = pc.max(versions).as_py()
+            else:
+                fmin, fmax = bounds
+        except (OSError, pa.ArrowInvalid):
+            continue  # in-flight/truncated file: complete by a later tick
+        if fmax is None:
+            continue  # zero-row file
+        max_seen = fmax if max_seen is None else max(max_seen, fmax)
+        if fmax <= lo:
+            continue  # fully below the watermark: committed history
+        if hi is not None and fmin > hi:
+            continue  # fully above a bounded replay range
+        candidates.append(f)
+
     if max_seen is None:
         return [], lo
+    if not candidates:
+        return [], int(max_seen)
+    table = pq.ParquetDataset(candidates).read()
+    versions = table.column(version_col)
     mask = pc.greater(versions, lo)
     if hi is not None:
         mask = pc.and_(mask, pc.less_equal(versions, hi))

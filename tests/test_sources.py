@@ -505,10 +505,86 @@ def test_uri_providers_from_templated_fields():
         is_backfilling=True,
     )
     assert simple.next_uri() == "https://api/x?from=2020/02/03"
-    with pytest.raises(ValueError, match="FILTER_DATE_FROM"):
+    # absent date field: silently skipped, like the reference's
+    # FirstOrDefault + null pattern (SimpleUriProvider.cs:70) — only the
+    # paged provider's missing PAGE field throws
+    undated = SimpleUriProvider.from_templated_fields(
+        "https://api/x/all",
+        [RestApiTemplatedField(TemplatedFieldType.RESPONSE_PAGE, "p")],
+        backfill_start=datetime(2020, 1, 1, tzinfo=timezone.utc),
+    )
+    assert undated.next_uri() == "https://api/x/all"
+
+
+def test_uri_providers_body_placement():
+    """BODY-placed fields resolve into the body template, not the URL
+    (reference SimpleUriProvider.cs:76-86, PagedUriProvider.cs:77-134:
+    each field's Placement switches it between urlTemplate and
+    bodyTemplate; an unknown placement is the ArgumentOutOfRangeException
+    arm). Paged date fields are optional (FirstOrDefault, cs:73,92)."""
+    from datetime import datetime, timedelta, timezone
+
+    import pytest
+
+    from arcane_framework_spark.sources.rest import (
+        PagedUriProvider,
+        RestApiTemplatedField,
+        SimpleUriProvider,
+        TemplatedFieldPlacement,
+        TemplatedFieldType,
+    )
+
+    simple = SimpleUriProvider.from_templated_fields(
+        "https://api/x/search",
+        [RestApiTemplatedField(
+            TemplatedFieldType.FILTER_DATE_FROM, "d", "%Y-%m-%d",
+            TemplatedFieldPlacement.BODY,
+        )],
+        backfill_start=datetime(2020, 2, 3, tzinfo=timezone.utc),
+        is_backfilling=True,
+        body_template='{"updatedAfter": "@d"}',
+    )
+    url, body = simple.next_request()
+    assert url == "https://api/x/search"          # date NOT in the URL
+    assert body == '{"updatedAfter": "2020-02-03"}'
+
+    paged = PagedUriProvider.from_templated_fields(
+        "https://api/x/search?page=@p",
+        [
+            RestApiTemplatedField(TemplatedFieldType.RESPONSE_PAGE, "p"),
+            RestApiTemplatedField(
+                TemplatedFieldType.FILTER_DATE_BETWEEN_FROM, "f",
+                "%Y-%m-%d", TemplatedFieldPlacement.BODY,
+            ),
+            RestApiTemplatedField(
+                TemplatedFieldType.FILTER_DATE_BETWEEN_TO, "t",
+                "%Y-%m-%d", TemplatedFieldPlacement.BODY,
+            ),
+        ],
+        range_start=datetime(2024, 1, 1), range_end=datetime(2024, 1, 3),
+        range_step=timedelta(days=1),
+        body_template='{"from": "@f", "to": "@t"}',
+    )
+    url, body = paged.next_request(4)
+    assert url == "https://api/x/search?page=4"
+    assert body == '{"from": "2024-01-01", "to": "2024-01-02"}'
+
+    # paged provider with NO date fields: page-only templating works
+    pageonly = PagedUriProvider.from_templated_fields(
+        "https://api/x?page=@p",
+        [RestApiTemplatedField(TemplatedFieldType.RESPONSE_PAGE, "p")],
+        range_start=datetime(2024, 1, 1), range_end=datetime(2024, 1, 2),
+    )
+    assert pageonly.next_uri(9) == "https://api/x?page=9"
+
+    # unknown placement: loud at construction (ArgumentOutOfRangeException)
+    with pytest.raises(ValueError, match="placement"):
         SimpleUriProvider.from_templated_fields(
-            "https://api/x?page=@p",
-            [RestApiTemplatedField(TemplatedFieldType.RESPONSE_PAGE, "p")],
+            "https://api/x?from=@d",
+            [RestApiTemplatedField(
+                TemplatedFieldType.FILTER_DATE_FROM, "d", "%Y-%m-%d",
+                "HEADER",
+            )],
             backfill_start=datetime(2020, 1, 1, tzinfo=timezone.utc),
         )
 
@@ -1749,3 +1825,259 @@ def test_ct_datasource_requires_version_column(spark):
         CtStreamReader(
             StructType.fromDDL("pk LONG, val STRING"), {"path": "/nowhere"}
         )
+
+
+def test_ct_feed_prunes_committed_files_via_footer_stats(tmp_path, monkeypatch):
+    """Per-tick cost must be bounded by DELTA size, not feed age (the
+    reference's CHANGETABLE scans are delta-bounded): files whose footer
+    max(version) <= the committed watermark are skipped WITHOUT reading
+    their data pages. Proven by intercepting ParquetDataset and asserting
+    only the candidate files reach it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcane_framework_spark.sources import ct_datasource
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def write(name, versions):
+        pq.write_table(
+            pa.table({
+                "pk": list(range(len(versions))),
+                "SYS_CHANGE_VERSION": versions,
+                "SYS_CHANGE_OPERATION": ["I"] * len(versions),
+            }),
+            str(feed / name),
+        )
+
+    write("b0.parquet", [1, 2, 3])      # committed history
+    write("b1.parquet", [4, 5])         # committed history
+    write("b2.parquet", [6, 7])         # the delta
+    write("b3.parquet", [8])            # the delta
+
+    read_files = []
+    real_dataset = pq.ParquetDataset
+
+    def spy_dataset(files, *a, **kw):
+        read_files.extend(files)
+        return real_dataset(files, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetDataset", spy_dataset)
+
+    rows, max_seen = ct_datasource._feed_rows(
+        str(feed), "SYS_CHANGE_VERSION",
+        ["pk", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION"], 5, None,
+    )
+    assert max_seen == 8  # watermark still sees the whole feed (footers)
+    assert sorted(r[1] for r in rows) == [6, 7, 8]
+    # only the delta files were opened for data — history pruned by footer
+    assert sorted(os.path.basename(f) for f in read_files) == [
+        "b2.parquet", "b3.parquet",
+    ]
+
+    # bounded replay also prunes ABOVE the range
+    read_files.clear()
+    replay, _ = ct_datasource._feed_rows(
+        str(feed), "SYS_CHANGE_VERSION",
+        ["pk", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION"], 3, 5,
+    )
+    assert sorted(r[1] for r in replay) == [4, 5]
+    assert sorted(os.path.basename(f) for f in read_files) == ["b1.parquet"]
+
+
+def test_ct_feed_tolerates_in_flight_file(tmp_path):
+    """A partially-written parquet file (writer mid-append) must not crash
+    the tick: it is skipped, the complete files' delta still flows, and
+    once the writer finishes the file it becomes the next delta."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcane_framework_spark.sources.ct_datasource import _feed_rows
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    pq.write_table(
+        pa.table({
+            "pk": [1, 2],
+            "SYS_CHANGE_VERSION": [1, 2],
+            "SYS_CHANGE_OPERATION": ["I", "I"],
+        }),
+        str(feed / "b0.parquet"),
+    )
+    # an in-flight file: truncated garbage with the .parquet suffix
+    (feed / "b1.parquet").write_bytes(b"PAR1\x00\x01\x02partial")
+
+    fields = ["pk", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION"]
+    rows, max_seen = _feed_rows(str(feed), "SYS_CHANGE_VERSION", fields, 0, None)
+    assert sorted(r[1] for r in rows) == [1, 2]
+    assert max_seen == 2  # offset never advances past what was readable
+
+    # the writer completes the file (feed contract: versions monotone
+    # across file completion) — next tick picks it up as the delta
+    pq.write_table(
+        pa.table({
+            "pk": [3],
+            "SYS_CHANGE_VERSION": [3],
+            "SYS_CHANGE_OPERATION": ["I"],
+        }),
+        str(feed / "b1.parquet"),
+    )
+    rows, max_seen = _feed_rows(str(feed), "SYS_CHANGE_VERSION", fields, 2, None)
+    assert [r[1] for r in rows] == [3]
+    assert max_seen == 3
+
+
+def test_page_resolver_from_config_all_types():
+    """The WithPageResolver switch (reference PagedUriProvider.cs:155-178)
+    from spec JSON: COUNTER/OFFSET/TOKEN all constructible, OFFSET without
+    responseSize raises the reference's error, unknown type rejected at
+    parse (PageResolverType.cs has exactly three members)."""
+    import pytest
+
+    from arcane_framework_spark.plans.spec import PageResolverConfiguration
+    from arcane_framework_spark.sources.rest import (
+        PageCountingResolver,
+        PageNextTokenResolver,
+        PageOffsetResolver,
+        page_resolver_from_config,
+    )
+
+    counter = page_resolver_from_config(
+        {"resolverType": "COUNTER",
+         "resolverPropertyKeyChain": ["meta", "totalPages"]}
+    )
+    assert isinstance(counter, PageCountingResolver)
+    assert counter.key_chain == ["meta", "totalPages"]
+
+    offset = page_resolver_from_config(
+        {"resolverType": "OFFSET", "resolverPropertyKeyChain": ["items"],
+         "responseSize": 100, "startOffset": 5}
+    )
+    assert isinstance(offset, PageOffsetResolver)
+    assert offset.response_size == 100 and offset.start_offset == 5
+
+    token = page_resolver_from_config(
+        PageResolverConfiguration("TOKEN", ("next",))
+    )
+    assert isinstance(token, PageNextTokenResolver)
+    assert token.key_chain == ["next"]
+
+    with pytest.raises(ValueError, match="Response size is required"):
+        page_resolver_from_config({"resolverType": "OFFSET"})
+    with pytest.raises(ValueError, match="resolverType"):
+        page_resolver_from_config({"resolverType": "CURSOR"})
+
+
+def test_rest_pipeline_from_env_spec(spark):
+    """The last reference-model gap: a PAGINATED REST pipeline declarable
+    entirely from STREAMCONTEXT__SPEC (the reference deserializes
+    PageResolverConfiguration + the templated-field list straight from
+    the spec JSON). Env JSON -> StreamSpec -> rest_source_from_spec ->
+    paginated fetch against a live stub server (the pagination shape of
+    reference test/Sources/RestApiSourceTests.cs:138-210) -> rows."""
+    import http.server
+    import json as _json
+    import threading
+
+    from arcane_framework_spark.plans import spec as spec_mod
+    from arcane_framework_spark.sources.rest import rest_source_from_spec
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            page = int(self.path.split("page=")[1].split("&")[0])
+            payload = {
+                "meta": {"totalPages": 3},
+                "data": {"items": [
+                    {"id": page * 10 + i, "name": f"p{page}r{i}"}
+                    for i in range(2)
+                ]},
+            }
+            body = _json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        env = {
+            spec_mod.ENV_STREAM_ID: "rest-widgets",
+            spec_mod.ENV_STREAM_KIND: "RestApi",
+            spec_mod.ENV_BACKFILL: "true",
+            spec_mod.ENV_SPEC: _json.dumps({
+                "pageResolver": {
+                    "resolverType": "COUNTER",
+                    "resolverPropertyKeyChain": ["meta", "totalPages"],
+                },
+                "options": {
+                    "urlTemplate": (
+                        f"http://127.0.0.1:{port}/w?page=@page&from=@f"
+                    ),
+                    "templatedFields": [
+                        {"fieldType": "RESPONSE_PAGE", "fieldName": "page"},
+                        {"fieldType": "FILTER_DATE_BETWEEN_FROM",
+                         "fieldName": "f", "formatString": "%Y-%m-%d"},
+                    ],
+                    "responsePropertyKeyChain": ["data", "items"],
+                    "schemaDdl": "id LONG, name STRING",
+                    "backfillStartUnixMillis": 1577836800000,  # 2020-01-01
+                    "rangeStartUnixMillis": 1577836800000,
+                    "rangeEndUnixMillis": 1577923200000,       # +1 day
+                },
+            }),
+        }
+        spec = spec_mod.from_env(env)
+        assert spec.backfill and spec.page_resolver.resolver_type == "COUNTER"
+        source = rest_source_from_spec(spark, spec)
+        df = source.fetch_batch()
+        rows = sorted((r.id, r.name) for r in df.collect())
+        assert len(rows) == 6  # 3 pages x 2 rows, the COUNTER sweep
+        assert rows[0] == (10, "p1r0") and rows[-1] == (31, "p3r1")
+    finally:
+        server.shutdown()
+
+
+def test_rest_pipeline_from_spec_simple_provider(spark):
+    """pageResolver absent -> SimpleUriProvider + one request per sweep,
+    with the backfill date rendered from the spec's own fields."""
+    import json as _json
+
+    from arcane_framework_spark.plans import spec as spec_mod
+    from arcane_framework_spark.sources.rest import rest_source_from_spec
+
+    seen = []
+
+    def fake_get(url, headers, timeout):
+        seen.append((url, headers))
+        return 200, _json.dumps(
+            {"items": [{"id": 1, "name": "a"}]}
+        )
+
+    env = {
+        spec_mod.ENV_BACKFILL: "true",
+        spec_mod.ENV_SPEC: _json.dumps({
+            "options": {
+                "urlTemplate": "https://api/x?from=@d",
+                "templatedFields": [
+                    {"fieldType": "FILTER_DATE_FROM", "fieldName": "d",
+                     "formatString": "%Y-%m-%d"},
+                ],
+                "responsePropertyKeyChain": ["items"],
+                "schemaDdl": "id LONG, name STRING",
+                "headers": {"X-Api-Key": "k1"},
+                "backfillStartUnixMillis": 1577836800000,
+            },
+        }),
+    }
+    source = rest_source_from_spec(spark, spec_mod.from_env(env),
+                                   http_get=fake_get)
+    rows = [(r.id, r.name) for r in source.fetch_batch().collect()]
+    assert rows == [(1, "a")]
+    assert seen == [("https://api/x?from=2020-01-01", {"X-Api-Key": "k1"})]

@@ -386,3 +386,45 @@ def test_minhash_calibration_estimator_monotone(spark):
         assert 0 <= r["mean_true_jaccard_ppm"] <= 1_000_000
     means = [r["mean_true_jaccard_ppm"] for r in rows]
     assert means == sorted(means)
+
+
+def test_streaming_semantic_dedup_k1_parquet_sink(spark, tmp_path):
+    """The PRODUCTION sink path, executed: the same
+    run_semantic_dedup_stream seam the gate entry drives with a driver
+    accumulator is routed through K1's ParquetStreamSink.foreach_batch()
+    adapter, and the protocol parquet output must equal the accumulator
+    result row-for-row (plus carry K1's schema sidecar + schema-hash
+    part naming)."""
+    import os
+
+    from arcane_framework_spark.queries_wave5 import (
+        run_semantic_dedup_stream,
+        streaming_semantic_dedup,
+    )
+    from arcane_framework_spark.sinks.parquet_sink import ParquetStreamSink
+
+    expected = {
+        (r["vec_id"], r["cid"], r["pruned"])
+        for r in streaming_semantic_dedup(spark, SF_DIR).collect()
+    }
+    assert expected  # non-trivial stream
+
+    base = str(tmp_path / "decisions")
+    sink = ParquetStreamSink(base)
+    run_semantic_dedup_stream(spark, SF_DIR, sink.foreach_batch())
+    token = sink.finish()
+
+    got = {
+        (r["vec_id"], r["cid"], r["pruned"])
+        for r in spark.read.parquet(os.path.join(base, "data")).collect()
+    }
+    assert got == expected  # parquet path == accumulator path, bit-for-bit
+
+    # the K1 protocol around the data: schema sidecar, hash-named parts,
+    # completion token for the drained (availableNow) stream
+    parts = os.listdir(os.path.join(base, "data"))
+    assert parts and all(
+        p.startswith("part-") and p.endswith("-chunk.parquet") for p in parts
+    )
+    assert os.listdir(os.path.join(base, "schema"))
+    assert token is not None and token.endswith(".COMPLETED")
