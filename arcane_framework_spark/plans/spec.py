@@ -49,6 +49,49 @@ def validate_source_columns(columns: list[str],
     return columns
 
 
+#: Supported page listing algorithms (reference PageResolverType.cs:6-20).
+PAGE_RESOLVER_TYPES = ("COUNTER", "OFFSET", "TOKEN")
+
+
+@dataclass(frozen=True)
+class PageResolverConfiguration:
+    """Pagination declared in the stream spec JSON.
+
+    Mirrors the reference's configuration record
+    (src/Sources/RestApi/Models/PageResolverConfiguration.cs:9-44): the
+    JSON property names are ``resolverType`` (COUNTER/OFFSET/TOKEN,
+    PageResolverType.cs:6-20), ``resolverPropertyKeyChain`` (where in the
+    response the total-pages / row-array / token value lives),
+    ``responseSize`` (OFFSET page size) and ``startOffset``. The factory
+    that turns this into a live resolver is
+    ``sources.rest.page_resolver_from_config`` — the repo's counterpart of
+    ``PagedUriProvider.WithPageResolver`` (PagedUriProvider.cs:155-178).
+    """
+
+    resolver_type: str
+    resolver_property_key_chain: tuple[str, ...] = ()
+    response_size: int | None = None
+    start_offset: int | None = None
+
+    @classmethod
+    def from_dict(cls, payload: dict) -> "PageResolverConfiguration":
+        resolver_type = str(payload.get("resolverType", "")).upper()
+        if resolver_type not in PAGE_RESOLVER_TYPES:
+            raise ValueError(
+                f"unknown resolverType {payload.get('resolverType')!r}; "
+                f"supported: {', '.join(PAGE_RESOLVER_TYPES)}"
+            )
+        chain = payload.get("resolverPropertyKeyChain") or ()
+        size = payload.get("responseSize")
+        start = payload.get("startOffset")
+        return cls(
+            resolver_type=resolver_type,
+            resolver_property_key_chain=tuple(str(k) for k in chain),
+            response_size=None if size is None else int(size),
+            start_offset=None if start is None else int(start),
+        )
+
+
 @dataclass(frozen=True)
 class PartitionSpec:
     """One output-partition declaration, serialized for consumers.
@@ -91,6 +134,8 @@ class StreamSpec:
     #: row groups per output file → maps to maxRecordsPerFile-style sizing
     row_groups_per_file: int = 1
     partitions: list[PartitionSpec] = field(default_factory=list)
+    #: pagination for REST sources, declared in the spec JSON
+    page_resolver: PageResolverConfiguration | None = None
     #: free-form source/sink options from the spec JSON
     options: dict = field(default_factory=dict)
 
@@ -123,6 +168,10 @@ class StreamSpec:
             stop_after_backfill=bool(payload.get("stopAfterBackfill", False)),
             row_groups_per_file=rgpf,
             partitions=parts,
+            page_resolver=(
+                PageResolverConfiguration.from_dict(payload["pageResolver"])
+                if payload.get("pageResolver") is not None else None
+            ),
             options=payload.get("options", {}),
         )
 

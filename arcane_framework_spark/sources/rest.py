@@ -167,6 +167,40 @@ class PageNextTokenResolver(PageResolver):
         self._started = False
 
 
+def page_resolver_from_config(config) -> PageResolver:
+    """Resolver from a spec-declared ``PageResolverConfiguration`` — the
+    repo's counterpart of ``PagedUriProvider.WithPageResolver``
+    (reference PagedUriProvider.cs:155-178):
+
+    - ``COUNTER`` → :class:`PageCountingResolver` over the key chain
+    - ``OFFSET``  → :class:`PageOffsetResolver`; ``responseSize`` is
+      REQUIRED (the reference's ApplicationException, cs:163-167)
+    - ``TOKEN``   → :class:`PageNextTokenResolver` over the key chain
+
+    Accepts the ``plans.spec.PageResolverConfiguration`` dataclass or the
+    raw spec JSON dict (property names per
+    PageResolverConfiguration.cs:9-44).
+    """
+    from arcane_framework_spark.plans.spec import PageResolverConfiguration
+
+    if isinstance(config, dict):
+        config = PageResolverConfiguration.from_dict(config)
+    chain = list(config.resolver_property_key_chain)
+    if config.resolver_type == "COUNTER":
+        return PageCountingResolver(chain)
+    if config.resolver_type == "OFFSET":
+        if config.response_size is None:
+            raise ValueError("Response size is required when using OFFSET")
+        return PageOffsetResolver(
+            chain,
+            start_offset=config.start_offset or 0,
+            response_size=config.response_size,
+        )
+    if config.resolver_type == "TOKEN":
+        return PageNextTokenResolver(chain)
+    raise ValueError(f"unknown resolverType {config.resolver_type!r}")
+
+
 # ---------------------------------------------------------------------------
 # URL templating + URI providers (F8, P4, P5)
 # ---------------------------------------------------------------------------
@@ -247,24 +281,48 @@ class RestApiTemplate:
         return self
 
 
+def _check_placement(placement: str) -> str:
+    """Reject unknown placements loudly (the reference's
+    ``ArgumentOutOfRangeException`` default switch arm)."""
+    if placement not in (TemplatedFieldPlacement.URL,
+                         TemplatedFieldPlacement.BODY):
+        raise ValueError(f"unknown templated-field placement: {placement!r}")
+    return placement
+
+
 class SimpleUriProvider:
-    """Non-paginated URL with a single date filter (P4).
+    """Non-paginated URL with an optional date filter (P4).
 
     Date filter value (reference SimpleUriProvider.cs:62-67):
     - backfilling → ``backfill_start``
     - first stream sweep → ``now - look_back``
     - steady state → ``now - change_capture_interval``
+
+    ``date_field=None`` means no date filter is declared — the template
+    resolves as-is (the reference's ``FirstOrDefault`` + null-pattern
+    silently skips an absent date field; only PagedUriProvider's missing
+    PAGE field throws). A ``BODY``-placed date field resolves into
+    ``body_template`` instead of the URL (SimpleUriProvider.cs:76-86);
+    ``next_request`` returns ``(url, payload_or_None)``.
     """
 
-    def __init__(self, template: str, date_field: str,
+    def __init__(self, template: str, date_field: str | None,
                  backfill_start: datetime,
                  look_back: timedelta = timedelta(days=1),
                  change_capture_interval: timedelta = timedelta(seconds=15),
                  is_backfilling: bool = False,
                  date_format: str = "%Y-%m-%dT%H:%M:%S",
-                 clock: Callable[[], datetime] | None = None):
-        self.template = RestApiTemplate(template, [date_field])
+                 clock: Callable[[], datetime] | None = None,
+                 body_template: str | None = None,
+                 date_placement: str = TemplatedFieldPlacement.URL):
+        names = [date_field] if date_field is not None else []
+        self.template = RestApiTemplate(template, names)
+        self.body_template = (
+            RestApiTemplate(body_template, names)
+            if body_template is not None else None
+        )
         self.date_field = date_field
+        self.date_placement = _check_placement(date_placement)
         self.backfill_start = backfill_start
         self.look_back = look_back
         self.change_capture_interval = change_capture_interval
@@ -280,8 +338,10 @@ class SimpleUriProvider:
                               **kwargs) -> "SimpleUriProvider":
         """Build from a declared field list, selecting the date filter BY
         TYPE exactly as the reference does (SimpleUriProvider.cs:70: first
-        field whose type is FILTER_DATE_FROM or FILTER_DATE_BETWEEN_FROM);
-        the field's own format_string wins over any date_format kwarg.
+        field whose type is FILTER_DATE_FROM or FILTER_DATE_BETWEEN_FROM;
+        ``FirstOrDefault`` — an absent date field is silently skipped, not
+        an error); the field's own format_string and placement win over
+        any kwargs.
         """
         date = _first_field(
             fields,
@@ -289,14 +349,14 @@ class SimpleUriProvider:
             TemplatedFieldType.FILTER_DATE_BETWEEN_FROM,
         )
         if date is None:
-            raise ValueError(
-                "SimpleUriProvider requires a FILTER_DATE_FROM or "
-                "FILTER_DATE_BETWEEN_FROM templated field"
-            )
+            return cls(template, None, backfill_start, **kwargs)
         kwargs["date_format"] = date.format_string
+        kwargs["date_placement"] = date.placement
         return cls(template, date.field_name, backfill_start, **kwargs)
 
-    def next_uri(self, page_token: str | None = None) -> str:
+    def next_request(self, page_token: str | None = None) -> tuple[str, str | None]:
+        """(url, body payload or None) — each field rendered into the
+        template its declared placement selects."""
         if self.is_backfilling:
             start = self.backfill_start
         elif self._first_sweep:
@@ -304,11 +364,18 @@ class SimpleUriProvider:
         else:
             start = self.clock() - self.change_capture_interval
         self._first_sweep = False
-        return (
-            self.template.reset()
-            .resolve_field(self.date_field, start.strftime(self.date_format))
-            .resolve()
-        )
+        url = self.template.reset()
+        body = self.body_template.reset() if self.body_template else None
+        if self.date_field is not None:
+            value = start.strftime(self.date_format)
+            if self.date_placement == TemplatedFieldPlacement.URL:
+                url.resolve_field(self.date_field, value)
+            elif body is not None:
+                body.resolve_field(self.date_field, value)
+        return url.resolve(), (body.resolve() if body is not None else None)
+
+    def next_uri(self, page_token: str | None = None) -> str:
+        return self.next_request(page_token)[0]
 
 
 class PagedUriProvider:
@@ -321,16 +388,32 @@ class PagedUriProvider:
     """
 
     def __init__(self, template: str, page_field: str,
-                 date_from_field: str, date_to_field: str,
+                 date_from_field: str | None, date_to_field: str | None,
                  range_start: datetime, range_end: datetime,
                  range_step: timedelta = timedelta(days=1),
                  date_format: str = "%Y-%m-%dT%H:%M:%S",
-                 date_to_format: str | None = None):
-        fields = [page_field, date_from_field, date_to_field]
+                 date_to_format: str | None = None,
+                 body_template: str | None = None,
+                 placements: dict[str, str] | None = None):
+        fields = [
+            f for f in (page_field, date_from_field, date_to_field)
+            if f is not None
+        ]
         self.template = RestApiTemplate(template, fields)
+        self.body_template = (
+            RestApiTemplate(body_template, fields)
+            if body_template is not None else None
+        )
         self.page_field = page_field
         self.date_from_field = date_from_field
         self.date_to_field = date_to_field
+        # per-field URL/BODY routing (reference PagedUriProvider.cs:77-106,
+        # 126-134); default everything to URL
+        self.placements = {
+            f: _check_placement((placements or {}).get(
+                f, TemplatedFieldPlacement.URL))
+            for f in fields
+        }
         self.range_start = range_start
         self.range_end = range_end
         self.range_step = range_step
@@ -349,9 +432,11 @@ class PagedUriProvider:
         the reference does (PagedUriProvider.cs:74-111): first
         FILTER_DATE_FROM/FILTER_DATE_BETWEEN_FROM -> range start, first
         FILTER_DATE_BETWEEN_TO -> range end, RESPONSE_PAGE -> page slot —
-        and raising the reference's error when a paged API declares no
-        page field (PagedUriProvider.cs:113-117). Each date field renders
-        with its own format_string.
+        raising the reference's error ONLY when a paged API declares no
+        page field (PagedUriProvider.cs:113-117); absent date fields are
+        silently skipped (``FirstOrDefault`` + null pattern, cs:73,92).
+        Each date field renders with its own format_string, and each
+        field's declared placement routes it to the URL or body template.
         """
         page = _first_field(fields, TemplatedFieldType.RESPONSE_PAGE)
         if page is None:
@@ -365,15 +450,18 @@ class PagedUriProvider:
             TemplatedFieldType.FILTER_DATE_BETWEEN_FROM,
         )
         dto = _first_field(fields, TemplatedFieldType.FILTER_DATE_BETWEEN_TO)
-        if dfrom is None or dto is None:
-            raise ValueError(
-                "PagedUriProvider requires FILTER_DATE_[BETWEEN_]FROM and "
-                "FILTER_DATE_BETWEEN_TO templated fields"
-            )
-        kwargs["date_format"] = dfrom.format_string
-        kwargs["date_to_format"] = dto.format_string
-        return cls(template, page.field_name, dfrom.field_name,
-                   dto.field_name, range_start, range_end, **kwargs)
+        placements = {page.field_name: page.placement}
+        if dfrom is not None:
+            kwargs["date_format"] = dfrom.format_string
+            placements[dfrom.field_name] = dfrom.placement
+        if dto is not None:
+            kwargs["date_to_format"] = dto.format_string
+            placements[dto.field_name] = dto.placement
+        kwargs.setdefault("placements", placements)
+        return cls(template, page.field_name,
+                   dfrom.field_name if dfrom is not None else None,
+                   dto.field_name if dto is not None else None,
+                   range_start, range_end, **kwargs)
 
     def has_read_all_pages(self) -> bool:
         return self._cursor >= self.range_end
@@ -384,16 +472,31 @@ class PagedUriProvider:
     def reset_range(self) -> None:
         self._cursor = self.range_start
 
-    def next_uri(self, page_token: str | None) -> str:
+    def next_request(self, page_token: str | None) -> tuple[str, str | None]:
+        """(url, body payload or None) — each declared field rendered into
+        the template its placement selects."""
         slice_from = self._cursor
         slice_to = min(slice_from + self.range_step, self.range_end)
-        return (
-            self.template.reset()
-            .resolve_field(self.page_field, str(page_token or 1))
-            .resolve_field(self.date_from_field, slice_from.strftime(self.date_format))
-            .resolve_field(self.date_to_field, slice_to.strftime(self.date_to_format))
-            .resolve()
-        )
+        url = self.template.reset()
+        body = self.body_template.reset() if self.body_template else None
+        values = [(self.page_field, str(page_token or 1))]
+        if self.date_from_field is not None:
+            values.append(
+                (self.date_from_field, slice_from.strftime(self.date_format))
+            )
+        if self.date_to_field is not None:
+            values.append(
+                (self.date_to_field, slice_to.strftime(self.date_to_format))
+            )
+        for name, value in values:
+            if self.placements[name] == TemplatedFieldPlacement.URL:
+                url.resolve_field(name, value)
+            elif body is not None:
+                body.resolve_field(name, value)
+        return url.resolve(), (body.resolve() if body is not None else None)
+
+    def next_uri(self, page_token: str | None) -> str:
+        return self.next_request(page_token)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -549,6 +652,121 @@ class RestApiSource:
         for page in self.fetch_pages():
             rows.extend(page)
         return self.spark.createDataFrame(rows, self.schema)
+
+
+def templated_fields_from_spec(payload: list[dict]) -> list[RestApiTemplatedField]:
+    """Spec-JSON field list → typed fields (property names per the
+    reference's RestApiTemplatedField.cs: ``fieldType``/``fieldName``/
+    ``formatString``/``placement``; format strings here are Python
+    ``strftime`` patterns)."""
+    out = []
+    for f in payload or []:
+        kwargs = {}
+        if f.get("formatString"):
+            kwargs["format_string"] = f["formatString"]
+        if f.get("placement"):
+            kwargs["placement"] = str(f["placement"]).upper()
+        out.append(RestApiTemplatedField(
+            str(f["fieldType"]).upper(), f["fieldName"], **kwargs
+        ))
+    return out
+
+
+def rest_source_from_spec(spark: SparkSession, spec,
+                          schema: T.StructType | None = None,
+                          clock: Callable[[], datetime] | None = None,
+                          http_get=None) -> "RestApiSource":
+    """A paginated REST pipeline built ENTIRELY from the stream spec —
+    the missing half of the reference's declarative surface: its stream
+    plugins deserialize ``PageResolverConfiguration`` and the templated
+    field list straight out of ``STREAMCONTEXT__SPEC`` JSON
+    (PageResolverConfiguration.cs:9-44, RestApiTemplatedField.cs:9-35),
+    so a paginated source needs no code, only config. Spec ``options``:
+
+    - ``urlTemplate`` (required), ``bodyTemplate``
+    - ``templatedFields``: list of {fieldType, fieldName, formatString,
+      placement}
+    - ``responsePropertyKeyChain``: where the row array lives (F4)
+    - ``schemaDdl`` (unless ``schema`` is passed) or ``openApiSchema``
+      (an OpenAPI fragment, F7)
+    - ``headers``: static auth headers (P6)
+    - ``rateLimitRequests`` / ``rateLimitPerSeconds`` (T5)
+    - ``backfillStartUnixMillis``; paged ranges:
+      ``rangeStartUnixMillis`` / ``rangeEndUnixMillis`` /
+      ``rangeStepSeconds``
+
+    Pagination comes from ``spec.page_resolver`` (the spec's
+    ``pageResolver`` object): present → :class:`PagedUriProvider` + the
+    configured resolver; absent → :class:`SimpleUriProvider`, one request
+    per sweep. Backfill/lookback/interval timing flows from the spec's
+    own fields, so ``STREAMCONTEXT__BACKFILL`` flips the provider exactly
+    like the reference's IsBackfilling context flag.
+    """
+    from datetime import timezone as _tz
+
+    opts = spec.options
+    template = opts["urlTemplate"]
+    fields = templated_fields_from_spec(opts.get("templatedFields"))
+    if schema is None:
+        if opts.get("schemaDdl"):
+            schema = T.StructType.fromDDL(opts["schemaDdl"])
+        elif opts.get("openApiSchema"):
+            from arcane_framework_spark.contracts.openapi import (
+                parse_openapi_schema,
+            )
+            schema = parse_openapi_schema(opts["openApiSchema"])
+        else:
+            raise ValueError(
+                "spec options need schemaDdl or openApiSchema "
+                "(or pass schema= explicitly)"
+            )
+
+    def millis(key: str, default: datetime) -> datetime:
+        from arcane_framework_spark.plans.spec import parse_unix_millis
+        raw = opts.get(key)
+        return default if raw is None else parse_unix_millis(raw)
+
+    epoch = datetime(1970, 1, 1, tzinfo=_tz.utc)
+    now = (clock or (lambda: datetime.now(_tz.utc)))()
+    common = dict(body_template=opts.get("bodyTemplate"))
+    if spec.page_resolver is not None:
+        start = millis("rangeStartUnixMillis",
+                       millis("backfillStartUnixMillis", epoch)
+                       if spec.backfill else now - spec.lookback_range)
+        end = millis("rangeEndUnixMillis", now)
+        step = timedelta(seconds=float(opts.get("rangeStepSeconds", 86400)))
+        provider = PagedUriProvider.from_templated_fields(
+            template, fields, range_start=start, range_end=end,
+            range_step=step, **common,
+        )
+        resolver: PageResolver = page_resolver_from_config(spec.page_resolver)
+    else:
+        provider = SimpleUriProvider.from_templated_fields(
+            template, fields,
+            backfill_start=millis("backfillStartUnixMillis", epoch),
+            look_back=spec.lookback_range,
+            change_capture_interval=spec.change_capture_interval,
+            is_backfilling=spec.backfill,
+            **(dict(common, clock=clock) if clock else common),
+        )
+        resolver = _OnePage()
+    limiter = None
+    if opts.get("rateLimitRequests"):
+        limiter = TokenBucketRateLimiter(
+            int(opts["rateLimitRequests"]),
+            float(opts.get("rateLimitPerSeconds", 1.0)),
+        )
+    kwargs = {} if http_get is None else {"http_get": http_get}
+    return RestApiSource(
+        spark=spark,
+        url_builder=provider.next_uri,
+        schema=schema,
+        page_resolver=resolver,
+        auth=FixedHeaderAuth(opts.get("headers")),
+        rate_limiter=limiter,
+        response_key_chain=list(opts.get("responsePropertyKeyChain") or []),
+        **kwargs,
+    )
 
 
 class _OnePage(PageResolver):
