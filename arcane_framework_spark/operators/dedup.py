@@ -1135,3 +1135,195 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better": after MinHash doc-level dedup, remove
+# every LATER occurrence of any verbatim repeated span, keeping exactly
+# one copy — the first)
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_segments(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             width: int | None = None,
+                             carry: tuple[str, ...] = ()) -> DataFrame:
+    """Per-segment removal decisions for exact-substring dedup:
+    (id, *carry, seg_idx, seg_tokens, removed).
+
+    Non-overlapping ``width``-token segments stand in for the paper's
+    >=50-token spans (a suffix array is a single-machine structure; the
+    segment table IS the distributable equivalent, at the cost of
+    alignment sensitivity — a repeated span is caught when it covers a
+    segment boundary-aligned window, which planted/boilerplate repeats
+    at fixed offsets always do). An occurrence is REMOVED iff the same
+    segment content appears earlier in the corpus order (doc id, then
+    position); the globally-first occurrence is the one copy kept.
+
+    Scale plan — aggregation, not a window: a row_number over seg_hash
+    would sort every partition and serialize each hot hash through one
+    reducer. Instead the first occurrence per DUPLICATED hash is a
+    map-side-combinable ``min(struct(id, seg_idx))`` aggregate, filtered
+    to ``count > 1`` — so the "firsts" side table is proportional to the
+    DUPLICATED content only (tiny on real corpora), broadcast by AQE
+    back onto the segment table. One shuffle on the 16-byte hash, no
+    per-key sort, no skew cliff on degenerate boilerplate hashes.
+    """
+    from arcane_framework_spark.operators.text import (
+        SEGMENT_WIDTH,
+        positioned_segment_hashes,
+    )
+
+    width = SEGMENT_WIDTH if width is None else width
+    segs = positioned_segment_hashes(docs, id_col, text_col, width, carry)
+    firsts = (
+        segs.groupBy("seg_hash")
+        .agg(
+            F.min(F.struct(id_col, "seg_idx")).alias("__first"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") > 1)
+        .select(
+            "seg_hash",
+            F.col(f"__first.{id_col}").alias("__fdoc"),
+            F.col("__first.seg_idx").alias("__fidx"),
+        )
+    )
+    return (
+        segs.join(firsts, "seg_hash", "left")
+        .select(
+            id_col,
+            *carry,
+            "seg_idx",
+            "seg_tokens",
+            (
+                F.col("__fdoc").isNotNull()
+                & ~(
+                    (F.col(id_col) == F.col("__fdoc"))
+                    & (F.col("seg_idx") == F.col("__fidx"))
+                )
+            ).alias("removed"),
+        )
+    )
+
+
+def substring_dedup_stats(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          width: int | None = None) -> DataFrame:
+    """Per-doc exact-substring removal accounting: (id, n_segments,
+    n_removed_segments, removed_tokens, kept_tokens, removed_idxs) —
+    ``removed_idxs`` is the comma-joined sorted list of removed segment
+    positions, i.e. the complement of the doc's kept-token ranges."""
+    flagged = exact_substring_segments(docs, id_col, text_col, width)
+    return _substring_stats_agg(flagged, id_col)
+
+
+def corpus_segment_hashes(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          width: int | None = None) -> DataFrame:
+    """The corpus's segment-content PRESENCE set: one distinct 16-byte
+    ``seg_hash`` per segment content — the materialized side table
+    incremental exact-substring dedup joins arrivals against (positions
+    are irrelevant for the corpus side: ANY corpus occurrence precedes
+    every arrival in corpus order, so presence alone decides removal).
+    At 100 TB this is the bucketed parquet side table of the
+    ``incremental_dedup_disk`` pattern; distinct() here is one exchange
+    on the hash."""
+    from arcane_framework_spark.operators.text import (
+        SEGMENT_WIDTH,
+        positioned_segment_hashes,
+    )
+
+    width = SEGMENT_WIDTH if width is None else width
+    return (
+        positioned_segment_hashes(docs, id_col, text_col, width)
+        .select("seg_hash")
+        .distinct()
+    )
+
+
+def incremental_substring_stats(batch: DataFrame, corpus_index: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text",
+                                width: int | None = None) -> DataFrame:
+    """Exact-substring removal for a NEW batch against an existing
+    corpus's segment index — the continuous-ingest shape: corpus text is
+    never re-segmented; only the (small) arriving batch tokenizes.
+
+    Decision rule, provably identical to running the batch operator on
+    (corpus UNION batch) and keeping the batch rows — because every
+    corpus doc precedes every arrival in (doc_id, seg_idx) order:
+
+    - segment content present in the corpus index → REMOVED (the kept
+      first copy lives in the corpus);
+    - content new to the corpus but repeated WITHIN the batch → first
+      batch occurrence kept, the rest removed;
+    - content unique overall → kept.
+
+    Scale: the arrival side is batch-sized; the corpus index joins as a
+    presence set on the 16-byte hash (bucketed side table at scale, so
+    only the batch shuffles); the within-batch firsts aggregate is
+    batch-sized. Same output columns as :func:`substring_dedup_stats`.
+    """
+    from arcane_framework_spark.operators.text import (
+        SEGMENT_WIDTH,
+        positioned_segment_hashes,
+    )
+
+    width = SEGMENT_WIDTH if width is None else width
+    segs = positioned_segment_hashes(batch, id_col, text_col, width)
+    in_corpus = corpus_index.select(
+        "seg_hash", F.lit(True).alias("__in_corpus")
+    )
+    firsts = (
+        segs.groupBy("seg_hash")
+        .agg(
+            F.min(F.struct(id_col, "seg_idx")).alias("__first"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") > 1)
+        .select(
+            "seg_hash",
+            F.col(f"__first.{id_col}").alias("__fdoc"),
+            F.col("__first.seg_idx").alias("__fidx"),
+        )
+    )
+    flagged = (
+        segs.join(in_corpus, "seg_hash", "left")
+        .join(firsts, "seg_hash", "left")
+        .select(
+            id_col,
+            "seg_idx",
+            "seg_tokens",
+            (
+                F.coalesce(F.col("__in_corpus"), F.lit(False))
+                | (
+                    F.col("__fdoc").isNotNull()
+                    & ~(
+                        (F.col(id_col) == F.col("__fdoc"))
+                        & (F.col("seg_idx") == F.col("__fidx"))
+                    )
+                )
+            ).alias("removed"),
+        )
+    )
+    return _substring_stats_agg(flagged, id_col)
+
+
+def _substring_stats_agg(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Shared per-doc rollup over a flagged segment table."""
+    rm = F.col("removed")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(rm, 1).otherwise(0)).cast("long").alias(
+            "n_removed_segments"
+        ),
+        F.sum(F.when(rm, F.col("seg_tokens")).otherwise(0)).cast("long")
+        .alias("removed_tokens"),
+        F.sum(F.when(~rm, F.col("seg_tokens")).otherwise(0)).cast("long")
+        .alias("kept_tokens"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.when(rm, F.col("seg_idx")))), ","
+        ).alias("removed_idxs"),
+    )

@@ -461,6 +461,41 @@ def segment_hashes(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def positioned_segment_hashes(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              width: int = SEGMENT_WIDTH,
+                              carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *carry, seg_idx, seg_hash, seg_tokens) — ``segment_hashes``
+    with the segment's POSITION kept, the unit exact-substring dedup
+    needs (removal is per occurrence, so "which segment of which doc" is
+    part of the key; the width-only table cannot say which copy to keep).
+    Same cost shape: ceil(T/width) rows per doc behind one Generate
+    barrier. ``carry`` passes extra columns (e.g. ``source``) through the
+    explode untouched.
+    """
+    base = _with_token_barrier(
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0), text_col
+    )
+    t = F.col("__toks")
+    idx = F.when(
+        F.size(t) > 0,
+        F.sequence(F.lit(0), F.ceil(F.size(t) / width).cast("int") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode(
+            F.transform(idx, lambda i: F.slice(t, i * width + 1, width))
+        ).alias("seg_idx", "__seg"),
+    ).select(
+        id_col,
+        *carry,
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.md5(F.array_join(F.col("__seg"), " ")).alias("seg_hash"),
+        F.size("__seg").cast("long").alias("seg_tokens"),
+    )
+
+
 def boilerplate_segment_stats(docs: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text",
                               width: int = SEGMENT_WIDTH,

@@ -1906,3 +1906,19 @@ ORACLE_SQL["pagerank_documents"] = _pagerank_sql(_minhash_sql())
 from arcane_framework_spark.queries_eval import _triangle_stats_sql  # noqa: E402
 
 ORACLE_SQL["triangle_stats_documents"] = _triangle_stats_sql(_minhash_sql())
+
+# Wave 6 (round 11) — registered late because its oracle generators embed
+# _DUP_OFFSET from this module.
+from arcane_framework_spark.queries_wave6 import (  # noqa: E402
+    WAVE6_QUERIES,
+    _incremental_substring_sql,
+    _substring_by_source_sql,
+    _substring_dedup_sql,
+)
+
+QUERIES.update(WAVE6_QUERIES)
+ORACLE_SQL["substring_dedup_documents"] = _substring_dedup_sql()
+ORACLE_SQL["substring_dedup_by_source"] = _substring_by_source_sql()
+ORACLE_SQL["incremental_substring_dedup_documents"] = (
+    _incremental_substring_sql()
+)

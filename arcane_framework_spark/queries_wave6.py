@@ -1,0 +1,238 @@
+"""Round-11 catalog wave: exact-substring dedup (Lee et al. 2021).
+
+Same contract as every other wave module: each entry is a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle producing
+identical column names and bit-stable values (integer / fixed-point /
+string arithmetic only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.session import load_tables
+from arcane_framework_spark.sqlconst import TOKS_SQL as _TOKS_SQL
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): the pass every production pretraining
+# pipeline runs AFTER MinHash doc-level dedup — remove every later
+# occurrence of a verbatim repeated span, keep exactly one copy (the
+# first). X33 (repeated_spans_documents) DETECTS repeated spans; these
+# entries REMOVE them, with per-doc kept/removed accounting and a
+# per-source governance rollup.
+# ---------------------------------------------------------------------------
+
+#: Every Nth doc gets a planted copy carrying the verbatim span, so the
+#: removal is non-trivial at gate scale. 9 is coprime with the other
+#: planting moduli (7, 10) so the corpora stay distinguishable.
+SUBSTR_EVERY = 9
+
+#: The planted verbatim span: exactly 16 whitespace tokens = two full
+#: 8-token segments, so every planted doc contributes two removable
+#: segment occurrences and the body that follows stays segment-ALIGNED
+#: (16 % SEGMENT_WIDTH == 0) — which makes the planted doc's own body a
+#: verbatim cross-doc repeat of its original, removed too (exactly the
+#: paper's semantics: later copies of any repeated span go).
+SUBSTR_SPAN = (
+    "alpha beta gamma delta epsilon zeta eta theta "
+    "iota kappa lambda mu nu xi omicron pi"
+)
+
+
+def _planted_substring_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + every ``SUBSTR_EVERY``-th doc re-inserted at
+    ``doc_id + _DUP_OFFSET`` with the verbatim span prepended — one
+    helper so both entries build the byte-identical logical subtree
+    (CacheManager plan-equality sharing, the ``_planted_neardup_docs``
+    pattern)."""
+    from arcane_framework_spark.queries import _DUP_OFFSET
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "source", "text")
+    planted = docs.filter(F.col("doc_id") % SUBSTR_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        "source",
+        F.concat_ws(" ", F.lit(SUBSTR_SPAN), "text").alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact-substring removal: (doc_id, n_segments,
+    n_removed_segments, removed_tokens, kept_tokens, removed_idxs) over
+    the planted corpus. ``removed_idxs`` (comma-joined sorted removed
+    segment positions) is the exact complement of the doc's kept-token
+    ranges — a consumer rebuilds the deduplicated text by dropping those
+    ``SEGMENT_WIDTH``-token windows.
+
+    Scale: see ``operators.dedup.exact_substring_segments`` — one
+    shuffle on the 16-byte segment hash, first-occurrence via a
+    map-side-combinable min(struct) aggregate (no per-key sort), the
+    duplicated-hash side table broadcast back by AQE.
+    """
+    from arcane_framework_spark.operators.dedup import substring_dedup_stats
+
+    return substring_dedup_stats(_planted_substring_docs(spark, sf_dir))
+
+
+def substring_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-substring removal accounting — the governance
+    view (which feed ships how much verbatim-repeated text): (source,
+    n_docs, n_segments, n_removed_segments, removed_tokens, kept_tokens,
+    removal_ppm) with an exact integer ppm."""
+    from arcane_framework_spark.operators.dedup import (
+        exact_substring_segments,
+    )
+
+    flagged = exact_substring_segments(
+        _planted_substring_docs(spark, sf_dir), carry=("source",)
+    )
+    rm = F.col("removed")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.when(rm, 1).otherwise(0)).cast("long").alias(
+                "n_removed_segments"
+            ),
+            F.sum(F.when(rm, F.col("seg_tokens")).otherwise(0)).cast("long")
+            .alias("removed_tokens"),
+            F.sum(F.when(~rm, F.col("seg_tokens")).otherwise(0)).cast("long")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_segments",
+            "n_removed_segments",
+            "removed_tokens",
+            "kept_tokens",
+            F.expr(
+                "CAST(removed_tokens * 1000000 DIV "
+                "(removed_tokens + kept_tokens) AS BIGINT)"
+            ).alias("removal_ppm"),
+        )
+    )
+
+
+def incremental_substring_dedup_documents(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup: the planted arrivals judged
+    against the EXISTING corpus's materialized segment index — corpus
+    text never re-segmented, only the batch tokenizes (the
+    ``incremental_dedup_documents`` continuous-ingest shape applied to
+    X175). Provably identical to the batch operator on (corpus UNION
+    batch) restricted to batch rows (every corpus doc precedes every
+    arrival in corpus order), which is exactly what the shared oracle
+    computes: the batch entry's SQL filtered to ``doc_id >=
+    _DUP_OFFSET``."""
+    from arcane_framework_spark.operators.dedup import (
+        corpus_segment_hashes,
+        incremental_substring_stats,
+    )
+    from arcane_framework_spark.queries import _DUP_OFFSET
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    index = corpus_segment_hashes(docs)
+    batch = docs.filter(F.col("doc_id") % SUBSTR_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", F.lit(SUBSTR_SPAN), "text").alias("text"),
+    )
+    return incremental_substring_stats(batch, index)
+
+
+def _substring_segs_sql() -> str:
+    """Shared CTE chain: planted corpus -> positioned segments -> first-
+    occurrence ranking (the oracle uses a window; the Spark side uses the
+    equivalent min-struct aggregate — same removal decisions)."""
+    from arcane_framework_spark.operators.text import SEGMENT_WIDTH
+    from arcane_framework_spark.queries import _DUP_OFFSET
+
+    w = SEGMENT_WIDTH
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, source, '{SUBSTR_SPAN} ' || text
+  FROM documents WHERE doc_id % {SUBSTR_EVERY} = 0
+),
+toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS ls FROM corpus
+  WHERE length(trim(text)) > 0
+),
+segs AS (
+  SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS seg_idx,
+         md5(array_to_string(ls[(i - 1) * {w} + 1 : i * {w}], ' ')) AS seg_hash,
+         len(ls[(i - 1) * {w} + 1 : i * {w}])::BIGINT AS seg_tokens
+  FROM toks,
+       LATERAL (SELECT unnest(range(1, CAST(ceil(len(ls) / {w}.0) AS BIGINT) + 1)) AS i)
+  WHERE len(ls) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY seg_hash ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)"""
+
+
+def _substring_dedup_sql() -> str:
+    return _substring_segs_sql() + """
+SELECT doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed_segments,
+       sum(CASE WHEN rn > 1 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS removed_tokens,
+       sum(CASE WHEN rn = 1 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS kept_tokens,
+       coalesce(string_agg(CASE WHEN rn > 1 THEN seg_idx END, ','
+                           ORDER BY seg_idx), '') AS removed_idxs
+FROM ranked GROUP BY doc_id
+"""
+
+
+def _substring_by_source_sql() -> str:
+    return _substring_segs_sql() + """
+SELECT source,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed_segments,
+       sum(CASE WHEN rn > 1 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS removed_tokens,
+       sum(CASE WHEN rn = 1 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS kept_tokens,
+       CAST(sum(CASE WHEN rn > 1 THEN seg_tokens ELSE 0 END) * 1000000
+            // sum(seg_tokens) AS BIGINT) AS removal_ppm
+FROM ranked GROUP BY source
+"""
+
+
+def _incremental_substring_sql() -> str:
+    """The batch chain restricted to the arrival rows — the id-ordering
+    argument in ``incremental_substring_dedup_documents``'s docstring is
+    what makes this literal reuse valid."""
+    from arcane_framework_spark.queries import _DUP_OFFSET
+
+    return _substring_segs_sql() + f"""
+SELECT doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed_segments,
+       sum(CASE WHEN rn > 1 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS removed_tokens,
+       sum(CASE WHEN rn = 1 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS kept_tokens,
+       coalesce(string_agg(CASE WHEN rn > 1 THEN seg_idx END, ','
+                           ORDER BY seg_idx), '') AS removed_idxs
+FROM ranked WHERE doc_id >= {_DUP_OFFSET} GROUP BY doc_id
+"""
+
+
+WAVE6_QUERIES = {
+    "substring_dedup_documents": substring_dedup_documents,
+    "substring_dedup_by_source": substring_dedup_by_source,
+    "incremental_substring_dedup_documents":
+        incremental_substring_dedup_documents,
+}

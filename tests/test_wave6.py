@@ -1,0 +1,134 @@
+"""Semantic invariants for the wave-6 exact-substring dedup entries
+(queries_wave6.py): properties the oracle hash-compare cannot distinguish
+from a consistently-wrong implementation in both engines."""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_substring_dedup_removes_planted_spans(spark):
+    """Every planted doc except the globally-first one must lose BOTH of
+    its span segments (the 16-token span = segments 0 and 1), and the
+    one copy kept is the first in (doc_id, seg_idx) order — exactly the
+    Lee et al. keep-one-copy policy."""
+    from arcane_framework_spark.queries import _DUP_OFFSET
+    from arcane_framework_spark.queries_wave6 import (
+        SUBSTR_EVERY,
+        substring_dedup_documents,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in substring_dedup_documents(spark, SF_DIR).collect()
+    }
+    planted_ids = sorted(i for i in rows if i >= _DUP_OFFSET)
+    assert planted_ids and all(
+        (i - _DUP_OFFSET) % SUBSTR_EVERY == 0 for i in planted_ids
+    )
+    first = planted_ids[0]
+    # the first planted doc KEEPS the span (it is the corpus's one copy)
+    fr = rows[first]
+    assert not fr["removed_idxs"].startswith("0,1")
+    # every later planted doc loses segments 0 and 1 (the span) AND its
+    # aligned body (a verbatim repeat of its original, which sits earlier)
+    for pid in planted_ids[1:]:
+        r = rows[pid]
+        removed = set(r["removed_idxs"].split(","))
+        assert {"0", "1"} <= removed, (pid, r["removed_idxs"])
+        assert r["n_removed_segments"] == r["n_segments"], (
+            "planted doc is span + verbatim original body: fully removed"
+        )
+    # originals keep their text unless it repeats elsewhere naturally;
+    # accounting must balance per doc
+    for r in rows.values():
+        assert r["removed_tokens"] + r["kept_tokens"] > 0
+        assert r["n_removed_segments"] <= r["n_segments"]
+        n_idxs = len([x for x in r["removed_idxs"].split(",") if x != ""])
+        assert n_idxs == r["n_removed_segments"]
+
+
+def test_substring_dedup_by_source_balances(spark):
+    """The per-source rollup must sum to the per-doc table exactly, and
+    the ppm is the exact integer ratio."""
+    from arcane_framework_spark.queries_wave6 import (
+        substring_dedup_by_source,
+        substring_dedup_documents,
+    )
+
+    per_doc = substring_dedup_documents(spark, SF_DIR)
+    by_source = {r["source"]: r for r in
+                 substring_dedup_by_source(spark, SF_DIR).collect()}
+    tot = per_doc.agg(
+        F.sum("n_segments").alias("s"),
+        F.sum("n_removed_segments").alias("r"),
+        F.sum("removed_tokens").alias("rt"),
+        F.sum("kept_tokens").alias("kt"),
+    ).collect()[0]
+    assert sum(r["n_segments"] for r in by_source.values()) == tot["s"]
+    assert sum(r["n_removed_segments"] for r in by_source.values()) == tot["r"]
+    assert sum(r["removed_tokens"] for r in by_source.values()) == tot["rt"]
+    assert sum(r["kept_tokens"] for r in by_source.values()) == tot["kt"]
+    for r in by_source.values():
+        assert r["removal_ppm"] == r["removed_tokens"] * 1_000_000 // (
+            r["removed_tokens"] + r["kept_tokens"]
+        )
+        assert r["removed_tokens"] > 0  # planting touches every source
+
+
+def test_exact_substring_first_occurrence_kept_minimal(spark):
+    """Hand-built corpus: the repeated 8-token block survives only in
+    the earliest (doc_id, seg_idx) position; unique segments are never
+    removed; intra-doc repeats of the same block are removed too."""
+    from arcane_framework_spark.operators.dedup import (
+        exact_substring_segments,
+    )
+
+    block = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            # doc 1: block at seg 0 AND seg 1 (intra-doc repeat)
+            (1, f"{block} {block}"),
+            # doc 2: unique text then nothing shared
+            (2, "p q r s t u v w"),
+            # doc 3: the block again (cross-doc repeat)
+            (3, f"{block} x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["seg_idx"]): r["removed"]
+        for r in exact_substring_segments(docs).collect()
+    }
+    assert got[(1, 0)] is False   # the one kept copy
+    assert got[(1, 1)] is True    # intra-doc repeat removed
+    assert got[(2, 0)] is False   # unique text untouched
+    assert got[(3, 0)] is True    # cross-doc repeat removed
+    assert got[(3, 1)] is False   # doc 3's own tail ("x y z") kept
+
+
+def test_incremental_substring_matches_batch_restriction(spark):
+    """The incremental path (corpus index + within-batch firsts) must
+    equal the batch operator run on (corpus UNION batch) restricted to
+    the batch rows — the id-ordering equivalence the shared oracle
+    relies on."""
+    from arcane_framework_spark.queries import _DUP_OFFSET
+    from arcane_framework_spark.queries_wave6 import (
+        incremental_substring_dedup_documents,
+        substring_dedup_documents,
+    )
+
+    batch_view = {
+        r["doc_id"]: (r["n_removed_segments"], r["kept_tokens"],
+                      r["removed_idxs"])
+        for r in substring_dedup_documents(spark, SF_DIR).collect()
+        if r["doc_id"] >= _DUP_OFFSET
+    }
+    inc_view = {
+        r["doc_id"]: (r["n_removed_segments"], r["kept_tokens"],
+                      r["removed_idxs"])
+        for r in incremental_substring_dedup_documents(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert inc_view == batch_view and inc_view
