@@ -1922,3 +1922,13 @@ ORACLE_SQL["substring_dedup_by_source"] = _substring_by_source_sql()
 ORACLE_SQL["incremental_substring_dedup_documents"] = (
     _incremental_substring_sql()
 )
+# the streaming twin drains the same arrivals in doc_id order, so
+# first-arrived-wins coincides with the batch order and the oracle is
+# shared verbatim (see streaming_substring_dedup's docstring)
+ORACLE_SQL["streaming_substring_dedup"] = _incremental_substring_sql()
+
+from arcane_framework_spark.queries_wave6 import (  # noqa: E402
+    _substring_span_stats_sql,
+)
+
+ORACLE_SQL["substring_span_stats_documents"] = _substring_span_stats_sql()

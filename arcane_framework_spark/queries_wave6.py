@@ -145,6 +145,193 @@ def incremental_substring_dedup_documents(spark: SparkSession,
     return incremental_substring_stats(batch, index)
 
 
+def substring_span_stats_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Distribution of MAXIMAL removed-span lengths: consecutive removed
+    segments in a doc merge into one span (gaps-and-islands:
+    ``seg_idx - row_number()`` per doc over removed rows is constant
+    within a run), and the output histograms spans by length —
+    (span_segments, n_spans, total_tokens). This is the report that says
+    whether removal is dominated by short boilerplate echoes or by long
+    wholesale copies (the planted 2-segment span + whole-body repeats
+    both show up as distinct modes).
+
+    Scale: runs entirely on X175's flagged segment table; the island
+    grouping is a per-doc window over REMOVED segments only (removal is
+    the rare case on a real corpus), then one small groupBy on span
+    length."""
+    from arcane_framework_spark.operators.dedup import (
+        exact_substring_segments,
+    )
+    from pyspark.sql import Window
+
+    flagged = exact_substring_segments(_planted_substring_docs(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy("seg_idx")
+    spans = (
+        flagged.filter(F.col("removed"))
+        .withColumn(
+            "__island", F.col("seg_idx") - F.row_number().over(w)
+        )
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("span_segments"),
+            F.sum("seg_tokens").cast("long").alias("__span_tokens"),
+        )
+    )
+    return (
+        spans.groupBy("span_segments")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("__span_tokens").cast("long").alias("total_tokens"),
+        )
+        .select("span_segments", "n_spans", "total_tokens")
+    )
+
+
+def _substring_span_stats_sql() -> str:
+    return _substring_segs_sql() + """
+,
+removed AS (
+  SELECT doc_id, seg_idx, seg_tokens FROM ranked WHERE rn > 1
+),
+islands AS (
+  SELECT doc_id, seg_idx, seg_tokens,
+         seg_idx - row_number() OVER (
+           PARTITION BY doc_id ORDER BY seg_idx) AS island
+  FROM removed
+),
+spans AS (
+  SELECT doc_id, island,
+         count(*)::BIGINT AS span_segments,
+         sum(seg_tokens)::BIGINT AS span_tokens
+  FROM islands GROUP BY doc_id, island
+)
+SELECT span_segments,
+       count(*)::BIGINT AS n_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS total_tokens
+FROM spans GROUP BY span_segments
+"""
+
+
+def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental exact-substring dedup: arriving
+    documents are segmented per micro-batch and judged against (a) the
+    corpus's persisted segment index and (b) a GROWING side table of
+    segments seen in earlier micro-batches — the ``foreachBatch`` +
+    parquet-side-table state pattern (unlike X169's semantic twin, the
+    decisions here are NOT batch-independent: a later arrival repeating
+    an earlier arrival's new content must be removed, so the stream
+    carries exactly that state and nothing else).
+
+    Dedup order is FIRST-ARRIVED-WINS — the semantics a production
+    firehose actually has. The gate entry drains the planted arrivals
+    with ``availableNow`` in doc_id order, which makes first-arrived
+    coincide with the batch operator's (doc_id, seg_idx) order, so the
+    entry shares the incremental oracle verbatim; the multi-batch split
+    test (ordered files, maxFilesPerTrigger=1) asserts the side-table
+    state machinery preserves that equality across any ordered slicing.
+
+    Scale: per batch, only the batch tokenizes; the corpus index is
+    persisted once pre-stream; the seen-side table grows with NEW
+    arrival content only and joins on the 16-byte hash.
+    """
+    import os
+    import tempfile
+
+    acc: list = []
+    with tempfile.TemporaryDirectory() as tmp:
+        seen_dir = os.path.join(tmp, "seen")
+        run_substring_dedup_stream(
+            spark, sf_dir, seen_dir,
+            lambda out, _bid: acc.extend(out.collect()),
+        )
+    return spark.createDataFrame(
+        acc,
+        "doc_id: long, n_segments: long, n_removed_segments: long, "
+        "removed_tokens: long, kept_tokens: long, removed_idxs: string",
+    )
+
+
+def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
+                               seen_dir: str, decision_sink,
+                               max_files_per_trigger: int | None = None,
+                               arrival_source: str | None = None) -> None:
+    """Drive the availableNow substring-dedup arrival stream; per batch
+    the DECISIONS DataFrame goes to ``decision_sink(df, batch_id)`` and
+    the batch's NEW segment firsts are appended to the ``seen_dir``
+    parquet side table (the cross-batch state). ``arrival_source``
+    overrides the default planted-arrival construction with a prepared
+    parquet directory of (doc_id, text) — the multi-batch split test
+    uses it with ``max_files_per_trigger=1``."""
+    from arcane_framework_spark.operators.dedup import (
+        corpus_segment_hashes,
+        incremental_substring_stats,
+    )
+    from arcane_framework_spark.operators.text import (
+        positioned_segment_hashes,
+    )
+    from arcane_framework_spark.queries import _DUP_OFFSET
+    from arcane_framework_spark.queries_ext import stream_conf
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    corpus_index = corpus_segment_hashes(docs).persist()
+    corpus_index.count()
+
+    if arrival_source is None:
+        stream = (
+            spark.readStream.schema(t["documents"].schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        arrivals = stream.filter(
+            F.col("doc_id") % SUBSTR_EVERY == 0
+        ).select(
+            (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+            F.concat_ws(" ", F.lit(SUBSTR_SPAN), "text").alias("text"),
+        )
+    else:
+        reader = spark.readStream.schema("doc_id long, text string")
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        arrivals = reader.parquet(arrival_source)
+
+    import os
+
+    def judge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        index = corpus_index
+        if os.path.isdir(seen_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(seen_dir)
+        ):
+            index = corpus_index.unionByName(
+                spark.read.parquet(seen_dir).select("seg_hash")
+            ).distinct()
+        out = incremental_substring_stats(batch_df, index)
+        decision_sink(out, batch_id)
+        # append this batch's content to the seen state: one row per
+        # distinct NEW hash (presence is all later batches need)
+        new_hashes = (
+            positioned_segment_hashes(batch_df)
+            .select("seg_hash")
+            .distinct()
+            .join(index.select("seg_hash"), "seg_hash", "left_anti")
+        )
+        new_hashes.write.mode("append").parquet(seen_dir)
+
+    try:
+        with stream_conf(spark):
+            q = (
+                arrivals.writeStream.foreachBatch(judge_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        corpus_index.unpersist()
+
+
 def _substring_segs_sql() -> str:
     """Shared CTE chain: planted corpus -> positioned segments -> first-
     occurrence ranking (the oracle uses a window; the Spark side uses the
@@ -235,4 +422,6 @@ WAVE6_QUERIES = {
     "substring_dedup_by_source": substring_dedup_by_source,
     "incremental_substring_dedup_documents":
         incremental_substring_dedup_documents,
+    "streaming_substring_dedup": streaming_substring_dedup,
+    "substring_span_stats_documents": substring_span_stats_documents,
 }

@@ -132,3 +132,67 @@ def test_incremental_substring_matches_batch_restriction(spark):
         ).collect()
     }
     assert inc_view == batch_view and inc_view
+
+
+def test_streaming_substring_dedup_split_state(spark, tmp_path):
+    """The streaming twin's cross-batch side-table state: slicing the
+    ordered arrival stream into many micro-batches must give identical
+    decisions to the single-batch drain AND to the incremental batch
+    operator — a later batch repeating an earlier batch's NEW content
+    must see it in the seen-side table (this is exactly what the
+    stateless X169 pattern cannot express)."""
+    import os
+
+    from arcane_framework_spark.queries import _DUP_OFFSET
+    from arcane_framework_spark.queries_wave6 import (
+        SUBSTR_EVERY,
+        SUBSTR_SPAN,
+        incremental_substring_dedup_documents,
+        run_substring_dedup_stream,
+    )
+
+    expected = {
+        r["doc_id"]: (r["n_removed_segments"], r["kept_tokens"],
+                      r["removed_idxs"])
+        for r in incremental_substring_dedup_documents(
+            spark, SF_DIR
+        ).collect()
+    }
+
+    # the same planted arrivals, written as 5 doc_id-ordered files so
+    # arrival order == doc_id order across micro-batches
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    arrivals = docs.filter(F.col("doc_id") % SUBSTR_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat_ws(" ", F.lit(SUBSTR_SPAN), "text").alias("text"),
+    ).orderBy("doc_id").collect()
+    src = str(tmp_path / "arrivals")
+    chunk = (len(arrivals) + 4) // 5
+    for i in range(5):
+        part = arrivals[i * chunk:(i + 1) * chunk]
+        if part:
+            spark.createDataFrame(
+                part, "doc_id long, text string"
+            ).coalesce(1).write.parquet(src, mode="append")
+    # ordered ingestion: one file per trigger, files named by write order
+    acc = []
+    bids = []
+    run_substring_dedup_stream(
+        spark, SF_DIR, str(tmp_path / "seen"),
+        lambda out, bid: (acc.extend(out.collect()), bids.append(bid)),
+        max_files_per_trigger=1, arrival_source=src,
+    )
+    assert len(bids) >= 2  # genuinely multi-batch
+    got = {
+        r["doc_id"]: (r["n_removed_segments"], r["kept_tokens"],
+                      r["removed_idxs"])
+        for r in acc
+    }
+    assert got == expected and got
+    # the seen state grew: side table holds the arrivals' new content
+    seen = str(tmp_path / "seen")
+    assert os.path.isdir(seen) and any(
+        f.endswith(".parquet") for f in os.listdir(seen)
+    )
