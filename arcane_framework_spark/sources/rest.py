@@ -592,6 +592,14 @@ class RestApiSource:
     page_resolver: PageResolver = field(default_factory=lambda: _OnePage())
     auth: FixedHeaderAuth | DynamicBearerAuth = field(default_factory=FixedHeaderAuth)
     rate_limiter: TokenBucketRateLimiter | None = None
+    #: HTTP method + optional request builder returning (url, payload) —
+    #: the reference's GetNextResultUri returns (uri, requestMethod,
+    #: payload) and the fetch loop sends all three
+    #: (SimpleUriProvider.cs:48-56, RestApiSource.cs request issue path).
+    #: When ``request_builder`` is set it wins over ``url_builder`` and
+    #: BODY-placed templated fields actually travel with the request.
+    http_method: str = "GET"
+    request_builder: Callable[[str | None], tuple[str, str | None]] | None = None
     response_key_chain: list[str] | None = None
     timeout_seconds: float = 30.0
     #: HTTP transport — injectable for tests; defaults to urllib.
@@ -603,15 +611,29 @@ class RestApiSource:
     retry_backoff_seconds: float = 1.0
     retry_sleep: Callable[[float], None] | None = None
 
-    def _get(self, url: str) -> tuple[int, str]:
+    def _get(self, url: str, body: str | None = None) -> tuple[int, str]:
         from arcane_framework_spark.streaming.retry import with_retry
 
         def once() -> tuple[int, str]:
             if self.http_get is not None:
+                if body is not None:
+                    # injected transports opt into payloads by arity
+                    return self.http_get(
+                        url, self.auth.get_headers(), self.timeout_seconds,
+                        body,
+                    )
                 return self.http_get(
                     url, self.auth.get_headers(), self.timeout_seconds
                 )
-            req = urllib.request.Request(url, headers=self.auth.get_headers())
+            headers = self.auth.get_headers()
+            data = None
+            if body is not None:
+                data = body.encode("utf-8")
+                headers.setdefault("Content-Type", "application/json")
+            req = urllib.request.Request(
+                url, data=data, headers=headers,
+                method=self.http_method if data is not None else None,
+            )
             with urllib.request.urlopen(req, timeout=self.timeout_seconds) as resp:
                 return resp.status, resp.read().decode("utf-8")
 
@@ -633,8 +655,12 @@ class RestApiSource:
         while self.page_resolver.next(response):
             if self.rate_limiter is not None:
                 self.rate_limiter.acquire()
-            url = self.url_builder(self.page_resolver.current())
-            status, body = self._get(url)
+            token = self.page_resolver.current()
+            if self.request_builder is not None:
+                url, payload = self.request_builder(token)
+            else:
+                url, payload = self.url_builder(token), None
+            status, body = self._get(url, payload)
             if status in (408, 429):
                 yield []
                 return
@@ -757,6 +783,13 @@ def rest_source_from_spec(spark: SparkSession, spec,
             float(opts.get("rateLimitPerSeconds", 1.0)),
         )
     kwargs = {} if http_get is None else {"http_get": http_get}
+    if opts.get("bodyTemplate"):
+        # BODY-placed fields travel: request_builder carries the resolved
+        # payload and the declared method (reference requestMethod)
+        kwargs["request_builder"] = provider.next_request
+        kwargs["http_method"] = str(opts.get("httpMethod", "POST")).upper()
+    elif opts.get("httpMethod"):
+        kwargs["http_method"] = str(opts["httpMethod"]).upper()
     return RestApiSource(
         spark=spark,
         url_builder=provider.next_uri,

@@ -2081,3 +2081,66 @@ def test_rest_pipeline_from_spec_simple_provider(spark):
     rows = [(r.id, r.name) for r in source.fetch_batch().collect()]
     assert rows == [(1, "a")]
     assert seen == [("https://api/x?from=2020-01-01", {"X-Api-Key": "k1"})]
+
+
+def test_rest_pipeline_post_body_from_spec(spark):
+    """BODY-placed fields must actually TRAVEL: a spec with a
+    bodyTemplate builds a POST pipeline (the reference's
+    GetNextResultUri returns (uri, requestMethod, payload) and the
+    fetch loop sends all three) — verified against a live stub server
+    that reads the date filter out of the POST body."""
+    import http.server
+    import json as _json
+    import threading
+
+    from arcane_framework_spark.plans import spec as spec_mod
+    from arcane_framework_spark.sources.rest import rest_source_from_spec
+
+    got_bodies = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            payload = _json.loads(self.rfile.read(n).decode())
+            got_bodies.append(payload)
+            body = _json.dumps({
+                "items": [{"id": 7, "name": payload["updatedAfter"]}]
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        env = {
+            spec_mod.ENV_BACKFILL: "true",
+            spec_mod.ENV_SPEC: _json.dumps({
+                "options": {
+                    "urlTemplate": f"http://127.0.0.1:{port}/search",
+                    "bodyTemplate": '{"updatedAfter": "@d"}',
+                    "templatedFields": [
+                        {"fieldType": "FILTER_DATE_FROM", "fieldName": "d",
+                         "formatString": "%Y-%m-%d",
+                         "placement": "BODY"},
+                    ],
+                    "responsePropertyKeyChain": ["items"],
+                    "schemaDdl": "id LONG, name STRING",
+                    "backfillStartUnixMillis": 1577836800000,  # 2020-01-01
+                },
+            }),
+        }
+        source = rest_source_from_spec(spark, spec_mod.from_env(env))
+        rows = [(r.id, r.name) for r in source.fetch_batch().collect()]
+        # the server echoed the body's date back: the filter came from
+        # the POST payload, not the URL
+        assert rows == [(7, "2020-01-01")]
+        assert got_bodies == [{"updatedAfter": "2020-01-01"}]
+    finally:
+        server.shutdown()
