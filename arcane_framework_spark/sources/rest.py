@@ -529,6 +529,80 @@ class DynamicBearerAuth:
         self._token: str | None = None
         self._valid_until: datetime | None = None
 
+    @classmethod
+    def from_spec(cls, opts: dict, timeout_seconds: float = 30.0,
+                  http_send=None) -> "DynamicBearerAuth":
+        """Token fetch built entirely from spec JSON — the reference's
+        config surface (DynamicBearerAuthenticatedMessageProvider.cs:
+        tokenSource/tokenPropertyName/expirationPeriodPropertyName/
+        requestMethod/tokenRequestBody/tokenRequestContentType/
+        authHeaderName/authScheme/additionalHeaders). Keys here:
+
+        - ``tokenUrl`` (required), ``tokenProperty`` (required)
+        - ``expiresInProperty`` — read token lifetime from the response;
+          else ``expirationSeconds`` (fixed period, default 3600)
+        - ``method`` (default GET; POST when a body is declared),
+          ``body``, ``contentType`` (json default; form-urlencoded
+          re-encodes the JSON body's key/value pairs, the reference's
+          FormUrlEncodedContent arm; anything else raises)
+        - ``headerName`` / ``scheme`` — a non-Authorization header
+          carries the RAW token (no scheme), like the reference
+        - ``additionalHeaders`` for the token request itself
+
+        ``http_send(method, url, body_bytes, headers, timeout)`` is the
+        injectable transport for tests; defaults to urllib.
+        """
+        token_url = opts["tokenUrl"]
+        token_prop = opts["tokenProperty"]
+
+        def fetch() -> tuple[str, float]:
+            headers = dict(opts.get("additionalHeaders") or {})
+            body = opts.get("body")
+            data = None
+            if body:
+                ctype = opts.get("contentType", "application/json")
+                if ctype == "application/json":
+                    data = body.encode("utf-8")
+                elif ctype == "application/x-www-form-urlencoded":
+                    import urllib.parse as _parse
+                    data = _parse.urlencode(json.loads(body)).encode("utf-8")
+                else:
+                    raise ValueError(
+                        f"Unsupported content type for authentication: "
+                        f"{ctype}"
+                    )
+                headers["Content-Type"] = ctype
+            method = str(
+                opts.get("method", "GET" if data is None else "POST")
+            ).upper()
+            if http_send is not None:
+                status, text = http_send(
+                    method, token_url, data, headers, timeout_seconds
+                )
+                if not 200 <= status < 300:
+                    raise RuntimeError(f"token endpoint HTTP {status}")
+            else:
+                req = urllib.request.Request(
+                    token_url, data=data, headers=headers, method=method
+                )
+                with urllib.request.urlopen(
+                    req, timeout=timeout_seconds
+                ) as resp:
+                    text = resp.read().decode("utf-8")
+            doc = json.loads(text)
+            token = str(doc[token_prop])
+            if opts.get("expiresInProperty"):
+                expires = float(doc[opts["expiresInProperty"]])
+            else:
+                expires = float(opts.get("expirationSeconds", 3600))
+            return token, expires
+
+        header = opts.get("headerName") or "Authorization"
+        scheme = (
+            opts.get("scheme", "Bearer") if header == "Authorization" else ""
+        )
+        return cls(fetch, header=header, scheme=scheme)
+
     def get_headers(self) -> dict[str, str]:
         now = datetime.now(timezone.utc)
         if self._token is None or (self._valid_until and now >= self._valid_until):
@@ -790,12 +864,17 @@ def rest_source_from_spec(spark: SparkSession, spec,
         kwargs["http_method"] = str(opts.get("httpMethod", "POST")).upper()
     elif opts.get("httpMethod"):
         kwargs["http_method"] = str(opts["httpMethod"]).upper()
+    auth: FixedHeaderAuth | DynamicBearerAuth
+    if opts.get("bearerAuth"):
+        auth = DynamicBearerAuth.from_spec(opts["bearerAuth"])
+    else:
+        auth = FixedHeaderAuth(opts.get("headers"))
     return RestApiSource(
         spark=spark,
         url_builder=provider.next_uri,
         schema=schema,
         page_resolver=resolver,
-        auth=FixedHeaderAuth(opts.get("headers")),
+        auth=auth,
         rate_limiter=limiter,
         response_key_chain=list(opts.get("responsePropertyKeyChain") or []),
         **kwargs,

@@ -2144,3 +2144,73 @@ def test_rest_pipeline_post_body_from_spec(spark):
         assert got_bodies == [{"updatedAfter": "2020-01-01"}]
     finally:
         server.shutdown()
+
+
+def test_rest_pipeline_bearer_auth_from_spec(spark):
+    """Spec-declared dynamic bearer auth end-to-end: the token is fetched
+    from the spec's tokenUrl (POST json body), cached until expiry, and
+    every data request carries 'Authorization: Bearer <token>' — the
+    reference's DynamicBearerAuthenticatedMessageProvider config surface
+    with zero code."""
+    import http.server
+    import json as _json
+    import threading
+
+    from arcane_framework_spark.plans import spec as spec_mod
+    from arcane_framework_spark.sources.rest import rest_source_from_spec
+
+    token_calls = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            token_calls.append(_json.loads(self.rfile.read(n).decode()))
+            self._reply({"access_token": "tok-xyz", "expires_in": 600})
+
+        def do_GET(self):
+            if self.headers.get("Authorization") != "Bearer tok-xyz":
+                self.send_response(401)
+                self.end_headers()
+                return
+            self._reply({"items": [{"id": 1, "name": "a"}]})
+
+        def _reply(self, payload):
+            body = _json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        env = {
+            spec_mod.ENV_BACKFILL: "true",
+            spec_mod.ENV_SPEC: _json.dumps({
+                "options": {
+                    "urlTemplate": f"http://127.0.0.1:{port}/data",
+                    "responsePropertyKeyChain": ["items"],
+                    "schemaDdl": "id LONG, name STRING",
+                    "backfillStartUnixMillis": 1577836800000,
+                    "bearerAuth": {
+                        "tokenUrl": f"http://127.0.0.1:{port}/token",
+                        "tokenProperty": "access_token",
+                        "expiresInProperty": "expires_in",
+                        "body": '{"client_id": "c1", "client_secret": "s1"}',
+                    },
+                },
+            }),
+        }
+        source = rest_source_from_spec(spark, spec_mod.from_env(env))
+        rows1 = [(r.id, r.name) for r in source.fetch_batch().collect()]
+        rows2 = [(r.id, r.name) for r in source.fetch_batch().collect()]
+        assert rows1 == rows2 == [(1, "a")]
+        # one token fetch served both sweeps (cached until expiry-1min)
+        assert token_calls == [{"client_id": "c1", "client_secret": "s1"}]
+    finally:
+        server.shutdown()
