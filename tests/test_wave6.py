@@ -196,3 +196,66 @@ def test_streaming_substring_dedup_split_state(spark, tmp_path):
     assert os.path.isdir(seen) and any(
         f.endswith(".parquet") for f in os.listdir(seen)
     )
+
+
+def test_exact_substring_matches_pure_python_reference(spark):
+    """Randomized corpora vs an independent pure-Python reference
+    implementation of the keep-first rule — a third opinion besides the
+    DuckDB oracle (which shares the SQL-ish formulation) on exactly the
+    semantics: non-overlapping 8-token segments, removal iff an earlier
+    (doc_id, seg_idx) occurrence of the same content exists."""
+    import random
+
+    from arcane_framework_spark.operators.dedup import (
+        substring_dedup_stats,
+    )
+    from arcane_framework_spark.operators.text import SEGMENT_WIDTH
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → natural repeats
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 30))))
+            for i in range(40)
+        ]
+
+        # pure-Python reference
+        def segments(text):
+            toks = text.lower().strip().split()
+            if not text.strip():
+                return []
+            return [
+                tuple(toks[i:i + SEGMENT_WIDTH])
+                for i in range(0, len(toks), SEGMENT_WIDTH)
+            ]
+
+        seen: set = set()
+        expected = {}
+        for doc_id, text in sorted(docs):
+            segs = segments(text)
+            if not segs:
+                continue  # operator drops blank docs pre-barrier
+            removed_idx = []
+            kept = removed = 0
+            for idx, seg in enumerate(segs):
+                if seg in seen:
+                    removed_idx.append(idx)
+                    removed += len(seg)
+                else:
+                    seen.add(seg)
+                    kept += len(seg)
+            expected[doc_id] = (
+                len(segs), len(removed_idx), removed, kept,
+                ",".join(str(i) for i in removed_idx),
+            )
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_segments"], r["n_removed_segments"],
+                r["removed_tokens"], r["kept_tokens"], r["removed_idxs"],
+            )
+            for r in substring_dedup_stats(df).collect()
+        }
+        assert got == expected, f"trial {trial}"
