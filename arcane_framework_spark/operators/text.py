@@ -955,3 +955,84 @@ def rake_keyphrases(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("__rn") <= top_k)
         .select("phrase", "n_occurrences", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition filters (Rae et al. 2021 "Scaling Language
+# Models" — the Gopher/MassiveText quality rules: a page dominated by
+# repeated n-grams is template/spam, filtered before training)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc intra-document repetition signals: for n in (2, 3), the
+    fraction of n-gram OCCURRENCES belonging to n-grams repeated within
+    the SAME document (``dup_*_ppm``) and the share of the single most
+    frequent n-gram (``top_*_ppm``) — exact integer ppm of occurrences.
+    Output: (id, n_tokens, n_bigrams, dup_bigram_ppm, top_bigram_ppm,
+    n_trigrams, dup_trigram_ppm, top_trigram_ppm); docs too short for an
+    n-gram carry zeros.
+
+    These are X33's complement: cross-doc repetition finds shared
+    boilerplate, THIS finds self-repetition — the Gopher rules drop
+    pages with dup-2-gram fraction > 0.2 / dup-3-gram > 0.18, applied
+    per doc with no corpus-wide state at all.
+
+    Scale: tokens materialize once behind the Generate barrier; each n
+    is one (id, gram) hash-aggregate (map-side combinable, keys are
+    doc-local so perfectly distributed) folded to a per-doc row —
+    nothing corpus-global, embarrassment-level parallel at 100 TB.
+    """
+    base = _with_token_barrier(
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0), text_col
+    )
+    t = F.col("__toks")
+
+    def stats_for(n: int, label: str) -> DataFrame:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        grams = base.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                )
+            ).alias("__g"),
+        )
+        counts = grams.groupBy(id_col, "__g").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        return (
+            counts.groupBy(id_col)
+            .agg(
+                F.sum("__c").cast("long").alias("tot"),
+                F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0))
+                .cast("long").alias("dup"),
+                F.max("__c").cast("long").alias("mx"),
+            )
+            .select(
+                id_col,
+                F.col("tot").alias(f"n_{label}s"),
+                F.expr("CAST(dup * 1000000 DIV tot AS BIGINT)").alias(
+                    f"dup_{label}_ppm"
+                ),
+                F.expr("CAST(mx * 1000000 DIV tot AS BIGINT)").alias(
+                    f"top_{label}_ppm"
+                ),
+            )
+        )
+
+    out = (
+        base.select(F.col(id_col), F.size(t).cast("long").alias("n_tokens"))
+        .join(stats_for(2, "bigram"), id_col, "left")
+        .join(stats_for(3, "trigram"), id_col, "left")
+    )
+    zeroed = [
+        F.coalesce(F.col(c), F.lit(0)).alias(c)
+        for c in ("n_bigrams", "dup_bigram_ppm", "top_bigram_ppm",
+                  "n_trigrams", "dup_trigram_ppm", "top_trigram_ppm")
+    ]
+    return out.select(id_col, "n_tokens", *zeroed)

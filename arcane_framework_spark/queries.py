@@ -1932,3 +1932,9 @@ from arcane_framework_spark.queries_wave6 import (  # noqa: E402
 )
 
 ORACLE_SQL["substring_span_stats_documents"] = _substring_span_stats_sql()
+
+from arcane_framework_spark.queries_wave6 import (  # noqa: E402
+    _repetition_stats_sql,
+)
+
+ORACLE_SQL["repetition_stats_documents"] = _repetition_stats_sql()

@@ -213,6 +213,57 @@ FROM spans GROUP BY span_segments
 """
 
 
+def repetition_stats_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText intra-document repetition filters (Rae et al.
+    2021): per doc, duplicate-bigram/trigram occurrence fractions and
+    the top n-gram's share, as exact integer ppm — the self-repetition
+    complement of X33's cross-doc span detection (a page dominated by
+    its own repeated n-grams is template/spam regardless of corpus
+    context). See ``operators.text.repetition_stats``."""
+    from arcane_framework_spark.operators.text import repetition_stats
+
+    t = load_tables(spark, sf_dir, "documents")
+    return repetition_stats(t["documents"].select("doc_id", "text"))
+
+
+def _repetition_stats_sql() -> str:
+    def block(n: int, label: str) -> str:
+        return f"""
+g{n} AS (
+  SELECT doc_id, array_to_string(ls[i : i + {n - 1}], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ls) - {n - 2})) AS i)
+  WHERE len(ls) >= {n}
+),
+c{n} AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g{n} GROUP BY 1, 2),
+s{n} AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_{label}s,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000
+              // sum(c) AS BIGINT) AS dup_{label}_ppm,
+         CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_{label}_ppm
+  FROM c{n} GROUP BY doc_id
+)"""
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ls FROM documents
+  WHERE length(trim(text)) > 0
+),{block(2, "bigram")},{block(3, "trigram")}
+SELECT t.doc_id,
+       len(t.ls)::BIGINT AS n_tokens,
+       coalesce(s2.n_bigrams, 0) AS n_bigrams,
+       coalesce(s2.dup_bigram_ppm, 0) AS dup_bigram_ppm,
+       coalesce(s2.top_bigram_ppm, 0) AS top_bigram_ppm,
+       coalesce(s3.n_trigrams, 0) AS n_trigrams,
+       coalesce(s3.dup_trigram_ppm, 0) AS dup_trigram_ppm,
+       coalesce(s3.top_trigram_ppm, 0) AS top_trigram_ppm
+FROM toks t
+LEFT JOIN s2 USING (doc_id)
+LEFT JOIN s3 USING (doc_id)
+"""
+
+
 def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of incremental exact-substring dedup: arriving
     documents are segmented per micro-batch and judged against (a) the
@@ -424,4 +475,5 @@ WAVE6_QUERIES = {
         incremental_substring_dedup_documents,
     "streaming_substring_dedup": streaming_substring_dedup,
     "substring_span_stats_documents": substring_span_stats_documents,
+    "repetition_stats_documents": repetition_stats_documents,
 }

@@ -259,3 +259,35 @@ def test_exact_substring_matches_pure_python_reference(spark):
             for r in substring_dedup_stats(df).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_repetition_stats_gopher_semantics(spark):
+    """Hand-built docs: a fully-templated page maxes the duplicate
+    fraction, unique text scores zero, and ppms are exact occurrence
+    ratios."""
+    from arcane_framework_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),        # 4 identical bigrams
+            (2, "a b c d e"),                        # all unique
+            (3, "x y x y x y"),                      # alternating
+            (4, "one"),                              # too short for any n-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = got[1]
+    assert r1["n_bigrams"] == 4 and r1["dup_bigram_ppm"] == 1_000_000
+    assert r1["top_bigram_ppm"] == 1_000_000
+    assert r1["dup_trigram_ppm"] == 1_000_000
+    r2 = got[2]
+    assert r2["dup_bigram_ppm"] == 0 and r2["top_bigram_ppm"] == 250_000
+    r3 = got[3]
+    # bigrams: "x y" x3, "y x" x2 → all 5 duplicated; top = 3/5
+    assert r3["n_bigrams"] == 5
+    assert r3["dup_bigram_ppm"] == 1_000_000
+    assert r3["top_bigram_ppm"] == 600_000
+    r4 = got[4]
+    assert r4["n_tokens"] == 1 and r4["n_bigrams"] == 0
+    assert r4["dup_bigram_ppm"] == 0 and r4["n_trigrams"] == 0
