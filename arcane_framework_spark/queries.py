@@ -1912,8 +1912,10 @@ ORACLE_SQL["triangle_stats_documents"] = _triangle_stats_sql(_minhash_sql())
 from arcane_framework_spark.queries_wave6 import (  # noqa: E402
     WAVE6_QUERIES,
     _incremental_substring_sql,
+    _repetition_stats_sql,
     _substring_by_source_sql,
     _substring_dedup_sql,
+    _substring_span_stats_sql,
 )
 
 QUERIES.update(WAVE6_QUERIES)
@@ -1926,15 +1928,5 @@ ORACLE_SQL["incremental_substring_dedup_documents"] = (
 # first-arrived-wins coincides with the batch order and the oracle is
 # shared verbatim (see streaming_substring_dedup's docstring)
 ORACLE_SQL["streaming_substring_dedup"] = _incremental_substring_sql()
-
-from arcane_framework_spark.queries_wave6 import (  # noqa: E402
-    _substring_span_stats_sql,
-)
-
 ORACLE_SQL["substring_span_stats_documents"] = _substring_span_stats_sql()
-
-from arcane_framework_spark.queries_wave6 import (  # noqa: E402
-    _repetition_stats_sql,
-)
-
 ORACLE_SQL["repetition_stats_documents"] = _repetition_stats_sql()

@@ -46,7 +46,9 @@ def _planted_substring_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id + _DUP_OFFSET`` with the verbatim span prepended — one
     helper so both entries build the byte-identical logical subtree
     (CacheManager plan-equality sharing, the ``_planted_neardup_docs``
-    pattern)."""
+    pattern). ``concat`` (not concat_ws) on purpose: it propagates a
+    NULL ``text`` exactly like the oracle's ``||``, so a corpus with
+    NULL text cannot diverge cross-engine (both drop the row)."""
     from arcane_framework_spark.queries import _DUP_OFFSET
 
     t = load_tables(spark, sf_dir, "documents")
@@ -54,7 +56,7 @@ def _planted_substring_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = docs.filter(F.col("doc_id") % SUBSTR_EVERY == 0).select(
         (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
         "source",
-        F.concat_ws(" ", F.lit(SUBSTR_SPAN), "text").alias("text"),
+        F.concat(F.lit(SUBSTR_SPAN + " "), F.col("text")).alias("text"),
     )
     return docs.unionByName(planted)
 
@@ -140,7 +142,7 @@ def incremental_substring_dedup_documents(spark: SparkSession,
     index = corpus_segment_hashes(docs)
     batch = docs.filter(F.col("doc_id") % SUBSTR_EVERY == 0).select(
         (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-        F.concat_ws(" ", F.lit(SUBSTR_SPAN), "text").alias("text"),
+        F.concat(F.lit(SUBSTR_SPAN + " "), F.col("text")).alias("text"),
     )
     return incremental_substring_stats(batch, index)
 
@@ -339,7 +341,7 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
             F.col("doc_id") % SUBSTR_EVERY == 0
         ).select(
             (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-            F.concat_ws(" ", F.lit(SUBSTR_SPAN), "text").alias("text"),
+            F.concat(F.lit(SUBSTR_SPAN + " "), F.col("text")).alias("text"),
         )
     else:
         reader = spark.readStream.schema("doc_id long, text string")

@@ -323,6 +323,16 @@ class SimpleUriProvider:
         )
         self.date_field = date_field
         self.date_placement = _check_placement(date_placement)
+        if (date_field is not None
+                and date_placement == TemplatedFieldPlacement.BODY
+                and self.body_template is None):
+            # stricter than the reference (which resolves into an Empty
+            # template, silently sending no filter at all): an unusable
+            # declaration fails at construction, not as an unbounded query
+            raise ValueError(
+                f"field {date_field!r} is BODY-placed but no body_template "
+                "was given — the filter would be silently dropped"
+            )
         self.backfill_start = backfill_start
         self.look_back = look_back
         self.change_capture_interval = change_capture_interval
@@ -414,6 +424,16 @@ class PagedUriProvider:
                 f, TemplatedFieldPlacement.URL))
             for f in fields
         }
+        body_placed = [
+            f for f, p in self.placements.items()
+            if p == TemplatedFieldPlacement.BODY
+        ]
+        if body_placed and self.body_template is None:
+            # see SimpleUriProvider: unusable declarations fail loudly
+            raise ValueError(
+                f"fields {body_placed} are BODY-placed but no "
+                "body_template was given — they would be silently dropped"
+            )
         self.range_start = range_start
         self.range_end = range_end
         self.range_step = range_step
@@ -691,7 +711,17 @@ class RestApiSource:
         def once() -> tuple[int, str]:
             if self.http_get is not None:
                 if body is not None:
-                    # injected transports opt into payloads by arity
+                    # a payload-bearing request needs a 4-parameter
+                    # transport — fail with the contract, not a bare
+                    # TypeError mid-sweep
+                    import inspect
+
+                    if len(inspect.signature(self.http_get).parameters) < 4:
+                        raise TypeError(
+                            "injected http_get takes no payload; a source "
+                            "with request_builder/bodyTemplate needs "
+                            "http_get(url, headers, timeout, body)"
+                        )
                     return self.http_get(
                         url, self.auth.get_headers(), self.timeout_seconds,
                         body,
@@ -704,9 +734,11 @@ class RestApiSource:
             if body is not None:
                 data = body.encode("utf-8")
                 headers.setdefault("Content-Type", "application/json")
+            # the declared method is honored even for body-less requests
+            # (a spec may say POST with an empty body); None would make
+            # urllib silently fall back to GET
             req = urllib.request.Request(
-                url, data=data, headers=headers,
-                method=self.http_method if data is not None else None,
+                url, data=data, headers=headers, method=self.http_method
             )
             with urllib.request.urlopen(req, timeout=self.timeout_seconds) as resp:
                 return resp.status, resp.read().decode("utf-8")
@@ -775,7 +807,8 @@ def templated_fields_from_spec(payload: list[dict]) -> list[RestApiTemplatedFiel
 def rest_source_from_spec(spark: SparkSession, spec,
                           schema: T.StructType | None = None,
                           clock: Callable[[], datetime] | None = None,
-                          http_get=None) -> "RestApiSource":
+                          http_get=None,
+                          token_http_send=None) -> "RestApiSource":
     """A paginated REST pipeline built ENTIRELY from the stream spec —
     the missing half of the reference's declarative surface: its stream
     plugins deserialize ``PageResolverConfiguration`` and the templated
@@ -866,7 +899,11 @@ def rest_source_from_spec(spark: SparkSession, spec,
         kwargs["http_method"] = str(opts["httpMethod"]).upper()
     auth: FixedHeaderAuth | DynamicBearerAuth
     if opts.get("bearerAuth"):
-        auth = DynamicBearerAuth.from_spec(opts["bearerAuth"])
+        # token_http_send: injectable token-endpoint transport (tests /
+        # offline runs) — the data-request http_get does not cover it
+        auth = DynamicBearerAuth.from_spec(
+            opts["bearerAuth"], http_send=token_http_send
+        )
     else:
         auth = FixedHeaderAuth(opts.get("headers"))
     return RestApiSource(

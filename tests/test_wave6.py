@@ -166,7 +166,7 @@ def test_streaming_substring_dedup_split_state(spark, tmp_path):
     )
     arrivals = docs.filter(F.col("doc_id") % SUBSTR_EVERY == 0).select(
         (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-        F.concat_ws(" ", F.lit(SUBSTR_SPAN), "text").alias("text"),
+        F.concat(F.lit(SUBSTR_SPAN + " "), F.col("text")).alias("text"),
     ).orderBy("doc_id").collect()
     src = str(tmp_path / "arrivals")
     chunk = (len(arrivals) + 4) // 5

@@ -214,18 +214,13 @@ def main() -> None:
     # ~N^2/T — ~100x here. The routed path IS the documented scale path;
     # its decision agreement vs exact is the committed 100x measurement
     # (99.09% where the cap binds, zero false prunes).
-    timed(
-        spark, "semantic_dedup_routed",
-        lambda: semantic_dedup(
-            emb, k=None, threshold=0.9, iterations=2, target_cell_size=64,
-            routed=True,
-        ),
-        results,
-    )
     dec = semantic_dedup(
         emb, k=None, threshold=0.9, iterations=2, target_cell_size=64,
         routed=True,
     ).persist()
+    # the timed count EXECUTES the persisted plan, and the cell/prune
+    # stats below reuse it — the multi-minute routed pipeline runs once
+    timed(spark, "semantic_dedup_routed", lambda: dec, results)
     cell = (
         dec.groupBy("cid").count()
         .agg(
