@@ -291,3 +291,93 @@ def test_repetition_stats_gopher_semantics(spark):
     r4 = got[4]
     assert r4["n_tokens"] == 1 and r4["n_bigrams"] == 0
     assert r4["dup_bigram_ppm"] == 0 and r4["n_trigrams"] == 0
+
+
+def test_streaming_substring_dedup_out_of_order_arrivals(spark, tmp_path):
+    """When arrivals do NOT come in doc_id order, the stream's
+    first-ARRIVED-wins policy diverges from the batch operator's
+    (doc_id, seg_idx) order by design — but the core dedup guarantee
+    must still hold: for every segment content, exactly ONE occurrence
+    is kept corpus-wide (corpus copy if the corpus has it, else exactly
+    one arrival), and the kept arrival is the earliest-arrived batch's.
+    """
+    import os
+
+    from arcane_framework_spark.operators.text import (
+        positioned_segment_hashes,
+    )
+    from arcane_framework_spark.queries import _DUP_OFFSET
+    from arcane_framework_spark.queries_wave6 import (
+        SUBSTR_EVERY,
+        SUBSTR_SPAN,
+        run_substring_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    arrivals = docs.filter(F.col("doc_id") % SUBSTR_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat(F.lit(SUBSTR_SPAN + " "), F.col("text")).alias("text"),
+    ).orderBy("doc_id").collect()
+
+    # REVERSED doc_id order across 4 files: highest ids arrive first
+    src = str(tmp_path / "arrivals")
+    rev = list(reversed(arrivals))
+    chunk = (len(rev) + 3) // 4
+    batch_of = {}
+    for i in range(4):
+        part = rev[i * chunk:(i + 1) * chunk]
+        if part:
+            spark.createDataFrame(
+                part, "doc_id long, text string"
+            ).coalesce(1).write.parquet(src, mode="append")
+            for r in part:
+                batch_of[r["doc_id"]] = i
+
+    acc = []
+    run_substring_dedup_stream(
+        spark, SF_DIR, str(tmp_path / "seen"),
+        lambda out, bid: acc.extend(out.collect()),
+        max_files_per_trigger=1, arrival_source=src,
+    )
+    assert len(acc) == len(arrivals)
+
+    # the span segments (content shared by ALL arrivals, absent from the
+    # corpus): kept by exactly one arrival, and that keeper belongs to
+    # the FIRST batch (earliest arrived), i.e. a HIGH doc_id
+    span_keepers = [
+        r["doc_id"] for r in acc if not r["removed_idxs"].startswith("0,1")
+    ]
+    assert len(span_keepers) == 1
+    assert batch_of[span_keepers[0]] == 0  # first-arrived wins
+
+    # global single-copy guarantee: count kept occurrences per segment
+    # content across corpus + arrivals — every content kept at most once
+    # among arrivals, and never kept by an arrival when the corpus has it
+    corpus_hashes = {
+        r["seg_hash"]
+        for r in positioned_segment_hashes(docs).select(
+            "seg_hash"
+        ).distinct().collect()
+    }
+    kept_by_content: dict = {}
+    arrival_df = spark.createDataFrame(
+        arrivals, "doc_id long, text string"
+    )
+    segs = {
+        (r["doc_id"], r["seg_idx"]): r["seg_hash"]
+        for r in positioned_segment_hashes(arrival_df).collect()
+    }
+    for r in acc:
+        removed = set(
+            int(x) for x in r["removed_idxs"].split(",") if x != ""
+        )
+        for (doc, idx), h in segs.items():
+            if doc != r["doc_id"] or idx in removed:
+                continue
+            assert h not in corpus_hashes, (doc, idx)
+            kept_by_content.setdefault(h, []).append((doc, idx))
+    assert kept_by_content  # some new content was kept
+    dup_contents = [h for h, occ in kept_by_content.items() if len(occ) > 1]
+    assert dup_contents == []  # exactly one kept copy per content
