@@ -34,6 +34,10 @@ Options:
 - ``start_version``   initial watermark (default -1: everything; the
   backfill/stream duality is the runner's concern — a backfill writes the
   snapshot with synthesized version 0, then the stream starts at 0)
+- ``unreadable_policy``  what an in-flight/truncated file does to the
+  tick: ``hold`` (default — consume the feed only up to the first
+  unreadable file, never committing past it; see ``_feed_rows``) or
+  ``fail`` (raise, for feeds where truncation means corruption)
 
 Driver-side reads use pyarrow directly (a SimpleDataSourceStreamReader
 prefetches on the driver by design — per-tick deltas are version-bounded
@@ -74,7 +78,8 @@ def _footer_version_bounds(md, version_col: str):
 
 
 def _feed_rows(path: str, version_col: str, schema_fields: list[str],
-               lo: int, hi: int | None) -> tuple[list[tuple], int]:
+               lo: int, hi: int | None,
+               unreadable_policy: str = "hold") -> tuple[list[tuple], int]:
     """Rows with ``lo < version <= hi`` (hi=None: no upper bound) from the
     parquet feed at ``path``; returns (tuples, max version seen overall).
 
@@ -86,12 +91,24 @@ def _feed_rows(path: str, version_col: str, schema_fields: list[str],
     CHANGETABLE scans are delta-bounded too): each file's version range is
     read from its parquet footer statistics, and files entirely at or below
     the committed watermark (``max <= lo``) — i.e. the ever-growing history
-    — are skipped without touching their data pages. Files whose footer
-    cannot be read (a writer still mid-append) are tolerated and skipped
-    this tick; the feed contract is that a file's versions exceed every
-    version already durable when its write began (append-only CDC), so an
-    in-flight file can never hold versions at or below an offset committed
-    while it was unreadable — it is simply the next delta.
+    — are skipped without touching their data pages.
+
+    **Unreadable (in-flight / truncated) files stop the scan** — the feed
+    is consumed as a PREFIX in filename order: rows and the watermark come
+    only from files strictly BEFORE the first unreadable one; everything at
+    or after it waits for a later tick. This is what makes in-flight
+    tolerance safe under overlapping writers: skipping the unreadable file
+    while advancing the watermark from files sorted after it would lose the
+    file forever if it completes with ``max(version) <= committed``. The
+    prefix rule never commits past an incomplete file, so a late completion
+    always lands ABOVE the offset. The feed contract this relies on is
+    explicit and minimal: **filename sort order must not run ahead of
+    version order across files** (each file's versions exceed every version
+    in files that sort before it) — naturally true for zero-padded sequence
+    names from a serial writer, and the contract concurrent writers must
+    arrange (claim the name before writing). ``unreadable_policy="fail"``
+    raises instead of holding, for feeds where a truncated file is always
+    corruption rather than a writer mid-append.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -120,7 +137,9 @@ def _feed_rows(path: str, version_col: str, schema_fields: list[str],
             else:
                 fmin, fmax = bounds
         except (OSError, pa.ArrowInvalid):
-            continue  # in-flight/truncated file: complete by a later tick
+            if unreadable_policy == "fail":
+                raise
+            break  # prefix rule: nothing at/after an in-flight file
         if fmax is None:
             continue  # zero-row file
         max_seen = fmax if max_seen is None else max(max_seen, fmax)
@@ -151,6 +170,13 @@ class CtStreamReader(SimpleDataSourceStreamReader):
         self.path = options["path"]
         self.version_col = options.get("version_column", SYS_CHANGE_VERSION)
         self.start_version = int(options.get("start_version", "-1"))
+        self.unreadable_policy = options.get("unreadable_policy", "hold")
+        if self.unreadable_policy not in ("hold", "fail"):
+            raise ValueError(
+                "unreadable_policy must be 'hold' (wait for the in-flight "
+                "file; default) or 'fail' (raise on a truncated file), got "
+                f"{self.unreadable_policy!r}"
+            )
         self.schema_fields = [f.name for f in schema.fields]
         if self.version_col not in self.schema_fields:
             raise ValueError(
@@ -164,7 +190,8 @@ class CtStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple:
         lo = int(start["version"])
         rows, max_seen = _feed_rows(
-            self.path, self.version_col, self.schema_fields, lo, None
+            self.path, self.version_col, self.schema_fields, lo, None,
+            unreadable_policy=self.unreadable_policy,
         )
         if not rows:
             return iter([]), start  # empty tick: watermark holds
@@ -177,6 +204,7 @@ class CtStreamReader(SimpleDataSourceStreamReader):
         rows, _ = _feed_rows(
             self.path, self.version_col, self.schema_fields,
             int(start["version"]), int(end["version"]),
+            unreadable_policy=self.unreadable_policy,
         )
         return iter(rows)
 

@@ -618,9 +618,14 @@ class DynamicBearerAuth:
             return token, expires
 
         header = opts.get("headerName") or "Authorization"
-        scheme = (
-            opts.get("scheme", "Bearer") if header == "Authorization" else ""
-        )
+        if header == "Authorization":
+            scheme = opts.get("scheme", "Bearer")
+        else:
+            # the reference's custom-header arm still sends
+            # "{scheme} {token}" when a scheme is declared
+            # (DynamicBearerAuthenticatedMessageProvider.cs GetRequest);
+            # only an absent/empty scheme means the raw token
+            scheme = opts.get("scheme") or ""
         return cls(fetch, header=header, scheme=scheme)
 
     def get_headers(self) -> dict[str, str]:
@@ -711,17 +716,37 @@ class RestApiSource:
         def once() -> tuple[int, str]:
             if self.http_get is not None:
                 if body is not None:
-                    # a payload-bearing request needs a 4-parameter
-                    # transport — fail with the contract, not a bare
-                    # TypeError mid-sweep
+                    # a payload-bearing request needs a transport that
+                    # accepts a 4th argument — fail with the contract, not
+                    # a bare TypeError mid-sweep. Variadic (*args/**kw) and
+                    # uninspectable transports are assumed capable: a
+                    # functools.partial or def f(*args) wrapper that
+                    # happily takes a body must not be rejected by a named-
+                    # parameter count (round-11 ADVICE).
                     import inspect
 
-                    if len(inspect.signature(self.http_get).parameters) < 4:
-                        raise TypeError(
-                            "injected http_get takes no payload; a source "
-                            "with request_builder/bodyTemplate needs "
-                            "http_get(url, headers, timeout, body)"
+                    try:
+                        params = list(
+                            inspect.signature(self.http_get).parameters.values()
                         )
+                    except (TypeError, ValueError):
+                        params = None  # C callable etc.: let the call decide
+                    if params is not None:
+                        positional = sum(
+                            p.kind in (p.POSITIONAL_ONLY,
+                                       p.POSITIONAL_OR_KEYWORD)
+                            for p in params
+                        )
+                        variadic = any(
+                            p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD)
+                            for p in params
+                        )
+                        if positional < 4 and not variadic:
+                            raise TypeError(
+                                "injected http_get takes no payload; a "
+                                "source with request_builder/bodyTemplate "
+                                "needs http_get(url, headers, timeout, body)"
+                            )
                     return self.http_get(
                         url, self.auth.get_headers(), self.timeout_seconds,
                         body,

@@ -230,6 +230,53 @@ def test_rest_source_auth_headers_sent(spark):
     assert http.calls[0][1]["X-Api-Key"] == "sekret"
 
 
+def test_rest_source_variadic_transport_accepts_payload(spark):
+    """The payload-capability probe must not reject variadic or partially-
+    applied transports that happily accept a body (round-11 ADVICE, low):
+    def f(*args) and functools.partial wrappers report <4 named params but
+    are payload-capable; a genuinely 3-arg transport still gets the
+    contract error."""
+    import functools
+
+    import pytest
+
+    calls = []
+
+    def variadic(*args):
+        calls.append(args)
+        return 200, '{"items": [{"id": 1}]}'
+
+    def five_arg(tag, url, headers, timeout, body):
+        calls.append((tag, url, headers, timeout, body))
+        return 200, '{"items": [{"id": 2}]}'
+
+    def make(transport):
+        return RestApiSource(
+            spark=spark,
+            url_builder=lambda page: "http://api.test/x",
+            schema="id INT",
+            response_key_chain=["items"],
+            http_get=transport,
+            http_method="POST",
+            request_builder=lambda tok: ("http://api.test/x", '{"q": 1}'),
+        )
+
+    assert make(variadic).fetch_batch().count() == 1
+    assert calls[-1][3] == '{"q": 1}'  # the body travelled
+    assert make(
+        functools.partial(five_arg, "tagged")
+    ).fetch_batch().count() == 1
+    assert calls[-1] == (
+        "tagged", "http://api.test/x", {}, 30.0, '{"q": 1}'
+    )
+
+    def three_arg(url, headers, timeout):
+        return 200, '{"items": []}'
+
+    with pytest.raises(TypeError, match="takes no payload"):
+        make(three_arg).fetch_batch()
+
+
 def test_dynamic_bearer_auth_caches_until_expiry():
     fetches = []
 
@@ -245,6 +292,31 @@ def test_dynamic_bearer_auth_caches_until_expiry():
     auth._valid_until = None  # force expiry path
     auth._token = None
     assert auth.get_headers() == {"Authorization": "Bearer tok2"}
+
+
+def test_dynamic_bearer_custom_header_keeps_declared_scheme():
+    """The reference's custom-header arm sends '{scheme} {token}' whenever
+    authScheme is non-empty (DynamicBearerAuthenticatedMessageProvider
+    GetRequest) — a spec declaring headerName + scheme must not silently
+    lose the scheme (round-11 ADVICE, low)."""
+
+    def http_send(method, url, data, headers, timeout):
+        return 200, '{"tok": "abc"}'
+
+    base = {"tokenUrl": "http://x/t", "tokenProperty": "tok"}
+    with_scheme = DynamicBearerAuth.from_spec(
+        {**base, "headerName": "X-Auth", "scheme": "Custom"},
+        http_send=http_send,
+    )
+    assert with_scheme.get_headers() == {"X-Auth": "Custom abc"}
+    # no scheme declared → the raw token, unchanged behavior
+    raw = DynamicBearerAuth.from_spec(
+        {**base, "headerName": "X-Auth"}, http_send=http_send
+    )
+    assert raw.get_headers() == {"X-Auth": "abc"}
+    # Authorization keeps its Bearer default
+    default = DynamicBearerAuth.from_spec(base, http_send=http_send)
+    assert default.get_headers() == {"Authorization": "Bearer abc"}
 
 
 def test_token_bucket_limits_rate():
@@ -1926,6 +1998,58 @@ def test_ct_feed_tolerates_in_flight_file(tmp_path):
     rows, max_seen = _feed_rows(str(feed), "SYS_CHANGE_VERSION", fields, 2, None)
     assert [r[1] for r in rows] == [3]
     assert max_seen == 3
+
+
+def test_ct_feed_never_commits_past_in_flight_file(tmp_path):
+    """Out-of-order completion must not lose data: with an in-flight file
+    whose versions will land BELOW a later readable file's, the watermark
+    must not advance from the later file — the feed is consumed as a
+    prefix in filename order, so the late-completing file is still the
+    next delta when it finishes (round-11 ADVICE, medium)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from arcane_framework_spark.sources.ct_datasource import _feed_rows
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    fields = ["pk", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION"]
+    pq.write_table(
+        pa.table({"pk": [1], "SYS_CHANGE_VERSION": [1],
+                  "SYS_CHANGE_OPERATION": ["I"]}),
+        str(feed / "b0.parquet"),
+    )
+    # writer A claimed b1 (will hold versions 2-3) but is still writing;
+    # writer B already completed b2 with version 4
+    (feed / "b1.parquet").write_bytes(b"PAR1\x00partial")
+    pq.write_table(
+        pa.table({"pk": [4], "SYS_CHANGE_VERSION": [4],
+                  "SYS_CHANGE_OPERATION": ["I"]}),
+        str(feed / "b2.parquet"),
+    )
+
+    rows, max_seen = _feed_rows(str(feed), "SYS_CHANGE_VERSION", fields, 0, None)
+    # only the prefix before the in-flight file flows; the watermark does
+    # NOT see b2's version 4 — committing 4 here would orphan b1 forever
+    assert [r[1] for r in rows] == [1]
+    assert max_seen == 1
+
+    # writer A completes b1 — it lands ABOVE the committed offset
+    pq.write_table(
+        pa.table({"pk": [2, 3], "SYS_CHANGE_VERSION": [2, 3],
+                  "SYS_CHANGE_OPERATION": ["I", "I"]}),
+        str(feed / "b1.parquet"),
+    )
+    rows, max_seen = _feed_rows(str(feed), "SYS_CHANGE_VERSION", fields, 1, None)
+    assert sorted(r[1] for r in rows) == [2, 3, 4]
+    assert max_seen == 4
+
+    # the loud variant: a feed where truncation means corruption
+    (feed / "b3.parquet").write_bytes(b"PAR1\x00garbage")
+    with pytest.raises(Exception):
+        _feed_rows(str(feed), "SYS_CHANGE_VERSION", fields, 4, None,
+                   unreadable_policy="fail")
 
 
 def test_page_resolver_from_config_all_types():
