@@ -496,6 +496,88 @@ def positioned_segment_hashes(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+#: Token k-gram width whose hash decides content-defined anchor positions.
+ANCHOR_K = 4
+
+#: Anchor predicate: first hex char of the k-gram md5 <= this value. Two
+#: of sixteen uniform hex chars match -> expected anchor density 1/8, so
+#: the expected segment width equals SEGMENT_WIDTH (the variants stay
+#: directly comparable). A pure string compare: bit-identical in Spark
+#: and DuckDB with no base conversion.
+ANCHOR_MAX_HEX = "1"
+
+
+def anchored_segment_hashes(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            k: int = ANCHOR_K,
+                            carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *carry, seg_idx, seg_hash, seg_tokens) with CONTENT-DEFINED
+    segment boundaries — the offset-invariant unit exact-substring dedup
+    needs (round-11 verdict #2).
+
+    ``positioned_segment_hashes`` cuts every ``SEGMENT_WIDTH`` tokens from
+    the doc start, so a verbatim span copied at a different token offset
+    lands in different windows and escapes removal. Here a boundary is
+    declared wherever the LOCAL CONTENT says so: position ``i`` starts a
+    new segment iff the md5 of the ``k``-token gram at ``i`` has first hex
+    char <= ``ANCHOR_MAX_HEX`` (the content-defined-chunking cut rule,
+    density 1/8 -> expected width ``SEGMENT_WIDTH``). A copied span
+    reproduces its interior anchors wherever it sits, so the span's
+    interior segments are byte-identical across copies — which is what
+    the keep-first removal aggregate then catches. Detection needs the
+    shared span to contain >= 2 anchors (expected once the span exceeds
+    ~2*width + k tokens); segment width is geometrically distributed with
+    no hard cap — a pathological anchor-free doc is one segment, which is
+    row-bounded and documented rather than silently misdeduped.
+
+    Cost shape is ``positioned_segment_hashes``'s: tokens materialize once
+    behind a Generate barrier, everything else is map-side HOF expressions
+    (one md5 per gram position + one per segment) — no shuffle until the
+    caller aggregates. Docs shorter than ``k`` tokens (no gram fits) are
+    one whole-text segment, same no-drop rule as the aligned variant.
+    """
+    base = _with_token_barrier(
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0), text_col
+    )
+    t = F.col("__toks")
+    n = F.size(t)
+    # candidate anchors live at gram positions 2..n-k+1 (position 1 is
+    # always a cut; the last k-1 tokens cannot start a gram)
+    cand = F.when(
+        n - k + 1 >= 2, F.sequence(F.lit(2), n - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    anchors = F.filter(
+        cand,
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(t, i, k), " ")), 1, 1
+        )
+        <= F.lit(ANCHOR_MAX_HEX),
+    )
+    cuts = F.concat(F.array(F.lit(1)), anchors)
+    nseg = F.size(cuts)
+    segs = F.transform(
+        cuts,
+        lambda c, j: F.slice(
+            t,
+            c,
+            F.when(j < nseg - 1, F.element_at(cuts, j + 2) - c).otherwise(
+                n - c + 1
+            ),
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode(segs).alias("seg_idx", "__seg"),
+    ).select(
+        id_col,
+        *carry,
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.md5(F.array_join(F.col("__seg"), " ")).alias("seg_hash"),
+        F.size("__seg").cast("long").alias("seg_tokens"),
+    )
+
+
 def boilerplate_segment_stats(docs: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text",
                               width: int = SEGMENT_WIDTH,

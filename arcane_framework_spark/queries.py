@@ -1930,3 +1930,18 @@ ORACLE_SQL["incremental_substring_dedup_documents"] = (
 ORACLE_SQL["streaming_substring_dedup"] = _incremental_substring_sql()
 ORACLE_SQL["substring_span_stats_documents"] = _substring_span_stats_sql()
 ORACLE_SQL["repetition_stats_documents"] = _repetition_stats_sql()
+
+# Wave 7 (round 12) — registered late because the bucketed-batch MinHash
+# entry shares _minhash_sql() verbatim and the substring oracles embed
+# _DUP_OFFSET from this module.
+from arcane_framework_spark.queries_wave7 import (  # noqa: E402
+    WAVE7_QUERIES,
+    _recall_comparison_sql,
+    _unaligned_dedup_sql,
+)
+
+QUERIES.update(WAVE7_QUERIES)
+# the storage path must produce bit-identical pairs to the in-memory path
+ORACLE_SQL["minhash_pairs_bucketed_documents"] = _minhash_sql()
+ORACLE_SQL["substring_dedup_unaligned_documents"] = _unaligned_dedup_sql()
+ORACLE_SQL["substring_recall_aligned_vs_anchored"] = _recall_comparison_sql()

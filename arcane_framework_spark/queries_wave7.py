@@ -1,0 +1,310 @@
+"""Round-12 catalog wave: bucketed batch MinHash (the 100 TB disk-ceiling
+fix) and offset-invariant exact-substring dedup via content-defined
+anchors.
+
+Same contract as every other wave module: each entry is a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle producing
+identical column names and bit-stable values (integer / fixed-point /
+string arithmetic only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.session import load_tables
+from arcane_framework_spark.sqlconst import TOKS_SQL as _TOKS_SQL
+
+# ---------------------------------------------------------------------------
+# Bucketed batch MinHash (round-11 verdict #1)
+# ---------------------------------------------------------------------------
+
+
+def minhash_pairs_bucketed_documents(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """``minhash_pairs_documents`` through the BUCKETED side-table plan
+    (``operators.dedup.minhash_pair_counts_bucketed``): band table
+    bucketed+sorted on (band_id, band_hash) so the candidate self-join
+    reads exchange-free; no distinct (emit-once from the first colliding
+    band via carried signatures); shingle arrays bucketed on id so the
+    exact-verification joins never shuffle the corpus's arrays. Shares
+    ``minhash_pairs_documents``'s oracle VERBATIM — the storage-path and
+    in-memory-path hashes must agree bit-for-bit (the X87 pattern applied
+    to the full-corpus batch shape the 1000x probe named as the first
+    100 TB ceiling: 20.3 GiB of shuffle+spill to executor disk)."""
+    from arcane_framework_spark.operators.dedup import (
+        minhash_lsh_pairs_bucketed,
+    )
+    from arcane_framework_spark.queries import _planted_neardup_docs
+
+    return minhash_lsh_pairs_bucketed(
+        _planted_neardup_docs(spark, sf_dir),
+        table_prefix="minhash_batch_gate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Offset-invariant exact-substring dedup (round-11 verdict #2)
+#
+# X175's aligned fixed-width segments provably miss a verbatim span copied
+# at a token offset that is not a multiple of SEGMENT_WIDTH. These entries
+# plant exactly that adversarial corpus — copies at off-by-1..7 token
+# offsets — and (a) remove the spans with the content-defined anchored
+# segmentation, (b) commit the aligned-vs-anchored recall comparison the
+# verdict asked for.
+# ---------------------------------------------------------------------------
+
+#: Every Nth doc gets an offset-planted copy (same modulus as the X175
+#: family so the corpora stay comparable).
+UNALIGNED_EVERY = 9
+
+#: The planted verbatim span — 16 tokens, same length as X175's so the
+#: recall comparison isolates ALIGNMENT, not span size.
+UNALIGNED_SPAN = (
+    "alpha beta gamma delta epsilon zeta eta theta "
+    "iota kappa lambda mu nu xi omicron pi"
+)
+
+
+def _planted_offset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + every ``UNALIGNED_EVERY``-th doc re-inserted at
+    ``doc_id + _DUP_OFFSET`` with ``m = doc_id % 7 + 1`` DOC-UNIQUE filler
+    tokens prepended before the verbatim span — so the span (and the
+    copied body after it) sits at token offset m in 1..7, never a
+    multiple of SEGMENT_WIDTH: the aligned variant's windows can never
+    line up with the original's, while content-defined anchors reproduce
+    inside the span/body wherever they sit. Doc-unique fillers
+    ('pad{doc_id}' x m) keep the filler region itself from deduping.
+    ``concat``/'||' NULL propagation matches cross-engine (both drop a
+    NULL-text row)."""
+    from arcane_framework_spark.queries import _DUP_OFFSET
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "source", "text")
+    planted = docs.filter(F.col("doc_id") % UNALIGNED_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        "source",
+        F.concat(
+            F.expr(
+                "repeat(concat('pad', CAST(doc_id AS STRING), ' '), "
+                "CAST(doc_id % 7 + 1 AS INT))"
+            ),
+            F.lit(UNALIGNED_SPAN + " "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def substring_dedup_unaligned_documents(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Per-doc exact-substring removal over the OFFSET-planted corpus
+    using content-defined anchored segmentation: (doc_id, n_segments,
+    n_removed_segments, removed_tokens, kept_tokens, removed_idxs).
+    The copies' span/body interiors are removed at every offset 1..7 —
+    the spans X175's aligned windows provably miss (see
+    ``substring_recall_aligned_vs_anchored`` for the measured gap)."""
+    from arcane_framework_spark.operators.dedup import (
+        anchored_substring_stats,
+    )
+
+    return anchored_substring_stats(_planted_offset_docs(spark, sf_dir))
+
+
+def substring_recall_aligned_vs_anchored(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """The verdict's recall-comparison row, per span offset m in 1..7:
+    (span_offset, n_copies, aligned_docs_hit, anchored_docs_hit,
+    aligned_removed_tokens, anchored_removed_tokens) over the offset-
+    planted copies only. 'hit' = at least one segment removed. The
+    aligned variant catches at most the single SEGMENT_WIDTH window that
+    happens to fall fully inside the span for SAME-offset copies; the
+    anchored variant removes the span/body interior at every offset."""
+    from arcane_framework_spark.operators.dedup import (
+        anchored_substring_segments,
+        exact_substring_segments,
+    )
+    from arcane_framework_spark.queries import _DUP_OFFSET
+
+    corpus = _planted_offset_docs(spark, sf_dir)
+    rm = F.col("removed")
+
+    def per_doc(flagged: DataFrame, tag: str) -> DataFrame:
+        return (
+            flagged.filter(F.col("doc_id") >= _DUP_OFFSET)
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.when(rm, 1).otherwise(0)).alias(f"__{tag}_rm_segs"),
+                F.sum(F.when(rm, F.col("seg_tokens")).otherwise(0)).alias(
+                    f"__{tag}_rm_toks"
+                ),
+            )
+        )
+
+    aligned = per_doc(exact_substring_segments(corpus), "al")
+    anchored = per_doc(anchored_substring_segments(corpus), "an")
+    return (
+        aligned.join(anchored, "doc_id")
+        .withColumn(
+            "span_offset", (F.col("doc_id") - _DUP_OFFSET) % 7 + 1
+        )
+        .groupBy("span_offset")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.sum(F.when(F.col("__al_rm_segs") > 0, 1).otherwise(0))
+            .cast("long").alias("aligned_docs_hit"),
+            F.sum(F.when(F.col("__an_rm_segs") > 0, 1).otherwise(0))
+            .cast("long").alias("anchored_docs_hit"),
+            F.sum("__al_rm_toks").cast("long").alias(
+                "aligned_removed_tokens"
+            ),
+            F.sum("__an_rm_toks").cast("long").alias(
+                "anchored_removed_tokens"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+
+def _offset_corpus_sql() -> str:
+    from arcane_framework_spark.queries import _DUP_OFFSET
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_OFFSET}, source,
+         repeat('pad' || CAST(doc_id AS VARCHAR) || ' ',
+                CAST(doc_id % 7 + 1 AS INTEGER))
+           || '{UNALIGNED_SPAN} ' || text
+  FROM documents WHERE doc_id % {UNALIGNED_EVERY} = 0
+)"""
+
+
+def _anchored_segs_sql(cte_prefix: str = "") -> str:
+    """The anchored segmentation chain over a ``corpus`` CTE — the DuckDB
+    spelling of ``operators.text.anchored_segment_hashes``: candidate
+    anchors at gram positions 2..n-k+1 where the k-gram md5's first hex
+    char <= ANCHOR_MAX_HEX; cuts = [1] + anchors; one segment per cut."""
+    from arcane_framework_spark.operators.text import (
+        ANCHOR_K,
+        ANCHOR_MAX_HEX,
+    )
+
+    k = ANCHOR_K
+    p = cte_prefix
+    return f""",
+{p}toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS ls FROM corpus
+  WHERE length(trim(text)) > 0
+),
+{p}cutted AS (
+  SELECT doc_id, source, ls,
+         list_prepend(1, list_filter(
+           range(2, len(ls) - {k} + 2),
+           i -> substr(md5(array_to_string(ls[i : i + {k - 1}], ' ')),
+                       1, 1) <= '{ANCHOR_MAX_HEX}')) AS cuts
+  FROM {p}toks WHERE len(ls) > 0
+),
+{p}segs AS (
+  SELECT doc_id, source, CAST(j - 1 AS BIGINT) AS seg_idx,
+         md5(array_to_string(
+           ls[cuts[j] : CASE WHEN j < len(cuts) THEN cuts[j + 1] - 1
+                             ELSE len(ls) END], ' ')) AS seg_hash,
+         (CASE WHEN j < len(cuts) THEN cuts[j + 1] - 1
+               ELSE len(ls) END - cuts[j] + 1)::BIGINT AS seg_tokens
+  FROM {p}cutted,
+       LATERAL (SELECT unnest(range(1, len(cuts) + 1)) AS j)
+),
+{p}ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY seg_hash ORDER BY doc_id, seg_idx) AS rn
+  FROM {p}segs
+)"""
+
+
+def _unaligned_dedup_sql() -> str:
+    return _offset_corpus_sql() + _anchored_segs_sql() + """
+SELECT doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed_segments,
+       sum(CASE WHEN rn > 1 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS removed_tokens,
+       sum(CASE WHEN rn = 1 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS kept_tokens,
+       coalesce(string_agg(CASE WHEN rn > 1 THEN seg_idx END, ','
+                           ORDER BY seg_idx), '') AS removed_idxs
+FROM ranked GROUP BY doc_id
+"""
+
+
+def _aligned_segs_over_corpus_sql() -> str:
+    """X175's aligned fixed-width chain (queries_wave6._substring_segs_sql
+    body) over the SAME offset-planted corpus, CTE-prefixed 'al'."""
+    from arcane_framework_spark.operators.text import SEGMENT_WIDTH
+
+    w = SEGMENT_WIDTH
+    return f""",
+altoks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS ls FROM corpus
+  WHERE length(trim(text)) > 0
+),
+alsegs AS (
+  SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS seg_idx,
+         md5(array_to_string(ls[(i - 1) * {w} + 1 : i * {w}], ' ')) AS seg_hash,
+         len(ls[(i - 1) * {w} + 1 : i * {w}])::BIGINT AS seg_tokens
+  FROM altoks,
+       LATERAL (SELECT unnest(range(1, CAST(ceil(len(ls) / {w}.0) AS BIGINT) + 1)) AS i)
+  WHERE len(ls) > 0
+),
+alranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY seg_hash ORDER BY doc_id, seg_idx) AS rn
+  FROM alsegs
+)"""
+
+
+def _recall_comparison_sql() -> str:
+    from arcane_framework_spark.queries import _DUP_OFFSET
+
+    return (
+        _offset_corpus_sql()
+        + _anchored_segs_sql("an")
+        + _aligned_segs_over_corpus_sql()
+        + f""",
+al_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS rm_segs,
+         sum(CASE WHEN rn > 1 THEN seg_tokens ELSE 0 END) AS rm_toks
+  FROM alranked WHERE doc_id >= {_DUP_OFFSET} GROUP BY doc_id
+),
+an_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS rm_segs,
+         sum(CASE WHEN rn > 1 THEN seg_tokens ELSE 0 END) AS rm_toks
+  FROM anranked WHERE doc_id >= {_DUP_OFFSET} GROUP BY doc_id
+)
+SELECT (al_doc.doc_id - {_DUP_OFFSET}) % 7 + 1 AS span_offset,
+       count(*)::BIGINT AS n_copies,
+       sum(CASE WHEN al_doc.rm_segs > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS aligned_docs_hit,
+       sum(CASE WHEN an_doc.rm_segs > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS anchored_docs_hit,
+       sum(al_doc.rm_toks)::BIGINT AS aligned_removed_tokens,
+       sum(an_doc.rm_toks)::BIGINT AS anchored_removed_tokens
+FROM al_doc JOIN an_doc USING (doc_id)
+GROUP BY 1
+"""
+    )
+
+
+WAVE7_QUERIES = {
+    "minhash_pairs_bucketed_documents": minhash_pairs_bucketed_documents,
+    "substring_dedup_unaligned_documents": substring_dedup_unaligned_documents,
+    "substring_recall_aligned_vs_anchored": substring_recall_aligned_vs_anchored,
+}

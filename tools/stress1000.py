@@ -34,6 +34,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from arcane_framework_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
+    minhash_lsh_pairs_bucketed,
     substring_dedup_stats,
 )
 from arcane_framework_spark.operators.similarity import (  # noqa: E402
@@ -150,8 +151,26 @@ def enlarged_embeddings(spark, sf_dir: str):
     )
 
 
+def warehouse_bytes(spark) -> int:
+    """Bytes under spark.sql.warehouse.dir — where bucketed side tables
+    land. Accounted separately from blockmgr growth so routing shuffle
+    through storage cannot masquerade as 'disk eliminated'."""
+    root = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    total = 0
+    for r, _d, files in os.walk(root):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(r, f))
+            except OSError:
+                pass
+    return total
+
+
 def timed(spark, label: str, fn, results: dict) -> dict:
     disk0 = blockmgr_bytes()
+    wh0 = warehouse_bytes(spark)
     t0 = time.time()
     n = fn().count()
     sec = round(time.time() - t0, 2)
@@ -160,6 +179,9 @@ def timed(spark, label: str, fn, results: dict) -> dict:
         "sec": sec,
         "us_per_row": round(1e6 * sec / max(n, 1), 2),
         "blockmgr_growth_mib": max(0, (blockmgr_bytes() - disk0)) // 2**20,
+        "warehouse_growth_mib": max(
+            0, (warehouse_bytes(spark) - wh0)
+        ) // 2**20,
         "jvm_peak_rss_mib": jvm_peak_rss_mib(spark),
     }
     results[label] = out
@@ -204,6 +226,30 @@ def main() -> None:
     # ---- workhorse 1: MinHash-LSH pair generation ---------------------
     timed(spark, "minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs),
           results)
+
+    # ---- the round-11 verdict #1 fix: bucketed side-table plan --------
+    # Same pairs bit-for-bit (gate entry X181 shares the oracle); the
+    # band self-join and shingle verification read bucket-aligned, the
+    # multi-band distinct is gone — blockmgr growth is the headline,
+    # warehouse growth the honestly-accounted storage cost.
+    timed(
+        spark, "minhash_lsh_pairs_bucketed",
+        lambda: minhash_lsh_pairs_bucketed(
+            docs, table_prefix="stress1000_mh"
+        ),
+        results,
+    )
+    if isinstance(results.get("minhash_lsh_pairs"), dict):
+        base_row = results["minhash_lsh_pairs"]
+        bkt_row = results["minhash_lsh_pairs_bucketed"]
+        results["minhash_bucketed_vs_memory"] = {
+            "rows_equal": base_row["rows"] == bkt_row["rows"],
+            "blockmgr_mib_memory_path": base_row["blockmgr_growth_mib"],
+            "blockmgr_mib_bucketed_path": bkt_row["blockmgr_growth_mib"],
+            "warehouse_mib_bucketed_path": bkt_row["warehouse_growth_mib"],
+            "sec_memory_path": base_row["sec"],
+            "sec_bucketed_path": bkt_row["sec"],
+        }
 
     # ---- new this round: exact-substring dedup (X175) -----------------
     timed(spark, "substring_dedup_stats",
