@@ -284,9 +284,15 @@ def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     test (ordered files, maxFilesPerTrigger=1) asserts the side-table
     state machinery preserves that equality across any ordered slicing.
 
-    Scale: per batch, only the batch tokenizes; the corpus index is
-    persisted once pre-stream; the seen-side table grows with NEW
-    arrival content only and joins on the 16-byte hash.
+    Scale: per batch, only the batch tokenizes. The presence state
+    (corpus index ∪ previously-seen arrival content) is ONE bucketed
+    external parquet table on ``seg_hash`` (the X87 layout; round-11
+    verdict #3): the per-batch presence join and the new-hash anti-join
+    both read the state side exchange-free — only the batch shuffles,
+    no matter how large the seen state grows — and each batch appends
+    its NEW hashes as bucket-aligned files. The earlier shape (flat
+    parquet dir unioned+distinct'd with an in-memory corpus index every
+    micro-batch) re-shuffled the whole state per tick.
     """
     import os
     import tempfile
@@ -305,20 +311,38 @@ def streaming_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-invocation sequence for the streaming seen-state table name: the
+#: state is INVOCATION-scoped (bench best-of-3 and the gate re-run the
+#: entry in one session and must each start from a fresh corpus-only
+#: state), so the session-scoped name alone is not unique enough.
+_SEEN_STATE_SEQ = __import__("itertools").count()
+
+#: Bucket count of the streaming seen-state table. Matches the default
+#: shuffle-partition count so the batch side lands bucket-aligned.
+_SEEN_STATE_BUCKETS = 16
+
+
 def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
                                seen_dir: str, decision_sink,
                                max_files_per_trigger: int | None = None,
                                arrival_source: str | None = None) -> None:
     """Drive the availableNow substring-dedup arrival stream; per batch
     the DECISIONS DataFrame goes to ``decision_sink(df, batch_id)`` and
-    the batch's NEW segment firsts are appended to the ``seen_dir``
-    parquet side table (the cross-batch state). ``arrival_source``
-    overrides the default planted-arrival construction with a prepared
-    parquet directory of (doc_id, text) — the multi-batch split test
-    uses it with ``max_files_per_trigger=1``."""
+    the batch's NEW segment hashes are appended to the presence state —
+    an EXTERNAL bucketed parquet table at ``seen_dir`` (bucketed+sorted
+    on ``seg_hash``), seeded pre-stream with the corpus's segment index.
+    One state table, bucket-aligned reads every tick (see
+    ``streaming_substring_dedup``). ``arrival_source`` overrides the
+    default planted-arrival construction with a prepared parquet
+    directory of (doc_id, text) — the multi-batch split test uses it
+    with ``max_files_per_trigger=1``."""
     from arcane_framework_spark.operators.dedup import (
         corpus_segment_hashes,
         incremental_substring_stats,
+    )
+    from arcane_framework_spark.operators.scale import (
+        gc_stale_side_tables,
+        session_scoped_table,
     )
     from arcane_framework_spark.operators.text import (
         positioned_segment_hashes,
@@ -328,8 +352,19 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
 
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"].select("doc_id", "text")
-    corpus_index = corpus_segment_hashes(docs).persist()
-    corpus_index.count()
+    state_tbl = (
+        session_scoped_table(spark, "substr_seen_state")
+        + f"_{next(_SEEN_STATE_SEQ)}"
+    )
+    gc_stale_side_tables(spark, "substr_seen_state")
+    (
+        corpus_segment_hashes(docs)
+        .write.mode("overwrite")
+        .bucketBy(_SEEN_STATE_BUCKETS, "seg_hash")
+        .sortBy("seg_hash")
+        .option("path", seen_dir)
+        .saveAsTable(state_tbl)
+    )
 
     if arrival_source is None:
         stream = (
@@ -351,27 +386,32 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
             )
         arrivals = reader.parquet(arrival_source)
 
-    import os
-
     def judge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        index = corpus_index
-        if os.path.isdir(seen_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(seen_dir)
-        ):
-            index = corpus_index.unionByName(
-                spark.read.parquet(seen_dir).select("seg_hash")
-            ).distinct()
+        # re-resolve per tick so files appended by earlier batches are
+        # visible; the scan stays bucket-aligned however many appends
+        # have landed (more files per bucket, same bucketing)
+        index = spark.table(state_tbl).select("seg_hash")
         out = incremental_substring_stats(batch_df, index)
         decision_sink(out, batch_id)
         # append this batch's content to the seen state: one row per
-        # distinct NEW hash (presence is all later batches need)
-        new_hashes = (
+        # distinct NEW hash (presence is all later batches need; the
+        # anti-join keeps the state duplicate-free, which the presence
+        # LEFT join relies on). The state side of the anti-join reads
+        # bucket-aligned too — only the batch-sized left side shuffles.
+        (
             positioned_segment_hashes(batch_df)
             .select("seg_hash")
             .distinct()
-            .join(index.select("seg_hash"), "seg_hash", "left_anti")
+            .join(index, "seg_hash", "left_anti")
+            .write.mode("append")
+            .bucketBy(_SEEN_STATE_BUCKETS, "seg_hash")
+            .sortBy("seg_hash")
+            .saveAsTable(state_tbl)
         )
-        new_hashes.write.mode("append").parquet(seen_dir)
+        # the session catalog caches the table's file listing; without
+        # an explicit refresh the NEXT tick's scan can serve the
+        # pre-append file set and silently re-keep seen content
+        spark.catalog.refreshTable(state_tbl)
 
     try:
         with stream_conf(spark):
@@ -382,7 +422,10 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
             )
             q.awaitTermination()
     finally:
-        corpus_index.unpersist()
+        # external table: dropping releases the catalog entry; the
+        # bucket files in seen_dir stay with their owner (the caller's
+        # tempdir at gate scale, durable storage in production)
+        spark.sql(f"DROP TABLE IF EXISTS {state_tbl}")
 
 
 def _substring_segs_sql() -> str:
