@@ -62,6 +62,167 @@ class _PagePartition(InputPartition):
         self.page = page
 
 
+class _SweepPartition(InputPartition):
+    """One sequential sweep (OFFSET / TOKEN pagination: the next request
+    depends on the previous response, so the sweep is inherently serial —
+    it runs inside a single executor task instead of the driver loop)."""
+
+    def __init__(self):
+        super().__init__(value=None)
+
+
+def options_from_spec(spec_json: str) -> dict:
+    """Translate a ``STREAMCONTEXT__SPEC`` JSON payload into
+    ``arcane_rest`` reader options — the same declarative surface the
+    driver-loop face accepts (``rest_source_from_spec``), on the Spark-4
+    DataSource face (round-11 verdict #4). Reference model: the stream
+    plugins deserialize ``PageResolverConfiguration`` + the templated
+    field list straight from the spec (PageResolverConfiguration.cs:9-44,
+    RestApiTemplatedField.cs:9-35).
+
+    Mapping:
+
+    - ``urlTemplate`` + ``templatedFields`` → ``url_template`` with the
+      named placeholders rewritten to the DataSource slots: the
+      RESPONSE_PAGE field becomes ``@page`` (``@token`` under a TOKEN
+      resolver); FILTER_DATE[_BETWEEN]_FROM/_BETWEEN_TO become
+      ``@from``/``@to`` when a date range is declared, else they are
+      rendered INTO the template here (a batch read is a backfill: the
+      value is ``backfillStartUnixMillis`` / ``rangeEndUnixMillis``,
+      formatted with the field's own formatString).
+    - ``pageResolver`` → COUNTER: ``pages_key_chain`` (total-page count
+      read from the probe response; pages then fetch in parallel);
+      OFFSET: ``offset_start``/``offset_size`` (sequential sweep until a
+      short page, reference PageOffsetResolver semantics); TOKEN:
+      ``next_token_key_chain`` (sequential chain until the token property
+      disappears, reference PageNextTokenResolver.cs:30-35).
+    - ``responsePropertyKeyChain`` → ``key_chain``; ``headers`` →
+      ``header.<name>``; ``rateLimitRequests``/``rateLimitPerSeconds`` →
+      ``requests_per_second``; ``schemaDdl`` → ``schema_ddl`` (consumed
+      by ``RestDataSource.schema()`` so ``.schema(...)`` is optional);
+      ``rangeStartUnixMillis``/``rangeStepSeconds`` → the stream
+      reader's date-range mode.
+    - ``bearerAuth`` → one driver-side token fetch at translation time,
+      emitted as a static header (executors never re-fetch; a token
+      outliving the read is the caller's contract — the driver-loop face
+      is the one with mid-stream refresh).
+
+    BODY-placed fields and ``bodyTemplate`` raise: this face issues GET
+    requests only (page-parallel fetch has no request body to thread);
+    declare such specs on the driver-loop face.
+    """
+    from arcane_framework_spark.plans.spec import PageResolverConfiguration
+    from arcane_framework_spark.sources.rest import (
+        DynamicBearerAuth,
+        TemplatedFieldPlacement,
+        TemplatedFieldType,
+        templated_fields_from_spec,
+    )
+
+    spec = json.loads(spec_json)
+    opts = spec.get("options", spec)  # accept the payload or bare options
+    if opts.get("bodyTemplate"):
+        raise ValueError(
+            "the arcane_rest DataSource issues GET requests only; a spec "
+            "with bodyTemplate belongs on the driver-loop face "
+            "(rest_source_from_spec)"
+        )
+    template = opts["urlTemplate"]
+    out: dict = {}
+
+    resolver = None
+    if opts.get("pageResolver") is not None:
+        resolver = PageResolverConfiguration.from_dict(opts["pageResolver"])
+
+    fields = templated_fields_from_spec(opts.get("templatedFields") or [])
+    page_field = from_field = to_field = None
+    for f in fields:
+        if f.placement != TemplatedFieldPlacement.URL:
+            raise ValueError(
+                f"templated field {f.field_name!r} declares BODY "
+                "placement; the arcane_rest DataSource face is URL-only"
+            )
+        if f.field_type == TemplatedFieldType.RESPONSE_PAGE:
+            page_field = page_field or f
+        elif f.field_type in (TemplatedFieldType.FILTER_DATE_FROM,
+                              TemplatedFieldType.FILTER_DATE_BETWEEN_FROM):
+            from_field = from_field or f
+        elif f.field_type == TemplatedFieldType.FILTER_DATE_BETWEEN_TO:
+            to_field = to_field or f
+
+    if resolver is not None:
+        if page_field is None:
+            # the reference's exact error (PagedUriProvider.cs:113-117)
+            raise ValueError(
+                "No field in either body or request url has a `page` "
+                "parameter, though API is initialized as paged"
+            )
+        page_slot = "@token" if resolver.resolver_type == "TOKEN" else "@page"
+        template = template.replace(f"@{page_field.field_name}", page_slot)
+        chain = ".".join(resolver.resolver_property_key_chain)
+        if resolver.resolver_type == "COUNTER":
+            out["pages_key_chain"] = chain
+        elif resolver.resolver_type == "TOKEN":
+            out["next_token_key_chain"] = chain
+        else:  # OFFSET
+            if resolver.response_size is None:
+                raise ValueError(
+                    "Response size is required for OFFSET resolver"
+                )
+            out["offset_size"] = str(resolver.response_size)
+            out["offset_start"] = str(resolver.start_offset or 0)
+
+    ranged = opts.get("rangeStartUnixMillis") is not None
+    if ranged and from_field is not None:
+        from arcane_framework_spark.plans.spec import parse_unix_millis
+
+        start = parse_unix_millis(opts["rangeStartUnixMillis"])
+        out["range_start"] = start.isoformat()
+        out["range_step_seconds"] = str(opts.get("rangeStepSeconds", 86400))
+        out["date_format"] = from_field.format_string
+        template = template.replace(f"@{from_field.field_name}", "@from")
+        if to_field is not None:
+            template = template.replace(f"@{to_field.field_name}", "@to")
+    else:
+        # batch/backfill: render date filters here, with each field's own
+        # formatString (SimpleUriProvider.cs:70 — absent fields are
+        # silently skipped, not errors)
+        for f, key in ((from_field, "backfillStartUnixMillis"),
+                       (to_field, "rangeEndUnixMillis")):
+            if f is None:
+                continue
+            from arcane_framework_spark.plans.spec import parse_unix_millis
+
+            raw = opts.get(key)
+            value = (
+                parse_unix_millis(raw) if raw is not None
+                else datetime.now(timezone.utc)
+            )
+            template = template.replace(
+                f"@{f.field_name}", value.strftime(f.format_string)
+            )
+
+    out["url_template"] = template
+    if opts.get("responsePropertyKeyChain"):
+        out["key_chain"] = ".".join(opts["responsePropertyKeyChain"])
+    if opts.get("schemaDdl"):
+        out["schema_ddl"] = opts["schemaDdl"]
+    if opts.get("timeoutSeconds"):
+        out["timeout_seconds"] = str(opts["timeoutSeconds"])
+    if opts.get("rateLimitRequests"):
+        out["requests_per_second"] = str(
+            float(opts["rateLimitRequests"])
+            / float(opts.get("rateLimitPerSeconds", 1.0))
+        )
+    for name, value in (opts.get("headers") or {}).items():
+        out[f"header.{name}"] = value
+    if opts.get("bearerAuth"):
+        auth = DynamicBearerAuth.from_spec(opts["bearerAuth"])
+        for name, value in auth.get_headers().items():
+            out[f"header.{name}"] = value
+    return out
+
+
 #: Per-process rate-limiter registry. The reader object is re-deserialized
 #: per task, but the Python worker process survives across tasks — keying
 #: the bucket on the configured rate makes every task in the same worker
@@ -175,6 +336,20 @@ class RestReader(DataSourceReader):
         self.key_chain = [
             k for k in options.get("key_chain", "").split(".") if k
         ]
+        # spec-driven resolver modes (options_from_spec): COUNTER probes
+        # the first page for the total-page property then fans out page-
+        # parallel; OFFSET and TOKEN are response-chained, so they run as
+        # ONE sequential executor sweep (still off the driver)
+        self.pages_key_chain = [
+            k for k in options.get("pages_key_chain", "").split(".") if k
+        ]
+        size = options.get("offset_size")
+        self.offset_size = int(size) if size else None
+        self.offset_start = int(options.get("offset_start", "0"))
+        self.token_chain = [
+            k for k in options.get("next_token_key_chain", "").split(".")
+            if k
+        ]
         self.timeout = float(options.get("timeout_seconds", "30"))
         self.max_attempts = int(options.get("max_retry_attempts", "3"))
         self.backoff = float(options.get("retry_backoff_seconds", "1"))
@@ -187,7 +362,30 @@ class RestReader(DataSourceReader):
         }
 
     def partitions(self) -> list[InputPartition]:
+        if self.token_chain or self.offset_size is not None:
+            return [_SweepPartition()]
+        if self.pages_key_chain:
+            # COUNTER: one driver-side probe of page 1 discovers the page
+            # count (reference PageCountingResolver reads it from the
+            # response property), then every page fetches in parallel —
+            # page 1 is re-fetched by its own task, the price of planning
+            doc = self._doc(self.url_template.replace("@page", "1"))
+            from arcane_framework_spark.sources.rest import (
+                extract_by_key_chain,
+            )
+
+            found = extract_by_key_chain(doc, self.pages_key_chain)
+            total = int(found[0]) if found else 1
+            return [_PagePartition(p) for p in range(1, max(total, 1) + 1)]
         return [_PagePartition(p) for p in range(1, self.num_pages + 1)]
+
+    def _doc(self, url: str):
+        return _fetch_doc(
+            url, self.headers, self.timeout,
+            max_attempts=self.max_attempts,
+            backoff_seconds=self.backoff,
+            requests_per_second=self.requests_per_second,
+        )
 
     def _fetch(self, url: str) -> list[dict]:
         return _fetch_rows(
@@ -197,10 +395,46 @@ class RestReader(DataSourceReader):
             requests_per_second=self.requests_per_second,
         )
 
-    def read(self, partition: _PagePartition) -> Iterator[tuple]:
-        url = self.url_template.replace("@page", str(partition.page))
-        for row in self._fetch(url):
+    def _tuples(self, rows: list[dict]) -> Iterator[tuple]:
+        for row in rows:
             yield tuple(row.get(name) for name in self.schema_fields)
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if isinstance(partition, _SweepPartition):
+            if self.token_chain:
+                yield from self._token_sweep()
+            else:
+                yield from self._offset_sweep()
+            return
+        url = self.url_template.replace("@page", str(partition.page))
+        yield from self._tuples(self._fetch(url))
+
+    def _token_sweep(self) -> Iterator[tuple]:
+        """Continuation-token chain until the token property disappears
+        (reference PageNextTokenResolver.cs:30-35; first request renders
+        the token slot empty)."""
+        from arcane_framework_spark.sources.rest import extract_by_key_chain
+
+        token = ""
+        while True:
+            doc = self._doc(self.url_template.replace("@token", str(token)))
+            yield from self._tuples(_rows_in(doc, self.key_chain))
+            found = extract_by_key_chain(doc, self.token_chain)
+            token = found[0] if found else None
+            if token in (None, ""):
+                return
+
+    def _offset_sweep(self) -> Iterator[tuple]:
+        """OFFSET pagination: advance by responseSize until a short page
+        (reference PageOffsetResolver semantics)."""
+        offset = self.offset_start
+        while True:
+            url = self.url_template.replace("@page", str(offset))
+            rows = self._fetch(url)
+            yield from self._tuples(rows)
+            if len(rows) < self.offset_size:
+                return
+            offset += self.offset_size
 
 
 class RestStreamReader(SimpleDataSourceStreamReader):
@@ -259,6 +493,8 @@ class RestStreamReader(SimpleDataSourceStreamReader):
             return {"token": ""}
         if self.range_start is not None:
             return {"slice": 0, "page": 0}
+        if self.inner.offset_size is not None:
+            return {"off": self.inner.offset_start}
         return {"page": 0}
 
     def read(self, start: dict) -> tuple:
@@ -267,6 +503,10 @@ class RestStreamReader(SimpleDataSourceStreamReader):
                 return self._read_token(start)
             if self.range_start is not None:
                 return self._read_range(start)
+            if self.inner.offset_size is not None:
+                return self._read_offset(start)
+            if self.inner.pages_key_chain:
+                return self._read_counter(start)
             next_page = int(start["page"]) + 1
             rows = self._rows_for(next_page)
         except RateLimitedError:
@@ -277,6 +517,51 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         if not rows:
             return iter([]), start
         return iter(rows), {"page": next_page}
+
+    def _read_offset(self, start: dict) -> tuple:
+        """Spec-driven OFFSET mode: one offset step per micro-batch; a
+        SHORT page ends the sweep (terminal "done" offset, same reasoning
+        as token mode's)."""
+        if start.get("done"):
+            return iter([]), start
+        off = int(start["off"])
+        try:
+            rows = self._rows_for_value(off)
+        except RateLimitedError:
+            return iter([]), start
+        if len(rows) < self.inner.offset_size:
+            return iter(rows), {"off": off, "done": 1}
+        return iter(rows), {"off": off + self.inner.offset_size}
+
+    def _read_counter(self, start: dict) -> tuple:
+        """Spec-driven COUNTER mode: the total-page property of each
+        response bounds the sweep (reference PageCountingResolver);
+        pagination past it is terminal, not an empty-page hold."""
+        if start.get("done"):
+            return iter([]), start
+        from arcane_framework_spark.sources.rest import extract_by_key_chain
+
+        next_page = int(start["page"]) + 1
+        try:
+            doc = self.inner._doc(
+                self.inner.url_template.replace("@page", str(next_page))
+            )
+        except RateLimitedError:
+            return iter([]), start
+        rows = list(self.inner._tuples(_rows_in(doc, self.inner.key_chain)))
+        found = extract_by_key_chain(doc, self.inner.pages_key_chain)
+        total = int(found[0]) if found else next_page
+        if next_page >= total:
+            return iter(rows), {"page": next_page, "done": 1}
+        return iter(rows), {"page": next_page}
+
+    def _rows_for_value(self, value: int) -> list[tuple]:
+        return [
+            tuple(row.get(name) for name in self.inner.schema_fields)
+            for row in self.inner._fetch(
+                self.inner.url_template.replace("@page", str(value))
+            )
+        ]
 
     def _read_token(self, start: dict) -> tuple:
         if start.get("done"):
@@ -365,6 +650,27 @@ class RestStreamReader(SimpleDataSourceStreamReader):
                     )
                 cur = nxt
             return iter(rows)
+        if self.inner.offset_size is not None or self.inner.pages_key_chain:
+            # offset/counter cursors are deterministic for already-served
+            # pages: re-walk read() from `start` until the offsets meet
+            # `end` — the exact token-mode replay contract, including the
+            # fail-don't-truncate rule on a mid-replay throttle
+            step = (
+                self._read_offset
+                if self.inner.offset_size is not None
+                else self._read_counter
+            )
+            rows: list[tuple] = []
+            cur = dict(start)
+            while cur != end and not cur.get("done"):
+                batch, nxt = step(cur)
+                rows.extend(batch)
+                if nxt == cur:
+                    raise RateLimitedError(
+                        f"throttled replaying committed range {start}..{end}"
+                    )
+                cur = nxt
+            return iter(rows)
         rows = []
         for page in range(int(start["page"]) + 1, int(end["page"]) + 1):
             rows.extend(self._rows_for(page))
@@ -384,19 +690,38 @@ class RestStreamReader(SimpleDataSourceStreamReader):
 
 
 class RestDataSource(DataSource):
-    """``format("arcane_rest")`` — page-parallel batch + page-cursor stream."""
+    """``format("arcane_rest")`` — page-parallel batch + page-cursor stream.
+
+    Accepts either the programmatic option vocabulary (module docstring)
+    or a single ``spec`` option carrying the ``STREAMCONTEXT__SPEC`` JSON
+    payload, translated by :func:`options_from_spec` — the same
+    declarative surface as the driver-loop face, so a declared stream
+    runs on either. Explicitly-set reader options override what the spec
+    derives; the spec's ``schemaDdl`` serves as the default schema when
+    ``.schema(...)`` is not called.
+    """
 
     @classmethod
     def name(cls) -> str:
         return "arcane_rest"
 
+    def _resolved_options(self) -> dict:
+        if "spec" not in self.options:
+            return self.options
+        derived = options_from_spec(self.options["spec"])
+        explicit = {
+            k: v for k, v in self.options.items() if k != "spec"
+        }
+        return {**derived, **explicit}
+
     def schema(self) -> str:
-        # A declared .schema(...) always takes precedence; this default
+        # A declared .schema(...) always takes precedence; the spec's
+        # schemaDdl is the declarative default; the value-string fallback
         # covers schemaless exploration.
-        return "value STRING"
+        return self._resolved_options().get("schema_ddl", "value STRING")
 
     def reader(self, schema: StructType) -> RestReader:
-        return RestReader(schema, self.options)
+        return RestReader(schema, self._resolved_options())
 
     def simpleStreamReader(self, schema: StructType) -> RestStreamReader:  # noqa: N802
-        return RestStreamReader(schema, self.options)
+        return RestStreamReader(schema, self._resolved_options())

@@ -2338,3 +2338,261 @@ def test_rest_pipeline_bearer_auth_from_spec(spark):
         assert token_calls == [{"client_id": "c1", "client_secret": "s1"}]
     finally:
         server.shutdown()
+
+
+def _spec_rest_server():
+    """Stub API exposing all three reference pagination protocols plus a
+    date filter and an auth check, for the spec-driven DataSource tests."""
+    import http.server
+    import json as _json
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    all_rows = [{"id": i, "name": f"r{i}"} for i in range(10)]
+    seen_paths: list = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen_paths.append(self.path)
+            if self.headers.get("X-Api-Key") != "sekret":
+                self.send_response(401)
+                self.end_headers()
+                return
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            if u.path == "/counter":
+                page = int(q["page"][0])  # pages 1..3, 4 rows, 4, 2
+                lo = (page - 1) * 4
+                payload = {"meta": {"totalPages": 3},
+                           "items": all_rows[lo:lo + 4]}
+            elif u.path == "/offset":
+                off = int(q["o"][0])  # short page ends the sweep
+                payload = {"items": all_rows[off:off + 4]}
+            elif u.path == "/token":
+                t = q.get("t", [""])[0]
+                idx = {"": 0, "t1": 4, "t2": 8}[t]
+                nxt = {"": "t1", "t1": "t2", "t2": None}[t]
+                payload = {"items": all_rows[idx:idx + 4]}
+                if nxt:
+                    payload["next"] = nxt
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = _json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, server.server_address[1], seen_paths
+
+
+def test_rest_datasource_spec_driven_all_resolver_types(spark):
+    """The round-11 verdict #4 gap closed: format('arcane_rest') launched
+    from the SAME STREAMCONTEXT__SPEC JSON the driver-loop face takes —
+    PageResolverConfiguration (all three resolver types), templated
+    fields, headers, schemaDdl (no .schema() call) — against the stub
+    server. COUNTER fans out page-parallel from the probed total; OFFSET
+    and TOKEN run the reference's sequential chain on an executor."""
+    import json as _json
+
+    from arcane_framework_spark.sources.rest_datasource import RestDataSource
+
+    server, port, seen = _spec_rest_server()
+    spark.dataSource.register(RestDataSource)
+    base = f"http://127.0.0.1:{port}"
+
+    def spec(url, resolver, extra_fields=()):
+        return _json.dumps({"options": {
+            "urlTemplate": url,
+            "templatedFields": [
+                {"fieldType": "RESPONSE_PAGE", "fieldName": "thePage",
+                 "placement": "URL"},
+                *extra_fields,
+            ],
+            "pageResolver": resolver,
+            "responsePropertyKeyChain": ["items"],
+            "schemaDdl": "id LONG, name STRING",
+            "headers": {"X-Api-Key": "sekret"},
+        }})
+
+    want = sorted((i, f"r{i}") for i in range(10))
+    try:
+        counter = (
+            spark.read.format("arcane_rest")
+            .option("spec", spec(
+                base + "/counter?page=@thePage",
+                {"resolverType": "COUNTER",
+                 "resolverPropertyKeyChain": ["meta", "totalPages"]},
+            ))
+            .load()
+        )
+        assert counter.schema.simpleString() == "struct<id:bigint,name:string>"
+        assert counter.rdd.getNumPartitions() == 3  # probed total
+        assert sorted((r.id, r.name) for r in counter.collect()) == want
+
+        offset = (
+            spark.read.format("arcane_rest")
+            .option("spec", spec(
+                base + "/offset?o=@thePage",
+                {"resolverType": "OFFSET", "responseSize": 4,
+                 "startOffset": 0},
+            ))
+            .load()
+        )
+        assert sorted((r.id, r.name) for r in offset.collect()) == want
+        # the short page (2 rows at o=8) ended the sweep: no o=12 request
+        assert not any("o=12" in p for p in seen)
+
+        token = (
+            spark.read.format("arcane_rest")
+            .option("spec", spec(
+                base + "/token?t=@thePage",
+                {"resolverType": "TOKEN",
+                 "resolverPropertyKeyChain": ["next"]},
+            ))
+            .load()
+        )
+        assert sorted((r.id, r.name) for r in token.collect()) == want
+        # chain walked exactly "" -> t1 -> t2, stopped on missing token
+        assert [p for p in seen if p.startswith("/token")] == [
+            "/token?t=", "/token?t=t1", "/token?t=t2",
+        ]
+    finally:
+        server.shutdown()
+
+
+def test_rest_datasource_spec_date_fields_and_overrides(spark):
+    """Spec date fields on the DataSource face: without a declared range
+    the FROM/TO fields render at translation time from
+    backfillStartUnixMillis / rangeEndUnixMillis with each field's own
+    formatString (SimpleUriProvider semantics: absent fields are skipped
+    silently); a BODY-placed field is an explicit error on this GET-only
+    face; explicit reader options override spec-derived ones."""
+    import json as _json
+
+    import pytest
+
+    from arcane_framework_spark.sources.rest_datasource import (
+        RestDataSource,
+        options_from_spec,
+    )
+
+    server, port, seen = _spec_rest_server()
+    spark.dataSource.register(RestDataSource)
+    try:
+        payload = {"options": {
+            "urlTemplate": f"http://127.0.0.1:{port}/counter"
+                           "?page=@p&from=@dFrom&to=@dTo",
+            "templatedFields": [
+                {"fieldType": "RESPONSE_PAGE", "fieldName": "p"},
+                {"fieldType": "FILTER_DATE_BETWEEN_FROM",
+                 "fieldName": "dFrom", "formatString": "%Y-%m-%d"},
+                {"fieldType": "FILTER_DATE_BETWEEN_TO",
+                 "fieldName": "dTo", "formatString": "%Y%m%d"},
+            ],
+            "pageResolver": {"resolverType": "COUNTER",
+                             "resolverPropertyKeyChain": ["meta",
+                                                          "totalPages"]},
+            "responsePropertyKeyChain": ["items"],
+            "schemaDdl": "id LONG, name STRING",
+            "headers": {"X-Api-Key": "sekret"},
+            "backfillStartUnixMillis": 1577836800000,   # 2020-01-01
+            "rangeEndUnixMillis": 1577923200000,        # 2020-01-02
+        }}
+        df = (
+            spark.read.format("arcane_rest")
+            .option("spec", _json.dumps(payload))
+            .load()
+        )
+        assert df.count() == 10
+        assert any(
+            "from=2020-01-01&to=20200102" in p for p in seen
+        ), seen[-3:]
+
+        # explicit option beats the spec-derived one
+        opts = options_from_spec(_json.dumps(payload))
+        assert opts["key_chain"] == "items"
+        narrowed = (
+            spark.read.format("arcane_rest")
+            .option("spec", _json.dumps(payload))
+            .option("key_chain", "missing.path")
+            .load()
+        )
+        assert narrowed.count() == 0
+
+        bad = {"options": {
+            "urlTemplate": "http://x/?page=@p",
+            "templatedFields": [
+                {"fieldType": "RESPONSE_PAGE", "fieldName": "p",
+                 "placement": "BODY"},
+            ],
+            "pageResolver": {"resolverType": "COUNTER",
+                             "resolverPropertyKeyChain": ["n"]},
+            "schemaDdl": "id LONG",
+        }}
+        with pytest.raises(Exception, match="URL-only"):
+            spark.read.format("arcane_rest").option(
+                "spec", _json.dumps(bad)
+            ).load().count()
+    finally:
+        server.shutdown()
+
+
+def test_rest_datasource_spec_streaming_offset_terminates(spark, tmp_path):
+    """Spec-driven OFFSET pagination on the STREAMING face: one offset
+    step per micro-batch, the short page is terminal (a 'done' offset —
+    distinct from an empty-page hold), so an availableNow-style bounded
+    drain sees every row exactly once."""
+    import json as _json
+    import time as _time
+
+    from arcane_framework_spark.sources.rest_datasource import RestDataSource
+
+    server, port, seen = _spec_rest_server()
+    spark.dataSource.register(RestDataSource)
+    try:
+        spec = _json.dumps({"options": {
+            "urlTemplate": f"http://127.0.0.1:{port}/offset?o=@pg",
+            "templatedFields": [
+                {"fieldType": "RESPONSE_PAGE", "fieldName": "pg"},
+            ],
+            "pageResolver": {"resolverType": "OFFSET", "responseSize": 4},
+            "responsePropertyKeyChain": ["items"],
+            "schemaDdl": "id LONG, name STRING",
+            "headers": {"X-Api-Key": "sekret"},
+        }})
+        stream = (
+            spark.readStream.format("arcane_rest")
+            .option("spec", spec)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory").queryName("rest_spec_off")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 90
+            rows: list = []
+            while _time.time() < deadline:
+                rows = [r.id for r in spark.table("rest_spec_off").collect()]
+                if len(rows) >= 10:
+                    break
+                _time.sleep(1)
+        finally:
+            q.stop()
+        assert sorted(rows) == list(range(10))  # exactly once, then done
+        # terminal: no request past the short page's offset
+        assert not any("o=12" in p for p in seen)
+    finally:
+        server.shutdown()
