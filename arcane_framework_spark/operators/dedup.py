@@ -339,9 +339,12 @@ def minhash_pair_counts_bucketed(df: DataFrame, text_col: str = "text",
     (one corpus-proportional parquet write each — the state a production
     pipeline materializes anyway); ``tools/stress1000.py`` accounts
     warehouse growth separately from block-manager growth. Measured at
-    the 1000x shape (5M docs, 52.6M pairs, idle host): block-manager
-    growth 19,032 MiB -> 0 MiB; warehouse side tables 4,251 MiB; wall
-    90s -> 189s (the parquet encode/decode of the reusable state). The
+    the 1000x shape (5M docs, 52.6M pairs, idle host, standalone JVM):
+    block-manager growth 19,032 MiB -> 1,366 MiB (14x; what remains is
+    the signature aggregate's shuffle and the pair-stream exchanges);
+    warehouse side tables 4,251 MiB; wall 90s -> 190s (the parquet
+    encode/decode of the reusable state — the corpus tokenizes ONCE,
+    the signature chain re-reads the written shingle table). The
     in-memory path stays the default for one-shot jobs that fit
     executor storage; this is the path for disk-bounded executors and
     for pipelines that keep the signature/band state anyway (its band
@@ -359,17 +362,33 @@ def minhash_pair_counts_bucketed(df: DataFrame, text_col: str = "text",
     gc_stale_side_tables(spark, f"{table_prefix}_bands")
     gc_stale_side_tables(spark, f"{table_prefix}_sh")
 
-    sig = minhash_signatures(df, text_col, id_col)
-    write_bucketed(
-        minhash_band_rows(sig, with_signature=True), bands_tbl,
-        ["band_id", "band_hash"], num_buckets,
-        sort_cols=["band_id", "band_hash"],
-    )
+    # ONE tokenize+shingle pass over the corpus: the shingle table is
+    # written first, and the signature chain re-reads it from parquet
+    # (explode -> one md5 per shingle in codegen -> partial-agg min) —
+    # the same signatures as minhash_signatures, minus the second full
+    # text scan the two-table prep would otherwise pay.
     write_bucketed(
         _with_tokens(df, text_col, id_col).select(
             "id", shingles_from_tokens(F.col("toks")).alias("shingles")
         ),
         sh_tbl, ["id"], num_buckets, sort_cols=["id"],
+    )
+    hashed = spark.table(sh_tbl).select(
+        "id", F.explode("shingles").alias("s")
+    ).select("id", shingle_hash_expr(F.col("s")).alias("h"))
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P)
+            ).alias(f"s{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+    write_bucketed(
+        minhash_band_rows(sig, with_signature=True), bands_tbl,
+        ["band_id", "band_hash"], num_buckets,
+        sort_cols=["band_id", "band_hash"],
     )
 
     bands = spark.table(bands_tbl)
@@ -1408,10 +1427,28 @@ def corpus_segment_hashes(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def anchored_corpus_segment_hashes(docs: DataFrame, id_col: str = "doc_id",
+                                   text_col: str = "text") -> DataFrame:
+    """The corpus's ANCHORED segment-content presence set (one distinct
+    seg_hash per content) — ``corpus_segment_hashes``'s twin for the
+    offset-invariant segmentation; the side table incremental anchored
+    dedup joins arrivals against (X87 bucketed layout at scale)."""
+    from arcane_framework_spark.operators.text import (
+        anchored_segment_hashes,
+    )
+
+    return (
+        anchored_segment_hashes(docs, id_col, text_col)
+        .select("seg_hash")
+        .distinct()
+    )
+
+
 def incremental_substring_stats(batch: DataFrame, corpus_index: DataFrame,
                                 id_col: str = "doc_id",
                                 text_col: str = "text",
-                                width: int | None = None) -> DataFrame:
+                                width: int | None = None,
+                                anchored: bool = False) -> DataFrame:
     """Exact-substring removal for a NEW batch against an existing
     corpus's segment index — the continuous-ingest shape: corpus text is
     never re-segmented; only the (small) arriving batch tokenizes.
@@ -1430,14 +1467,23 @@ def incremental_substring_stats(batch: DataFrame, corpus_index: DataFrame,
     presence set on the 16-byte hash (bucketed side table at scale, so
     only the batch shuffles); the within-batch firsts aggregate is
     batch-sized. Same output columns as :func:`substring_dedup_stats`.
+
+    ``anchored=True`` segments the batch with the content-defined
+    anchored rule instead (the ``corpus_index`` must then be built from
+    :func:`anchored_corpus_segment_hashes` — presence decisions are only
+    meaningful when both sides segment identically).
     """
     from arcane_framework_spark.operators.text import (
         SEGMENT_WIDTH,
+        anchored_segment_hashes,
         positioned_segment_hashes,
     )
 
-    width = SEGMENT_WIDTH if width is None else width
-    segs = positioned_segment_hashes(batch, id_col, text_col, width)
+    if anchored:
+        segs = anchored_segment_hashes(batch, id_col, text_col)
+    else:
+        width = SEGMENT_WIDTH if width is None else width
+        segs = positioned_segment_hashes(batch, id_col, text_col, width)
     in_corpus = corpus_index.select(
         "seg_hash", F.lit(True).alias("__in_corpus")
     )

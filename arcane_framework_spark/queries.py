@@ -1936,6 +1936,8 @@ ORACLE_SQL["repetition_stats_documents"] = _repetition_stats_sql()
 # _DUP_OFFSET from this module.
 from arcane_framework_spark.queries_wave7 import (  # noqa: E402
     WAVE7_QUERIES,
+    _anchored_width_sql,
+    _incremental_unaligned_sql,
     _recall_comparison_sql,
     _unaligned_dedup_sql,
 )
@@ -1945,3 +1947,10 @@ QUERIES.update(WAVE7_QUERIES)
 ORACLE_SQL["minhash_pairs_bucketed_documents"] = _minhash_sql()
 ORACLE_SQL["substring_dedup_unaligned_documents"] = _unaligned_dedup_sql()
 ORACLE_SQL["substring_recall_aligned_vs_anchored"] = _recall_comparison_sql()
+ORACLE_SQL["incremental_substring_unaligned_documents"] = (
+    _incremental_unaligned_sql()
+)
+# the doc_id-ordered availableNow drain makes first-arrived-wins coincide
+# with the batch order — the X178 argument, anchored edition
+ORACLE_SQL["streaming_substring_unaligned"] = _incremental_unaligned_sql()
+ORACLE_SQL["anchored_width_stats_documents"] = _anchored_width_sql()

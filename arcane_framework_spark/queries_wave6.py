@@ -325,7 +325,9 @@ _SEEN_STATE_BUCKETS = 16
 def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
                                seen_dir: str, decision_sink,
                                max_files_per_trigger: int | None = None,
-                               arrival_source: str | None = None) -> None:
+                               arrival_source: str | None = None,
+                               anchored: bool = False,
+                               arrival_transform=None) -> None:
     """Drive the availableNow substring-dedup arrival stream; per batch
     the DECISIONS DataFrame goes to ``decision_sink(df, batch_id)`` and
     the batch's NEW segment hashes are appended to the presence state —
@@ -337,6 +339,7 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
     directory of (doc_id, text) — the multi-batch split test uses it
     with ``max_files_per_trigger=1``."""
     from arcane_framework_spark.operators.dedup import (
+        anchored_corpus_segment_hashes,
         corpus_segment_hashes,
         incremental_substring_stats,
     )
@@ -345,7 +348,16 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
         session_scoped_table,
     )
     from arcane_framework_spark.operators.text import (
+        anchored_segment_hashes,
         positioned_segment_hashes,
+    )
+
+    index_of = (
+        anchored_corpus_segment_hashes if anchored
+        else corpus_segment_hashes
+    )
+    segments_of = (
+        anchored_segment_hashes if anchored else positioned_segment_hashes
     )
     from arcane_framework_spark.queries import _DUP_OFFSET
     from arcane_framework_spark.queries_ext import stream_conf
@@ -358,7 +370,7 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
     )
     gc_stale_side_tables(spark, "substr_seen_state")
     (
-        corpus_segment_hashes(docs)
+        index_of(docs)
         .write.mode("overwrite")
         .bucketBy(_SEEN_STATE_BUCKETS, "seg_hash")
         .sortBy("seg_hash")
@@ -372,12 +384,17 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
         )
-        arrivals = stream.filter(
-            F.col("doc_id") % SUBSTR_EVERY == 0
-        ).select(
-            (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
-            F.concat(F.lit(SUBSTR_SPAN + " "), F.col("text")).alias("text"),
-        )
+        if arrival_transform is not None:
+            arrivals = arrival_transform(stream)
+        else:
+            arrivals = stream.filter(
+                F.col("doc_id") % SUBSTR_EVERY == 0
+            ).select(
+                (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+                F.concat(
+                    F.lit(SUBSTR_SPAN + " "), F.col("text")
+                ).alias("text"),
+            )
     else:
         reader = spark.readStream.schema("doc_id long, text string")
         if max_files_per_trigger is not None:
@@ -391,7 +408,8 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
         # visible; the scan stays bucket-aligned however many appends
         # have landed (more files per bucket, same bucketing)
         index = spark.table(state_tbl).select("seg_hash")
-        out = incremental_substring_stats(batch_df, index)
+        out = incremental_substring_stats(batch_df, index,
+                                          anchored=anchored)
         decision_sink(out, batch_id)
         # append this batch's content to the seen state: one row per
         # distinct NEW hash (presence is all later batches need; the
@@ -399,7 +417,7 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
         # LEFT join relies on). The state side of the anti-join reads
         # bucket-aligned too — only the batch-sized left side shuffles.
         (
-            positioned_segment_hashes(batch_df)
+            segments_of(batch_df)
             .select("seg_hash")
             .distinct()
             .join(index, "seg_hash", "left_anti")

@@ -166,6 +166,116 @@ def substring_recall_aligned_vs_anchored(spark: SparkSession,
     )
 
 
+def incremental_substring_unaligned_documents(spark: SparkSession,
+                                              sf_dir: str) -> DataFrame:
+    """Incremental anchored exact-substring dedup: the offset-planted
+    arrivals judged against the plain corpus's ANCHORED segment-presence
+    index (corpus text never re-segmented; only the batch tokenizes) —
+    X177's continuous-ingest shape carried to the offset-invariant
+    segmentation, so a copy arriving at ANY token offset is still
+    removed against the corpus. Decision rule provably equal to the
+    batch operator on (corpus ∪ arrivals) restricted to arrivals (every
+    corpus doc_id precedes every arrival), which is literally the shared
+    oracle restriction."""
+    from arcane_framework_spark.operators.dedup import (
+        anchored_corpus_segment_hashes,
+        incremental_substring_stats,
+    )
+    from arcane_framework_spark.queries import _DUP_OFFSET
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    index = anchored_corpus_segment_hashes(docs)
+    batch = docs.filter(F.col("doc_id") % UNALIGNED_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat(
+            F.expr(
+                "repeat(concat('pad', CAST(doc_id AS STRING), ' '), "
+                "CAST(doc_id % 7 + 1 AS INT))"
+            ),
+            F.lit(UNALIGNED_SPAN + " "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return incremental_substring_stats(batch, index, anchored=True)
+
+
+def streaming_substring_unaligned(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental ANCHORED substring dedup: the
+    offset-planted arrivals stream in (availableNow, doc_id order) and
+    are judged per micro-batch against the bucketed seen-state table
+    seeded with the anchored corpus index — X178's growing-state shape
+    carried to the offset-invariant segmentation. First-arrived-wins
+    coincides with the batch order for the ordered drain, so the entry
+    shares the incremental oracle verbatim."""
+    import os
+    import tempfile
+
+    from arcane_framework_spark.queries import _DUP_OFFSET
+    from arcane_framework_spark.queries_wave6 import (
+        run_substring_dedup_stream,
+    )
+
+    def arrivals(stream: DataFrame) -> DataFrame:
+        return stream.filter(
+            F.col("doc_id") % UNALIGNED_EVERY == 0
+        ).select(
+            (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+            F.concat(
+                F.expr(
+                    "repeat(concat('pad', CAST(doc_id AS STRING), ' '), "
+                    "CAST(doc_id % 7 + 1 AS INT))"
+                ),
+                F.lit(UNALIGNED_SPAN + " "),
+                F.col("text"),
+            ).alias("text"),
+        )
+
+    acc: list = []
+    with tempfile.TemporaryDirectory() as tmp:
+        run_substring_dedup_stream(
+            spark, sf_dir, os.path.join(tmp, "seen"),
+            lambda out, _bid: acc.extend(out.collect()),
+            anchored=True, arrival_transform=arrivals,
+        )
+    return spark.createDataFrame(
+        acc,
+        "doc_id: long, n_segments: long, n_removed_segments: long, "
+        "removed_tokens: long, kept_tokens: long, removed_idxs: string",
+    )
+
+
+def anchored_width_stats_documents(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Distribution of anchored segment widths over the plain corpus:
+    (seg_tokens, n_segments, token_share_ppm) — the committed evidence
+    for the geometric-width claim in ``anchored_segment_hashes``'s
+    docstring (cut density 1/8 → expected width SEGMENT_WIDTH, no hard
+    cap). A fat tail here is the early warning that a corpus is
+    anchor-starved (degenerate repeated content) before any 100 TB run
+    bets on bounded segments. Exact integer ppm of TOKENS per width."""
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+    from arcane_framework_spark.operators.text import (
+        anchored_segment_hashes,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    segs = anchored_segment_hashes(t["documents"].select("doc_id", "text"))
+    per_width = segs.groupBy("seg_tokens").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("seg_tokens").cast("long").alias("__toks"),
+    )
+    total = per_width.agg(F.sum("__toks").alias("__total"))
+    return with_broadcast_scalar(per_width, total).select(
+        "seg_tokens",
+        "n_segments",
+        F.expr("CAST(__toks * 1000000 DIV __total AS BIGINT)").alias(
+            "token_share_ppm"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracles
 # ---------------------------------------------------------------------------
@@ -269,6 +379,44 @@ alranked AS (
 )"""
 
 
+def _incremental_unaligned_sql() -> str:
+    """The anchored batch chain restricted to the arrival rows — valid by
+    the same id-ordering argument as X177's shared oracle."""
+    from arcane_framework_spark.queries import _DUP_OFFSET
+
+    return _offset_corpus_sql() + _anchored_segs_sql() + f"""
+SELECT doc_id,
+       count(*)::BIGINT AS n_segments,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed_segments,
+       sum(CASE WHEN rn > 1 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS removed_tokens,
+       sum(CASE WHEN rn = 1 THEN seg_tokens ELSE 0 END)::BIGINT
+         AS kept_tokens,
+       coalesce(string_agg(CASE WHEN rn > 1 THEN seg_idx END, ','
+                           ORDER BY seg_idx), '') AS removed_idxs
+FROM ranked WHERE doc_id >= {_DUP_OFFSET} GROUP BY doc_id
+"""
+
+
+def _anchored_width_sql() -> str:
+    return ("""
+WITH corpus AS (
+  SELECT doc_id, NULL AS source, text FROM documents
+)"""
+            + _anchored_segs_sql()
+            + """,
+per_width AS (
+  SELECT seg_tokens, count(*)::BIGINT AS n_segments,
+         sum(seg_tokens) AS toks
+  FROM segs GROUP BY seg_tokens
+)
+SELECT seg_tokens, n_segments,
+       CAST(toks * 1000000 // (SELECT sum(toks) FROM per_width) AS BIGINT)
+         AS token_share_ppm
+FROM per_width
+""")
+
+
 def _recall_comparison_sql() -> str:
     from arcane_framework_spark.queries import _DUP_OFFSET
 
@@ -307,4 +455,8 @@ WAVE7_QUERIES = {
     "minhash_pairs_bucketed_documents": minhash_pairs_bucketed_documents,
     "substring_dedup_unaligned_documents": substring_dedup_unaligned_documents,
     "substring_recall_aligned_vs_anchored": substring_recall_aligned_vs_anchored,
+    "incremental_substring_unaligned_documents":
+        incremental_substring_unaligned_documents,
+    "streaming_substring_unaligned": streaming_substring_unaligned,
+    "anchored_width_stats_documents": anchored_width_stats_documents,
 }

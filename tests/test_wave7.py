@@ -274,3 +274,45 @@ def test_minhash_bucketed_matches_memory_path_and_plan(spark):
     assert plan.count("Exchange") == 2, plan
     assert "HashAggregate" not in plan, plan  # no distinct survives
     assert plan.count("Bucketed: true") == 4, plan  # 2x bands + 2x shingles
+
+def test_semdedup_gemm_incell_matches_join_path(spark):
+    """The GEMM in-cell dominance (round-11 verdict #5) must make
+    bit-identical decisions to the left-semi join path it replaces —
+    including pairs engineered to sit in the rounding-boundary band
+    where the exact-fold re-check fires."""
+    import math
+    import random
+
+    from arcane_framework_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(42)
+    rows = []
+    # random cluster structure: 12 clusters of near-dups
+    for c in range(12):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        for j in range(6):
+            rows.append((c * 100 + j,
+                         [x + rng.gauss(0, 0.01 * j) for x in base]))
+    # a boundary-band pair: cosine exactly at the 0.9 half-up boundary
+    b = 0.8999995
+    rows.append((9001, [1.0] + [0.0] * 15))
+    rows.append((9002, [b, math.sqrt(1 - b * b)] + [0.0] * 14))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for routed in (False, True):
+        join_out = sorted(
+            (r.vec_id, r.cid, r.cent_cos, r.pruned)
+            for r in semantic_dedup(
+                df, k=None, threshold=0.9, iterations=2,
+                target_cell_size=8, routed=routed, incell="join",
+            ).collect()
+        )
+        gemm_out = sorted(
+            (r.vec_id, r.cid, r.cent_cos, r.pruned)
+            for r in semantic_dedup(
+                df, k=None, threshold=0.9, iterations=2,
+                target_cell_size=8, routed=routed, incell="gemm",
+            ).collect()
+        )
+        assert join_out == gemm_out and len(join_out) == len(rows)
+        assert any(r[3] for r in gemm_out)  # something actually pruned
