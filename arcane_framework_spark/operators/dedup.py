@@ -317,20 +317,22 @@ def minhash_pair_counts_bucketed(df: DataFrame, text_col: str = "text",
     spill, 3.3 GiB verification joins).
 
     Same output and bit-identical values as ``minhash_pair_counts``
-    (gate entry shares its oracle verbatim); three structural changes:
+    (gate entry shares its oracle verbatim); two structural changes:
 
     1. **Band table bucketed+sorted on (band_id, band_hash)** — the
-       candidate self-join reads both sides bucket-aligned: no Exchange,
-       no Sort (the X87 ``incremental_dedup_disk`` layout applied to the
-       batch path).
-    2. **No ``distinct()``** — each colliding pair is emitted exactly
-       once, from its FIRST colliding band: band rows carry the full
-       K-component signature (``with_signature=True``), so the join
-       re-derives every earlier band's equality with K integer slice
-       compares in codegen and keeps the row only when no earlier band
-       matched (Lee et al.'s emit-once trick). The multi-band collision
-       blow-up (~4x pair rows on copy-heavy corpora) never shuffles.
-    3. **Shingle arrays bucketed+sorted on id** — the exact-verification
+       candidate self-join reads both sides bucket-aligned: no Exchange
+       (the X87 ``incremental_dedup_disk`` layout applied to the batch
+       path). Multi-band collisions still fold through ``distinct()`` —
+       the emit-once-from-first-colliding-band alternative (carry the
+       K-long signature on every band row, re-derive earlier bands'
+       equality per joined row) was MEASURED SLOWER on both axes at the
+       1000x shape: sig-carried filter 127s (``F.filter``+``slice``) /
+       80s (``F.exists`` early-exit) per self-join vs 23.6s for the
+       column-pruned scan + distinct, and the carried sig bloats the
+       parquet scan both sides decode. The distinct's pair-stream
+       exchange (~2.8 GiB) is the same magnitude the verification joins
+       shuffle anyway.
+    2. **Shingle arrays bucketed+sorted on id** — the exact-verification
        joins read the array side exchange-free; only the (id_a, id_b)
        pair stream shuffles, never the corpus's shingle arrays, and the
        block manager never holds them (parquet does, compressed).
@@ -340,15 +342,18 @@ def minhash_pair_counts_bucketed(df: DataFrame, text_col: str = "text",
     pipeline materializes anyway); ``tools/stress1000.py`` accounts
     warehouse growth separately from block-manager growth. Measured at
     the 1000x shape (5M docs, 52.6M pairs, idle host, standalone JVM):
-    block-manager growth 19,032 MiB -> 1,366 MiB (14x; what remains is
-    the signature aggregate's shuffle and the pair-stream exchanges);
-    warehouse side tables 4,251 MiB; wall 90s -> 190s (the parquet
-    encode/decode of the reusable state — the corpus tokenizes ONCE,
-    the signature chain re-reads the written shingle table). The
-    in-memory path stays the default for one-shot jobs that fit
-    executor storage; this is the path for disk-bounded executors and
-    for pipelines that keep the signature/band state anyway (its band
-    table IS the X87 incremental side table).
+    block-manager growth 19,032 MiB -> 4,296 MiB (4.4x less; what
+    remains is the pair-stream exchanges — inherent to emitting 52.6M
+    pairs — plus the signature aggregate; the corpus's arrays and the
+    band exchange are off the shuffle path entirely), warehouse side
+    tables 2,780 MiB, wall 90.2s -> 82.1s — strictly better than the
+    in-memory path on BOTH axes (the corpus tokenizes once: the
+    signature chain re-reads the written shingle table instead of
+    re-hashing text, and nothing re-derives the 8.7 GiB shingle persist
+    spill). The in-memory path remains for one-shot jobs whose
+    executors comfortably hold the corpus state; this is the default
+    scale path, and its shingle/band tables are the durable corpus
+    state the incremental path (X87) consumes.
     """
     from arcane_framework_spark.operators.scale import (
         gc_stale_side_tables,
@@ -386,36 +391,18 @@ def minhash_pair_counts_bucketed(df: DataFrame, text_col: str = "text",
         ]
     )
     write_bucketed(
-        minhash_band_rows(sig, with_signature=True), bands_tbl,
+        minhash_band_rows(sig), bands_tbl,
         ["band_id", "band_hash"], num_buckets,
         sort_cols=["band_id", "band_hash"],
     )
 
     bands = spark.table(bands_tbl)
     a, b = bands.alias("a"), bands.alias("b")
-    earlier = F.when(
-        F.col("band_id") > 0,
-        F.sequence(F.lit(0), F.col("band_id") - 1),
-    ).otherwise(F.array().cast("array<int>"))
-    # band j matched  <=>  its BAND_SIZE signature components agree
-    # (band_hash is md5 over exactly those components, so component
-    # equality IS hash equality — no md5 recomputation needed)
-    no_earlier_band = (
-        F.size(
-            F.filter(
-                earlier,
-                lambda j: F.slice(F.col("a.sig"), j * BAND_SIZE + 1,
-                                  BAND_SIZE)
-                == F.slice(F.col("b.sig"), j * BAND_SIZE + 1, BAND_SIZE),
-            )
-        )
-        == 0
-    )
     cand = (
         a.join(b, on=["band_id", "band_hash"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .filter(no_earlier_band)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
     sh = spark.table(sh_tbl)
     return (

@@ -26,8 +26,7 @@ def minhash_pairs_bucketed_documents(spark: SparkSession,
     """``minhash_pairs_documents`` through the BUCKETED side-table plan
     (``operators.dedup.minhash_pair_counts_bucketed``): band table
     bucketed+sorted on (band_id, band_hash) so the candidate self-join
-    reads exchange-free; no distinct (emit-once from the first colliding
-    band via carried signatures); shingle arrays bucketed on id so the
+    reads exchange-free; shingle arrays bucketed on id so the
     exact-verification joins never shuffle the corpus's arrays. Shares
     ``minhash_pairs_documents``'s oracle VERBATIM — the storage-path and
     in-memory-path hashes must agree bit-for-bit (the X87 pattern applied

@@ -234,10 +234,10 @@ def test_streaming_seen_state_bucketed_join_exchange_free(spark, tmp_path):
 
 def test_minhash_bucketed_matches_memory_path_and_plan(spark):
     """The bucketed side-table plan must (a) produce bit-identical pairs
-    to the in-memory path, (b) run the band self-join and both shingle
-    verification joins WITHOUT an exchange on the bucketed sides, and
-    (c) contain no distinct aggregate (emit-once from the first
-    colliding band replaces it)."""
+    to the in-memory path, and (b) run the band self-join and both
+    shingle verification joins WITHOUT an exchange on the bucketed
+    sides — the only shuffles left are the pair stream's own (distinct +
+    the two verification probes)."""
     from arcane_framework_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_lsh_pairs_bucketed,
@@ -269,10 +269,10 @@ def test_minhash_bucketed_matches_memory_path_and_plan(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    # only the candidate-pair stream shuffles: once onto id_a, once onto
-    # id_b — never the band table, never the shingle arrays
-    assert plan.count("Exchange") == 2, plan
-    assert "HashAggregate" not in plan, plan  # no distinct survives
+    # only the candidate-pair stream shuffles: the distinct, then once
+    # onto id_a, once onto id_b — never the band table, never the
+    # shingle arrays
+    assert plan.count("Exchange") == 3, plan
     assert plan.count("Bucketed: true") == 4, plan  # 2x bands + 2x shingles
 
 def test_semdedup_gemm_incell_matches_join_path(spark):
