@@ -297,28 +297,41 @@ WITH corpus AS (
 
 def _anchored_segs_sql(cte_prefix: str = "") -> str:
     """The anchored segmentation chain over a ``corpus`` CTE — the DuckDB
-    spelling of ``operators.text.anchored_segment_hashes``: candidate
-    anchors at gram positions 2..n-k+1 where the k-gram md5's first hex
-    char <= ANCHOR_MAX_HEX; cuts = [1] + anchors; one segment per cut."""
+    spelling of ``operators.text.anchored_segment_hashes``: one md5 per
+    token reduced into Z_ANCHOR_PRIME, candidate anchors at gram
+    positions 2..n-k+1 where the ANCHOR_COEF-weighted k-token-hash sum is
+    0 mod ANCHOR_MOD (exact small-integer arithmetic, max intermediate
+    < 2^25 in both engines); cuts = [1] + anchors; one segment per cut."""
     from arcane_framework_spark.operators.text import (
+        ANCHOR_COEF,
         ANCHOR_K,
-        ANCHOR_MAX_HEX,
+        ANCHOR_MOD,
+        ANCHOR_PRIME,
     )
 
     k = ANCHOR_K
     p = cte_prefix
+    weighted = " + ".join(
+        f"th[i + {j}] * {ANCHOR_COEF[j]}" for j in range(k)
+    )
     return f""",
 {p}toks AS (
   SELECT doc_id, source, {_TOKS_SQL} AS ls FROM corpus
   WHERE length(trim(text)) > 0
 ),
+{p}hashed AS (
+  SELECT doc_id, source, ls,
+         list_transform(ls, t ->
+           CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
+             % {ANCHOR_PRIME}) AS th
+  FROM {p}toks
+),
 {p}cutted AS (
   SELECT doc_id, source, ls,
          list_prepend(1, list_filter(
            range(2, len(ls) - {k} + 2),
-           i -> substr(md5(array_to_string(ls[i : i + {k - 1}], ' ')),
-                       1, 1) <= '{ANCHOR_MAX_HEX}')) AS cuts
-  FROM {p}toks WHERE len(ls) > 0
+           i -> ({weighted}) % {ANCHOR_MOD} = 0)) AS cuts
+  FROM {p}hashed WHERE len(ls) > 0
 ),
 {p}segs AS (
   SELECT doc_id, source, CAST(j - 1 AS BIGINT) AS seg_idx,

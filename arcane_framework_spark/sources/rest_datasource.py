@@ -8,6 +8,11 @@ serially on the driver (reference behavior: one-page-at-a-time pull loop,
 RestApiSource.cs:400-447 — parallel pages are the Spark-scale upgrade).
 
 Options:
+- ``spec``           the full ``STREAMCONTEXT__SPEC`` JSON payload — the
+  declarative alternative to every option below (translated by
+  :func:`options_from_spec`: templated fields, all three
+  PageResolverConfiguration types, headers, rate limits, schemaDdl,
+  bearer auth). Explicit options override spec-derived ones.
 - ``url_template``   URL containing ``@page`` (F8-style placeholder)
 - ``pages``          total page count (one Spark partition per page)
 - ``schema``         handled by ``.schema(...)`` on the reader

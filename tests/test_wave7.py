@@ -9,18 +9,21 @@ import random
 from pyspark.sql import functions as F
 
 
-def _py_anchored_segments(text: str, k: int, max_hex: str):
+def _py_anchored_segments(text: str, k: int,
+                          prime: int, coef, mod: int):
     """Independent pure-Python reference of anchored_segment_hashes."""
     toks = text.lower().strip().split()
     if not text.strip() or not toks:
         return []
     n = len(toks)
+    th = [
+        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % prime
+        for t in toks
+    ]
     anchors = [
         i
         for i in range(2, n - k + 2)  # 1-based gram positions 2..n-k+1
-        if hashlib.md5(
-            " ".join(toks[i - 1: i - 1 + k]).encode()
-        ).hexdigest()[0] <= max_hex
+        if sum(th[i - 1 + j] * coef[j] for j in range(k)) % mod == 0
     ]
     cuts = [1] + anchors
     segs = []
@@ -35,8 +38,10 @@ def test_anchored_segments_offset_invariant(spark):
     interior segments at every offset — the property the aligned
     fixed-width variant lacks by construction."""
     from arcane_framework_spark.operators.text import (
+        ANCHOR_COEF,
         ANCHOR_K,
-        ANCHOR_MAX_HEX,
+        ANCHOR_MOD,
+        ANCHOR_PRIME,
         anchored_segment_hashes,
     )
 
@@ -56,7 +61,7 @@ def test_anchored_segments_offset_invariant(spark):
     # doc-specific prefix / have no following anchor context)
     interior = {
         hashlib.md5(" ".join(s).encode()).hexdigest()
-        for s in _py_anchored_segments(span, ANCHOR_K, ANCHOR_MAX_HEX)[1:-1]
+        for s in _py_anchored_segments(span, ANCHOR_K, ANCHOR_PRIME, ANCHOR_COEF, ANCHOR_MOD)[1:-1]
     }
     assert len(interior) >= 2  # the span is long enough to be catchable
     for m in range(8):
@@ -104,8 +109,10 @@ def test_anchored_matches_pure_python_reference(spark):
         anchored_substring_stats,
     )
     from arcane_framework_spark.operators.text import (
+        ANCHOR_COEF,
         ANCHOR_K,
-        ANCHOR_MAX_HEX,
+        ANCHOR_MOD,
+        ANCHOR_PRIME,
     )
 
     rng = random.Random(12)
@@ -119,7 +126,7 @@ def test_anchored_matches_pure_python_reference(spark):
         seen: set = set()
         expected = {}
         for doc_id, text in sorted(docs):
-            segs = _py_anchored_segments(text, ANCHOR_K, ANCHOR_MAX_HEX)
+            segs = _py_anchored_segments(text, ANCHOR_K, ANCHOR_PRIME, ANCHOR_COEF, ANCHOR_MOD)
             if not segs:
                 continue  # operator drops blank docs pre-barrier
             removed_idx = []
