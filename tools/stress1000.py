@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from arcane_framework_spark.operators.dedup import (  # noqa: E402
+    anchored_substring_stats,
     minhash_lsh_pairs,
     minhash_lsh_pairs_bucketed,
     substring_dedup_stats,
@@ -251,9 +252,11 @@ def main() -> None:
             "sec_bucketed_path": bkt_row["sec"],
         }
 
-    # ---- new this round: exact-substring dedup (X175) -----------------
+    # ---- exact-substring dedup: aligned (X175) + anchored (X182) ------
     timed(spark, "substring_dedup_stats",
           lambda: substring_dedup_stats(docs), results)
+    timed(spark, "anchored_substring_stats",
+          lambda: anchored_substring_stats(docs), results)
 
     # ---- workhorse 2: routed SemDeDup (governed k, hard cap) ----------
     # Exact twin omitted BY DESIGN: 783.7s at 200k vectors scales
