@@ -204,6 +204,11 @@ def main() -> None:
     ).save()
 
     results: dict = {}
+    # recorded because the probe is ABOUT memory behavior: the r12 rerun
+    # needed 16g (one r11-identical 8g run of the in-memory minhash
+    # family OOMed mid-verification — it had passed twice at 8g; the
+    # family sits at the heap boundary, which is itself a finding)
+    results["driver_memory"] = spark.conf.get("spark.driver.memory", "?")
     docs = enlarged_documents(spark, sf_dir)
     emb = enlarged_embeddings(spark, sf_dir)
     results["n_docs"] = docs.count()
