@@ -1059,6 +1059,17 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
     )
     if incell == "gemm":
         return _incell_dominance_gemm(assigned, id_col, threshold)
+    return _incell_dominance_join(assigned, id_col, threshold)
+
+
+def _incell_dominance_join(assigned: DataFrame, id_col: str,
+                           threshold: float) -> DataFrame:
+    """The in-cell dominance probe as a pure-JVM left-semi self-join on
+    ``cid`` — the reference semantics both paths must express: a row is
+    pruned when some cell-mate with ``round(cos, 6) >= threshold``
+    dominates it (higher ``cent_cos``, ties to the lower id). Kept as
+    the equivalence-test twin and the fallback for
+    :func:`_incell_dominance_gemm`."""
     a, b = assigned.alias("a"), assigned.alias("b")
     pair_cos = F.round(
         dot_expr(F.col("a.vec"), F.col("b.vec"))
@@ -1125,10 +1136,27 @@ def _incell_dominance_gemm(assigned: DataFrame, id_col: str,
     At the small-cell 100x shape the win is marginal (19.0s -> 17.9s) —
     assignment dominates there, exactly as the cell-size math predicts.
     """
+    import math
+    from decimal import Decimal
+
     import numpy as np
     import pandas as pd
 
-    bound_units = round(threshold * 1e6)
+    # The join path tests ``round(cos, 6) >= threshold`` where
+    # ``round(cos, 6)`` is the double nearest to the decimal k/1e6 — so
+    # a pair is pruned there iff its rounded-unit integer k satisfies
+    # ``double(k/1e6) >= threshold``. That test is monotone in k, so the
+    # bit-equivalent integer bound is the SMALLEST k with
+    # ``double(k/1e6) >= threshold`` — NOT ``round(threshold*1e6)``,
+    # which for a >6-decimal threshold (e.g. 0.7000004 -> 700000) admits
+    # k values whose rounded double still sits BELOW the threshold and
+    # over-prunes outside the boundary re-check band. ``Decimal(k) /
+    # 1000000`` is exact (<= 13 significant digits), so float() of it is
+    # the correctly-rounded double of the rational k/1e6.
+    bound_units = math.floor(threshold * 1e6)
+    while float(Decimal(bound_units) / 1000000) >= threshold:
+        bound_units -= 1
+    bound_units += 1
 
     def cell(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -1139,7 +1167,11 @@ def _incell_dominance_gemm(assigned: DataFrame, id_col: str,
         V = np.asarray([np.asarray(v, dtype=np.float64)
                         for v in pdf["vec"]], dtype=np.float64)
         norms = pdf["__n"].to_numpy(dtype=np.float64)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        # No dtype coercion: integral ids arrive int64, anything else
+        # (string ids the join path always accepted) stays an object
+        # array whose broadcast ``<`` is the same elementwise Python
+        # comparison Spark's ``b.id < a.id`` performs.
+        ids = pdf[id_col].to_numpy()
         cc = pdf["cent_cos"].to_numpy(dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             S = (V @ V.T) / np.outer(norms, norms)
@@ -1168,7 +1200,11 @@ def _incell_dominance_gemm(assigned: DataFrame, id_col: str,
         out["pruned"] = np.any(dom & above, axis=1)
         return out
 
-    schema = f"{id_col} long, cid long, cent_cos double, pruned boolean"
+    # Output types follow the input frame (ids need not be integral —
+    # the join path never required that, so neither may this one).
+    idt = assigned.schema[id_col].dataType.simpleString()
+    cidt = assigned.schema["cid"].dataType.simpleString()
+    schema = f"{id_col} {idt}, cid {cidt}, cent_cos double, pruned boolean"
     return assigned.groupBy("cid").applyInPandas(cell, schema)
 
 

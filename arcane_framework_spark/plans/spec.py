@@ -83,6 +83,10 @@ class PageResolverConfiguration:
             )
         chain = payload.get("resolverPropertyKeyChain") or ()
         size = payload.get("responseSize")
+        if size is not None and int(size) < 1:
+            # A zero page size can never terminate an offset sweep —
+            # fail at spec parse on every face that consumes this config.
+            raise ValueError(f"responseSize must be >= 1, got {size}")
         start = payload.get("startOffset")
         return cls(
             resolver_type=resolver_type,

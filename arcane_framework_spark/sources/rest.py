@@ -115,6 +115,12 @@ class PageOffsetResolver(PageResolver):
     def __init__(self, response_size_key_chain: list[str] | None,
                  start_offset: int = 0,
                  response_size: int | None = None):
+        if response_size is not None and response_size < 1:
+            # 0 would never advance the offset: the driver loop would
+            # refetch the same non-empty page forever.
+            raise ValueError(
+                f"response_size must be >= 1, got {response_size}"
+            )
         self.key_chain = response_size_key_chain
         self.start_offset = start_offset
         self.response_size = response_size

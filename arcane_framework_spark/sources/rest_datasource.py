@@ -174,6 +174,15 @@ def options_from_spec(spec_json: str) -> dict:
                 raise ValueError(
                     "Response size is required for OFFSET resolver"
                 )
+            if int(resolver.response_size) < 1:
+                # offset_size=0 would never terminate the sweep
+                # (len(rows) < 0 is never true, offset += 0) and would
+                # make the streaming face refetch the same offset every
+                # trigger — reject at construction.
+                raise ValueError(
+                    "OFFSET resolver responseSize must be >= 1, got "
+                    f"{resolver.response_size}"
+                )
             out["offset_size"] = str(resolver.response_size)
             out["offset_start"] = str(resolver.start_offset or 0)
 
@@ -350,6 +359,12 @@ class RestReader(DataSourceReader):
         ]
         size = options.get("offset_size")
         self.offset_size = int(size) if size else None
+        if self.offset_size is not None and self.offset_size < 1:
+            # 0 (or negative) would loop the batch sweep forever and
+            # duplicate rows indefinitely on the streaming face.
+            raise ValueError(
+                f"offset_size must be >= 1, got {self.offset_size}"
+            )
         self.offset_start = int(options.get("offset_start", "0"))
         self.token_chain = [
             k for k in options.get("next_token_key_chain", "").split(".")
@@ -632,6 +647,16 @@ class RestStreamReader(SimpleDataSourceStreamReader):
                         f"throttled replaying committed range {start}..{end}"
                     )
                 cur = nxt
+            if cur != end:
+                # The chain ended (cursor went 'done') before reaching the
+                # committed end offset — the API shrank between the
+                # original read and this replay. Fail the task rather
+                # than commit a truncated batch for an already-committed
+                # range (same fail-don't-truncate rule as the stalled
+                # cases above).
+                raise RuntimeError(
+                    f"replay ended at {cur} before committed end {end}"
+                )
             return iter(rows)
         if self.range_start is not None:
             # Replay by stepping the same cursor logic until `end`; pages
@@ -675,6 +700,13 @@ class RestStreamReader(SimpleDataSourceStreamReader):
                         f"throttled replaying committed range {start}..{end}"
                     )
                 cur = nxt
+            if cur != end:
+                # Cursor went 'done' short of the committed end — the API
+                # shrank under us; raise instead of silently returning a
+                # truncated row set for an already-committed range.
+                raise RuntimeError(
+                    f"replay ended at {cur} before committed end {end}"
+                )
             return iter(rows)
         rows = []
         for page in range(int(start["page"]) + 1, int(end["page"]) + 1):
