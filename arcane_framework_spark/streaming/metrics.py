@@ -12,12 +12,58 @@ callable).
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import json
+import logging
+import os
+from collections.abc import Callable, Mapping
 from dataclasses import dataclass, field
 
 from pyspark.sql.streaming import StreamingQueryListener
 
 ROWS_INCOMING = "rows.incoming"  # DeclaredMetrics.cs:11
+
+#: Env var holding a JSON object of extra log/metric properties — the
+#: reference's ``LOGGING_PROPERTIES`` (Contracts/Logging.cs:20). Its
+#: hosting SDK resolves the name under the application's domain prefix;
+#: this repo's domain prefix is ``STREAMCONTEXT__`` (StreamContext.cs:16),
+#: with the bare name accepted as a fallback.
+ENV_LOGGING_PROPERTIES = "STREAMCONTEXT__LOGGING_PROPERTIES"
+
+
+def custom_log_properties(
+    env: Mapping[str, str] | None = None,
+) -> dict[str, str]:
+    """``EnrichWithCustomProperties`` analog (Contracts/Logging.cs:13-33):
+    parse the ``LOGGING_PROPERTIES`` environment JSON into a property
+    dict. Unset/empty -> ``{}`` (the reference's pass-through path);
+    values are stringified like the reference's
+    ``Dictionary<string, string>`` deserialization."""
+    env = os.environ if env is None else env
+    raw = env.get(ENV_LOGGING_PROPERTIES) or env.get("LOGGING_PROPERTIES")
+    if not raw:
+        return {}
+    return {str(k): str(v) for k, v in json.loads(raw).items()}
+
+
+class CustomPropertiesFilter(logging.Filter):
+    """Enrich every log record with the ``LOGGING_PROPERTIES`` env JSON —
+    the Python-logging counterpart of the reference's Serilog
+    ``Enrich.WithProperty`` loop (Contracts/Logging.cs:26-30). Attach
+    with ``logger.addFilter(CustomPropertiesFilter())``; structured
+    handlers (JSON formatters) then see each property as a record
+    attribute."""
+
+    def __init__(self, properties: dict[str, str] | None = None,
+                 env: Mapping[str, str] | None = None):
+        super().__init__()
+        self.properties = (
+            custom_log_properties(env) if properties is None else properties
+        )
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        for key, value in self.properties.items():
+            setattr(record, key, value)
+        return True
 
 
 @dataclass(frozen=True)
@@ -58,10 +104,19 @@ class RowsIncomingListener(StreamingQueryListener):
     """
 
     def __init__(self, tags: SourceTags | None = None,
-                 emit: Callable[[MetricObservation], None] | None = None):
+                 emit: Callable[[MetricObservation], None] | None = None,
+                 extra_properties: dict[str, str] | None = None):
         self.tags = tags or SourceTags()
         self.observations: list[MetricObservation] = []
         self._emit = emit or self.observations.append
+        # LOGGING_PROPERTIES enrichment rides on every observation's tags
+        # (Contracts/Logging.cs — the reference enriches all telemetry
+        # emitted by the stream process with the env-declared properties)
+        self.extra_properties = (
+            custom_log_properties()
+            if extra_properties is None
+            else extra_properties
+        )
 
     # StreamingQueryListener interface -------------------------------------
 
@@ -70,7 +125,8 @@ class RowsIncomingListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:  # noqa: N802 (Spark API)
         progress = event.progress
-        tags = dict(self.tags.as_dict())
+        tags = dict(self.extra_properties)
+        tags.update(self.tags.as_dict())
         tags["spark.query_id"] = str(progress.id)
         self._emit(
             MetricObservation(ROWS_INCOMING, float(progress.numInputRows), tags)
