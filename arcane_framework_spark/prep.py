@@ -19,6 +19,14 @@ At 100 TB the same sharing is a *materialized* signature/shingle side
 table (parquet/Delta, incrementally maintained — see
 ``operators.dedup.incremental_minhash_pairs``); in-session block-manager
 persistence is the bench-scale analog of that design, not a local trick.
+The committed scale decision (round-12 verdict #3): past ~1M docs the
+MinHash prep must come from ``minhash_lsh_pairs_bucketed``'s bucketed
+side tables, not this in-memory layout — the in-memory path OOMs an
+8 GiB heap at 5M docs and its per-row cost grows 2.09x per 10x input
+(measured boundary documented on ``minhash_lsh_pairs``). This module
+stays in-memory BY DESIGN: gate/bench corpora are orders of magnitude
+below the boundary, and keeping both layouts exercised keeps the
+bit-identical-output contract tested.
 
 Correctness note: the driver's oracle gate runs each query WITHOUT this
 prep (tools/check_correctness.py never calls it), so cached and uncached
