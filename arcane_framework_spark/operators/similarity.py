@@ -434,18 +434,158 @@ def knn_bruteforce_vectorized(candidates: DataFrame, queries: DataFrame,
     )
 
 
+#: Cosine-units half-width of the GEMM argmax boundary band: candidates
+#: whose GEMM cosine sits within this of the row maximum are re-ranked
+#: with the exact left-to-right fold. GEMM-vs-fold error for unit-scale
+#: <=1024-dim doubles is ~1e-13 (pairwise vs sequential summation), so
+#: 1e-9 leaves four orders of margin while firing on ~0 real rows.
+ASSIGN_GEMM_BAND = 1e-9
+
+
+def _fold_dot(a, b) -> float:
+    """``dot_expr``'s exact arithmetic in Python: per-component double
+    product, accumulated left-to-right from 0.0 — bit-identical to the
+    Spark/DuckDB fold (IEEE doubles, same operation order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _gemm_argmax_cids(V, C, cn_exact, cids, band: float = ASSIGN_GEMM_BAND):
+    """Per-row argmax over centroids by (cosine, -cid) — the max_by
+    struct ordering — computed as one numpy GEMM with an exact-fold
+    re-rank of boundary-band rows.
+
+    ``V``: (b, d) float64 row vectors; ``C``: (k, d) float64 centroids;
+    ``cn_exact``: (k,) EXACT fold norms of C's rows; ``cids``: (k,)
+    centroid ids (numeric). Returns a length-b list of winning cids.
+
+    Fast path: S = (V @ C.T) / (n_gemm ⊗ cn_exact); a row whose runner-up
+    sits further than ``band`` below its max cannot flip under the
+    ~1e-13 GEMM-vs-fold error, so its argmax IS the exact argmax (ties
+    are impossible outside the band by construction). Rows with >1
+    in-band candidate — or any non-finite score (zero norms) — are
+    re-ranked with the exact contract arithmetic: fold dot / (fold-norm
+    product), compared by (NaN-greatest cosine, -cid), replicating
+    Spark's max_by double ordering exactly.
+    """
+    import math
+
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        n_gemm = np.sqrt((V * V).sum(axis=1))
+        S = (V @ C.T) / (n_gemm[:, None] * cn_exact[None, :])
+        finite = np.isfinite(S).all(axis=1)
+        m = np.where(finite, S.max(axis=1, initial=-np.inf), 0.0)
+        cand = S >= (m[:, None] - band)
+        ncand = cand.sum(axis=1)
+    out = [None] * len(V)
+    easy = finite & (ncand == 1)
+    if easy.any():
+        win = np.argmax(S[easy], axis=1)
+        for row, j in zip(np.nonzero(easy)[0], win):
+            out[row] = cids[j]
+    for row in np.nonzero(~easy)[0]:
+        js = range(len(cids)) if not finite[row] else np.nonzero(cand[row])[0]
+        n_i = math.sqrt(_fold_dot(V[row], V[row]))
+        best = None
+        for j in js:
+            cos = _fold_dot(V[row], C[j]) / (n_i * cn_exact[j])
+            key = (
+                (1, 0.0, -cids[j]) if math.isnan(cos)
+                else (0, cos, -cids[j])
+            )
+            if best is None or key > best[0]:
+                best = (key, cids[j])
+        out[row] = best[1]
+    return out
+
+
+def _centroid_arrays(rows):
+    """(cids, C, cn_exact) numpy arrays from collected (cid, cvec) rows.
+    Norms use the exact fold so boundary re-ranks divide by the same
+    doubles ``norm_expr`` produces."""
+    import math
+
+    import numpy as np
+
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.array(
+        [np.asarray(r[1], dtype=np.float64) for r in rows], dtype=np.float64
+    )
+    cn = np.array(
+        [math.sqrt(_fold_dot(row, row)) for row in C], dtype=np.float64
+    )
+    return cids, C, cn
+
+
+def _ivf_assign_gemm(df: DataFrame, centroids: DataFrame, id_col: str,
+                     vec_col: str, cid_col: str, cvec_col: str) -> DataFrame:
+    """:func:`ivf_assign` as ONE ``mapInPandas`` pass — ZERO shuffles.
+
+    The join path explodes N×k scored rows, shuffles them through a
+    groupBy(id) argmax, then joins the winner back onto the vectors —
+    two exchanges the assignment doesn't need: the centroid table is
+    already small enough to broadcast, so ship it to every task ONCE
+    (driver collect — the same k-row boundedness the join path's
+    ``F.broadcast(cent)`` assumes) and emit (id, vec, cid) in place.
+    Decisions are bit-identical to max_by via :func:`_gemm_argmax_cids`'
+    banded exact-fold re-rank, so every consumer keeps its oracle.
+
+    Measured (round-12 verdict #2): the interpreted HOF dot per (vector,
+    centroid) was the routed SemDeDup family's remaining flat cost —
+    see the committed stress numbers on ``semantic_dedup``.
+    """
+    import numpy as np
+
+    cent_rows = centroids.select(cid_col, cvec_col).collect()
+    cids, C, cn = _centroid_arrays(cent_rows)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cid_t = centroids.schema[cid_col].dataType.simpleString()
+    schema = (
+        f"id {base.schema['id'].dataType.simpleString()}, "
+        f"vec {base.schema['vec'].dataType.simpleString()}, cid {cid_t}"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]],
+                dtype=np.float64,
+            )
+            out = pdf[["id", "vec"]].copy()
+            out["cid"] = _gemm_argmax_cids(V, C, cn, cids)
+            yield out
+
+    return base.mapInPandas(assign, schema)
+
+
 def ivf_assign(df: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               cid_col: str = "cid", cvec_col: str = "cvec") -> DataFrame:
+               cid_col: str = "cid", cvec_col: str = "cvec",
+               method: str = "gemm") -> DataFrame:
     """IVF cell assignment: each vector → its max-cosine centroid.
 
-    Output (id, vec, cid). Scale: centroids are broadcast (they are small by
+    Output (id, vec, cid). ``method="gemm"`` (default) computes the
+    argmax as one numpy GEMM per Arrow batch inside ``mapInPandas`` —
+    no exchange at all (see :func:`_ivf_assign_gemm`; decisions
+    bit-identical via the banded exact-fold re-rank, so oracles are
+    unchanged). ``method="join"`` is the pure-JVM fallback kept for the
+    equivalence test: centroids are broadcast (they are small by
     construction — k ≪ N); the argmax is a ``max_by`` aggregation with
     map-side partial aggregation — one shuffle of one row per vector, no
     sort (a window row_number here would shuffle and sort N×k scored rows).
     Tie-break: max over (cosine, -cid) ⇒ highest cosine, then lowest cid —
     deterministic and identical to the oracle's row_number ordering.
     """
+    if method == "gemm":
+        return _ivf_assign_gemm(
+            df, centroids, id_col, vec_col, cid_col, cvec_col
+        )
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     withn = base.withColumn("__n", norm_expr(F.col("vec")))
     cent = centroids.select(
@@ -472,10 +612,64 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
     return base.join(assigned, "id").select("id", "vec", "cid")
 
 
+def _ivf_assign_routed_gemm(df: DataFrame, coarse: DataFrame,
+                            f2c: DataFrame, id_col: str,
+                            vec_col: str) -> DataFrame:
+    """Both routed-assignment levels as ONE ``mapInPandas`` pass — ZERO
+    exchanges (round-12 verdict #2: the two broadcast-join + groupBy
+    argmax stages were the family's remaining flat 209 us/row).
+
+    The routing TABLES stay Spark plans — ``coarse`` (the rank-g subset)
+    and ``f2c`` (fine->coarse argmax with the self-route pin) are k-row
+    computations collected once, so their decisions come from the exact
+    oracle-matched plans. Per Arrow batch: GEMM argmax onto the coarse
+    matrix (banded exact-fold re-rank, :func:`_gemm_argmax_cids`), then
+    rows grouped by chosen coarse cell and GEMM-argmax'd against only
+    that cell's fine centroids — the same candidate sets, scores, and
+    (cos, -cid) ordering as the join path, decision-for-decision.
+    """
+    import numpy as np
+
+    coarse_rows = coarse.select("ccid", "ccvec").collect()
+    ccids, CC, ccn = _centroid_arrays(coarse_rows)
+    cells: dict = {}
+    for r in f2c.select("ccid", "cid", "cvec").collect():
+        cells.setdefault(r[0], []).append((r[1], r[2]))
+    cell_arrays = {
+        ccid: _centroid_arrays(rows) for ccid, rows in cells.items()
+    }
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    schema = (
+        f"id {base.schema['id'].dataType.simpleString()}, "
+        f"vec {base.schema['vec'].dataType.simpleString()}, cid long"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]],
+                dtype=np.float64,
+            )
+            route = np.asarray(_gemm_argmax_cids(V, CC, ccn, ccids))
+            cid_out = np.empty(len(pdf), dtype=np.int64)
+            for ccid in np.unique(route):
+                idx = np.nonzero(route == ccid)[0]
+                fcids, FC, fcn = cell_arrays[int(ccid)]
+                cid_out[idx] = _gemm_argmax_cids(V[idx], FC, fcn, fcids)
+            out = pdf[["id", "vec"]].copy()
+            out["cid"] = cid_out
+            yield out
+
+    return base.mapInPandas(assign, schema)
+
+
 def ivf_assign_routed(df: DataFrame, centroids: DataFrame,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       cid_col: str = "cid",
-                      cvec_col: str = "cvec") -> DataFrame:
+                      cvec_col: str = "cvec",
+                      method: str = "gemm") -> DataFrame:
     """Two-level (coarse-routed) IVF cell assignment — the scale path for
     GOVERNED centroid counts, where k grows with the corpus.
 
@@ -550,6 +744,10 @@ def ivf_assign_routed(df: DataFrame, centroids: DataFrame,
         .join(fine, "cid")
         .select("cid", "cvec", "__fn", "ccid")
     )
+    if method == "gemm":
+        return _ivf_assign_routed_gemm(
+            df, coarse, f2c, id_col, vec_col
+        )
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     withn = base.withColumn("__n", norm_expr(F.col("vec")))
     # vector -> coarse: N x sqrt(k) scored rows, partial-aggregated argmax
