@@ -172,9 +172,18 @@ class StreamSpec:
             stop_after_backfill=bool(payload.get("stopAfterBackfill", False)),
             row_groups_per_file=rgpf,
             partitions=parts,
+            # accepted at the payload top level OR inside options — the
+            # arcane_rest DataSource face reads the nested shape, so one
+            # spec JSON must drive both faces identically
             page_resolver=(
-                PageResolverConfiguration.from_dict(payload["pageResolver"])
-                if payload.get("pageResolver") is not None else None
+                PageResolverConfiguration.from_dict(
+                    payload.get("pageResolver")
+                    or payload.get("options", {}).get("pageResolver")
+                )
+                if (payload.get("pageResolver")
+                    or payload.get("options", {}).get("pageResolver"))
+                is not None
+                else None
             ),
             options=payload.get("options", {}),
         )

@@ -112,9 +112,15 @@ def options_from_spec(spec_json: str) -> dict:
       outliving the read is the caller's contract — the driver-loop face
       is the one with mid-stream refresh).
 
-    BODY-placed fields and ``bodyTemplate`` raise: this face issues GET
-    requests only (page-parallel fetch has no request body to thread);
-    declare such specs on the driver-loop face.
+    ``bodyTemplate`` + BODY-placed fields (round-12 verdict #5): the
+    partition-parallel readers own their HTTP calls, so templated POST
+    payloads travel on this face too — every placeholder rewrite below
+    applies to BOTH the URL template and the body template, and a fetch
+    with a rendered body issues a POST (reference
+    RestApiTemplate.cs:60-103 resolves fields into the payload the same
+    way; RestApiSource.cs:449-501 sends it). A BODY-placed field without
+    a ``bodyTemplate`` is rejected at spec parse like the driver-loop
+    face (the filter would be silently dropped).
     """
     from arcane_framework_spark.plans.spec import PageResolverConfiguration
     from arcane_framework_spark.sources.rest import (
@@ -126,26 +132,35 @@ def options_from_spec(spec_json: str) -> dict:
 
     spec = json.loads(spec_json)
     opts = spec.get("options", spec)  # accept the payload or bare options
-    if opts.get("bodyTemplate"):
-        raise ValueError(
-            "the arcane_rest DataSource issues GET requests only; a spec "
-            "with bodyTemplate belongs on the driver-loop face "
-            "(rest_source_from_spec)"
-        )
     template = opts["urlTemplate"]
+    body = opts.get("bodyTemplate")
     out: dict = {}
 
+    def _sub(old: str, new: str) -> None:
+        nonlocal template, body
+        template = template.replace(old, new)
+        if body is not None:
+            body = body.replace(old, new)
+
     resolver = None
-    if opts.get("pageResolver") is not None:
-        resolver = PageResolverConfiguration.from_dict(opts["pageResolver"])
+    # nested inside options or at the payload top level — both faces
+    # accept both shapes (plans.spec.StreamSpec reads the same way)
+    resolver_cfg = opts.get("pageResolver")
+    if resolver_cfg is None and opts is not spec:
+        resolver_cfg = spec.get("pageResolver")
+    if resolver_cfg is not None:
+        resolver = PageResolverConfiguration.from_dict(resolver_cfg)
 
     fields = templated_fields_from_spec(opts.get("templatedFields") or [])
     page_field = from_field = to_field = None
     for f in fields:
-        if f.placement != TemplatedFieldPlacement.URL:
+        if f.placement == TemplatedFieldPlacement.BODY and body is None:
+            # same contract as the driver-loop face (rest.py): fail at
+            # construction, not as a silently-unfiltered query
             raise ValueError(
-                f"templated field {f.field_name!r} declares BODY "
-                "placement; the arcane_rest DataSource face is URL-only"
+                f"field {f.field_name!r} is BODY-placed but no "
+                "bodyTemplate was given — the filter would be silently "
+                "dropped"
             )
         if f.field_type == TemplatedFieldType.RESPONSE_PAGE:
             page_field = page_field or f
@@ -163,7 +178,7 @@ def options_from_spec(spec_json: str) -> dict:
                 "parameter, though API is initialized as paged"
             )
         page_slot = "@token" if resolver.resolver_type == "TOKEN" else "@page"
-        template = template.replace(f"@{page_field.field_name}", page_slot)
+        _sub(f"@{page_field.field_name}", page_slot)
         chain = ".".join(resolver.resolver_property_key_chain)
         if resolver.resolver_type == "COUNTER":
             out["pages_key_chain"] = chain
@@ -194,9 +209,9 @@ def options_from_spec(spec_json: str) -> dict:
         out["range_start"] = start.isoformat()
         out["range_step_seconds"] = str(opts.get("rangeStepSeconds", 86400))
         out["date_format"] = from_field.format_string
-        template = template.replace(f"@{from_field.field_name}", "@from")
+        _sub(f"@{from_field.field_name}", "@from")
         if to_field is not None:
-            template = template.replace(f"@{to_field.field_name}", "@to")
+            _sub(f"@{to_field.field_name}", "@to")
     else:
         # batch/backfill: render date filters here, with each field's own
         # formatString (SimpleUriProvider.cs:70 — absent fields are
@@ -212,11 +227,11 @@ def options_from_spec(spec_json: str) -> dict:
                 parse_unix_millis(raw) if raw is not None
                 else datetime.now(timezone.utc)
             )
-            template = template.replace(
-                f"@{f.field_name}", value.strftime(f.format_string)
-            )
+            _sub(f"@{f.field_name}", value.strftime(f.format_string))
 
     out["url_template"] = template
+    if body is not None:
+        out["body_template"] = body
     if opts.get("responsePropertyKeyChain"):
         out["key_chain"] = ".".join(opts["responsePropertyKeyChain"])
     if opts.get("schemaDdl"):
@@ -285,7 +300,8 @@ def _http_transient(exc: BaseException) -> bool:
 
 def _fetch_doc(url: str, headers: dict[str, str], timeout: float, *,
                max_attempts: int = 3, backoff_seconds: float = 1.0,
-               requests_per_second: float | None = None):
+               requests_per_second: float | None = None,
+               request_body: str | None = None):
     """One page fetch returning the PARSED response document, with the same
     resilience contract as the driver-loop source: token-bucket acquire
     before each attempt, bounded fixed-backoff retry on transient failures
@@ -300,7 +316,18 @@ def _fetch_doc(url: str, headers: dict[str, str], timeout: float, *,
     def once() -> str:
         if limiter is not None:
             limiter.acquire()
-        req = urllib.request.Request(url, headers=headers)
+        if request_body is not None:
+            # a rendered body template makes the request a POST with a
+            # JSON payload — the reference's templated-payload contract
+            # (RestApiSource.cs:449-501); urllib switches the method to
+            # POST whenever data is given
+            req = urllib.request.Request(
+                url,
+                data=request_body.encode("utf-8"),
+                headers={**headers, "Content-Type": "application/json"},
+            )
+        else:
+            req = urllib.request.Request(url, headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 return resp.read().decode("utf-8")
@@ -332,12 +359,14 @@ def _rows_in(doc, key_chain: Sequence[str]) -> list[dict]:
 def _fetch_rows(url: str, headers: dict[str, str], timeout: float,
                 key_chain: Sequence[str], *,
                 max_attempts: int = 3, backoff_seconds: float = 1.0,
-                requests_per_second: float | None = None) -> list[dict]:
+                requests_per_second: float | None = None,
+                request_body: str | None = None) -> list[dict]:
     """:func:`_fetch_doc` + :func:`_rows_in` (the batch reader's path)."""
     doc = _fetch_doc(
         url, headers, timeout,
         max_attempts=max_attempts, backoff_seconds=backoff_seconds,
         requests_per_second=requests_per_second,
+        request_body=request_body,
     )
     return _rows_in(doc, key_chain)
 
@@ -346,6 +375,9 @@ class RestReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema_fields = [f.name for f in schema.fields]
         self.url_template = options["url_template"]
+        # optional POST payload template: placeholders render exactly
+        # like the URL's; a rendered body makes every fetch a POST
+        self.body_template = options.get("body_template")
         self.num_pages = int(options.get("pages", "1"))
         self.key_chain = [
             k for k in options.get("key_chain", "").split(".") if k
@@ -389,7 +421,7 @@ class RestReader(DataSourceReader):
             # count (reference PageCountingResolver reads it from the
             # response property), then every page fetches in parallel —
             # page 1 is re-fetched by its own task, the price of planning
-            doc = self._doc(self.url_template.replace("@page", "1"))
+            doc = self._doc(*self._render(page=1))
             from arcane_framework_spark.sources.rest import (
                 extract_by_key_chain,
             )
@@ -399,20 +431,33 @@ class RestReader(DataSourceReader):
             return [_PagePartition(p) for p in range(1, max(total, 1) + 1)]
         return [_PagePartition(p) for p in range(1, self.num_pages + 1)]
 
-    def _doc(self, url: str):
+    def _render(self, **slots) -> tuple:
+        """(url, body) with every ``@slot`` placeholder substituted into
+        BOTH templates — a slot absent from one of them is a no-op there
+        (e.g. a BODY-placed page field leaves the URL untouched)."""
+        url, body = self.url_template, self.body_template
+        for slot, value in slots.items():
+            url = url.replace(f"@{slot}", str(value))
+            if body is not None:
+                body = body.replace(f"@{slot}", str(value))
+        return url, body
+
+    def _doc(self, url: str, body: str | None = None):
         return _fetch_doc(
             url, self.headers, self.timeout,
             max_attempts=self.max_attempts,
             backoff_seconds=self.backoff,
             requests_per_second=self.requests_per_second,
+            request_body=body,
         )
 
-    def _fetch(self, url: str) -> list[dict]:
+    def _fetch(self, url: str, body: str | None = None) -> list[dict]:
         return _fetch_rows(
             url, self.headers, self.timeout, self.key_chain,
             max_attempts=self.max_attempts,
             backoff_seconds=self.backoff,
             requests_per_second=self.requests_per_second,
+            request_body=body,
         )
 
     def _tuples(self, rows: list[dict]) -> Iterator[tuple]:
@@ -426,8 +471,7 @@ class RestReader(DataSourceReader):
             else:
                 yield from self._offset_sweep()
             return
-        url = self.url_template.replace("@page", str(partition.page))
-        yield from self._tuples(self._fetch(url))
+        yield from self._tuples(self._fetch(*self._render(page=partition.page)))
 
     def _token_sweep(self) -> Iterator[tuple]:
         """Continuation-token chain until the token property disappears
@@ -437,7 +481,7 @@ class RestReader(DataSourceReader):
 
         token = ""
         while True:
-            doc = self._doc(self.url_template.replace("@token", str(token)))
+            doc = self._doc(*self._render(token=token))
             yield from self._tuples(_rows_in(doc, self.key_chain))
             found = extract_by_key_chain(doc, self.token_chain)
             token = found[0] if found else None
@@ -449,8 +493,7 @@ class RestReader(DataSourceReader):
         (reference PageOffsetResolver semantics)."""
         offset = self.offset_start
         while True:
-            url = self.url_template.replace("@page", str(offset))
-            rows = self._fetch(url)
+            rows = self._fetch(*self._render(page=offset))
             yield from self._tuples(rows)
             if len(rows) < self.offset_size:
                 return
@@ -563,9 +606,7 @@ class RestStreamReader(SimpleDataSourceStreamReader):
 
         next_page = int(start["page"]) + 1
         try:
-            doc = self.inner._doc(
-                self.inner.url_template.replace("@page", str(next_page))
-            )
+            doc = self.inner._doc(*self.inner._render(page=next_page))
         except RateLimitedError:
             return iter([]), start
         rows = list(self.inner._tuples(_rows_in(doc, self.inner.key_chain)))
@@ -578,9 +619,7 @@ class RestStreamReader(SimpleDataSourceStreamReader):
     def _rows_for_value(self, value: int) -> list[tuple]:
         return [
             tuple(row.get(name) for name in self.inner.schema_fields)
-            for row in self.inner._fetch(
-                self.inner.url_template.replace("@page", str(value))
-            )
+            for row in self.inner._fetch(*self.inner._render(page=value))
         ]
 
     def _read_token(self, start: dict) -> tuple:
@@ -600,12 +639,13 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         """Fetch the page for ``token``; returns (row tuples, next token)."""
         from arcane_framework_spark.sources.rest import extract_by_key_chain
 
-        url = self.inner.url_template.replace("@token", str(token))
+        url, body = self.inner._render(token=token)
         doc = _fetch_doc(
             url, self.inner.headers, self.inner.timeout,
             max_attempts=self.inner.max_attempts,
             backoff_seconds=self.inner.backoff,
             requests_per_second=self.inner.requests_per_second,
+            request_body=body,
         )
         rows = [
             tuple(row.get(name) for name in self.inner.schema_fields)
@@ -715,14 +755,14 @@ class RestStreamReader(SimpleDataSourceStreamReader):
 
     def _rows_for(self, page: int, slice_from: datetime | None = None,
                   slice_to: datetime | None = None) -> list[tuple]:
-        url = self.inner.url_template.replace("@page", str(page))
+        slots = {"page": page}
         if slice_from is not None:
-            url = url.replace(
-                "@from", slice_from.strftime(self.date_format)
-            ).replace("@to", slice_to.strftime(self.date_format))
+            slots["from"] = slice_from.strftime(self.date_format)
+            slots["to"] = slice_to.strftime(self.date_format)
+        url, body = self.inner._render(**slots)
         return [
             tuple(row.get(name) for name in self.inner.schema_fields)
-            for row in self.inner._fetch(url)
+            for row in self.inner._fetch(url, body)
         ]
 
 

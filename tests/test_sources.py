@@ -2474,8 +2474,9 @@ def test_rest_datasource_spec_date_fields_and_overrides(spark):
     the FROM/TO fields render at translation time from
     backfillStartUnixMillis / rangeEndUnixMillis with each field's own
     formatString (SimpleUriProvider semantics: absent fields are skipped
-    silently); a BODY-placed field is an explicit error on this GET-only
-    face; explicit reader options override spec-derived ones."""
+    silently); a BODY-placed field without a bodyTemplate is an explicit
+    error (with one, it travels — tests/test_wave8.py); explicit reader
+    options override spec-derived ones."""
     import json as _json
 
     import pytest
@@ -2528,6 +2529,10 @@ def test_rest_datasource_spec_date_fields_and_overrides(spark):
         )
         assert narrowed.count() == 0
 
+        # BODY placement is supported on this face now (r12 verdict #5,
+        # e2e in tests/test_wave8.py) — but only WITH a bodyTemplate to
+        # resolve into; without one the filter would silently drop, so
+        # the spec fails at parse exactly like the driver-loop face.
         bad = {"options": {
             "urlTemplate": "http://x/?page=@p",
             "templatedFields": [
@@ -2538,7 +2543,7 @@ def test_rest_datasource_spec_date_fields_and_overrides(spark):
                              "resolverPropertyKeyChain": ["n"]},
             "schemaDdl": "id LONG",
         }}
-        with pytest.raises(Exception, match="URL-only"):
+        with pytest.raises(Exception, match="BODY-placed"):
             spark.read.format("arcane_rest").option(
                 "spec", _json.dumps(bad)
             ).load().count()
