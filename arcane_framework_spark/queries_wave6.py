@@ -322,12 +322,76 @@ _SEEN_STATE_SEQ = __import__("itertools").count()
 _SEEN_STATE_BUCKETS = 16
 
 
+def _seen_state_compaction_due(spark: SparkSession, state_tbl: str,
+                               files_per_bucket: int) -> bool:
+    """The X47 planner composed as the seen-state compaction TRIGGER:
+    when the table's file count crosses ``files_per_bucket`` per bucket,
+    feed each file's (bucket, path, size) to ``plan_compaction`` — every
+    append is small relative to a full bucket, so the planner emits
+    rewrite groups exactly when some bucket holds >= 2 files. Cheap:
+    one catalog file listing + a metadata-scale plan."""
+    import os as _os
+    import re as _re
+
+    files = spark.table(state_tbl).inputFiles()
+    if len(files) < files_per_bucket * _SEEN_STATE_BUCKETS:
+        return False
+    from arcane_framework_spark.operators.maintenance import plan_compaction
+
+    rows = []
+    for f in files:
+        path = f.removeprefix("file:")
+        m = _re.search(r"_(\d{5})", _os.path.basename(path))
+        bucket = int(m.group(1)) if m else 0
+        try:
+            size = _os.path.getsize(path)
+        except OSError:
+            size = 0
+        rows.append((bucket, path, size))
+    total = max(sum(size for _, _, size in rows), 1)
+    plan = plan_compaction(
+        spark.createDataFrame(rows, "part int, file_id string, size long"),
+        # one output file per bucket: every file is sub-threshold, each
+        # bucket collapses into a single rewrite group
+        target_bytes=total,
+        small_file_threshold=total,
+    )
+    return bool(plan.limit(1).count())
+
+
+def _compact_seen_state(spark: SparkSession, state_tbl: str, seen_dir: str,
+                        generation: int) -> str:
+    """Rewrite the seen-state into a fresh bucketed generation table and
+    drop the old catalog entry. Spark's writer rewrites bucketed tables
+    WHOLE (per-bucket file surgery would have to forge bucket-suffixed
+    file names under the reader); with the files-per-bucket trigger this
+    is classic tiered compaction — O(state) every ~threshold ticks, so
+    amortized O(state/threshold) per tick. Bucketing and sort order are
+    preserved, so the presence/anti joins stay exchange-free across the
+    swap; a production deployment would hold this state in a table
+    format whose OPTIMIZE does the same rewrite transactionally."""
+    new_tbl = f"{state_tbl}_g{generation}"
+    new_dir = f"{seen_dir}_g{generation}"
+    (
+        spark.table(state_tbl)
+        .write.mode("overwrite")
+        .bucketBy(_SEEN_STATE_BUCKETS, "seg_hash")
+        .sortBy("seg_hash")
+        .option("path", new_dir)
+        .saveAsTable(new_tbl)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {state_tbl}")
+    return new_tbl
+
+
 def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
                                seen_dir: str, decision_sink,
                                max_files_per_trigger: int | None = None,
                                arrival_source: str | None = None,
                                anchored: bool = False,
-                               arrival_transform=None) -> None:
+                               arrival_transform=None,
+                               compact_files_per_bucket: int | None = None,
+                               ) -> None:
     """Drive the availableNow substring-dedup arrival stream; per batch
     the DECISIONS DataFrame goes to ``decision_sink(df, batch_id)`` and
     the batch's NEW segment hashes are appended to the presence state —
@@ -368,6 +432,8 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
         session_scoped_table(spark, "substr_seen_state")
         + f"_{next(_SEEN_STATE_SEQ)}"
     )
+    # mutable holder: compaction swaps the active generation table
+    state = {"tbl": state_tbl}
     gc_stale_side_tables(spark, "substr_seen_state")
     (
         index_of(docs)
@@ -407,7 +473,7 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
         # re-resolve per tick so files appended by earlier batches are
         # visible; the scan stays bucket-aligned however many appends
         # have landed (more files per bucket, same bucketing)
-        index = spark.table(state_tbl).select("seg_hash")
+        index = spark.table(state["tbl"]).select("seg_hash")
         out = incremental_substring_stats(batch_df, index,
                                           anchored=anchored)
         decision_sink(out, batch_id)
@@ -424,12 +490,21 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
             .write.mode("append")
             .bucketBy(_SEEN_STATE_BUCKETS, "seg_hash")
             .sortBy("seg_hash")
-            .saveAsTable(state_tbl)
+            .saveAsTable(state["tbl"])
         )
         # the session catalog caches the table's file listing; without
         # an explicit refresh the NEXT tick's scan can serve the
         # pre-append file set and silently re-keep seen content
-        spark.catalog.refreshTable(state_tbl)
+        spark.catalog.refreshTable(state["tbl"])
+        # bounded-file-count story (round-12 verdict #4): appends
+        # accumulate files per bucket forever; when the X47 planner
+        # says a rewrite is due, swap in a compacted generation
+        if compact_files_per_bucket is not None and _seen_state_compaction_due(
+            spark, state["tbl"], compact_files_per_bucket
+        ):
+            state["tbl"] = _compact_seen_state(
+                spark, state["tbl"], seen_dir, batch_id
+            )
 
     try:
         with stream_conf(spark):
@@ -443,7 +518,7 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
         # external table: dropping releases the catalog entry; the
         # bucket files in seen_dir stay with their owner (the caller's
         # tempdir at gate scale, durable storage in production)
-        spark.sql(f"DROP TABLE IF EXISTS {state_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {state['tbl']}")
 
 
 def _substring_segs_sql() -> str:

@@ -350,3 +350,214 @@ def test_logging_properties_enrichment(spark, tmp_path, monkeypatch):
     obs = [o for o in listener.observations if o.name == ROWS_INCOMING]
     assert obs and obs[0].tags["team"] == "ingest"
     assert obs[0].tags["arcane.stream_id"] == "s-lp"  # tags win collisions
+
+
+def test_ivf_assign_gemm_matches_join_path(spark):
+    """Round-12 verdict #2: the GEMM assignment (exact and routed) must
+    make bit-identical (cos, -cid) argmax decisions to the max_by join
+    path — including exact ties (duplicate centroids -> lowest cid) and
+    near-ties inside the boundary band."""
+    import random
+
+    from arcane_framework_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_routed,
+        kmeans_fit,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = kmeans_fit(df, k=None, iterations=2, target_cell_size=32)
+    for fn in (ivf_assign, ivf_assign_routed):
+        join_out = sorted(
+            (r.id, r.cid) for r in fn(df, cent, method="join").collect()
+        )
+        gemm_out = sorted(
+            (r.id, r.cid) for r in fn(df, cent, method="gemm").collect()
+        )
+        assert gemm_out == join_out and len(gemm_out) == len(rows)
+
+    # exact tie: two identical centroids with different cids -> every
+    # vector on that side must pick the LOWER cid under both methods
+    cent2 = spark.createDataFrame(
+        [(5, [1.0] * 16), (3, [1.0] * 16), (9, [-1.0] * 16)],
+        "cid long, cvec array<double>",
+    )
+    join_out = sorted(
+        (r.id, r.cid) for r in ivf_assign(df, cent2, method="join").collect()
+    )
+    gemm_out = sorted(
+        (r.id, r.cid) for r in ivf_assign(df, cent2, method="gemm").collect()
+    )
+    assert gemm_out == join_out
+    assert {c for _, c in gemm_out} <= {3, 9}  # cid 5 never wins its tie
+
+
+def test_ivf_assign_gemm_plan_has_no_exchange(spark):
+    """The GEMM assignment's reason to exist at 100 TB: the join path
+    shuffles N x k scored rows through a groupBy argmax plus a join back;
+    the mapInPandas path must introduce NO exchange."""
+    from arcane_framework_spark.operators.similarity import ivf_assign
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid long, cvec array<double>"
+    )
+    plan = (
+        ivf_assign(df, cent, method="gemm")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_rest_datasource_post_body_travels(spark):
+    """Round-12 verdict #5: BODY-placed templated fields travel on the
+    format('arcane_rest') face — the COUNTER-paged spec renders its page
+    number AND date filter into the POST payload (the URL carries
+    neither), and the result matches the driver-loop face running the
+    SAME spec (parity on rows and on the bodies the server saw)."""
+    import http.server
+    import json as _json
+    import threading
+
+    from arcane_framework_spark.plans import spec as spec_mod
+    from arcane_framework_spark.sources.rest import rest_source_from_spec
+    from arcane_framework_spark.sources.rest_datasource import RestDataSource
+
+    TOTAL_PAGES = 3
+    bodies = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            payload = _json.loads(self.rfile.read(n).decode())
+            bodies.append((self.path, payload))
+            page = int(payload.get("page", -1))
+            out = _json.dumps({
+                "meta": {"totalPages": TOTAL_PAGES},
+                "items": [
+                    {"id": page * 10 + j,
+                     "name": f"{payload['updatedAfter']}-p{page}"}
+                    for j in range(2)
+                ],
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    spark.dataSource.register(RestDataSource)
+    spec_json = _json.dumps({"options": {
+        "urlTemplate": f"http://127.0.0.1:{port}/search",
+        "bodyTemplate": '{"page": "@p", "updatedAfter": "@d"}',
+        "templatedFields": [
+            {"fieldType": "RESPONSE_PAGE", "fieldName": "p",
+             "placement": "BODY"},
+            {"fieldType": "FILTER_DATE_FROM", "fieldName": "d",
+             "formatString": "%Y-%m-%d", "placement": "BODY"},
+        ],
+        "pageResolver": {"resolverType": "COUNTER",
+                         "resolverPropertyKeyChain": ["meta", "totalPages"]},
+        "responsePropertyKeyChain": ["items"],
+        "schemaDdl": "id LONG, name STRING",
+        "backfillStartUnixMillis": 1577836800000,  # 2020-01-01
+    }})
+    want = sorted(
+        (p * 10 + j, f"2020-01-01-p{p}")
+        for p in range(1, TOTAL_PAGES + 1) for j in range(2)
+    )
+    try:
+        native = (
+            spark.read.format("arcane_rest")
+            .option("spec", spec_json)
+            .load()
+        )
+        got = sorted((r.id, r.name) for r in native.collect())
+        assert got == want
+        # every page went out as a POST body; the URL carried no params
+        assert all(path == "/search" for path, _ in bodies)
+        assert {int(b["page"]) for _, b in bodies} == {1, 2, 3}
+        assert all(b["updatedAfter"] == "2020-01-01" for _, b in bodies)
+
+        # driver-loop parity: the SAME spec through rest_source_from_spec
+        bodies.clear()
+        env = {spec_mod.ENV_BACKFILL: "true", spec_mod.ENV_SPEC: spec_json}
+        source = rest_source_from_spec(spark, spec_mod.from_env(env))
+        loop_got = sorted(
+            (r.id, r.name) for r in source.fetch_batch().collect()
+        )
+        assert loop_got == want
+    finally:
+        server.shutdown()
+
+
+def test_seen_state_compaction_bounds_file_count(spark, tmp_path):
+    """Round-12 verdict #4: the streaming seen-state gets a compaction
+    story. With compact_files_per_bucket set, the X47 planner triggers a
+    bucketed generation rewrite; across many ticks the live state's file
+    count stays bounded while the no-compaction twin's grows, decisions
+    are identical, and the state keeps its bucketing (the exchange-free
+    contract is structural in the bucket layout, asserted separately in
+    test_wave7)."""
+    import glob as _glob
+    import os as _os
+
+    from arcane_framework_spark.queries_wave6 import (
+        run_substring_dedup_stream,
+    )
+
+    # 8 single-doc arrival files -> 8 ticks with maxFilesPerTrigger=1;
+    # every doc shares a span so decisions involve real removals
+    span = " ".join(f"sharedspan{j}" for j in range(24))
+    arrivals_dir = str(tmp_path / "arrivals")
+    for i in range(8):
+        spark.createDataFrame(
+            [(1000 + i, f"lead{i} " + span)], "doc_id long, text string"
+        ).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(arrivals_dir)
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def run(seen_dir, compact):
+        acc = []
+        run_substring_dedup_stream(
+            spark, sf_dir, seen_dir,
+            lambda out, bid: acc.extend(
+                (bid, r.doc_id, r.removed_tokens) for r in out.collect()
+            ),
+            max_files_per_trigger=1,
+            arrival_source=arrivals_dir,
+            compact_files_per_bucket=compact,
+        )
+        return sorted(acc)
+
+    plain_dir = str(tmp_path / "seen_plain")
+    comp_dir = str(tmp_path / "seen_comp")
+    plain = run(plain_dir, None)
+    compacted = run(comp_dir, 1)
+    assert compacted == plain and len(plain) == 8  # identical decisions
+
+    def parquet_count(d):
+        return len(_glob.glob(_os.path.join(d, "*.parquet")))
+
+    gens = sorted(_glob.glob(comp_dir + "_g*"))
+    assert gens, "no compaction generation was ever written"
+    final_gen = max(gens, key=lambda d: int(d.rsplit("_g", 1)[1]))
+    # the live generation holds at most one rewrite (one file per busy
+    # bucket) plus at most one tick's appends; the no-compaction state
+    # accumulated every tick's appends on top of the seed
+    assert parquet_count(final_gen) < parquet_count(plain_dir), (
+        parquet_count(final_gen), parquet_count(plain_dir)
+    )
