@@ -1953,4 +1953,7 @@ ORACLE_SQL["incremental_substring_unaligned_documents"] = (
 # the doc_id-ordered availableNow drain makes first-arrived-wins coincide
 # with the batch order — the X178 argument, anchored edition
 ORACLE_SQL["streaming_substring_unaligned"] = _incremental_unaligned_sql()
+# compaction rewrites the same rows into fewer files AFTER each batch is
+# judged, so the compacted twin's decisions — and oracle — are identical
+ORACLE_SQL["streaming_substring_compacted"] = _incremental_unaligned_sql()
 ORACLE_SQL["anchored_width_stats_documents"] = _anchored_width_sql()

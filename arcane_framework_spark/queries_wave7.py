@@ -245,6 +245,53 @@ def streaming_substring_unaligned(spark: SparkSession,
     )
 
 
+def streaming_substring_compacted(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """X186 with the seen-state COMPACTION live (round-12 verdict #4):
+    ``compact_files_per_bucket=1`` makes the X47-planner trigger fire
+    after the drain's append, so the gate EXECUTES the bucketed
+    generation rewrite + table swap, not just the pytest. Decisions are
+    unchanged by construction — compaction rewrites the same rows into
+    fewer files after judging — so the entry shares the incremental
+    oracle verbatim; the hash match IS the proof the swap lost nothing."""
+    import os
+    import tempfile
+
+    from arcane_framework_spark.queries import _DUP_OFFSET
+    from arcane_framework_spark.queries_wave6 import (
+        run_substring_dedup_stream,
+    )
+
+    def arrivals(stream: DataFrame) -> DataFrame:
+        return stream.filter(
+            F.col("doc_id") % UNALIGNED_EVERY == 0
+        ).select(
+            (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+            F.concat(
+                F.expr(
+                    "repeat(concat('pad', CAST(doc_id AS STRING), ' '), "
+                    "CAST(doc_id % 7 + 1 AS INT))"
+                ),
+                F.lit(UNALIGNED_SPAN + " "),
+                F.col("text"),
+            ).alias("text"),
+        )
+
+    acc: list = []
+    with tempfile.TemporaryDirectory() as tmp:
+        run_substring_dedup_stream(
+            spark, sf_dir, os.path.join(tmp, "seen"),
+            lambda out, _bid: acc.extend(out.collect()),
+            anchored=True, arrival_transform=arrivals,
+            compact_files_per_bucket=1,
+        )
+    return spark.createDataFrame(
+        acc,
+        "doc_id: long, n_segments: long, n_removed_segments: long, "
+        "removed_tokens: long, kept_tokens: long, removed_idxs: string",
+    )
+
+
 def anchored_width_stats_documents(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """Distribution of anchored segment widths over the plain corpus:
@@ -470,5 +517,6 @@ WAVE7_QUERIES = {
     "incremental_substring_unaligned_documents":
         incremental_substring_unaligned_documents,
     "streaming_substring_unaligned": streaming_substring_unaligned,
+    "streaming_substring_compacted": streaming_substring_compacted,
     "anchored_width_stats_documents": anchored_width_stats_documents,
 }
