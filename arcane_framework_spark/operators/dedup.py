@@ -1130,8 +1130,15 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
     whose OTHER tokens are even hotter), distinct the candidate pairs,
     and verify ``ni·den ≥ num·(na+nb−ni)`` by integer cross-multiply.
 
-    Three shuffles (df aggregate, prefix join, pair verify) and one
-    broadcast of the vocab df table; everything is exact integers.
+    Three shuffles (df aggregate, prefix join, pair verify); everything
+    is exact integers. The rarity (``dfreq``) and per-doc size tables
+    join RELATIONALLY — no forced broadcast: ``dfreq`` has one row per
+    distinct shingle (the LARGEST table this op builds — it grows
+    faster than word types) and ``sizes`` one row per document, so at
+    corpus scale both are corpus-cardinality and a hard
+    ``F.broadcast`` would be a driver-collect bomb. AQE still picks
+    broadcast when a side is actually small — the same treatment
+    :func:`containment_pairs` documents (round-13 verdict #1).
     Returns (id_a, id_b, jaccard) with jaccard ≥ num/den, 6dp.
     """
     from pyspark.sql import Window
@@ -1147,14 +1154,14 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
     ranked = (
-        toks.join(F.broadcast(dfreq), "tok")
+        toks.join(dfreq, "tok")
         .withColumn(
             "__rn",
             F.row_number().over(
                 Window.partitionBy("id").orderBy("__df", "tok")
             ),
         )
-        .join(F.broadcast(sizes), "id")
+        .join(sizes, "id")
     )
     # prefix length L = n - ceil(t*n) + 1; the float ceil is computed
     # identically on both engines (same double product), and a smaller

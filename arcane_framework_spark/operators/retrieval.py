@@ -112,10 +112,23 @@ def bm25_rank(docs: DataFrame, qterms: DataFrame, k: int = 5,
     contrib = idf * (tf_d * F.lit(k1 + 1.0)) / denom
 
     q_side = F.broadcast(qterms) if broadcast_queries else qterms
+    # The term-df broadcast must be QUERY-bounded, not vocabulary-
+    # bounded: df_tbl has one row per distinct corpus term, which grows
+    # with the corpus — hard-broadcasting it is a driver-collect bomb at
+    # scale. Semi-join it to the query terms FIRST (the surviving rows
+    # are bounded by the query vocabulary; semi-join needs no distinct),
+    # then broadcast only on the literal-query path where that bound is
+    # a handful of terms; corpus-derived query tables keep the
+    # relational join and let AQE decide (round-13 verdict #1).
+    q_term_set = qterms.select("term")
+    df_q = df_tbl.join(
+        F.broadcast(q_term_set) if broadcast_queries else q_term_set,
+        "term", "left_semi",
+    )
     scored = with_broadcast_scalar(
         tf.join(q_side, "term")
         .join(dl, id_col)
-        .join(F.broadcast(df_tbl), "term"),
+        .join(F.broadcast(df_q) if broadcast_queries else df_q, "term"),
         scalars,
     ).select(
         "query_id",

@@ -319,6 +319,63 @@ def main() -> None:
 
     results["ivfpq_train_encode_search"] = timed(_ivfpq)
 
+    # ---- family 6 (round-14 verdict #1): exact prefix-filter join -----
+    # prefix_filter_pairs no longer hard-broadcasts its corpus-
+    # cardinality dfreq (shingle types) / sizes (per-doc) tables; this
+    # probe proves the relational candidate-join shape holds at 500k
+    # docs. The copy corpus can't be used as-is: copies are near-dups
+    # of their base, so the EXACT all-pairs output would be
+    # C(copies,2)-quadratic BY CONSTRUCTION and the run would measure
+    # output volume, not the join. Instead every 5th token is salted
+    # per-doc (df=1 shingles saturate the rarity prefix → cross-copy
+    # Jaccard ~0.25, no candidates), except copies 0/1 of every 50th
+    # base doc, which keep their text — bounded planted near-dup pairs
+    # the join must still find. What scales with the corpus is exactly
+    # what round-14 changed: the dfreq aggregation, the per-doc rarity
+    # rank, the sizes join, and the prefix self-join over ~10⁸ shingle
+    # rows.
+    from arcane_framework_spark.operators.dedup import prefix_filter_pairs
+
+    is_planted = (
+        (F.col("doc_id") % 1_000_000 % 50 == 0)
+        & (F.col("doc_id") < 2_000_000)
+    )
+    salted = docs.select(
+        "doc_id",
+        F.when(is_planted, F.col("text"))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t, pos: F.when(
+                        pos % F.lit(5) == F.lit(0),
+                        F.concat_ws(
+                            "x",
+                            F.lit("s"),
+                            F.col("doc_id").cast("string"),
+                            pos.cast("string"),
+                        ),
+                    ).otherwise(t),
+                ),
+            )
+        )
+        .alias("text"),
+    )
+    n_planted_docs = salted.filter(is_planted).count()
+    results["prefix_filter_planted_docs"] = n_planted_docs
+    results["prefix_filter_pairs"] = timed(
+        lambda: prefix_filter_pairs(salted)
+    )
+    # every planted intra-base pair must be found (exact join, no
+    # recall loss); extra rows only come from base docs that are
+    # near-dups of EACH OTHER (present in the synthetic corpus by
+    # design), never from salted copies.
+    assert results["prefix_filter_pairs"]["rows"] >= n_planted_docs // 2, (
+        results["prefix_filter_pairs"],
+        n_planted_docs,
+    )
+
     # ---- growth factors vs the committed 10x artifact -----------------
     base_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
