@@ -503,6 +503,29 @@ def _gemm_argmax_cids(V, C, cn_exact, cids, band: float = ASSIGN_GEMM_BAND):
     return out
 
 
+#: Spark simpleStrings of the centroid-id types the assignment family
+#: accepts. Both paths need numeric negation for the (cos, -cid)
+#: tie-break (max_by struct ordering on the join path, the exact-fold
+#: re-rank key on the GEMM path), and ``_centroid_arrays`` packs ids
+#: into int64 — so anything non-integral is rejected loudly instead of
+#: silently mis-ordering (join path: ``-string`` casts to null) or
+#: crashing in the executor (GEMM path).
+_INTEGRAL_CID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_cid(centroids: DataFrame, cid_col: str,
+                          who: str) -> str:
+    """Validate the centroid-id column type at plan construction; returns
+    its simpleString for schema derivation."""
+    cid_t = centroids.schema[cid_col].dataType.simpleString()
+    if cid_t not in _INTEGRAL_CID_TYPES:
+        raise ValueError(
+            f"{who} requires an integral centroid-id column "
+            f"({'/'.join(_INTEGRAL_CID_TYPES)}); got {cid_col!r}: {cid_t}"
+        )
+    return cid_t
+
+
 def _centroid_arrays(rows):
     """(cids, C, cn_exact) numpy arrays from collected (cid, cvec) rows.
     Norms use the exact fold so boundary re-ranks divide by the same
@@ -540,10 +563,18 @@ def _ivf_assign_gemm(df: DataFrame, centroids: DataFrame, id_col: str,
     """
     import numpy as np
 
-    cent_rows = centroids.select(cid_col, cvec_col).collect()
-    cids, C, cn = _centroid_arrays(cent_rows)
+    cid_t = _require_integral_cid(centroids, cid_col, "ivf_assign")
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    cid_t = centroids.schema[cid_col].dataType.simpleString()
+    cent_rows = centroids.select(cid_col, cvec_col).collect()
+    if not cent_rows:
+        # k = 0: nothing to assign against. The join path's inner join
+        # onto the empty argmax table returns an empty (id, vec, cid)
+        # frame — match it instead of crashing in ``V @ C.T`` (shape-(0,)
+        # C) and the ``best[1]`` deref (round-13 verdict #2 / ADVICE).
+        return base.select(
+            "id", "vec", F.lit(None).cast(cid_t).alias("cid")
+        ).limit(0)
+    cids, C, cn = _centroid_arrays(cent_rows)
     schema = (
         f"id {base.schema['id'].dataType.simpleString()}, "
         f"vec {base.schema['vec'].dataType.simpleString()}, cid {cid_t}"
@@ -586,6 +617,7 @@ def ivf_assign(df: DataFrame, centroids: DataFrame,
         return _ivf_assign_gemm(
             df, centroids, id_col, vec_col, cid_col, cvec_col
         )
+    _require_integral_cid(centroids, cid_col, "ivf_assign")
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     withn = base.withColumn("__n", norm_expr(F.col("vec")))
     cent = centroids.select(
@@ -630,18 +662,29 @@ def _ivf_assign_routed_gemm(df: DataFrame, coarse: DataFrame,
     """
     import numpy as np
 
+    # fine-cid type follows the centroids schema (via f2c), exactly as
+    # _ivf_assign_gemm derives it — a hardcoded 'cid long' would
+    # silently retype non-long ids relative to the join path.
+    cid_t = f2c.schema["cid"].dataType.simpleString()
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     coarse_rows = coarse.select("ccid", "ccvec").collect()
-    ccids, CC, ccn = _centroid_arrays(coarse_rows)
     cells: dict = {}
     for r in f2c.select("ccid", "cid", "cvec").collect():
         cells.setdefault(r[0], []).append((r[1], r[2]))
+    if not coarse_rows or not cells:
+        # k = 0 (empty centroids ⇒ empty coarse subset and empty
+        # fine→coarse routing): match the join path's empty result
+        # instead of crashing in the coarse GEMM.
+        return base.select(
+            "id", "vec", F.lit(None).cast(cid_t).alias("cid")
+        ).limit(0)
+    ccids, CC, ccn = _centroid_arrays(coarse_rows)
     cell_arrays = {
         ccid: _centroid_arrays(rows) for ccid, rows in cells.items()
     }
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     schema = (
         f"id {base.schema['id'].dataType.simpleString()}, "
-        f"vec {base.schema['vec'].dataType.simpleString()}, cid long"
+        f"vec {base.schema['vec'].dataType.simpleString()}, cid {cid_t}"
     )
 
     def assign(batches):
@@ -695,6 +738,7 @@ def ivf_assign_routed(df: DataFrame, centroids: DataFrame,
 
     from arcane_framework_spark.operators.scale import with_broadcast_scalar
 
+    _require_integral_cid(centroids, cid_col, "ivf_assign_routed")
     cent = centroids.select(
         F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cvec")
     )
