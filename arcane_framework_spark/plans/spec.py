@@ -161,6 +161,9 @@ class StreamSpec:
         if rgpf < 1:
             # ParquetSink.cs:63-66 enforces > 0.
             raise ValueError("rowGroupsPerFile must be a positive integer")
+        resolver_cfg = payload.get("pageResolver")
+        if resolver_cfg is None:
+            resolver_cfg = payload.get("options", {}).get("pageResolver")
         return cls(
             stream_id=stream_id or payload.get("streamId", "local-stream"),
             stream_kind=stream_kind or payload.get("streamKind", "generic"),
@@ -174,16 +177,13 @@ class StreamSpec:
             partitions=parts,
             # accepted at the payload top level OR inside options — the
             # arcane_rest DataSource face reads the nested shape, so one
-            # spec JSON must drive both faces identically
+            # spec JSON must drive both faces identically. Resolved once
+            # with explicit None checks (top level wins): truthiness
+            # would silently skip an explicit-but-empty {} config that
+            # from_dict should loudly reject (round-13 ADVICE).
             page_resolver=(
-                PageResolverConfiguration.from_dict(
-                    payload.get("pageResolver")
-                    or payload.get("options", {}).get("pageResolver")
-                )
-                if (payload.get("pageResolver")
-                    or payload.get("options", {}).get("pageResolver"))
-                is not None
-                else None
+                None if resolver_cfg is None
+                else PageResolverConfiguration.from_dict(resolver_cfg)
             ),
             options=payload.get("options", {}),
         )

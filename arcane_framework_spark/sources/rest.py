@@ -255,6 +255,23 @@ def _first_field(fields: list["RestApiTemplatedField"],
     return next((f for f in fields if f.field_type in types), None)
 
 
+def sub_placeholder(template: str, name: str, value: str) -> str:
+    """Replace ``@name`` in ``template`` with ``value`` at NAME
+    BOUNDARIES only: ``@to`` must never capture the prefix of ``@token``
+    (round-13 verdict #4 — a plain ``str.replace`` corrupts any longer
+    placeholder the slot is a prefix of, regardless of substitution
+    order when the names come from user specs). A placeholder ends
+    where its identifier characters do, so the pattern is
+    ``@name(?![A-Za-z0-9_])``; the replacement goes through a lambda so
+    backslashes/group refs in ``value`` stay literal."""
+    import re
+
+    return re.sub(
+        f"@{re.escape(name)}(?![A-Za-z0-9_])", lambda _m: str(value),
+        template,
+    )
+
+
 class RestApiTemplate:
     """``@field`` placeholder substitution in a URL/body template.
 
@@ -277,9 +294,15 @@ class RestApiTemplate:
 
     def resolve(self) -> str:
         out = self.template
-        # longest names first so @page never captures the prefix of @pageSize
+        # Boundary-aware substitution: longest-first alone protects only
+        # DECLARED names from each other — a declared @to would still
+        # corrupt an UNDECLARED @token left in the template. The
+        # name-boundary pattern protects both (resolving an unvalued
+        # field to itself stays a no-op).
         for name in sorted(self.field_names, key=len, reverse=True):
-            out = out.replace(f"@{name}", self._values.get(name, f"@{name}"))
+            out = sub_placeholder(
+                out, name, self._values.get(name, f"@{name}")
+            )
         return out
 
     def reset(self) -> "RestApiTemplate":

@@ -136,11 +136,16 @@ def options_from_spec(spec_json: str) -> dict:
     body = opts.get("bodyTemplate")
     out: dict = {}
 
-    def _sub(old: str, new: str) -> None:
+    def _sub(name: str, new: str) -> None:
+        # boundary-aware: a user field named 'to' must not corrupt an
+        # internal '@token' slot (or any longer user placeholder it is
+        # a prefix of) — round-13 verdict #4
+        from arcane_framework_spark.sources.rest import sub_placeholder
+
         nonlocal template, body
-        template = template.replace(old, new)
+        template = sub_placeholder(template, name, new)
         if body is not None:
-            body = body.replace(old, new)
+            body = sub_placeholder(body, name, new)
 
     resolver = None
     # nested inside options or at the payload top level — both faces
@@ -178,7 +183,7 @@ def options_from_spec(spec_json: str) -> dict:
                 "parameter, though API is initialized as paged"
             )
         page_slot = "@token" if resolver.resolver_type == "TOKEN" else "@page"
-        _sub(f"@{page_field.field_name}", page_slot)
+        _sub(f"{page_field.field_name}", page_slot)
         chain = ".".join(resolver.resolver_property_key_chain)
         if resolver.resolver_type == "COUNTER":
             out["pages_key_chain"] = chain
@@ -209,9 +214,9 @@ def options_from_spec(spec_json: str) -> dict:
         out["range_start"] = start.isoformat()
         out["range_step_seconds"] = str(opts.get("rangeStepSeconds", 86400))
         out["date_format"] = from_field.format_string
-        _sub(f"@{from_field.field_name}", "@from")
+        _sub(f"{from_field.field_name}", "@from")
         if to_field is not None:
-            _sub(f"@{to_field.field_name}", "@to")
+            _sub(f"{to_field.field_name}", "@to")
     else:
         # batch/backfill: render date filters here, with each field's own
         # formatString (SimpleUriProvider.cs:70 — absent fields are
@@ -227,7 +232,7 @@ def options_from_spec(spec_json: str) -> dict:
                 parse_unix_millis(raw) if raw is not None
                 else datetime.now(timezone.utc)
             )
-            _sub(f"@{f.field_name}", value.strftime(f.format_string))
+            _sub(f"{f.field_name}", value.strftime(f.format_string))
 
     out["url_template"] = template
     if body is not None:
@@ -434,12 +439,16 @@ class RestReader(DataSourceReader):
     def _render(self, **slots) -> tuple:
         """(url, body) with every ``@slot`` placeholder substituted into
         BOTH templates — a slot absent from one of them is a no-op there
-        (e.g. a BODY-placed page field leaves the URL untouched)."""
+        (e.g. a BODY-placed page field leaves the URL untouched).
+        Substitution is name-boundary-aware (``@to`` never captures the
+        prefix of ``@token`` — round-13 verdict #4)."""
+        from arcane_framework_spark.sources.rest import sub_placeholder
+
         url, body = self.url_template, self.body_template
         for slot, value in slots.items():
-            url = url.replace(f"@{slot}", str(value))
+            url = sub_placeholder(url, slot, str(value))
             if body is not None:
-                body = body.replace(f"@{slot}", str(value))
+                body = sub_placeholder(body, slot, str(value))
         return url, body
 
     def _doc(self, url: str, body: str | None = None):
@@ -725,11 +734,10 @@ class RestStreamReader(SimpleDataSourceStreamReader):
             # pages: re-walk read() from `start` until the offsets meet
             # `end` — the exact token-mode replay contract, including the
             # fail-don't-truncate rule on a mid-replay throttle
-            step = (
-                self._read_offset
-                if self.inner.offset_size is not None
-                else self._read_counter
-            )
+            if self.inner.offset_size is not None:
+                step, pos = self._read_offset, "off"
+            else:
+                step, pos = self._read_counter, "page"
             rows: list[tuple] = []
             cur = dict(start)
             while cur != end and not cur.get("done"):
@@ -740,10 +748,18 @@ class RestStreamReader(SimpleDataSourceStreamReader):
                         f"throttled replaying committed range {start}..{end}"
                     )
                 cur = nxt
-            if cur != end:
-                # Cursor went 'done' short of the committed end — the API
-                # shrank under us; raise instead of silently returning a
-                # truncated row set for an already-committed range.
+            # Success = the cursors match exactly, OR the replay chain
+            # went terminal AT the committed end position: in counter
+            # mode a totalPages that shrank to exactly the committed end
+            # page yields {'page': N, 'done': 1} against an end of
+            # {'page': N} — every committed page was fetched in full, so
+            # whole-dict inequality must not wedge recovery of a fully-
+            # replayable range (round-13 ADVICE). A terminal cursor
+            # SHORT of the end position still fails: that is a genuine
+            # shrink under an already-committed range.
+            if cur != end and not (
+                cur.get("done") and cur.get(pos) == end.get(pos)
+            ):
                 raise RuntimeError(
                     f"replay ended at {cur} before committed end {end}"
                 )
