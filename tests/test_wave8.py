@@ -554,6 +554,11 @@ def test_seen_state_compaction_bounds_file_count(spark, tmp_path):
 
     gens = sorted(_glob.glob(comp_dir + "_g*"))
     assert gens, "no compaction generation was ever written"
+    # round-13 verdict #6: each swap GCs its predecessor, so only the
+    # LIVE generation dir remains — the seed dir and every superseded
+    # generation are gone from disk
+    assert len(gens) == 1, gens
+    assert not _os.path.exists(comp_dir), "superseded seed dir survived"
     final_gen = max(gens, key=lambda d: int(d.rsplit("_g", 1)[1]))
     # the live generation holds at most one rewrite (one file per busy
     # bucket) plus at most one tick's appends; the no-compaction state
