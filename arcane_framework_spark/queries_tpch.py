@@ -280,15 +280,22 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 
 
 def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: max-revenue supplier(s) via an all-rows window max.
+    """TPC-H Q15 shape: max-revenue supplier(s) via a broadcast scalar max.
 
-    Scale: revenue-per-supplier is one shuffle; the window max over the
-    (small) aggregated table is a single-partition exchange of supplier
-    rollups, not of fact rows. Rounding happens before the max comparison so
-    both engines compare identical cent values.
+    Scale: revenue-per-supplier is one shuffle; the global max then rides
+    a partial-aggregated 1-row scalar joined back onto the rollup —
+    NOT an all-rows window max, which would single-partition the whole
+    supplier-cardinality rollup (the one corpus-growing table in this
+    query) through one task (round-14: the last unpartitioned window
+    over a non-bounded table in the catalog). ``rev`` is persisted: it
+    feeds both the scalar and the filter. Rounding happens before the
+    max comparison so both engines compare identical cent values.
     """
+    from arcane_framework_spark.operators.cache import scoped_persist
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
     t = load_tables(spark, sf_dir, "lineitem", "supplier")
-    rev = (
+    rev = scoped_persist(
         t["lineitem"]
         .filter(
             F.expr(
@@ -303,10 +310,9 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    w = Window.partitionBy()
-    best = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("max_rev")
-    )
+    best = with_broadcast_scalar(
+        rev, rev.agg(F.max("total_revenue").alias("max_rev"))
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
     return (
         best.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

@@ -93,6 +93,122 @@ SKIP = {
     "streaming_incremental_dedup",
 }
 
+#: Queries whose plans contain UNPARTITIONED Window operators — each one
+#: single-partitions its input, so every site must operate on a table
+#: whose cardinality is BOUNDED by design (bands/types/levels/buckets,
+#: never corpus rows). This encodes the round-13 verdict #3 review as an
+#: assert: ``name -> (max_sites, cardinality class)``. A site count
+#: above the recorded max, or an unpartitioned window in a query not
+#: listed here, is a RED flag — a new corpus-scale single-partition
+#: window becomes a review-time catch instead of a 100× OOM. Classes
+#: that say "rank-limit-capped" additionally assert the plan
+#: contains a rank-limit pushdown node (WindowGroupLimit, or a
+#: TakeOrderedAndProject that feeds the window only k rows) capping the
+#: single-partition sort's input at k rows per map partition.
+BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
+    "pack_documents_512": (
+        1, "bucket-offset table: one row per prefix-sum group, "
+           "partition-count-bounded"),
+    "pps_sample_documents": (
+        1, "bucket-offset table (PPS cumulative weights), "
+           "partition-count-bounded"),
+    "budget_selection_documents": (
+        1, "score-ordered bucket-offset table, partition-count-bounded"),
+    "skew_report_events": (
+        1, "top-k hot keys, rank-limit-capped"),
+    "salted_join_events": (
+        2, "top-k hot-key pickers (report + salt list), "
+           "rank-limit-capped"),
+    "training_order_documents": (
+        2, "one row per SOURCE (interleave stride + global source count)"),
+    "epoch_mix_documents": (
+        1, "epoch × source mixture-weight table"),
+    "bigram_lift_documents": (
+        1, "top-k lift over bigram types, rank-limit-capped"),
+    "bpe_merges_documents": (
+        1, "top-1 pair per merge round, rank-limit-capped"),
+    "survival_signup_purchase": (
+        2, "Kaplan-Meier duration levels (distinct day-granular "
+           "durations)"),
+    "rake_keyphrases_documents": (
+        1, "top-k phrases, rank-limit-capped"),
+    "vocab_growth_documents": (
+        1, "one row per log-scale corpus-size bucket"),
+    "event_paths_users": (
+        1, "top-k transition paths, rank-limit-capped"),
+    "session_copairs_events": (
+        1, "top-k event-type pairs (type²-bounded), "
+           "rank-limit-capped"),
+    "spearman_corr_documents": (
+        2, "rank over distinct VALUE levels (length types, not docs)"),
+    "benford_audit_orders": (
+        1, "nine leading-digit rows"),
+    "chi2_independence_events": (
+        2, "event_type × day-of-week contingency cells"),
+    "basket_rules_lineitem": (
+        1, "top-k association rules, rank-limit-capped"),
+    "rfm_segments_customers": (
+        6, "quantile edges over distinct R/F/M value levels + their "
+           "1-row totals"),
+    "allocation_hamilton_documents": (
+        3, "one row per source (+ 1-row totals, remainder rank)"),
+    "vocab_shift_documents": (
+        2, "top-k rising/falling terms, rank-limit-capped"),
+    "date_gaps_orders": (
+        1, "one row per year-month"),
+}
+
+
+def _top_bracket_groups(args_line: str) -> list[str]:
+    """Top-level ``[...]`` groups of a formatted-plan Arguments line."""
+    s = args_line.split("Arguments:", 1)[1]
+    groups: list[str] = []
+    depth, cur, started = 0, "", False
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                started, cur = True, ""
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and started:
+                groups.append(cur)
+                started = False
+                continue
+        if started:
+            cur += ch
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Order-spec snippets of every UNPARTITIONED Window node in a
+    formatted plan. A Window's Arguments line is ``[exprs],
+    [partitionSpec], [orderSpec]`` with EMPTY specs omitted, so two
+    groups are ambiguous: ``[exprs], [order]`` (unpartitioned — order
+    entries carry ``NULLS FIRST/LAST`` sort markers) vs ``[exprs],
+    [partition]`` (partitioned, no order — bare expressions). One group
+    is always unpartitioned (global frame)."""
+    import re
+
+    out = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if not re.match(r"\(\d+\) Window\b", line.strip()):
+            continue
+        for j in range(i + 1, min(i + 8, len(lines))):
+            if lines[j].strip().startswith("Arguments:"):
+                g = _top_bracket_groups(lines[j])
+                if len(g) == 1:
+                    out.append("<global frame>")
+                elif len(g) == 2 and (
+                    "NULLS FIRST" in g[1] or "NULLS LAST" in g[1]
+                ):
+                    out.append(g[1][:60])
+                break
+    return out
+
 
 def _tree_depth(line: str) -> int:
     """Nesting depth of a physical-plan toString line (length of the
@@ -159,6 +275,28 @@ def main() -> None:
             executed = df._jdf.queryExecution().executedPlan().toString()
             if not _only_scalar_bnlj(executed):
                 flags.append("NESTED-LOOP")
+        unp = unpartitioned_windows(plan)
+        allowed = BOUNDED_UNPARTITIONED_WINDOWS.get(name)
+        if unp:
+            if allowed is None:
+                flags.append(f"UNPART-WINDOW({len(unp)})")
+            elif len(unp) > allowed[0]:
+                flags.append(
+                    f"UNPART-WINDOW-GREW({len(unp)}>{allowed[0]})"
+                )
+            elif ("rank-limit-capped" in allowed[1]
+                    and "WindowGroupLimit" not in plan
+                    and "TakeOrderedAndProject" not in plan):
+                # the allowlist rationale claims a rank-limit pushdown
+                # bounds the single-partition sort (WindowGroupLimit, or
+                # TakeOrderedAndProject feeding the window k rows) —
+                # verify one is actually in the plan
+                flags.append("UNPART-WINDOW-UNCAPPED")
+        elif allowed is not None:
+            # stale allowlist entry: the window disappeared — not a
+            # failure, but worth a line so the list stays honest
+            print(f"note  {name}: allowlisted unpartitioned window "
+                  "no longer in plan")
         import re
 
         # formatted mode prints "(N) Exchange" headers with the partitioning
