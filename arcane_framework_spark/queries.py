@@ -1957,3 +1957,13 @@ ORACLE_SQL["streaming_substring_unaligned"] = _incremental_unaligned_sql()
 # judged, so the compacted twin's decisions — and oracle — are identical
 ORACLE_SQL["streaming_substring_compacted"] = _incremental_unaligned_sql()
 ORACLE_SQL["anchored_width_stats_documents"] = _anchored_width_sql()
+
+# Wave 8 (round 14) — per-source caps, DLT priority sampling, rollup
+# datacard; self-contained oracles, registered here for catalog order.
+from arcane_framework_spark.queries_wave8 import (  # noqa: E402
+    WAVE8_ORACLE_SQL,
+    WAVE8_QUERIES,
+)
+
+QUERIES.update(WAVE8_QUERIES)
+ORACLE_SQL.update(WAVE8_ORACLE_SQL)

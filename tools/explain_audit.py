@@ -156,6 +156,8 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
         2, "top-k rising/falling terms, rank-limit-capped"),
     "date_gaps_orders": (
         1, "one row per year-month"),
+    "priority_sample_documents": (
+        1, "top-(k+1) DLT priorities, rank-limit-capped"),
 }
 
 
