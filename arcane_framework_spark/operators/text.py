@@ -792,9 +792,12 @@ def bigram_lift(docs: DataFrame, text_col: str = "text",
 
     Scale shape: bigram and unigram counting are each ONE shuffle with
     map-side combine over type-scale outputs; the unigram table joins
-    back BROADCAST (Heaps' law keeps it small relative to the corpus);
-    N rides a 1-row broadcast scalar; the top-k cut is
-    TakeOrderedAndProject — no global sort materializes.
+    back RELATIONALLY — Heaps' law keeps word types SUBLINEAR in the
+    corpus, not bounded, so a hard broadcast of the unigram table would
+    collect the whole vocabulary to the driver at 100 TB; AQE broadcasts
+    it while it actually fits (round-14). N rides a 1-row broadcast
+    scalar; the top-k cut is TakeOrderedAndProject — no global sort
+    materializes.
     """
     base = _with_token_barrier(
         docs.filter(F.length(F.trim(F.col(text_col))) > 0), text_col
@@ -832,8 +835,8 @@ def bigram_lift(docs: DataFrame, text_col: str = "text",
 
     scored = (
         with_broadcast_scalar(pair_counts, n_total)
-        .join(F.broadcast(u1), "w1")
-        .join(F.broadcast(u2), "w2")
+        .join(u1, "w1")
+        .join(u2, "w2")
         .select(
             "w1",
             "w2",
@@ -1088,7 +1091,10 @@ def rake_keyphrases(docs: DataFrame, id_col: str = "doc_id",
     )
     phrase_scores = (
         phrases.select("phrase", F.explode("words").alias("w"))
-        .join(F.broadcast(word_stats.select("w", "__ws_fp")), "w")
+        # word_stats is word-TYPE-cardinality (grows with the corpus
+        # vocabulary) — relational join, AQE broadcasts while it fits
+        # (round-14, the vocabulary-broadcast sweep)
+        .join(word_stats.select("w", "__ws_fp"), "w")
         .groupBy("phrase")
         .agg(F.sum("__ws_fp").alias("__sum_fp"))
     )

@@ -1451,7 +1451,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → (doc, term) counts → document frequencies → idf join → window
     top-k. Scale: two shuffles (term counts, df) + the ranked top-k, which
     Spark executes with partial WindowGroupLimit before the exchange. The
-    df table is broadcast (|vocab| ≪ corpus).
+    df table joins RELATIONALLY — it has one row per distinct corpus term,
+    which grows with the corpus (Heaps' law is sublinear, not bounded), so
+    a hard broadcast would be a driver-collect bomb at 100 TB; AQE still
+    picks broadcast while the vocabulary actually fits (round-14, the
+    prefix_filter/BM25 treatment applied to every vocabulary-cardinality
+    broadcast).
     """
     from pyspark.sql import Window
 
@@ -1469,7 +1474,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = with_broadcast_scalar(
-        tf.join(F.broadcast(df_tbl), "term"), n_docs_df
+        tf.join(df_tbl, "term"), n_docs_df
     ).select(
         "doc_id",
         "term",
