@@ -138,6 +138,49 @@ PRIORITY_SAMPLE_K = 64
 _U_SPACE = 4294967296.0
 
 
+def _priority_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, weight, __q) with the DLT priority key — shared
+    by the batch entry and the streaming twin so both rank the
+    bit-identical doubles."""
+    from arcane_framework_spark.operators.sampling import md5_bucket_expr
+
+    u = md5_bucket_expr("doc_id", "pri", 16 ** 8)
+    prio = (F.col("n_chars").cast("double") * F.lit(_U_SPACE)) / (
+        (u + F.lit(1)).cast("double")
+    )
+    return docs.select(
+        "doc_id", "source", F.col("n_chars").alias("weight"),
+        prio.alias("__q"),
+    )
+
+
+def _priority_finalize(topk1: DataFrame, k: int) -> DataFrame:
+    """Sample + estimator weights from a ranked top-(k+1) relation
+    (columns doc_id, source, weight, __q, __rk) — the shared tail of
+    both entries: τ from the (k+1)-th row as a broadcast scalar, output
+    (doc_id, source, weight, priority, est_w) at 4dp."""
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    tau = topk1.agg(
+        F.coalesce(
+            F.min(F.when(F.col("__rk") == k + 1, F.col("__q"))),
+            F.lit(0.0),
+        ).alias("__tau")
+    )
+    half_up = lambda c, s: F.floor(c * s + F.lit(0.5)) / s  # noqa: E731
+    return with_broadcast_scalar(
+        topk1.filter(F.col("__rk") <= k), tau
+    ).select(
+        "doc_id",
+        "source",
+        "weight",
+        half_up(F.col("__q"), 1e4).alias("priority"),
+        half_up(
+            F.greatest(F.col("weight").cast("double"), F.col("__tau")), 1e4
+        ).alias("est_w"),
+    )
+
+
 def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement in one pass: DLT priority
     sampling (Duffield, Lund, Thorup 2007). Each doc gets priority
@@ -164,19 +207,10 @@ def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (doc_id, source, weight, priority, est_w), priorities 4dp.
     """
     from arcane_framework_spark.operators.cache import scoped_persist
-    from arcane_framework_spark.operators.sampling import md5_bucket_expr
-    from arcane_framework_spark.operators.scale import with_broadcast_scalar
 
     k = PRIORITY_SAMPLE_K
     t = load_tables(spark, sf_dir, "documents")
-    u = md5_bucket_expr("doc_id", "pri", 16 ** 8)
-    prio = (F.col("n_chars").cast("double") * F.lit(_U_SPACE)) / (
-        (u + F.lit(1)).cast("double")
-    )
-    pr = t["documents"].select(
-        "doc_id", "source", F.col("n_chars").alias("weight"),
-        prio.alias("__q"),
-    )
+    pr = _priority_rows(t["documents"])
     w = Window.orderBy(F.col("__q").desc(), "doc_id")
     # top-(k+1) feeds BOTH the τ scalar and the sample — persist the
     # (k+1)-row result so the TakeOrdered scan runs once
@@ -185,24 +219,7 @@ def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__rk") <= k + 1
         )
     )
-    tau = topk1.agg(
-        F.coalesce(
-            F.min(F.when(F.col("__rk") == k + 1, F.col("__q"))),
-            F.lit(0.0),
-        ).alias("__tau")
-    )
-    half_up = lambda c, s: F.floor(c * s + F.lit(0.5)) / s  # noqa: E731
-    return with_broadcast_scalar(
-        topk1.filter(F.col("__rk") <= k), tau
-    ).select(
-        "doc_id",
-        "source",
-        "weight",
-        half_up(F.col("__q"), 1e4).alias("priority"),
-        half_up(
-            F.greatest(F.col("weight").cast("double"), F.col("__tau")), 1e4
-        ).alias("est_w"),
-    )
+    return _priority_finalize(topk1, k)
 
 
 def _priority_sample_sql() -> str:
@@ -229,6 +246,74 @@ SELECT doc_id, source, weight,
          AS est_w
 FROM ranked, tau WHERE rk <= {k}
 """
+
+
+def run_priority_sample_stream(spark: SparkSession, source_df,
+                               k: int = PRIORITY_SAMPLE_K) -> DataFrame:
+    """Drain a (doc_id, source, n_chars) arrival stream maintaining the
+    DLT top-(k+1) priority state, and return the finished sample.
+
+    The state is the current top-(k+1) rows BY CONSTRUCTION — the same
+    k-row boundedness the centroid collects rely on — so it lives as
+    driver-held rows merged per micro-batch: each batch contributes its
+    own top-(k+1) (a TakeOrderedAndProject over the batch, never a
+    corpus sort), the union is re-ranked, and at most k+1 rows survive.
+    ``top-(k+1) of a union == top-(k+1) of unions of per-part
+    top-(k+1)s`` makes the result independent of batch boundaries and
+    arrival order, which is exactly why DLT is the one-pass telemetry
+    sampler — and why the streamed sample shares the batch oracle
+    verbatim.
+    """
+    from arcane_framework_spark.queries_ext import stream_conf
+
+    state: list = []  # rows (doc_id, source, weight, __q), ≤ k+1 kept
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.orderBy(F.col("__q").desc(), "doc_id")
+        batch_top = (
+            _priority_rows(batch_df)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k + 1)
+            .drop("__rk")
+            .collect()
+        )
+        merged = state + [tuple(r) for r in batch_top]
+        # same total order as the window: priority DESC, doc_id ASC —
+        # on the bit-identical doubles Spark ranked
+        merged.sort(key=lambda r: (-r[3], r[0]))
+        state[:] = merged[: k + 1]
+
+    with stream_conf(spark):
+        q = (
+            source_df.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final = spark.createDataFrame(
+        state, "doc_id long, source string, weight long, __q double"
+    )
+    w = Window.orderBy(F.col("__q").desc(), "doc_id")
+    return _priority_finalize(
+        final.withColumn("__rk", F.row_number().over(w)), k
+    )
+
+
+def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of :func:`priority_sample_documents`: the corpus
+    arrives as a file stream and the sample is maintained incrementally
+    (X191). Decisions are batching-independent (see
+    :func:`run_priority_sample_stream`), so this entry hash-checks the
+    streamed result against the same DuckDB oracle as the batch entry;
+    the multi-batch split equality is asserted in pytest with
+    maxFilesPerTrigger=1 arrivals."""
+    t = load_tables(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(t["documents"].schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return run_priority_sample_stream(spark, stream)
 
 
 # ---------------------------------------------------------------------------
@@ -298,11 +383,15 @@ GROUP BY ROLLUP(source, lang)
 WAVE8_QUERIES = {
     "source_cap_documents": source_cap_documents,
     "priority_sample_documents": priority_sample_documents,
+    "streaming_priority_sample": streaming_priority_sample,
     "rollup_datacard_documents": rollup_datacard_documents,
 }
 
 WAVE8_ORACLE_SQL = {
     "source_cap_documents": _source_cap_sql(),
     "priority_sample_documents": _priority_sample_sql(),
+    # batching-independent top-k ⇒ the streamed sample shares the batch
+    # oracle verbatim (see run_priority_sample_stream)
+    "streaming_priority_sample": _priority_sample_sql(),
     "rollup_datacard_documents": _ROLLUP_DATACARD_SQL,
 }

@@ -260,3 +260,40 @@ def test_logging_properties_non_object_error_names_env_var():
     assert custom_log_properties(
         {ENV_LOGGING_PROPERTIES: '{"a": 1}'}
     ) == {"a": "1"}
+
+
+def test_streaming_priority_sample_multibatch_equals_batch(spark, tmp_path):
+    """X191: the DLT sample is batching-independent — draining the same
+    corpus one file per trigger yields the identical sample (rows AND
+    estimator weights) as the batch entry."""
+    from pyspark.sql import functions as F
+
+    from arcane_framework_spark.queries_wave8 import (
+        priority_sample_documents,
+        run_priority_sample_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    arrivals_dir = str(tmp_path / "arrivals")
+    # 5 single-slice files -> 5 micro-batches
+    for i in range(5):
+        docs.filter(F.col("doc_id") % 5 == i).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(arrivals_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals_dir)
+    )
+    streamed = sorted(
+        tuple(r) for r in run_priority_sample_stream(spark, stream).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in priority_sample_documents(spark, sf_dir).collect()
+    )
+    assert streamed == batch and len(batch) > 0

@@ -158,6 +158,8 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
         1, "one row per year-month"),
     "priority_sample_documents": (
         1, "top-(k+1) DLT priorities, rank-limit-capped"),
+    "streaming_priority_sample": (
+        1, "re-rank over the ≤(k+1)-row driver-held DLT state relation"),
 }
 
 
