@@ -159,7 +159,9 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
     "priority_sample_documents": (
         1, "top-(k+1) DLT priorities, rank-limit-capped"),
     "streaming_priority_sample": (
-        1, "re-rank over the ≤(k+1)-row driver-held DLT state relation"),
+        2, "re-rank over the ≤(k+1)-row driver-held DLT state relation "
+           "(unpersisted local relation: the τ scalar and the sample "
+           "filter each re-rank the same ≤65 rows)"),
 }
 
 

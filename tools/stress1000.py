@@ -206,8 +206,13 @@ def main() -> None:
     results: dict = {}
     # recorded because the probe is ABOUT memory behavior: the r12 rerun
     # needed 16g (one r11-identical 8g run of the in-memory minhash
-    # family OOMed mid-verification — it had passed twice at 8g; the
-    # family sits at the heap boundary, which is itself a finding)
+    # family OOMed mid-verification — it had passed twice at 8g), and
+    # the r14 rerun needed 24g (two code-identical 16g runs OOMed in
+    # the BUCKETED band-table write, whose per-task open parquet
+    # writers buffer on the heap; r13's green 16g run already peaked at
+    # 18.7 GiB RSS). The family sits at the heap boundary, which is
+    # itself a finding — on a real cluster this cost is spread across
+    # executors instead of one 32-thread JVM.
     results["driver_memory"] = spark.conf.get("spark.driver.memory", "?")
     docs = enlarged_documents(spark, sf_dir)
     emb = enlarged_embeddings(spark, sf_dir)
