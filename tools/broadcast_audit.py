@@ -157,10 +157,12 @@ ALLOWED: dict[tuple[str, str], str] = {
 }
 
 
-def scan() -> list[tuple[str, str, int]]:
-    """All (relfile, normalized-arg, count) F.broadcast sites."""
+def scan(root: str = PKG) -> list[tuple[str, str, int]]:
+    """All (relfile, normalized-arg, count) F.broadcast sites under
+    ``root`` (parameterized so the parser is unit-testable on a
+    synthetic tree)."""
     out: dict[tuple[str, str], int] = {}
-    for dirpath, _, files in os.walk(PKG):
+    for dirpath, _, files in os.walk(root):
         for fn in sorted(files):
             if not fn.endswith(".py"):
                 continue
@@ -178,7 +180,7 @@ def scan() -> list[tuple[str, str, int]]:
                     if depth:
                         buf += c
                     i += 1
-                key = (os.path.relpath(path, PKG), " ".join(buf.split()))
+                key = (os.path.relpath(path, root), " ".join(buf.split()))
                 out[key] = out.get(key, 0) + 1
     return [(f, a, n) for (f, a), n in sorted(out.items())]
 
