@@ -307,7 +307,22 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: Sequence[str],
     ).removeprefix("file:")
     leftover = os.path.join(warehouse, table_name.split(".")[-1].lower())
     shutil.rmtree(leftover, ignore_errors=True)
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    # Repartition ON THE BUCKET KEY before the bucketed write: Spark's
+    # hash repartitioning and bucketBy use the same Murmur3 pmod, so
+    # each task then holds exactly one bucket's rows and keeps ONE open
+    # parquet writer instead of one per bucket (arbitrary input
+    # partitioning ⇒ up to tasks × buckets concurrent writers, each
+    # buffering a row group on the heap — measured as the r14
+    # stress1000 OOM: two 16g runs died in this write at 5M docs while
+    # every family beside it stayed flat). The added exchange is the
+    # shuffle the bucketed layout conceptually pays anyway ("pay the
+    # shuffle once at write time"); it also collapses the layout to one
+    # file per bucket, which the bucket-aligned readers prefer.
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
