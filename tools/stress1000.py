@@ -207,12 +207,13 @@ def main() -> None:
     # recorded because the probe is ABOUT memory behavior: the r12 rerun
     # needed 16g (one r11-identical 8g run of the in-memory minhash
     # family OOMed mid-verification — it had passed twice at 8g), and
-    # the r14 rerun needed 24g (two code-identical 16g runs OOMed in
-    # the BUCKETED band-table write, whose per-task open parquet
-    # writers buffer on the heap; r13's green 16g run already peaked at
-    # 18.7 GiB RSS). The family sits at the heap boundary, which is
-    # itself a finding — on a real cluster this cost is spread across
-    # executors instead of one 32-thread JVM.
+    # in r14 two code-identical 16g runs OOMed in the BUCKETED
+    # band-table write — up to tasks × buckets concurrent parquet
+    # writers each buffering a row group on the heap (r13's green 16g
+    # run already peaked at 18.7 GiB RSS). That one was a real bug with
+    # a real fix: write_bucketed now repartitions on the bucket key
+    # first, so each task keeps ONE open writer and the probe completes
+    # at 16g again (peak RSS 27.1 → 20.6 GiB, identical rows/time).
     results["driver_memory"] = spark.conf.get("spark.driver.memory", "?")
     docs = enlarged_documents(spark, sf_dir)
     emb = enlarged_embeddings(spark, sf_dir)
