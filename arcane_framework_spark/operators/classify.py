@@ -1,0 +1,171 @@
+"""Trained text-quality classification: multinomial Naive Bayes over
+whitespace tokens, trained and scored fully inside the engine.
+
+The missing piece between the heuristic quality filters (Gopher rules,
+stopword ratios) and a real learned quality signal: CCNet (Wenzek et al.
+2020) and GPT-3 (Brown et al. 2020) both train a linear classifier on a
+high-quality seed corpus and filter web data by its score, and fastText
+(Joulin et al. 2017) shows a linear bag-of-words model is enough for
+this job. Multinomial NB is the closed-form member of that family — its
+training pass is two exact integer aggregations, which makes it the one
+learned classifier whose train→score loop can run as a deterministic
+relational plan with a DuckDB oracle (no SGD, no iteration order).
+
+The reference framework has no analog (it is an ingestion library,
+SURVEY.md §0) — this is LLM-pipeline extension surface, reference
+parity: none (cited for the §0 boundary only).
+
+Shape at 100 TB:
+
+- training is two shuffles: (doc, token) term frequencies, then
+  per-token class counts keyed on the token — both partial-agg
+  friendly, no collect;
+- the per-token log-likelihood-ratio table is VOCABULARY-cardinality,
+  so it joins relationally (never ``F.broadcast`` — the r14 sweep rule;
+  AQE picks a broadcast when the vocabulary is actually small);
+- corpus-level totals (class token totals, vocabulary size, class doc
+  counts) ride as 1-row broadcast scalars;
+- scoring reuses the SAME tf subtree the trainer aggregated (Spark's
+  ReuseExchange dedupes the physical shuffle), then one shuffle back on
+  the doc id.
+
+Cross-engine determinism (the ``unigram_nll`` convention,
+operators/text.py:302): each distinct token's class log-probabilities
+are computed ONCE from exact integer counts, fixed-pointed SEPARATELY
+to micro-nats (``floor(1e6·ln(p) + 0.5)``) and differenced as longs —
+per-doc sums are exact integer arithmetic, independent of row order and
+partitioning. Laplace(+1) smoothing keeps every probability strictly
+positive, so ``ln`` is total.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.operators.text import tokens_expr
+
+#: Fixed-point scale for log-probabilities: micro-nats.
+NB_LLR_SCALE = 1_000_000
+
+
+def _lp_micro(num, den):
+    """floor(1e6·ln(num/den) + 0.5) as a long — num/den is an exact
+    long→double IEEE division (identical in DuckDB), computed once per
+    distinct token."""
+    return F.floor(
+        F.lit(float(NB_LLR_SCALE)) * F.log(num / den) + F.lit(0.5)
+    ).cast("long")
+
+
+def nb_quality_scores(docs: DataFrame, label_col: str = "is_pos",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Train a binary multinomial Naive Bayes on ``docs`` (boolean/int
+    ``label_col``: 1 = high-quality seed class) and score every
+    document with its log-likelihood ratio.
+
+    Returns ``(id, is_pos, n_tokens, llr_micro, pred_pos)``:
+    ``llr_micro`` is the integer micro-nat log-odds
+    ``Σ_t tf(t)·(lp⁺(t) − lp⁻(t)) + ln-prior``, ``pred_pos`` is
+    ``llr_micro > 0``. Laplace(+1) smoothing over the joint vocabulary;
+    the class prior is the doc-count ratio. Both classes must be
+    non-empty (raises ``ValueError`` otherwise — an empty seed class
+    means the caller wired the label wrong, and silently emitting
+    all-one-class scores would look like a trained model).
+    """
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    lab = F.col(label_col).cast("int")
+    tf = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            lab.alias("__pos"),
+            F.explode(tokens_expr(text_col)).alias("tok"),
+        )
+        .groupBy("__id", "__pos", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("tok").agg(
+        F.sum(F.when(F.col("__pos") == 1, F.col("tf")).otherwise(F.lit(0)))
+        .alias("cpos"),
+        F.sum(F.when(F.col("__pos") == 0, F.col("tf")).otherwise(F.lit(0)))
+        .alias("cneg"),
+    )
+    tot = vocab.agg(
+        F.sum("cpos").alias("__npos"),
+        F.sum("cneg").alias("__nneg"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    dc_row = (
+        docs.agg(
+            F.sum(lab).alias("dpos"),
+            F.sum(F.lit(1) - lab).alias("dneg"),
+        ).first()
+    )
+    if not dc_row["dpos"] or not dc_row["dneg"]:
+        raise ValueError(
+            "nb_quality_scores needs BOTH classes non-empty; got "
+            f"dpos={dc_row['dpos']} dneg={dc_row['dneg']}"
+        )
+    # Scalar (1-row) prior — exact long→double division then the same
+    # micro-nat fixed point as the token table. The 1-row ``first()`` is
+    # the validate-before-train gate: it reads two pruned columns, and
+    # catching a mis-wired label BEFORE the tokenization pass beats
+    # discovering it in a silently one-sided score table.
+    prior_micro = int(
+        math.floor(
+            NB_LLR_SCALE * math.log(dc_row["dpos"] / dc_row["dneg"]) + 0.5
+        )
+    )
+    # Vocabulary-cardinality ⇒ relational join, never F.broadcast.
+    lp = with_broadcast_scalar(vocab, tot).select(
+        "tok",
+        (
+            _lp_micro(F.col("cpos") + 1, F.col("__npos") + F.col("__v"))
+            - _lp_micro(F.col("cneg") + 1, F.col("__nneg") + F.col("__v"))
+        ).alias("llr_micro"),
+    )
+    return (
+        tf.join(lp, "tok")
+        .groupBy("__id", "__pos")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("llr_micro")).alias("__s"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__pos").alias("is_pos"),
+            "n_tokens",
+            (F.col("__s") + F.lit(prior_micro)).cast("long")
+            .alias("llr_micro"),
+            (F.col("__s") + F.lit(prior_micro) > 0).cast("int")
+            .alias("pred_pos"),
+        )
+    )
+
+
+def nb_confusion(scores: DataFrame) -> DataFrame:
+    """Train-set confusion card for ``nb_quality_scores`` output:
+    ``(is_pos, pred_pos, n_docs, share_ppm)`` — the resubstitution
+    check that the learned signal actually separates the seed class
+    (the CCNet sanity gate before the filter is trusted on 100 TB).
+
+    ``share_ppm`` is exact integer floor-division parts-per-million of
+    the total doc count (engine-identical for positive longs). One
+    shuffle on the 2×2 key; the total rides as a broadcast scalar.
+    """
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    cells = scores.groupBy("is_pos", "pred_pos").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = cells.agg(F.sum("n_docs").alias("__t"))
+    return with_broadcast_scalar(cells, tot).select(
+        "is_pos",
+        "pred_pos",
+        "n_docs",
+        F.expr("n_docs * 1000000 div __t").cast("long").alias("share_ppm"),
+    )

@@ -74,10 +74,32 @@ def contamination_pairs(corpus: DataFrame, evalset: DataFrame,
     in the output; corpus rows whose id equals an eval id are excluded
     (self-matches are not contamination).
     """
-    corpus_grams = ngram_hashes(corpus, id_col, text_col, n)
     eval_grams = ngram_hashes(evalset, id_col, text_col, n).distinct().select(
         F.col(id_col).alias("eval_id"), "gram_hash"
     )
+    return contamination_probe(
+        corpus, eval_grams, id_col=id_col, text_col=text_col, n=n,
+        min_matches=min_matches,
+    )
+
+
+def contamination_probe(corpus: DataFrame, eval_grams: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = NGRAM_WIDTH,
+                        min_matches: int = 1) -> DataFrame:
+    """The probe half of ``contamination_pairs`` against a PREBUILT
+    ``(eval_id, gram_hash)`` table — the seam the streaming twin uses:
+    a stream persists the benchmark gram table ONCE before the first
+    micro-batch instead of re-deriving it per tick (the
+    streaming_incremental_dedup lesson: a stream re-evaluates its
+    static side every batch otherwise).
+
+    Per-doc stateless: a document's verdict depends only on its own
+    text and the static probe table, so the result is independent of
+    how a stream slices the corpus into batches — which is what lets
+    the streaming twin share the batch oracle verbatim.
+    """
+    corpus_grams = ngram_hashes(corpus, id_col, text_col, n)
     return (
         corpus_grams.join(F.broadcast(eval_grams), "gram_hash")
         .filter(F.col(id_col) != F.col("eval_id"))

@@ -421,3 +421,82 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a",
             coeff.alias("clustering"),
         )
     )
+
+
+#: Synchronous label-propagation rounds (fixed so the unrolled oracle
+#: and the Spark plan agree on exactly when to stop).
+LPA_ITERATIONS = 3
+
+#: Vote/label packing shift for the argmax key ``cnt·2⁴⁰ − lbl``:
+#: injective (no ties) whenever labels are non-negative and < 2⁴⁰ and
+#: vote counts < 2²³ — both far above any doc-id space or node degree
+#: this engine produces (ids top out near 2²⁰ + _DUP_OFFSET planting).
+_LPA_SHIFT = 1 << 40
+
+
+def label_propagation(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b",
+                      iterations: int = LPA_ITERATIONS) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over an undirected pair graph — the modularity-ish
+    complement to ``connected_components``: CC glues everything
+    reachable into one blob, LPA splits chained false merges back into
+    densely-connected cores (exactly the A~B~C with A≁C case
+    ``triangle_stats`` diagnoses).
+
+    Determinism: async LPA is famously order-dependent, so this is the
+    SYNCHRONOUS variant with a total tie order — every node starts as
+    its own label and each round simultaneously adopts the most frequent
+    label among its neighbors plus itself, ties broken toward the
+    SMALLEST label. The argmax is exact integer arithmetic: the vote
+    table is reduced with ``max_by(lbl, cnt·2⁴⁰ − lbl)`` (injective key,
+    see ``_LPA_SHIFT``), so the result is independent of row order,
+    partitioning, and engine. A fixed ``iterations`` (not convergence
+    polling) keeps the plan static and the oracle unrollable.
+
+    Cost per round: one edges⋈labels join shuffling on node id plus one
+    (node, label) count — the PageRank shape; edges are persisted once,
+    and each round's label table is persisted so the lineage stays
+    linear (the label frame is referenced twice per round: as the
+    neighbor vote source and as the self vote).
+
+    Returns ``(doc_id, community, community_size)``.
+    """
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    edges = scoped_persist(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(iterations):
+        votes = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .select(F.col("dst").alias("nid"), "lbl")
+            .unionByName(
+                labels.select(F.col("id").alias("nid"), "lbl")
+            )
+        )
+        counts = votes.groupBy("nid", "lbl").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = scoped_persist(
+            counts.groupBy("nid")
+            .agg(
+                F.expr(f"max_by(lbl, cnt * {_LPA_SHIFT} - lbl)").alias("lbl")
+            )
+            .select(F.col("nid").alias("id"), "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )

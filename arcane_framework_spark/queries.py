@@ -1967,3 +1967,23 @@ from arcane_framework_spark.queries_wave8 import (  # noqa: E402
 
 QUERIES.update(WAVE8_QUERIES)
 ORACLE_SQL.update(WAVE8_ORACLE_SQL)
+
+# Wave 9 (round 14) — trained NB quality classifier + confusion card,
+# label-propagation communities, streaming decontamination. Registered
+# late: the LPA oracle embeds _minhash_sql() and the streaming twin
+# shares the batch decontamination oracle from queries_ext.
+from arcane_framework_spark.queries_ext import _DECONTAM_SQL  # noqa: E402
+from arcane_framework_spark.queries_wave9 import (  # noqa: E402
+    WAVE9_ORACLE_SQL,
+    WAVE9_QUERIES,
+    _label_propagation_sql,
+)
+
+QUERIES.update(WAVE9_QUERIES)
+ORACLE_SQL.update(WAVE9_ORACLE_SQL)
+ORACLE_SQL["label_propagation_documents"] = _label_propagation_sql(
+    _minhash_sql()
+)
+# per-doc stateless stream-static probe ⇒ batch-split independent ⇒ the
+# batch oracle is shared verbatim (see streaming_decontam's docstring)
+ORACLE_SQL["streaming_decontam"] = _DECONTAM_SQL

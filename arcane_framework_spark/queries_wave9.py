@@ -1,0 +1,335 @@
+"""Round-14 second catalog wave: a TRAINED quality classifier
+(multinomial Naive Bayes, the closed-form member of the CCNet/fastText
+linear-filter family), its confusion card, label-propagation
+communities over the near-dup graph, and a streaming decontamination
+twin.
+
+Same contract as every other wave module: each entry is a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle
+producing identical column names and bit-stable values. The NB family
+fixes every log-probability to integer micro-nats per DISTINCT token
+(the ``unigram_nll`` convention) so per-doc scores are exact integer
+sums; label propagation reduces votes with an injective packed integer
+argmax key, so community assignment is engine- and order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arcane_framework_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# X192/X193: Naive Bayes quality classifier — scores + confusion card
+# ---------------------------------------------------------------------------
+
+#: Seed-class predicate for the catalog entries: English documents play
+#: the "high-quality seed corpus" role (the CCNet setup — a known-good
+#: slice supervises the filter for the rest of the corpus).
+NB_POS_LANG = "en"
+
+
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arcane_framework_spark.operators.classify import nb_quality_scores
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select(
+        "doc_id",
+        "text",
+        (F.col("lang") == NB_POS_LANG).cast("int").alias("is_pos"),
+    )
+    return nb_quality_scores(docs)
+
+
+def nb_quality_score_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Trained quality filter: multinomial Naive Bayes fitted on the
+    corpus with English docs as the high-quality seed class, scoring
+    every document with its integer micro-nat log-likelihood ratio
+    (operators/classify.py ``nb_quality_scores``) — the learned
+    complement to the heuristic Gopher/stopword filters. Two training
+    shuffles + one scoring shuffle; the vocabulary LLR table joins
+    relationally (never broadcast)."""
+    return _nb_scores(spark, sf_dir)
+
+
+def nb_classifier_eval_documents(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Resubstitution confusion card for the NB quality filter
+    (operators/classify.py ``nb_confusion``): (is_pos, pred_pos,
+    n_docs, share_ppm) — the sanity gate that the learned signal
+    actually separates the seed class before anyone trusts it on
+    100 TB."""
+    from arcane_framework_spark.operators.classify import nb_confusion
+
+    return nb_confusion(_nb_scores(spark, sf_dir))
+
+
+#: Shared CTE chain: label → tokenize → tf → per-token class counts →
+#: totals → per-token micro-nat LLR → per-doc integer scores. Mirrors
+#: operators/classify.py expression-for-expression (same division
+#: shapes, same floor(·+0.5) fixed point).
+_NB_CORE_CTES = rf"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN lang = '{NB_POS_LANG}' THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, is_pos,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM lab
+),
+tf AS (
+  SELECT doc_id, is_pos, tok, count(*)::BIGINT AS tf
+  FROM tok GROUP BY 1, 2, 3
+),
+vocab AS (
+  SELECT tok,
+         sum(CASE WHEN is_pos = 1 THEN tf ELSE 0 END)::BIGINT AS cpos,
+         sum(CASE WHEN is_pos = 0 THEN tf ELSE 0 END)::BIGINT AS cneg
+  FROM tf GROUP BY 1
+),
+tot AS (
+  SELECT sum(cpos)::BIGINT AS npos, sum(cneg)::BIGINT AS nneg,
+         count(*)::BIGINT AS v
+  FROM vocab
+),
+dc AS (
+  SELECT sum(is_pos)::BIGINT AS dpos,
+         sum(1 - is_pos)::BIGINT AS dneg
+  FROM lab
+),
+pri AS (
+  SELECT CAST(floor(1e6 * ln(dpos / dneg) + 0.5) AS BIGINT) AS prior_micro
+  FROM dc
+),
+lp AS (
+  SELECT tok,
+         CAST(floor(1e6 * ln((cpos + 1) / (npos + v)) + 0.5) AS BIGINT)
+       - CAST(floor(1e6 * ln((cneg + 1) / (nneg + v)) + 0.5) AS BIGINT)
+           AS llr_micro
+  FROM vocab, tot
+),
+sc AS (
+  SELECT doc_id, is_pos, sum(tf)::BIGINT AS n_tokens,
+         sum(tf * llr_micro)::BIGINT AS s
+  FROM tf JOIN lp USING (tok)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, CAST(is_pos AS INT) AS is_pos, n_tokens,
+         (s + prior_micro)::BIGINT AS llr_micro,
+         CAST(CASE WHEN s + prior_micro > 0 THEN 1 ELSE 0 END AS INT)
+           AS pred_pos
+  FROM sc, pri
+)"""
+
+_NB_SCORE_SQL = _NB_CORE_CTES + """
+SELECT doc_id, is_pos, n_tokens, llr_micro, pred_pos FROM scored
+"""
+
+_NB_EVAL_SQL = _NB_CORE_CTES + """
+, cells AS (
+  SELECT is_pos, pred_pos, count(*)::BIGINT AS n_docs
+  FROM scored GROUP BY 1, 2
+),
+ct AS (SELECT sum(n_docs)::BIGINT AS t FROM cells)
+SELECT is_pos, pred_pos, n_docs,
+       (n_docs * 1000000 // t)::BIGINT AS share_ppm
+FROM cells, ct
+"""
+
+
+# ---------------------------------------------------------------------------
+# X194: label-propagation communities over the MinHash near-dup graph
+# ---------------------------------------------------------------------------
+
+def label_propagation_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators/graph.py
+    ``label_propagation``) over the MinHash near-dup pair graph — the
+    chained-false-merge splitter next to ``dedup_clusters``' transitive
+    closure. Shares the planted corpus / pair subtree with the dedup
+    family (plan-cache substituted by the session prep)."""
+    from arcane_framework_spark.operators.dedup import minhash_lsh_pairs
+    from arcane_framework_spark.operators.graph import label_propagation
+    from arcane_framework_spark.queries import _planted_neardup_docs
+
+    pairs = minhash_lsh_pairs(_planted_neardup_docs(spark, sf_dir))
+    return label_propagation(pairs)
+
+
+def _label_propagation_sql(minhash_pairs_sql: str) -> str:
+    """Oracle: the identical synchronous rounds unrolled as CTE stages
+    (registered from queries.py after ``_minhash_sql`` exists — the
+    ``_pagerank_sql`` pattern). The argmax uses the same injective
+    packed key ``cnt·2⁴⁰ − lbl`` via DuckDB ``arg_max``."""
+    from arcane_framework_spark.operators.graph import (
+        _LPA_SHIFT,
+        LPA_ITERATIONS,
+    )
+
+    stages = []
+    prev = "l0"
+    for i in range(1, LPA_ITERATIONS + 1):
+        stages.append(f"""
+v{i} AS (
+  SELECT e.dst AS nid, p.lbl FROM edges e JOIN {prev} p ON e.src = p.id
+  UNION ALL
+  SELECT id, lbl FROM {prev}
+),
+c{i} AS (
+  SELECT nid, lbl, count(*)::BIGINT AS cnt FROM v{i} GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT nid AS id, arg_max(lbl, cnt * {_LPA_SHIFT} - lbl) AS lbl
+  FROM c{i} GROUP BY 1
+),""")
+        prev = f"l{i}"
+    unrolled = "".join(stages).rstrip(",\n").rstrip(",")
+    return f"""
+WITH pairs AS (
+  SELECT id_a, id_b FROM ({minhash_pairs_sql}) mh
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+{unrolled},
+sizes AS (
+  SELECT lbl, count(*)::BIGINT AS community_size FROM {prev} GROUP BY 1
+)
+SELECT id AS doc_id, lbl AS community, community_size
+FROM {prev} JOIN sizes USING (lbl)
+"""
+
+
+# ---------------------------------------------------------------------------
+# X195: streaming decontamination
+# ---------------------------------------------------------------------------
+
+def run_decontam_stream(spark: SparkSession, sf_dir: str, sink,
+                        stream: DataFrame | None = None) -> None:
+    """Drive the availableNow decontamination stream, delivering each
+    micro-batch's contamination pairs ``(doc_id, eval_id, n_shared)``
+    to ``sink(df, batch_id)`` — the production seam: pass
+    ``ParquetStreamSink(path).foreach_batch()`` (K1) for the protocol
+    parquet layout; the gate entry passes a driver accumulator.
+
+    The benchmark gram table is persisted ONCE before the stream starts
+    (the static-side re-evaluation lesson); each batch runs the exact
+    batch probe (``contamination_probe``) against it. Verdicts are
+    per-doc stateless, so the result is independent of the batch split
+    — ``stream`` lets the tests drive the identical plan from a forced
+    multi-file arrival source (needs ``doc_id``/``text`` columns);
+    default is the sf_dir documents file in one tick.
+    """
+    from arcane_framework_spark.operators.decontam import (
+        contamination_probe,
+        ngram_hashes,
+    )
+    from arcane_framework_spark.queries_ext import (
+        _DUP_OFFSET,
+        DECONTAM_EVAL_MOD,
+        DECONTAM_MIN_MATCHES,
+        stream_conf,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text")
+    evalset = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    eval_grams = (
+        ngram_hashes(evalset)
+        .distinct()
+        .select(F.col("doc_id").alias("eval_id"), "gram_hash")
+        .persist()
+    )
+    eval_grams.count()
+
+    if stream is None:
+        stream = (
+            spark.readStream.schema(t["documents"].schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    row_t = "struct<doc_id: bigint, text: string>"
+    arrivals = (
+        stream.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.struct(F.col("doc_id"), F.col("text")).cast(row_t),
+                        F.when(
+                            F.col("doc_id") % DECONTAM_EVAL_MOD == 0,
+                            F.struct(
+                                (F.col("doc_id") + F.lit(_DUP_OFFSET))
+                                .alias("doc_id"),
+                                F.col("text"),
+                            ).cast(row_t),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.text")
+    )
+
+    def judge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            contamination_probe(
+                batch_df, eval_grams, min_matches=DECONTAM_MIN_MATCHES
+            ),
+            batch_id,
+        )
+
+    try:
+        with stream_conf(spark):
+            q = (
+                arrivals.writeStream.foreachBatch(judge_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        eval_grams.unpersist()
+
+
+def streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of benchmark decontamination: training documents
+    ARRIVE as a stream (with the batch entry's planted contaminated
+    copies re-emitted in-stream) and each micro-batch is probed against
+    the static benchmark n-gram table by the exact batch operator
+    inside ``foreachBatch`` — per-doc stateless, so the twin shares the
+    batch entry's oracle verbatim (asserted across a forced multi-batch
+    split in the tests). The gate sink is a driver accumulator
+    (tick-sized by construction); the production sink is K1's
+    ``foreach_batch`` parquet adapter through the same
+    ``run_decontam_stream`` seam."""
+    acc: list = []
+    run_decontam_stream(
+        spark, sf_dir, lambda out, _bid: acc.extend(out.collect())
+    )
+    return spark.createDataFrame(
+        acc, "doc_id: bigint, eval_id: bigint, n_shared: bigint"
+    )
+
+
+WAVE9_QUERIES = {
+    "nb_quality_score_documents": nb_quality_score_documents,
+    "nb_classifier_eval_documents": nb_classifier_eval_documents,
+    "label_propagation_documents": label_propagation_documents,
+    "streaming_decontam": streaming_decontam,
+}
+
+WAVE9_ORACLE_SQL = {
+    "nb_quality_score_documents": _NB_SCORE_SQL,
+    "nb_classifier_eval_documents": _NB_EVAL_SQL,
+    # label_propagation_documents + streaming_decontam are registered
+    # from queries.py: the LPA oracle embeds _minhash_sql(), and the
+    # streaming twin shares queries_ext._DECONTAM_SQL verbatim.
+}

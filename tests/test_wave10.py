@@ -1,0 +1,197 @@
+"""Round-14 wave-9 catalog tests: the NB quality classifier, label
+propagation, and the streaming decontamination twin.
+
+1. ``nb_quality_scores`` learns the obvious separator on a hand-built
+   corpus (seed-class tokens score positive, the rest negative) and
+   REFUSES a one-class training set loudly (a mis-wired label would
+   otherwise produce a silently one-sided "trained" filter).
+2. ``nb_confusion`` is an exact integer card: cell counts sum to the
+   doc count, shares are floor-ppm of the total.
+3. ``label_propagation`` is the synchronous, min-tie variant: a clique
+   converges to its min id, disjoint cliques never merge, and an
+   isolated bridge keeps chained components apart where connected
+   components would glue them.
+4. The streaming decontamination twin equals the batch entry across a
+   FORCED multi-file batch split (per-doc stateless claim, executed),
+   and the K1 parquet production sink carries the identical rows.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, is_pos int"
+    )
+
+
+def test_nb_learns_seed_tokens(spark):
+    from arcane_framework_spark.operators.classify import nb_quality_scores
+
+    docs = _docs(spark, [
+        (1, "clean prose clean prose", 1),
+        (2, "clean prose tidy text", 1),
+        (3, "spam junk spam junk", 0),
+        (4, "junk noise spam noise", 0),
+        (5, "clean tidy prose text", 1),
+        (6, "noise junk noise spam", 0),
+    ])
+    out = {r["doc_id"]: r for r in nb_quality_scores(docs).collect()}
+    assert len(out) == 6
+    for i in (1, 2, 5):
+        assert out[i]["pred_pos"] == 1 and out[i]["llr_micro"] > 0
+    for i in (3, 4, 6):
+        assert out[i]["pred_pos"] == 0 and out[i]["llr_micro"] < 0
+    assert out[1]["n_tokens"] == 4
+
+
+def test_nb_refuses_one_class_training(spark):
+    from arcane_framework_spark.operators.classify import nb_quality_scores
+
+    allpos = _docs(spark, [(1, "a b", 1), (2, "c d", 1)])
+    with pytest.raises(ValueError, match="non-empty"):
+        nb_quality_scores(allpos)
+    allneg = _docs(spark, [(1, "a b", 0), (2, "c d", 0)])
+    with pytest.raises(ValueError, match="non-empty"):
+        nb_quality_scores(allneg)
+
+
+def test_nb_confusion_is_exact_floor_ppm(spark):
+    from arcane_framework_spark.operators.classify import (
+        nb_confusion,
+        nb_quality_scores,
+    )
+
+    docs = _docs(spark, [
+        (1, "good text good", 1),
+        (2, "good words", 1),
+        (3, "bad stuff bad", 0),
+        (4, "bad words", 0),
+        (5, "good text words", 1),
+        (6, "bad stuff words", 0),
+        (7, "good bad", 1),
+    ])
+    cells = nb_confusion(nb_quality_scores(docs)).collect()
+    total = sum(r["n_docs"] for r in cells)
+    assert total == 7
+    for r in cells:
+        assert r["share_ppm"] == r["n_docs"] * 1_000_000 // total
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def test_lpa_clique_converges_to_min_id(spark):
+    from arcane_framework_spark.operators.graph import label_propagation
+
+    clique = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12)]
+    out = {
+        r["doc_id"]: (r["community"], r["community_size"])
+        for r in label_propagation(_pairs(spark, clique)).collect()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 3), 11: (10, 3), 12: (10, 3),
+    }
+
+
+def test_lpa_splits_where_cc_glues(spark):
+    from arcane_framework_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    # two 4-cliques joined by one bridge edge 4-10: transitive closure
+    # makes one blob; LPA keeps two dense cores (the bridge endpoints
+    # are each outvoted by their own clique every round).
+    k4 = lambda a, b, c, d: [
+        (a, b), (a, c), (a, d), (b, c), (b, d), (c, d)
+    ]
+    edges = k4(1, 2, 3, 4) + k4(10, 11, 12, 13) + [(4, 10)]
+    pairs = _pairs(spark, edges)
+    cc = {
+        r[0]: r[1]
+        for r in connected_components(pairs).collect()
+    }
+    assert len(set(cc.values())) == 1  # CC: one glued blob
+    lpa = {
+        r["doc_id"]: r["community"]
+        for r in label_propagation(pairs).collect()
+    }
+    assert set(lpa.values()) == {1, 10}
+    assert all(lpa[i] == 1 for i in (1, 2, 3, 4))
+    assert all(lpa[i] == 10 for i in (10, 11, 12, 13))
+
+
+def test_streaming_decontam_multibatch_equals_batch(spark, tmp_path):
+    """X195: per-doc stateless ⇒ the stream's verdicts are independent
+    of the batch split — 4 single-slice arrival files must reproduce
+    the batch entry row-for-row."""
+    from arcane_framework_spark.queries_ext import (
+        decontam_overlap_documents,
+    )
+    from arcane_framework_spark.queries_wave9 import run_decontam_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    arrivals_dir = str(tmp_path / "arrivals")
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(arrivals_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals_dir)
+    )
+    acc, bids = [], []
+    run_decontam_stream(
+        spark,
+        SF_DIR,
+        lambda out, bid: (acc.extend(out.collect()), bids.append(bid)),
+        stream=stream,
+    )
+    assert len(bids) >= 2  # genuinely multi-batch
+    streamed = sorted((r["doc_id"], r["eval_id"], r["n_shared"]) for r in acc)
+    batch = sorted(
+        (r["doc_id"], r["eval_id"], r["n_shared"])
+        for r in decontam_overlap_documents(spark, SF_DIR).collect()
+    )
+    assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_decontam_k1_parquet_sink(spark, tmp_path):
+    """The production sink path, executed: run_decontam_stream routed
+    through K1's ParquetStreamSink.foreach_batch() writes the identical
+    pairs under the protocol layout."""
+    from arcane_framework_spark.queries_wave9 import (
+        run_decontam_stream,
+        streaming_decontam,
+    )
+    from arcane_framework_spark.sinks.parquet_sink import ParquetStreamSink
+
+    expected = {
+        (r["doc_id"], r["eval_id"], r["n_shared"])
+        for r in streaming_decontam(spark, SF_DIR).collect()
+    }
+    assert expected  # non-trivial stream
+
+    base = str(tmp_path / "pairs")
+    sink = ParquetStreamSink(base)
+    run_decontam_stream(spark, SF_DIR, sink.foreach_batch())
+    token = sink.finish()
+
+    got = {
+        (r["doc_id"], r["eval_id"], r["n_shared"])
+        for r in spark.read.parquet(os.path.join(base, "data")).collect()
+    }
+    assert got == expected
+    assert token is not None and token.endswith(".COMPLETED")
