@@ -60,34 +60,45 @@ def _lp_micro(num, den):
     ).cast("long")
 
 
-def nb_quality_scores(docs: DataFrame, label_col: str = "is_pos",
-                      id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
-    """Train a binary multinomial Naive Bayes on ``docs`` (boolean/int
-    ``label_col``: 1 = high-quality seed class) and score every
-    document with its log-likelihood ratio.
-
-    Returns ``(id, is_pos, n_tokens, llr_micro, pred_pos)``:
-    ``llr_micro`` is the integer micro-nat log-odds
-    ``Σ_t tf(t)·(lp⁺(t) − lp⁻(t)) + ln-prior``, ``pred_pos`` is
-    ``llr_micro > 0``. Laplace(+1) smoothing over the joint vocabulary;
-    the class prior is the doc-count ratio. Both classes must be
-    non-empty (raises ``ValueError`` otherwise — an empty seed class
-    means the caller wired the label wrong, and silently emitting
-    all-one-class scores would look like a trained model).
-    """
-    from arcane_framework_spark.operators.scale import with_broadcast_scalar
-
-    lab = F.col(label_col).cast("int")
-    tf = (
+def _doc_tf(docs: DataFrame, label_col: str, id_col: str,
+            text_col: str) -> DataFrame:
+    """(doc, label, token) term frequencies — the ONE tokenization
+    subtree both training and scoring aggregate. ``nb_train`` and
+    ``nb_score`` build it with byte-identical projections, so when the
+    batch entry composes them over the same ``docs`` frame, Spark's
+    ReuseExchange dedupes the physical shuffle and the corpus is
+    tokenized once."""
+    return (
         docs.select(
             F.col(id_col).alias("__id"),
-            lab.alias("__pos"),
+            F.col(label_col).cast("int").alias("__pos"),
             F.explode(tokens_expr(text_col)).alias("tok"),
         )
         .groupBy("__id", "__pos", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def nb_train(docs: DataFrame, label_col: str = "is_pos",
+             id_col: str = "doc_id",
+             text_col: str = "text") -> tuple[DataFrame, int]:
+    """Fit the binary multinomial NB: returns ``(lp, prior_micro)``
+    where ``lp`` is the per-token ``(tok, llr_micro)`` model table
+    (vocabulary-cardinality — join it relationally, never broadcast)
+    and ``prior_micro`` the integer micro-nat ln doc-count prior.
+
+    This is the freeze point for the production shape: train once on
+    the corpus, persist ``lp`` as a side table, then score arriving
+    data against the frozen model (``nb_score`` — the streaming twin
+    does exactly this per micro-batch). Both classes must be non-empty
+    (raises ``ValueError`` otherwise — an empty seed class means the
+    caller wired the label wrong, and silently emitting all-one-class
+    scores would look like a trained model).
+    """
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    lab = F.col(label_col).cast("int")
+    tf = _doc_tf(docs, label_col, id_col, text_col)
     vocab = tf.groupBy("tok").agg(
         F.sum(F.when(F.col("__pos") == 1, F.col("tf")).otherwise(F.lit(0)))
         .alias("cpos"),
@@ -107,7 +118,7 @@ def nb_quality_scores(docs: DataFrame, label_col: str = "is_pos",
     )
     if not dc_row["dpos"] or not dc_row["dneg"]:
         raise ValueError(
-            "nb_quality_scores needs BOTH classes non-empty; got "
+            "nb_train needs BOTH classes non-empty; got "
             f"dpos={dc_row['dpos']} dneg={dc_row['dneg']}"
         )
     # Scalar (1-row) prior — exact long→double division then the same
@@ -128,6 +139,25 @@ def nb_quality_scores(docs: DataFrame, label_col: str = "is_pos",
             - _lp_micro(F.col("cneg") + 1, F.col("__nneg") + F.col("__v"))
         ).alias("llr_micro"),
     )
+    return lp, prior_micro
+
+
+def nb_score(docs: DataFrame, lp: DataFrame, prior_micro: int,
+             label_col: str = "is_pos", id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Score ``docs`` against a frozen NB model ``(lp, prior_micro)``
+    from ``nb_train``.
+
+    Returns ``(id, is_pos, n_tokens, llr_micro, pred_pos)``:
+    ``llr_micro`` is the integer micro-nat log-odds
+    ``Σ_t tf(t)·(lp⁺(t) − lp⁻(t)) + ln-prior``, ``pred_pos`` is
+    ``llr_micro > 0``. Tokens absent from the model vocabulary drop out
+    of the inner join (and of ``n_tokens``) — when scoring the training
+    corpus itself the vocabulary covers every token, so ``n_tokens`` is
+    the full count. Per-doc stateless given the frozen model, which is
+    what makes the streaming twin batch-split independent.
+    """
+    tf = _doc_tf(docs, label_col, id_col, text_col)
     return (
         tf.join(lp, "tok")
         .groupBy("__id", "__pos")
@@ -145,6 +175,17 @@ def nb_quality_scores(docs: DataFrame, label_col: str = "is_pos",
             .alias("pred_pos"),
         )
     )
+
+
+def nb_quality_scores(docs: DataFrame, label_col: str = "is_pos",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Train-and-score in one plan: ``nb_train`` + ``nb_score`` over
+    the same corpus (the resubstitution setup the catalog entry uses).
+    The two halves build the byte-identical tf subtree, so the corpus
+    is tokenized and shuffled once (ReuseExchange)."""
+    lp, prior_micro = nb_train(docs, label_col, id_col, text_col)
+    return nb_score(docs, lp, prior_micro, label_col, id_col, text_col)
 
 
 def nb_confusion(scores: DataFrame) -> DataFrame:

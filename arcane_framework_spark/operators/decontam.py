@@ -197,3 +197,53 @@ def source_overlap(docs: DataFrame, group_col: str = "source",
             ).alias("overlap_frac"),
         )
     )
+
+
+def semantic_contamination_pairs(corpus: DataFrame, benchmark: DataFrame,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 min_cosine: float = 0.8) -> DataFrame:
+    """Embedding-space decontamination: ``(id, eval_id, cosine)`` for
+    corpus vectors within ``min_cosine`` of a benchmark vector — the
+    semantic complement to the verbatim n-gram probe above, catching
+    paraphrased/reformatted benchmark leakage that shares no 8-gram
+    (the published decontamination playbooks run both).
+
+    Scale shape = the n-gram probe's, transposed to vectors: the
+    benchmark side is tiny → broadcast; the corpus side is scanned
+    once, each row scored against the broadcast set (a
+    BroadcastNestedLoopJoin by construction — benchmark-bounded, the
+    ``knn_bruteforce`` plan class), and only above-threshold pairs
+    survive. Norms are computed ONCE per side before the cross, so the
+    per-pair work is a single dot product. Cosine is rounded to 6
+    decimals before the threshold compare (engine-identical given the
+    IEEE-exact sqrt/division and the shared left-to-right dot fold).
+    """
+    from arcane_framework_spark.operators.similarity import (
+        dot_expr,
+        norm_expr,
+    )
+
+    bench = benchmark.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("__bv"),
+        norm_expr(F.col(vec_col)).alias("__bn"),
+    )
+    scored = (
+        corpus.select(
+            id_col,
+            F.col(vec_col).alias("__cv"),
+            norm_expr(F.col(vec_col)).alias("__cn"),
+        )
+        .crossJoin(F.broadcast(bench))
+        .select(
+            id_col,
+            "eval_id",
+            F.round(
+                dot_expr(F.col("__cv"), F.col("__bv"))
+                / (F.col("__cn") * F.col("__bn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= F.lit(min_cosine))

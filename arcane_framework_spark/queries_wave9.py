@@ -1,8 +1,8 @@
 """Round-14 second catalog wave: a TRAINED quality classifier
 (multinomial Naive Bayes, the closed-form member of the CCNet/fastText
-linear-filter family), its confusion card, label-propagation
-communities over the near-dup graph, and a streaming decontamination
-twin.
+linear-filter family), its confusion card and train-once/score-stream
+twin, label-propagation communities over the near-dup graph, and
+decontamination twins (streaming n-gram + semantic embedding-space).
 
 Same contract as every other wave module: each entry is a
 ``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle
@@ -319,16 +319,177 @@ def streaming_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# X196: streaming NB scoring — train once, score the stream
+# ---------------------------------------------------------------------------
+
+def run_nb_score_stream(spark: SparkSession, sf_dir: str, sink,
+                        stream: DataFrame | None = None) -> None:
+    """Drive the availableNow NB scoring stream: the model is trained
+    ONCE on the static corpus (``nb_train``), its vocabulary LLR table
+    persisted, and every arriving micro-batch is scored against the
+    frozen model by the exact batch scorer (``nb_score``) — THE
+    production shape for a learned quality filter at 100 TB: training
+    is an offline batch job, filtering rides the ingest stream.
+
+    Each batch's ``(doc_id, is_pos, n_tokens, llr_micro, pred_pos)``
+    frame goes to ``sink(df, batch_id)``; scores are per-doc stateless
+    given the frozen model, so the result is independent of the batch
+    split. ``stream`` lets tests force a multi-file arrival source
+    (needs ``doc_id``/``text``/``lang`` columns).
+    """
+    from arcane_framework_spark.operators.classify import (
+        nb_score,
+        nb_train,
+    )
+    from arcane_framework_spark.queries_ext import stream_conf
+
+    t = load_tables(spark, sf_dir, "documents")
+    lab = (F.col("lang") == NB_POS_LANG).cast("int").alias("is_pos")
+    docs = t["documents"].select("doc_id", "text", lab)
+    lp, prior_micro = nb_train(docs)
+    lp = lp.persist()
+    lp.count()
+
+    if stream is None:
+        stream = (
+            spark.readStream.schema(t["documents"].schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+    arrivals = stream.select("doc_id", "text", lab)
+
+    def judge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink(nb_score(batch_df, lp, prior_micro), batch_id)
+
+    try:
+        with stream_conf(spark):
+            q = (
+                arrivals.writeStream.foreachBatch(judge_batch)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        lp.unpersist()
+
+
+def streaming_nb_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the NB quality filter: train-once /
+    score-stream (``run_nb_score_stream``). Scoring a doc against the
+    frozen model is per-doc stateless, so the stream reproduces the
+    batch entry row-for-row regardless of the batch split — the batch
+    oracle is shared verbatim (multi-batch split equality
+    pytest-asserted). Gate sink = driver accumulator; production sink =
+    K1's ``foreach_batch`` parquet adapter through the same seam."""
+    acc: list = []
+    run_nb_score_stream(
+        spark, sf_dir, lambda out, _bid: acc.extend(out.collect())
+    )
+    return spark.createDataFrame(
+        acc,
+        "doc_id: bigint, is_pos: int, n_tokens: bigint, "
+        "llr_micro: bigint, pred_pos: int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# X197: semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+#: Every 50th embedding plays the benchmark role; corpus vectors within
+#: this cosine of a benchmark vector are flagged (the n-gram probe's
+#: threshold philosophy, transposed to embedding space).
+SEM_DECONTAM_EVAL_MOD = 50
+SEM_DECONTAM_TAU = 0.8
+
+
+def semantic_decontam_embeddings(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/decontam.py ``semantic_contamination_pairs``): corpus
+    vectors scored against the broadcast benchmark set, flagged at
+    cosine ≥ 0.8 — catches the paraphrased leakage the verbatim 8-gram
+    probe cannot. Planted perturbed copies of the benchmark vectors
+    (the cosine_neardup planting scheme) guarantee positives."""
+    from arcane_framework_spark.operators.decontam import (
+        semantic_contamination_pairs,
+    )
+    from arcane_framework_spark.operators.similarity import EMBEDDING_DIM
+    from arcane_framework_spark.queries_ext import (
+        _DUP_OFFSET,
+        NEARDUP_DELTA,
+    )
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") % SEM_DECONTAM_EVAL_MOD == 0)
+    v = F.col("embedding")
+    planted = bench.select(
+        (F.col("vec_id") + F.lit(_DUP_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(F.get(v, 0) + F.lit(NEARDUP_DELTA)),
+            F.slice(v, 2, EMBEDDING_DIM - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.filter(
+        F.col("vec_id") % SEM_DECONTAM_EVAL_MOD != 0
+    ).unionByName(planted)
+    return semantic_contamination_pairs(
+        corpus, bench, min_cosine=SEM_DECONTAM_TAU
+    )
+
+
+def _semantic_decontam_sql() -> str:
+    from arcane_framework_spark.queries_ext import (
+        _DUP_OFFSET,
+        NEARDUP_DELTA,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bench AS (
+  SELECT vec_id AS eval_id, v FROM base
+  WHERE vec_id % {SEM_DECONTAM_EVAL_MOD} = 0
+),
+corpus AS (
+  SELECT vec_id, v FROM base WHERE vec_id % {SEM_DECONTAM_EVAL_MOD} <> 0
+  UNION ALL
+  SELECT eval_id + {_DUP_OFFSET}, list_concat([v[1] + {NEARDUP_DELTA}], v[2:])
+  FROM bench
+),
+scored AS (
+  SELECT c.vec_id, b.eval_id,
+         round(list_dot_product(c.v, b.v)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM corpus c CROSS JOIN bench b
+)
+SELECT vec_id, eval_id, cosine FROM scored
+WHERE cosine >= {SEM_DECONTAM_TAU}
+"""
+
+
 WAVE9_QUERIES = {
     "nb_quality_score_documents": nb_quality_score_documents,
     "nb_classifier_eval_documents": nb_classifier_eval_documents,
     "label_propagation_documents": label_propagation_documents,
     "streaming_decontam": streaming_decontam,
+    "streaming_nb_scoring": streaming_nb_scoring,
+    "semantic_decontam_embeddings": semantic_decontam_embeddings,
 }
 
 WAVE9_ORACLE_SQL = {
     "nb_quality_score_documents": _NB_SCORE_SQL,
     "nb_classifier_eval_documents": _NB_EVAL_SQL,
+    # train-once/score-stream with a frozen model is per-doc stateless,
+    # so the streamed scores share the batch oracle VERBATIM
+    "streaming_nb_scoring": _NB_SCORE_SQL,
+    "semantic_decontam_embeddings": _semantic_decontam_sql(),
     # label_propagation_documents + streaming_decontam are registered
     # from queries.py: the LPA oracle embeds _minhash_sql(), and the
     # streaming twin shares queries_ext._DECONTAM_SQL verbatim.

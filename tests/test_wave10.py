@@ -195,3 +195,71 @@ def test_streaming_decontam_k1_parquet_sink(spark, tmp_path):
     }
     assert got == expected
     assert token is not None and token.endswith(".COMPLETED")
+
+
+def test_streaming_nb_multibatch_equals_batch(spark, tmp_path):
+    """X196: scoring against the frozen model is per-doc stateless —
+    4 single-slice arrival files must reproduce the batch scores
+    row-for-row."""
+    from arcane_framework_spark.queries_wave9 import (
+        nb_quality_score_documents,
+        run_nb_score_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    arrivals_dir = str(tmp_path / "arrivals")
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(arrivals_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(arrivals_dir)
+    )
+    acc, bids = [], []
+    run_nb_score_stream(
+        spark,
+        SF_DIR,
+        lambda out, bid: (acc.extend(out.collect()), bids.append(bid)),
+        stream=stream,
+    )
+    assert len(bids) >= 2  # genuinely multi-batch
+    streamed = sorted(tuple(r) for r in acc)
+    batch = sorted(
+        tuple(r) for r in nb_quality_score_documents(spark, SF_DIR).collect()
+    )
+    assert streamed == batch and len(batch) > 0
+
+
+def test_semantic_decontam_flags_every_planted_copy(spark):
+    """X197: each planted perturbed benchmark copy must be flagged
+    against its origin vector (guaranteed recall), and benchmark
+    vectors themselves are excluded from the corpus side."""
+    from arcane_framework_spark.queries_wave9 import (
+        SEM_DECONTAM_EVAL_MOD,
+        SEM_DECONTAM_TAU,
+        semantic_decontam_embeddings,
+    )
+    from arcane_framework_spark.queries_ext import _DUP_OFFSET
+
+    rows = semantic_decontam_embeddings(spark, SF_DIR).collect()
+    flagged = {(r["vec_id"], r["eval_id"]): r["cosine"] for r in rows}
+    bench_ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") % SEM_DECONTAM_EVAL_MOD == 0)
+        .collect()
+    ]
+    assert bench_ids
+    for b in bench_ids:
+        cos = flagged.get((b + _DUP_OFFSET, b))
+        assert cos is not None and cos >= SEM_DECONTAM_TAU
+    # no benchmark vector appears on the corpus side
+    assert all(
+        vid % SEM_DECONTAM_EVAL_MOD != 0 or vid >= _DUP_OFFSET
+        for vid, _ in flagged
+    )

@@ -51,6 +51,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     # -- operators ----------------------------------------------------
     ("operators/bpe.py", "top"): "topk",
     ("operators/bpe.py", 'top.select("l", "r")'): "topk",
+    ("operators/decontam.py", "bench"): "queryset",
     ("operators/decontam.py", "eval_grams"): "queryset",
     ("operators/decontam.py", "ta"): "typeset",
     ("operators/decontam.py", "tb"): "typeset",

@@ -22,6 +22,9 @@ from arcane_framework_spark.session import get_spark  # noqa: E402
 #: Queries where a nested-loop broadcast join is the intended plan.
 EXPECTED_BNLJ = {
     "knn_bruteforce_embeddings",   # query-set × candidate scan
+    "semantic_decontam_embeddings",  # corpus × broadcast BENCHMARK set
+                                   # (benchmark-bounded — the
+                                   # knn_bruteforce plan class)
     "ivf_topk_embeddings",         # corpus × broadcast centroids
     "kmeans_embeddings",           # corpus × broadcast centroids per Lloyd pass
     "q22_inactive_customers",      # scalar threshold broadcast

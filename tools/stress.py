@@ -36,10 +36,14 @@ from arcane_framework_spark.operators.multimodal import (  # noqa: E402
     synth_gif_assets,
     wav_spectral_features,
 )
+from arcane_framework_spark.operators.classify import (  # noqa: E402
+    nb_quality_scores,
+)
 from arcane_framework_spark.operators.graph import (  # noqa: E402
     PR_ITERATIONS,
     dedup_clusters,
     incremental_components,
+    label_propagation,
     pagerank,
     triangle_stats,
 )
@@ -308,6 +312,19 @@ def main() -> None:
         ),
         "triangle_stats_pairs": timed(
             lambda: triangle_stats(minhash_lsh_pairs(docs))
+        ),
+        # r14 wave-9 surface at 10x: NB train+score over the 10x corpus
+        # (synthetic ~1/3 seed class — the enlarged docs carry no lang)
+        # and synchronous LPA over the MinHash pair graph
+        "nb_quality_scores": timed(
+            lambda: nb_quality_scores(
+                docs.withColumn(
+                    "is_pos", (F.col("doc_id") % 3 == 0).cast("int")
+                )
+            )
+        ),
+        "label_propagation_pairs": timed(
+            lambda: label_propagation(minhash_lsh_pairs(docs))
         ),
         "mmr_topk_q500": timed(
             lambda: mmr_topk(emb, queries, k=5)
