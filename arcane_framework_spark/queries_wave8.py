@@ -154,11 +154,15 @@ def _priority_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-def _priority_finalize(topk1: DataFrame, k: int) -> DataFrame:
+def _priority_finalize(topk1: DataFrame, k: int,
+                       cols: tuple = ("doc_id", "source", "weight"),
+                       ) -> DataFrame:
     """Sample + estimator weights from a ranked top-(k+1) relation
-    (columns doc_id, source, weight, __q, __rk) — the shared tail of
-    both entries: τ from the (k+1)-th row as a broadcast scalar, output
-    (doc_id, source, weight, priority, est_w) at 4dp."""
+    (columns ``cols`` + __q + __rk, where ``cols`` must include
+    ``weight``) — the shared tail of every DLT entry: τ from the
+    (k+1)-th row as a broadcast scalar, output (*cols, priority,
+    est_w) at 4dp. The quality-weighted twin (queries_wave9) reuses it
+    without a source column."""
     from arcane_framework_spark.operators.scale import with_broadcast_scalar
 
     tau = topk1.agg(
@@ -171,9 +175,7 @@ def _priority_finalize(topk1: DataFrame, k: int) -> DataFrame:
     return with_broadcast_scalar(
         topk1.filter(F.col("__rk") <= k), tau
     ).select(
-        "doc_id",
-        "source",
-        "weight",
+        *cols,
         half_up(F.col("__q"), 1e4).alias("priority"),
         half_up(
             F.greatest(F.col("weight").cast("double"), F.col("__tau")), 1e4

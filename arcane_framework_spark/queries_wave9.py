@@ -15,7 +15,7 @@ argmax key, so community assignment is engine- and order-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from arcane_framework_spark.session import load_tables
@@ -474,6 +474,91 @@ WHERE cosine >= {SEM_DECONTAM_TAU}
 """
 
 
+# ---------------------------------------------------------------------------
+# X198: quality-weighted priority sample (NB score × DLT sampling)
+# ---------------------------------------------------------------------------
+
+#: Sample size for the quality-weighted draw.
+QUALITY_SAMPLE_K = 64
+
+
+def quality_weighted_sample_documents(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Quality-aware data selection: a DLT priority sample (the X189
+    machinery) drawn with the TRAINED NB quality score as the sampling
+    weight — the DCLM/FineWeb-Edu-style step where a learned classifier
+    decides how much of each document's mass enters the training mix,
+    instead of byte counts.
+
+    ``w = max(llr_micro, 1)``: the integer micro-nat log-odds clamped
+    positive, so confidently-high-quality docs dominate the draw while
+    negative-scoring docs keep a minuscule (never zero) inclusion
+    probability. The clamp preserves the DLT exactness argument: ``w``
+    is an exactly-representable integer, ``w·2³²`` only shifts the
+    exponent, and the single division is IEEE-correctly-rounded — rank
+    keys stay bit-identical cross-engine. Same TakeOrdered top-(k+1) /
+    τ-scalar / ``max(w, τ)`` estimator tail as X189 (shared
+    ``_priority_finalize``), salt ``qps`` decorrelates the uniforms
+    from the byte-weighted entry.
+
+    Output (doc_id, weight, priority, est_w) at 4dp.
+    """
+    from arcane_framework_spark.operators.cache import scoped_persist
+    from arcane_framework_spark.operators.sampling import md5_bucket_expr
+    from arcane_framework_spark.queries_wave8 import (
+        _priority_finalize,
+        _U_SPACE,
+    )
+
+    k = QUALITY_SAMPLE_K
+    scores = _nb_scores(spark, sf_dir)
+    w_int = F.greatest(F.col("llr_micro"), F.lit(1))
+    u = md5_bucket_expr("doc_id", "qps", 16 ** 8)
+    pr = scores.select(
+        "doc_id",
+        w_int.alias("weight"),
+        (
+            (w_int.cast("double") * F.lit(_U_SPACE))
+            / (u + F.lit(1)).cast("double")
+        ).alias("__q"),
+    )
+    w = Window.orderBy(F.col("__q").desc(), "doc_id")
+    topk1 = scoped_persist(
+        pr.withColumn("__rk", F.row_number().over(w)).filter(
+            F.col("__rk") <= k + 1
+        )
+    )
+    return _priority_finalize(topk1, k, cols=("doc_id", "weight"))
+
+
+def _quality_weighted_sample_sql() -> str:
+    from arcane_framework_spark.queries_wave8 import _U_SPACE
+
+    k = QUALITY_SAMPLE_K
+    return _NB_CORE_CTES + f""",
+pr AS (
+  SELECT doc_id, greatest(llr_micro, 1) AS weight,
+         (CAST(greatest(llr_micro, 1) AS DOUBLE) * {_U_SPACE!r}) /
+         CAST(CAST(concat('0x', substring(
+                md5(concat_ws('#', 'qps', CAST(doc_id AS VARCHAR))),
+                1, 8)) AS BIGINT) % {16 ** 8} + 1 AS DOUBLE) AS q
+  FROM scored
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rk FROM pr
+),
+tau AS (
+  SELECT coalesce(min(CASE WHEN rk = {k + 1} THEN q END), 0.0) AS tau
+  FROM ranked WHERE rk <= {k + 1}
+)
+SELECT doc_id, weight,
+       floor(q * 1e4 + 0.5) / 1e4 AS priority,
+       floor(greatest(CAST(weight AS DOUBLE), tau) * 1e4 + 0.5) / 1e4
+         AS est_w
+FROM ranked, tau WHERE rk <= {k}
+"""
+
+
 WAVE9_QUERIES = {
     "nb_quality_score_documents": nb_quality_score_documents,
     "nb_classifier_eval_documents": nb_classifier_eval_documents,
@@ -481,6 +566,7 @@ WAVE9_QUERIES = {
     "streaming_decontam": streaming_decontam,
     "streaming_nb_scoring": streaming_nb_scoring,
     "semantic_decontam_embeddings": semantic_decontam_embeddings,
+    "quality_weighted_sample_documents": quality_weighted_sample_documents,
 }
 
 WAVE9_ORACLE_SQL = {
@@ -490,6 +576,7 @@ WAVE9_ORACLE_SQL = {
     # so the streamed scores share the batch oracle VERBATIM
     "streaming_nb_scoring": _NB_SCORE_SQL,
     "semantic_decontam_embeddings": _semantic_decontam_sql(),
+    "quality_weighted_sample_documents": _quality_weighted_sample_sql(),
     # label_propagation_documents + streaming_decontam are registered
     # from queries.py: the LPA oracle embeds _minhash_sql(), and the
     # streaming twin shares queries_ext._DECONTAM_SQL verbatim.

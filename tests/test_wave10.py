@@ -263,3 +263,33 @@ def test_semantic_decontam_flags_every_planted_copy(spark):
         vid % SEM_DECONTAM_EVAL_MOD != 0 or vid >= _DUP_OFFSET
         for vid, _ in flagged
     )
+
+
+def test_quality_weighted_sample_contract(spark):
+    """X198: k rows drawn, every weight is the clamped NB llr
+    (max(llr_micro, 1) — so the negative-scoring docs in this corpus
+    exercise the clamp), and the estimator weights are consistent with
+    ONE threshold: est_w == max(weight, τ) for a single τ (rows where
+    the estimator exceeds the weight all expose the same τ)."""
+    from arcane_framework_spark.queries_wave9 import (
+        QUALITY_SAMPLE_K,
+        nb_quality_score_documents,
+        quality_weighted_sample_documents,
+    )
+
+    scores = {
+        r["doc_id"]: r["llr_micro"]
+        for r in nb_quality_score_documents(spark, SF_DIR).collect()
+    }
+    assert any(v < 0 for v in scores.values())  # clamp material
+    rows = quality_weighted_sample_documents(spark, SF_DIR).collect()
+    assert len(rows) == QUALITY_SAMPLE_K
+    taus = set()
+    for r in rows:
+        assert r["weight"] == max(scores[r["doc_id"]], 1)
+        assert r["est_w"] >= float(r["weight"]) or r["est_w"] == round(
+            r["weight"], 4
+        )
+        if r["est_w"] != float(r["weight"]):
+            taus.add(r["est_w"])
+    assert len(taus) <= 1

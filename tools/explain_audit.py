@@ -161,6 +161,8 @@ BOUNDED_UNPARTITIONED_WINDOWS: dict[str, tuple[int, str]] = {
         1, "one row per year-month"),
     "priority_sample_documents": (
         1, "top-(k+1) DLT priorities, rank-limit-capped"),
+    "quality_weighted_sample_documents": (
+        1, "top-(k+1) DLT priorities, rank-limit-capped"),
     "streaming_priority_sample": (
         2, "re-rank over the ≤(k+1)-row driver-held DLT state relation "
            "(unpersisted local relation: the τ scalar and the sample "

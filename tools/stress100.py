@@ -376,6 +376,25 @@ def main() -> None:
         n_planted_docs,
     )
 
+    # ---- family 7 (round-14 wave 9): NB train + score ------------------
+    # The trained quality classifier at 500k docs: both training
+    # aggregations and the score join key the VOCABULARY-cardinality
+    # LLR table relationally (never broadcast — the r14 sweep rule this
+    # probe exercises at scale); per-doc scores are exact integer sums,
+    # so rows == corpus size exactly.
+    from arcane_framework_spark.operators.classify import nb_quality_scores
+
+    results["nb_quality_scores"] = timed(
+        lambda: nb_quality_scores(
+            docs.withColumn(
+                "is_pos", (F.col("doc_id") % 3 == 0).cast("int")
+            )
+        )
+    )
+    assert results["nb_quality_scores"]["rows"] == results["n_docs"], (
+        results["nb_quality_scores"]
+    )
+
     # ---- growth factors vs the committed 10x artifact -----------------
     base_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
