@@ -79,6 +79,93 @@ def _doc_tf(docs: DataFrame, label_col: str, id_col: str,
     )
 
 
+def nb_token_counts(docs: DataFrame, label_col: str = "is_pos",
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-token class counts ``(tok, cpos, cneg)`` — NB's sufficient
+    statistics for the token side. COUNT-ADDITIVE: the counts of a
+    corpus union are the per-token sums of the parts, which is what
+    makes the incremental twin exact (merge arriving counts into a
+    persisted count table; the corpus text is never re-scanned)."""
+    tf = _doc_tf(docs, label_col, id_col, text_col)
+    return tf.groupBy("tok").agg(
+        F.sum(F.when(F.col("__pos") == 1, F.col("tf")).otherwise(F.lit(0)))
+        .alias("cpos"),
+        F.sum(F.when(F.col("__pos") == 0, F.col("tf")).otherwise(F.lit(0)))
+        .alias("cneg"),
+    )
+
+
+def nb_doc_counts(docs: DataFrame,
+                  label_col: str = "is_pos") -> tuple[int, int]:
+    """Per-class doc counts ``(dpos, dneg)`` — NB's other sufficient
+    statistic, driver-held by the 2-value boundedness contract. The
+    1-row action reads two pruned columns."""
+    lab = F.col(label_col).cast("int")
+    row = docs.agg(
+        F.sum(lab).alias("dpos"),
+        F.sum(F.lit(1) - lab).alias("dneg"),
+    ).first()
+    return int(row["dpos"] or 0), int(row["dneg"] or 0)
+
+
+def nb_merge_counts(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two ``(tok, cpos, cneg)`` count tables by exact integer
+    addition — the incremental model update. Full-outer join on the
+    token key: when ``base`` is a BUCKETED side table on ``tok``, its
+    side reads exchange-free and only the (small) delta shuffles, no
+    matter how large the accumulated vocabulary grows."""
+    d = delta.select(
+        F.col("tok"),
+        F.col("cpos").alias("__dcpos"),
+        F.col("cneg").alias("__dcneg"),
+    )
+    return base.join(d, "tok", "full_outer").select(
+        "tok",
+        (
+            F.coalesce(F.col("cpos"), F.lit(0))
+            + F.coalesce(F.col("__dcpos"), F.lit(0))
+        ).alias("cpos"),
+        (
+            F.coalesce(F.col("cneg"), F.lit(0))
+            + F.coalesce(F.col("__dcneg"), F.lit(0))
+        ).alias("cneg"),
+    )
+
+
+def nb_model_from_counts(vocab: DataFrame, dpos: int,
+                         dneg: int) -> tuple[DataFrame, int]:
+    """Model from sufficient statistics: the per-token micro-nat LLR
+    table + the integer ln doc-count prior. Both classes must be
+    non-empty (raises ``ValueError`` otherwise — an empty seed class
+    means the caller wired the label wrong, and silently emitting
+    all-one-class scores would look like a trained model)."""
+    from arcane_framework_spark.operators.scale import with_broadcast_scalar
+
+    if not dpos or not dneg:
+        raise ValueError(
+            "nb_train needs BOTH classes non-empty; got "
+            f"dpos={dpos} dneg={dneg}"
+        )
+    prior_micro = int(
+        math.floor(NB_LLR_SCALE * math.log(dpos / dneg) + 0.5)
+    )
+    tot = vocab.agg(
+        F.sum("cpos").alias("__npos"),
+        F.sum("cneg").alias("__nneg"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    # Vocabulary-cardinality ⇒ relational join, never F.broadcast.
+    lp = with_broadcast_scalar(vocab, tot).select(
+        "tok",
+        (
+            _lp_micro(F.col("cpos") + 1, F.col("__npos") + F.col("__v"))
+            - _lp_micro(F.col("cneg") + 1, F.col("__nneg") + F.col("__v"))
+        ).alias("llr_micro"),
+    )
+    return lp, prior_micro
+
+
 def nb_train(docs: DataFrame, label_col: str = "is_pos",
              id_col: str = "doc_id",
              text_col: str = "text") -> tuple[DataFrame, int]:
@@ -90,56 +177,15 @@ def nb_train(docs: DataFrame, label_col: str = "is_pos",
     This is the freeze point for the production shape: train once on
     the corpus, persist ``lp`` as a side table, then score arriving
     data against the frozen model (``nb_score`` — the streaming twin
-    does exactly this per micro-batch). Both classes must be non-empty
-    (raises ``ValueError`` otherwise — an empty seed class means the
-    caller wired the label wrong, and silently emitting all-one-class
-    scores would look like a trained model).
+    does exactly this per micro-batch). Composes the sufficient-
+    statistic halves (``nb_token_counts`` / ``nb_doc_counts`` /
+    ``nb_model_from_counts``) the incremental twin reuses; the
+    validate-before-train doc-count action catches a mis-wired label
+    BEFORE the tokenization pass.
     """
-    from arcane_framework_spark.operators.scale import with_broadcast_scalar
-
-    lab = F.col(label_col).cast("int")
-    tf = _doc_tf(docs, label_col, id_col, text_col)
-    vocab = tf.groupBy("tok").agg(
-        F.sum(F.when(F.col("__pos") == 1, F.col("tf")).otherwise(F.lit(0)))
-        .alias("cpos"),
-        F.sum(F.when(F.col("__pos") == 0, F.col("tf")).otherwise(F.lit(0)))
-        .alias("cneg"),
-    )
-    tot = vocab.agg(
-        F.sum("cpos").alias("__npos"),
-        F.sum("cneg").alias("__nneg"),
-        F.count(F.lit(1)).alias("__v"),
-    )
-    dc_row = (
-        docs.agg(
-            F.sum(lab).alias("dpos"),
-            F.sum(F.lit(1) - lab).alias("dneg"),
-        ).first()
-    )
-    if not dc_row["dpos"] or not dc_row["dneg"]:
-        raise ValueError(
-            "nb_train needs BOTH classes non-empty; got "
-            f"dpos={dc_row['dpos']} dneg={dc_row['dneg']}"
-        )
-    # Scalar (1-row) prior — exact long→double division then the same
-    # micro-nat fixed point as the token table. The 1-row ``first()`` is
-    # the validate-before-train gate: it reads two pruned columns, and
-    # catching a mis-wired label BEFORE the tokenization pass beats
-    # discovering it in a silently one-sided score table.
-    prior_micro = int(
-        math.floor(
-            NB_LLR_SCALE * math.log(dc_row["dpos"] / dc_row["dneg"]) + 0.5
-        )
-    )
-    # Vocabulary-cardinality ⇒ relational join, never F.broadcast.
-    lp = with_broadcast_scalar(vocab, tot).select(
-        "tok",
-        (
-            _lp_micro(F.col("cpos") + 1, F.col("__npos") + F.col("__v"))
-            - _lp_micro(F.col("cneg") + 1, F.col("__nneg") + F.col("__v"))
-        ).alias("llr_micro"),
-    )
-    return lp, prior_micro
+    dpos, dneg = nb_doc_counts(docs, label_col)
+    vocab = nb_token_counts(docs, label_col, id_col, text_col)
+    return nb_model_from_counts(vocab, dpos, dneg)
 
 
 def nb_score(docs: DataFrame, lp: DataFrame, prior_micro: int,

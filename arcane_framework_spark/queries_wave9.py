@@ -66,16 +66,22 @@ def nb_classifier_eval_documents(spark: SparkSession,
     return nb_confusion(_nb_scores(spark, sf_dir))
 
 
-#: Shared CTE chain: label → tokenize → tf → per-token class counts →
-#: totals → per-token micro-nat LLR → per-doc integer scores. Mirrors
-#: operators/classify.py expression-for-expression (same division
-#: shapes, same floor(·+0.5) fixed point).
-_NB_CORE_CTES = rf"""
+#: Default labeled-corpus CTE: English = seed class, over the corpus
+#: table. The incremental entry swaps in a corpus ∪ arrivals body.
+_NB_LAB_CTE = f"""
 WITH lab AS (
   SELECT doc_id, text,
          CASE WHEN lang = '{NB_POS_LANG}' THEN 1 ELSE 0 END AS is_pos
   FROM documents
-),
+)"""
+
+
+def _nb_core_ctes(lab_cte: str) -> str:
+    """Shared CTE chain: label → tokenize → tf → per-token class counts
+    → totals → per-token micro-nat LLR → per-doc integer scores.
+    Mirrors operators/classify.py expression-for-expression (same
+    division shapes, same floor(·+0.5) fixed point)."""
+    return lab_cte + r""",
 tok AS (
   SELECT doc_id, is_pos,
          unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
@@ -125,6 +131,9 @@ scored AS (
            AS pred_pos
   FROM sc, pri
 )"""
+
+
+_NB_CORE_CTES = _nb_core_ctes(_NB_LAB_CTE)
 
 _NB_SCORE_SQL = _NB_CORE_CTES + """
 SELECT doc_id, is_pos, n_tokens, llr_micro, pred_pos FROM scored
@@ -559,6 +568,93 @@ FROM ranked, tau WHERE rk <= {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# X199: incremental NB — model update without corpus re-scan
+# ---------------------------------------------------------------------------
+
+#: Every 7th document is re-emitted (edited, shifted id) as the
+#: arriving batch the incremental model update absorbs.
+INCR_NB_EVERY = 7
+
+
+def incremental_nb_documents(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Incremental NB training: the corpus's sufficient statistics
+    (per-token class counts) round-trip through a BUCKETED parquet
+    side table on the token key, an arriving batch (every 7th doc,
+    edited, shifted id) tokenizes ONLY ITSELF, and the updated model is
+    the exact integer count merge (``nb_merge_counts`` — full-outer
+    join whose corpus side reads bucket-aligned, so only the batch
+    ever shuffles no matter how large the vocabulary grows). Arrivals
+    are then scored against the updated model.
+
+    NB's counts are additive, so the incremental model is PROVABLY the
+    full retrain on (corpus ∪ batch) — the oracle trains on the union
+    in one shot and scores the arrivals; exact integer equality, not
+    approximation (asserted as two-slice associativity in the tests).
+    The corpus text is never re-scanned — at 100 TB the update costs
+    O(batch) + one vocabulary-sized merge.
+    """
+    from arcane_framework_spark.operators.classify import (
+        nb_doc_counts,
+        nb_merge_counts,
+        nb_model_from_counts,
+        nb_score,
+        nb_token_counts,
+    )
+    from arcane_framework_spark.operators.scale import (
+        gc_stale_side_tables,
+        session_scoped_table,
+        write_bucketed,
+    )
+    from arcane_framework_spark.queries_ext import _DUP_OFFSET
+
+    t = load_tables(spark, sf_dir, "documents")
+    lab = (F.col("lang") == NB_POS_LANG).cast("int").alias("is_pos")
+    docs = t["documents"].select("doc_id", "text", lab)
+    base_vocab = nb_token_counts(docs)
+    side = session_scoped_table(spark, "incr_nb_counts_side")
+    gc_stale_side_tables(spark, "incr_nb_counts_side")
+    write_bucketed(base_vocab, side, ["tok"], num_buckets=16,
+                   sort_cols=["tok"])
+    base_side = spark.table(side)
+    dpos, dneg = nb_doc_counts(docs)
+
+    arrivals = docs.filter(F.col("doc_id") % INCR_NB_EVERY == 0).select(
+        (F.col("doc_id") + F.lit(_DUP_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" upd")).alias("text"),
+        "is_pos",
+    )
+    a_dpos, a_dneg = nb_doc_counts(arrivals)
+    updated = nb_merge_counts(base_side, nb_token_counts(arrivals))
+    lp, prior_micro = nb_model_from_counts(
+        updated, dpos + a_dpos, dneg + a_dneg
+    )
+    return nb_score(arrivals, lp, prior_micro)
+
+
+def _incremental_nb_sql() -> str:
+    from arcane_framework_spark.queries_ext import _DUP_OFFSET
+
+    # The oracle is the FULL retrain on (corpus ∪ arrivals), scored on
+    # the arrivals — equal to the incremental path by count additivity.
+    lab_cte = f"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CASE WHEN lang = '{NB_POS_LANG}' THEN 1 ELSE 0 END AS is_pos
+  FROM (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + {_DUP_OFFSET}, text || ' upd', lang
+    FROM documents WHERE doc_id % {INCR_NB_EVERY} = 0
+  ) AS u
+)"""
+    return _nb_core_ctes(lab_cte) + f"""
+SELECT doc_id, is_pos, n_tokens, llr_micro, pred_pos FROM scored
+WHERE doc_id >= {_DUP_OFFSET}
+"""
+
+
 WAVE9_QUERIES = {
     "nb_quality_score_documents": nb_quality_score_documents,
     "nb_classifier_eval_documents": nb_classifier_eval_documents,
@@ -567,6 +663,7 @@ WAVE9_QUERIES = {
     "streaming_nb_scoring": streaming_nb_scoring,
     "semantic_decontam_embeddings": semantic_decontam_embeddings,
     "quality_weighted_sample_documents": quality_weighted_sample_documents,
+    "incremental_nb_documents": incremental_nb_documents,
 }
 
 WAVE9_ORACLE_SQL = {
@@ -577,6 +674,9 @@ WAVE9_ORACLE_SQL = {
     "streaming_nb_scoring": _NB_SCORE_SQL,
     "semantic_decontam_embeddings": _semantic_decontam_sql(),
     "quality_weighted_sample_documents": _quality_weighted_sample_sql(),
+    # exact by count additivity: incremental merge == full retrain on
+    # the union (see incremental_nb_documents)
+    "incremental_nb_documents": _incremental_nb_sql(),
     # label_propagation_documents + streaming_decontam are registered
     # from queries.py: the LPA oracle embeds _minhash_sql(), and the
     # streaming twin shares queries_ext._DECONTAM_SQL verbatim.

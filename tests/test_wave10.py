@@ -293,3 +293,43 @@ def test_quality_weighted_sample_contract(spark):
         if r["est_w"] != float(r["weight"]):
             taus.add(r["est_w"])
     assert len(taus) <= 1
+
+
+def test_nb_merge_counts_is_exact_and_associative(spark):
+    """X199's correctness core: NB count merging is exact integer
+    addition — merging two delta slices sequentially equals counting
+    the full union in one shot, token for token."""
+    from arcane_framework_spark.operators.classify import (
+        nb_merge_counts,
+        nb_token_counts,
+    )
+
+    base = _docs(spark, [(1, "a b a", 1), (2, "b c", 0)])
+    d1 = _docs(spark, [(3, "a c c", 1)])
+    d2 = _docs(spark, [(4, "b b d", 0), (5, "a d", 1)])
+    merged = nb_merge_counts(
+        nb_merge_counts(nb_token_counts(base), nb_token_counts(d1)),
+        nb_token_counts(d2),
+    )
+    full = nb_token_counts(
+        base.unionByName(d1).unionByName(d2)
+    )
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want and len(want) == 4  # tokens a b c d
+
+
+def test_incremental_nb_reads_counts_bucket_aligned(spark):
+    """X199's scale claim: the persisted count table is consumed
+    bucket-aligned on the token key — the corpus-sized side of the
+    merge join carries no Exchange, only the arriving batch shuffles."""
+    from arcane_framework_spark.queries_wave9 import incremental_nb_documents
+
+    df = incremental_nb_documents(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "incr_nb_counts_side" in plan
+    assert "Bucketed: true" in plan
