@@ -30,6 +30,20 @@ from arcane_framework_spark.session import load_tables
 NB_POS_LANG = "en"
 
 
+def _nb_label():
+    """Seed-class label expression. ``when/otherwise`` (not a bare
+    equality cast) so a NULL ``lang`` labels 0 exactly like the
+    oracle's ``CASE ... ELSE 0`` — a NULL-labeled doc would otherwise
+    silently drop out of BOTH class counts on the Spark side while
+    DuckDB counted it negative (the cross-engine NULL-handling gotcha
+    class)."""
+    return (
+        F.when(F.col("lang") == NB_POS_LANG, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_pos")
+    )
+
+
 def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arcane_framework_spark.operators.classify import nb_quality_scores
 
@@ -37,7 +51,7 @@ def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"].select(
         "doc_id",
         "text",
-        (F.col("lang") == NB_POS_LANG).cast("int").alias("is_pos"),
+        _nb_label(),
     )
     return nb_quality_scores(docs)
 
@@ -354,7 +368,7 @@ def run_nb_score_stream(spark: SparkSession, sf_dir: str, sink,
     from arcane_framework_spark.queries_ext import stream_conf
 
     t = load_tables(spark, sf_dir, "documents")
-    lab = (F.col("lang") == NB_POS_LANG).cast("int").alias("is_pos")
+    lab = _nb_label()
     docs = t["documents"].select("doc_id", "text", lab)
     lp, prior_micro = nb_train(docs)
     lp = lp.persist()
@@ -440,7 +454,7 @@ def semantic_decontam_embeddings(spark: SparkSession,
         (F.col("vec_id") + F.lit(_DUP_OFFSET)).alias("vec_id"),
         F.concat(
             F.array(F.get(v, 0) + F.lit(NEARDUP_DELTA)),
-            F.slice(v, 2, EMBEDDING_DIM - 1),
+            F.slice(v, 2, F.greatest(F.size(v) - 1, F.lit(0))),
         ).alias("embedding"),
     )
     corpus = emb.filter(
@@ -610,7 +624,7 @@ def incremental_nb_documents(spark: SparkSession,
     from arcane_framework_spark.queries_ext import _DUP_OFFSET
 
     t = load_tables(spark, sf_dir, "documents")
-    lab = (F.col("lang") == NB_POS_LANG).cast("int").alias("is_pos")
+    lab = _nb_label()
     docs = t["documents"].select("doc_id", "text", lab)
     base_vocab = nb_token_counts(docs)
     side = session_scoped_table(spark, "incr_nb_counts_side")

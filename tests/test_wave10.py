@@ -333,3 +333,24 @@ def test_incremental_nb_reads_counts_bucket_aligned(spark):
     )
     assert "incr_nb_counts_side" in plan
     assert "Bucketed: true" in plan
+
+
+def test_nb_label_null_lang_is_negative_class(spark):
+    """Cross-engine NULL-handling pin: a NULL lang must label 0 (the
+    oracle's CASE ... ELSE 0) — a bare equality cast would yield NULL
+    and silently drop the doc from BOTH class counts on the Spark side
+    while DuckDB counted it negative."""
+    from arcane_framework_spark.operators.classify import nb_quality_scores
+    from arcane_framework_spark.queries_wave9 import _nb_label
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean text", "en"),
+            (2, "junk spam", "de"),
+            (3, "mystery words junk", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = nb_quality_scores(docs.select("doc_id", "text", _nb_label()))
+    rows = {r["doc_id"]: r["is_pos"] for r in out.collect()}
+    assert rows == {1: 1, 2: 0, 3: 0}
