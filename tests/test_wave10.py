@@ -354,3 +354,115 @@ def test_nb_label_null_lang_is_negative_class(spark):
     out = nb_quality_scores(docs.select("doc_id", "text", _nb_label()))
     rows = {r["doc_id"]: r["is_pos"] for r in out.collect()}
     assert rows == {1: 1, 2: 0, 3: 0}
+
+
+def _nb_reference(corpus):
+    """Pure-Python NB reference: the exact integer/micro-nat spec,
+    independent of Spark and DuckDB (the randomized third-opinion
+    cross-check the substring family established)."""
+    import math
+    from collections import Counter
+
+    cpos, cneg = Counter(), Counter()
+    dpos = dneg = 0
+    docs_toks = {}
+    for doc_id, text, is_pos in corpus:
+        toks = text.strip().lower().split()
+        toks = toks if toks else [""]
+        docs_toks[doc_id] = (toks, is_pos)
+        if is_pos:
+            dpos += 1
+            cpos.update(toks)
+        else:
+            dneg += 1
+            cneg.update(toks)
+    vocab = set(cpos) | set(cneg)
+    npos, nneg, v = sum(cpos.values()), sum(cneg.values()), len(vocab)
+    lp = {
+        t: math.floor(1e6 * math.log((cpos[t] + 1) / (npos + v)) + 0.5)
+        - math.floor(1e6 * math.log((cneg[t] + 1) / (nneg + v)) + 0.5)
+        for t in vocab
+    }
+    prior = math.floor(1e6 * math.log(dpos / dneg) + 0.5)
+    out = {}
+    for doc_id, (toks, is_pos) in docs_toks.items():
+        s = sum(lp[t] for t in toks) + prior
+        out[doc_id] = (is_pos, len(toks), s, 1 if s > 0 else 0)
+    return out
+
+
+def test_nb_matches_python_reference_randomized(spark):
+    """Exact third-opinion: the Spark operator's integer scores equal a
+    pure-Python implementation of the spec on randomized corpora
+    (words drawn from a small alphabet so class vocabularies overlap)."""
+    import random
+
+    from arcane_framework_spark.operators.classify import nb_quality_scores
+
+    rng = random.Random(20260817)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    for trial in range(4):
+        corpus = []
+        for i in range(rng.randint(6, 14)):
+            n = rng.randint(1, 9)
+            text = " ".join(rng.choice(words) for _ in range(n))
+            corpus.append((i, text, rng.randint(0, 1)))
+        # ensure both classes present
+        corpus[0] = (corpus[0][0], corpus[0][1], 1)
+        corpus[1] = (corpus[1][0], corpus[1][1], 0)
+        want = _nb_reference(corpus)
+        got = {
+            r["doc_id"]: (
+                r["is_pos"], r["n_tokens"], r["llr_micro"], r["pred_pos"]
+            )
+            for r in nb_quality_scores(_docs(spark, corpus)).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def _lpa_reference(edges, iterations=3):
+    """Pure-Python synchronous min-tie label propagation."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for n in adj:
+            votes = Counter(labels[m] for m in adj[n])
+            votes[labels[n]] += 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    return labels
+
+
+def test_lpa_matches_python_reference_randomized(spark):
+    """Exact third-opinion for X194: the Spark operator's final labels
+    equal a pure-Python synchronous LPA on randomized sparse graphs."""
+    import random
+
+    from arcane_framework_spark.operators.graph import label_propagation
+
+    rng = random.Random(20260817)
+    for trial in range(4):
+        n = rng.randint(6, 16)
+        edges = set()
+        for _ in range(rng.randint(n, 2 * n)):
+            a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        if not edges:
+            continue
+        want = _lpa_reference(edges)
+        got = {
+            r["doc_id"]: r["community"]
+            for r in label_propagation(
+                _pairs(spark, sorted(edges))
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
