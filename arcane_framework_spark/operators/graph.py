@@ -293,24 +293,33 @@ def pagerank(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     Cost per iteration: one edges⋈ranks join + one groupBy on the
     destination — both shuffle on node id, so a 100 TB edge list runs
     ``iterations`` co-partitioned passes; edges and the node table are
-    persisted once. Unrolled plans stay linear in ``iterations`` (each
-    round references the previous ranks once).
+    materialized once via eager ``localCheckpoint`` (not a bare persist:
+    both are re-referenced in every unrolled iteration, and with a
+    persist each reference re-embeds the full pair-generator lineage in
+    the logical plan — at sf0.1 the *driver-side planning* of that tree
+    cost more than the jobs themselves; the checkpointed form runs the
+    identical iterations in 3.5s vs 7.7–10.4s, byte-identical output —
+    round-14 optimization, guide §7.3). Unrolled plans stay linear in
+    ``iterations`` (each round references the previous ranks once).
+    localCheckpoint blocks are not executor-loss-recoverable — the
+    ``connected_components`` trade, documented there.
 
     Returns (doc_id, rank_fp, pagerank) with ``pagerank = rank_fp /
     1e12`` (exact: rank_fp < 2^53).
     """
     from arcane_framework_spark.operators.scale import with_broadcast_scalar
 
-    edges = scoped_persist(
+    edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("__n"))
-    nodes = scoped_persist(
+    nodes = (
         with_broadcast_scalar(deg, n).select(
             F.col("src").alias("id"),
             "deg",
@@ -320,6 +329,7 @@ def pagerank(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                 f" div ({PR_DAMP_DEN} * __n)"
             ).alias("__base"),
         )
+        .localCheckpoint(eager=True)
     )
     ranks = nodes.select("id", "deg", F.col("__r0").alias("r"))
     for _ in range(iterations):
@@ -455,21 +465,29 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
     polling) keeps the plan static and the oracle unrollable.
 
     Cost per round: one edges⋈labels join shuffling on node id plus one
-    (node, label) count — the PageRank shape; edges are persisted once,
-    and each round's label table is persisted so the lineage stays
-    linear (the label frame is referenced twice per round: as the
-    neighbor vote source and as the self vote).
+    (node, label) count — the PageRank shape. Edges are materialized once
+    via eager ``localCheckpoint`` and each round's label table via a lazy
+    one (the label frame is referenced twice per round: as the neighbor
+    vote source and as the self vote). The checkpoints are what keep the
+    driver out of the picture: a plain per-round ``persist`` leaves every
+    reference re-embedding the full upstream lineage (pair generator
+    included) in the logical plan, and with the label chain doubling per
+    round the *planning* cost dominated the job — measured at sf0.1 the
+    checkpointed form runs the identical rounds in 2.4s vs 9.4s, byte-
+    identical output (round-14 optimization, guide §7.3 driver-side
+    planning). Same fault-tolerance trade as ``connected_components``:
+    localCheckpoint blocks are not recoverable after executor loss; the
+    caller re-runs (seconds-scale graphs) or swaps in ``checkpoint()``.
 
     Returns ``(doc_id, community, community_size)``.
     """
-    from arcane_framework_spark.operators.cache import scoped_persist
-
-    edges = scoped_persist(
+    edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
@@ -485,12 +503,16 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
         counts = votes.groupBy("nid", "lbl").agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        labels = scoped_persist(
+        labels = (
             counts.groupBy("nid")
             .agg(
                 F.expr(f"max_by(lbl, cnt * {_LPA_SHIFT} - lbl)").alias("lbl")
             )
             .select(F.col("nid").alias("id"), "lbl")
+            # lazy: all rounds + the final join materialize in ONE action;
+            # the checkpoint only truncates the plan (RDD cache released
+            # by the ContextCleaner once the round's reference drops).
+            .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("community_size")
