@@ -1182,7 +1182,8 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
                    target_cell_size: int | None = None,
                    routed: bool = False,
                    split_factor: int = SEMDEDUP_SPLIT_FACTOR,
-                   incell: str = "gemm") -> DataFrame:
+                   incell: str = "gemm",
+                   centroids: DataFrame | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
     The SemDeDup recipe (Abbas et al. 2023): cluster the corpus with
@@ -1245,12 +1246,22 @@ def semantic_dedup(vectors: DataFrame, k: int | None, threshold: float,
     Reference parity: the reference has no semantic dedup; this extends
     the dedup family (X1-X5) to the embedding modality the way a
     training-data pipeline needs at 100 TB.
+
+    ``centroids`` short-circuits the k-means training with an existing
+    (cid, cvec) table — the trained-model-as-side-table path (the
+    ``dedup_clusters``/``components`` pattern): a production corpus
+    build fits the centroids once and every SemDeDup consumer (exact
+    twin, routed twin, the agreement diagnostic) assigns against the
+    same table (see prep.shared_prep). The fit is deterministic, so a
+    passed-in table trained with the same parameters yields the
+    identical output as training in place.
     """
-    centroids = kmeans_fit(
-        vectors, k=k, iterations=iterations, id_col=id_col,
-        vec_col=vec_col, init_stride=init_stride,
-        target_cell_size=target_cell_size, routed=routed,
-    )
+    if centroids is None:
+        centroids = kmeans_fit(
+            vectors, k=k, iterations=iterations, id_col=id_col,
+            vec_col=vec_col, init_stride=init_stride,
+            target_cell_size=target_cell_size, routed=routed,
+        )
     cent = centroids.select(
         "cid", "cvec", norm_expr(F.col("cvec")).alias("__cn")
     )

@@ -4076,8 +4076,13 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale governance: k is NOT fixed — ``target_cell_size=SEMDEDUP_CELL``
     derives the centroid count in-plan from the corpus count, so at 100×
     the data the cell count grows 100× and per-cell pairwise work stays
-    constant (the lsh_recall broadcast-scalar pattern applied to SemDeDup)."""
+    constant (the lsh_recall broadcast-scalar pattern applied to SemDeDup).
+
+    Session prep shares ONE trained centroid table across the SemDeDup
+    twins (the pq_codebooks pattern); without prep (the gate) the entry
+    trains its own — identical table, the fit is deterministic."""
     from arcane_framework_spark.operators.similarity import semantic_dedup
+    from arcane_framework_spark.prep import get_prepped
 
     return semantic_dedup(
         _neardup_corpus(spark, sf_dir),
@@ -4085,6 +4090,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=SEMDEDUP_TAU,
         iterations=SEMDEDUP_ITERS,
         target_cell_size=SEMDEDUP_CELL,
+        centroids=get_prepped(("semdedup_cent_exact", sf_dir), spark),
     )
 
 
@@ -4155,6 +4161,7 @@ def semantic_dedup_routed_embeddings(spark: SparkSession,
     split, so every keep/prune call is hash-checked.
     """
     from arcane_framework_spark.operators.similarity import semantic_dedup
+    from arcane_framework_spark.prep import get_prepped
 
     return semantic_dedup(
         _neardup_corpus(spark, sf_dir),
@@ -4163,6 +4170,7 @@ def semantic_dedup_routed_embeddings(spark: SparkSession,
         iterations=SEMDEDUP_ITERS,
         target_cell_size=SEMDEDUP_CELL,
         routed=True,
+        centroids=get_prepped(("semdedup_cent_routed", sf_dir), spark),
     )
 
 
@@ -4188,6 +4196,7 @@ def semantic_dedup_split_embeddings(spark: SparkSession,
     semantic_dedup_routed_embeddings.
     """
     from arcane_framework_spark.operators.similarity import semantic_dedup
+    from arcane_framework_spark.prep import get_prepped
 
     return semantic_dedup(
         _neardup_corpus(spark, sf_dir),
@@ -4197,6 +4206,7 @@ def semantic_dedup_split_embeddings(spark: SparkSession,
         target_cell_size=SEMDEDUP_CELL,
         routed=True,
         split_factor=SEMDEDUP_FORCED_SPLIT_FACTOR,
+        centroids=get_prepped(("semdedup_cent_routed", sf_dir), spark),
     )
 
 
@@ -4366,16 +4376,19 @@ def semantic_dedup_agreement_embeddings(spark: SparkSession,
     double-pipeline entry.
     """
     from arcane_framework_spark.operators.similarity import semantic_dedup
+    from arcane_framework_spark.prep import get_prepped
 
     corpus = _neardup_corpus(spark, sf_dir)
     ex = semantic_dedup(
         corpus, k=None, threshold=SEMDEDUP_TAU,
         iterations=SEMDEDUP_ITERS, target_cell_size=SEMDEDUP_CELL,
+        centroids=get_prepped(("semdedup_cent_exact", sf_dir), spark),
     ).select("vec_id", F.col("pruned").alias("pe"))
     ro = semantic_dedup(
         corpus, k=None, threshold=SEMDEDUP_TAU,
         iterations=SEMDEDUP_ITERS, target_cell_size=SEMDEDUP_CELL,
         routed=True,
+        centroids=get_prepped(("semdedup_cent_routed", sf_dir), spark),
     ).select("vec_id", F.col("pruned").alias("pr"))
     j = ex.join(ro, "vec_id")
     agg = j.agg(

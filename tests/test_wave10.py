@@ -466,3 +466,39 @@ def test_lpa_matches_python_reference_randomized(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_semantic_dedup_accepts_pretrained_centroids(spark):
+    """The round-14 shared-prep path: passing a centroid table trained
+    with the same parameters must yield byte-identical decisions to
+    training inside semantic_dedup (both modes) — the invariant that
+    lets prep.shared_prep fit once and every twin consume the handle."""
+    import random
+
+    from arcane_framework_spark.operators.similarity import (
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    rng = random.Random(20260814)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    # plant exact-ish duplicates so pruning actually fires
+    rows += [(100 + i, [x + 1e-4 for x in rows[i][1]]) for i in range(0, 20, 4)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for routed in (False, True):
+        cent = kmeans_fit(
+            vecs, k=None, iterations=2, target_cell_size=16, routed=routed
+        )
+        inline = semantic_dedup(
+            vecs, k=None, threshold=0.9, iterations=2,
+            target_cell_size=16, routed=routed,
+        ).orderBy("vec_id").collect()
+        shared = semantic_dedup(
+            vecs, k=None, threshold=0.9, iterations=2,
+            target_cell_size=16, routed=routed, centroids=cent,
+        ).orderBy("vec_id").collect()
+        assert inline == shared, f"routed={routed}"
+        assert any(r["pruned"] for r in inline), f"routed={routed}"
