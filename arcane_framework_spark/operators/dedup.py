@@ -1152,26 +1152,37 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
     )
     toks = scoped_persist(toks)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    # Per-doc size as an unordered window over the SAME partitioning the
+    # rank window establishes — one exchange on id serves both, where a
+    # separate sizes aggregate + join cost an extra exchange and a join
+    # per self-join side (r14 measurement: the whole ranked pipeline ran
+    # TWICE, once per candidate-join side). Identical value: the dfreq
+    # join is inner on a key every tok row has.
     ranked = (
         toks.join(dfreq, "tok")
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
         .withColumn(
             "__rn",
             F.row_number().over(
                 Window.partitionBy("id").orderBy("__df", "tok")
             ),
         )
-        .join(sizes, "id")
     )
     # prefix length L = n - ceil(t*n) + 1; the float ceil is computed
     # identically on both engines (same double product), and a smaller
     # ceil only ENLARGES the prefix — the no-false-negative guarantee
     # is preserved either way.
     t = float(num) / float(den)
-    prefix = ranked.filter(
-        F.col("__rn")
-        <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + F.lit(1)
-    ).select("tok", "id", "__n")
+    # Persisted: the candidate self-join reads this table on BOTH sides;
+    # unpersisted, each side re-ran the dfreq join + both windows.
+    prefix = scoped_persist(
+        ranked.filter(
+            F.col("__rn")
+            <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + F.lit(1)
+        ).select("tok", "id", "__n")
+    )
     a = prefix.select(
         F.col("id").alias("id_a"), F.col("__n").alias("__na"), "tok"
     )
