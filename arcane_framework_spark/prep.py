@@ -120,6 +120,8 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # internally) to the session-level registry instead of letting the
     # scope release it on exit.
     with cache_scope() as tracked:
+        from arcane_framework_spark.queries_wave4 import _dhash_hashes
+
         out = {
             "sigs_corpus": minhash_signatures(corpus),
             "shingles": _with_tokens(corpus, "text", "doc_id").select(
@@ -128,6 +130,12 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             "pairs": minhash_lsh_pairs(corpus),
             "sigs_docs": minhash_signatures(docs),
             "tf_docs": term_frequencies(docs),
+            # (doc_id, hash_hi, hash_lo) of the synthetic image assets:
+            # the decode+hash mapInArrow pass is the dominant cost of
+            # BOTH dHash entries and their subtree is byte-identical
+            # (_dhash_hashes), so plan matching substitutes this table
+            # into each (r14 optimization).
+            "dhash_hashes": _dhash_hashes(spark, sf_dir),
         }
         for df in out.values():
             df.persist()
