@@ -99,7 +99,8 @@ def _merge_rewrite(s_col):
 
 
 def bpe_train(docs: DataFrame, text_col: str = "text",
-              merges: int = BPE_MERGES) -> DataFrame:
+              merges: int = BPE_MERGES,
+              tops: "list[DataFrame] | None" = None) -> DataFrame:
     """Learn the top-``merges`` BPE merges; returns the merge table
     (step, left_tok, right_tok, merged, pair_count) ordered by step.
 
@@ -111,7 +112,15 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
     previous round TWICE — here in the pair count AND the rewrite —
     doubles the logical plan per round and OOMs the driver at plan
     construction without lineage truncation).
+
+    ``tops`` short-circuits the training loop with the per-step winner
+    DataFrames from an earlier ``bpe_train_tops`` run over the same
+    corpus (the trained-model-as-side-table path — see
+    prep.shared_prep); the loop is deterministic, so the result is
+    identical either way.
     """
+    if tops is None:
+        tops = bpe_train_tops(docs, text_col, merges)
     steps = [
         top.select(
             F.lit(step).alias("step"),
@@ -120,9 +129,7 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
             F.concat("l", "r").alias("merged"),
             F.col("c").cast("long").alias("pair_count"),
         )
-        for step, top in enumerate(
-            bpe_train_tops(docs, text_col, merges), start=1
-        )
+        for step, top in enumerate(tops, start=1)
     ]
     out = steps[0]
     for sdf in steps[1:]:
@@ -132,7 +139,8 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
 
 def bpe_train_and_apply(docs: DataFrame, group_col: str,
                         text_col: str = "text",
-                        merges: int = BPE_MERGES) -> DataFrame:
+                        merges: int = BPE_MERGES,
+                        tops: "list[DataFrame] | None" = None) -> DataFrame:
     """Train merges globally, then TOKENIZE per group with them:
     (group, n_words, n_chars, n_tokens_bpe, tokens_per_word).
 
@@ -142,8 +150,13 @@ def bpe_train_and_apply(docs: DataFrame, group_col: str,
     table — the corpus text is never re-scanned per merge. The output
     is the fertility accounting a pipeline actually tracks for a
     LEARNED tokenizer: how many BPE tokens per word each source costs
-    under the shared vocabulary."""
-    tops = bpe_train_tops(docs, text_col, merges)
+    under the shared vocabulary.
+
+    ``tops`` injects a pre-trained merge sequence exactly as in
+    :func:`bpe_train` (training reads only ``text_col``, so tops trained
+    from any projection of the same corpus are identical)."""
+    if tops is None:
+        tops = bpe_train_tops(docs, text_col, merges)
     grouped = (
         docs.select(
             F.col(group_col).alias("grp"),

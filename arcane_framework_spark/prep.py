@@ -61,9 +61,13 @@ def get_prepped(key, spark: SparkSession | None = None) -> DataFrame | None:
     from a PREVIOUS session (prep warmed, session stopped, new session
     started without release): a DataFrame bound to a different session
     is treated as absent rather than handed to a consumer that would
-    fail on it."""
+    fail on it. A handle may also be a LIST of DataFrames (the BPE
+    per-step merge winners); the session guard then checks the first
+    element."""
     df = _HANDLES.get(key)
-    if df is not None and spark is not None and df.sparkSession is not spark:
+    probe = df[0] if isinstance(df, (list, tuple)) and df else df
+    if (probe is not None and spark is not None
+            and probe.sparkSession is not spark):
         return None
     return df
 
@@ -206,6 +210,16 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         _PREPPED.extend([cent_exact, cent_routed])
         _HANDLES[("semdedup_cent_exact", sf_dir)] = cent_exact
         _HANDLES[("semdedup_cent_routed", sf_dir)] = cent_routed
+        # BPE merge winners: one deterministic training pass shared by
+        # bpe_train_documents and bpe_fertility_by_source (training reads
+        # only the text column, so both entries' tops are identical; the
+        # per-step 1-row DataFrames are the model). Already persisted by
+        # bpe_train_tops via scoped_persist — ownership transfers with
+        # `tracked` below.
+        from arcane_framework_spark.operators.bpe import bpe_train_tops
+
+        tops = bpe_train_tops(docs)
+        _HANDLES[("bpe_tops", sf_dir)] = tops
         _PREPPED.extend(tracked)
         tracked.clear()
     return out

@@ -858,9 +858,13 @@ def bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge table is exact integer arithmetic — a divergent replace
     semantics, tie-break, or weighting hash-fails."""
     from arcane_framework_spark.operators.bpe import bpe_train
+    from arcane_framework_spark.prep import get_prepped
 
     t = load_tables(spark, sf_dir, "documents")
-    return bpe_train(t["documents"].select("text"))
+    return bpe_train(
+        t["documents"].select("text"),
+        tops=get_prepped(("bpe_tops", sf_dir), spark),
+    )
 
 
 def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,10 +879,12 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace chain over the per-source word table — all-integer sums
     plus one guarded division."""
     from arcane_framework_spark.operators.bpe import bpe_train_and_apply
+    from arcane_framework_spark.prep import get_prepped
 
     t = load_tables(spark, sf_dir, "documents")
     return bpe_train_and_apply(
-        t["documents"].select("source", "text"), group_col="source"
+        t["documents"].select("source", "text"), group_col="source",
+        tops=get_prepped(("bpe_tops", sf_dir), spark),
     )
 
 
