@@ -210,6 +210,31 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         _PREPPED.extend([cent_exact, cent_routed])
         _HANDLES[("semdedup_cent_exact", sf_dir)] = cent_exact
         _HANDLES[("semdedup_cent_routed", sf_dir)] = cent_routed
+        # Full SemDeDup decision tables (exact + routed): each is read by
+        # its standalone twin AND by the agreement diagnostic, which
+        # otherwise re-runs both full pipelines. The entries build the
+        # byte-identical subtree (same semantic_dedup call, same centroid
+        # handle), so CacheManager plan matching substitutes these — no
+        # keyed handle needed. The forced-split twin differs (its own
+        # split windows) and keeps its own run.
+        from arcane_framework_spark.operators.similarity import (
+            semantic_dedup,
+        )
+        from arcane_framework_spark.queries_ext import SEMDEDUP_TAU
+
+        sdd_exact = semantic_dedup(
+            ndc, k=None, threshold=SEMDEDUP_TAU,
+            iterations=SEMDEDUP_ITERS, target_cell_size=SEMDEDUP_CELL,
+            centroids=cent_exact,
+        ).persist()
+        sdd_routed = semantic_dedup(
+            ndc, k=None, threshold=SEMDEDUP_TAU,
+            iterations=SEMDEDUP_ITERS, target_cell_size=SEMDEDUP_CELL,
+            routed=True, centroids=cent_routed,
+        ).persist()
+        out["semdedup_exact"] = sdd_exact
+        out["semdedup_routed"] = sdd_routed
+        _PREPPED.extend([sdd_exact, sdd_routed])
         # BPE merge winners: one deterministic training pass shared by
         # bpe_train_documents and bpe_fertility_by_source (training reads
         # only the text column, so both entries' tops are identical; the
