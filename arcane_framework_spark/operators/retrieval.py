@@ -33,6 +33,38 @@ from arcane_framework_spark.operators.text import tokens_expr
 #: Okapi BM25 defaults.
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+#: Shared pool depth for the literal-query rankers: the RRF fusion pool
+#: (Cormack et al. 2009) and the single-ranker entries all rank against
+#: this depth and filter their own k on top, so the pooled subtrees are
+#: byte-identical and session prep can persist each ranking ONCE for
+#: every consumer. Top-k of a deterministic total order is a prefix of
+#: top-POOL, so the smaller-k entries' rows are unchanged.
+RETRIEVAL_POOL_K = 20
+
+
+def _literal_qterms(spark: SparkSession,
+                    queries: dict[int, list[str]]) -> DataFrame:
+    """(query_id, term) rows built from LITERAL expressions, not
+    ``createDataFrame``: a parallelized local collection plans as an
+    ExistingRDD whose canonicalized form embeds the RDD id — never equal
+    across two calls — which silently defeats CacheManager plan matching
+    for every consumer above it (the connected-components gotcha, hit
+    here by the pooled-ranking prep sharing). A Range+explode(array(...))
+    plan canonicalizes identically on every call; same rows either way."""
+    pairs = [
+        F.struct(
+            F.lit(qid).cast("int").alias("query_id"),
+            F.lit(t).alias("term"),
+        )
+        for qid, terms in sorted(queries.items())
+        for t in terms
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*pairs)).alias("qt"))
+        .select("qt.query_id", "qt.term")
+    )
 #: Fixed-point scale for per-term contributions (6 decimal places).
 BM25_FP = 1_000_000
 
@@ -68,10 +100,7 @@ def bm25_topk(spark: SparkSession, docs: DataFrame,
     Returns ``(query_id, doc_id, score, rank)`` with rank 1..k per query.
     """
     queries = queries if queries is not None else BM25_QUERIES
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
-        "query_id: int, term: string",
-    )
+    qterms = _literal_qterms(spark, queries)
     return bm25_rank(docs, qterms, k, k1, b, id_col, text_col)
 
 
@@ -434,10 +463,7 @@ def query_likelihood_topk(spark: SparkSession, docs: DataFrame,
     from arcane_framework_spark.operators.scale import with_broadcast_scalar
 
     queries = queries if queries is not None else BM25_QUERIES
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in sorted(queries.items()) for t in terms],
-        "query_id: int, term: string",
-    )
+    qterms = _literal_qterms(spark, queries)
 
     tf = scoped_persist(term_frequencies(docs, id_col, text_col))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))

@@ -245,6 +245,24 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
         tops = bpe_train_tops(docs)
         _HANDLES[("bpe_tops", sf_dir)] = tops
+        # Pooled literal-query rankings: the BM25 and query-likelihood
+        # top-RETRIEVAL_POOL_K tables are each read by the single-ranker
+        # entry (which cuts its own k on top) AND by the RRF fusion —
+        # byte-identical subtrees, plan-matched like the SemDeDup tables.
+        from arcane_framework_spark.operators.retrieval import (
+            RETRIEVAL_POOL_K,
+            bm25_topk,
+            query_likelihood_topk,
+        )
+        from arcane_framework_spark.queries_eval import QL_ENTRY_MU
+
+        bm25_pool = bm25_topk(spark, docs, k=RETRIEVAL_POOL_K).persist()
+        ql_pool = query_likelihood_topk(
+            spark, docs, k=RETRIEVAL_POOL_K, mu=QL_ENTRY_MU
+        ).persist()
+        out["bm25_pool"] = bm25_pool
+        out["ql_pool"] = ql_pool
+        _PREPPED.extend([bm25_pool, ql_pool])
         _PREPPED.extend(tracked)
         tracked.clear()
     return out

@@ -120,14 +120,18 @@ def query_likelihood_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/retrieval.py ``query_likelihood_topk``) — the standard
     language-modeling alternative ranking to ``bm25_topk_documents``."""
     from arcane_framework_spark.operators.retrieval import (
+        RETRIEVAL_POOL_K,
         query_likelihood_topk,
     )
 
     t = load_tables(spark, sf_dir, "documents")
+    # Pool-then-cut (see bm25_topk_documents): identical rows, and the
+    # pooled subtree matches the RRF fusion's QL arm so prep persists it
+    # once for both consumers.
     return query_likelihood_topk(
         spark, t["documents"].select("doc_id", "text"),
-        k=QL_ENTRY_K, mu=QL_ENTRY_MU,
-    )
+        k=RETRIEVAL_POOL_K, mu=QL_ENTRY_MU,
+    ).filter(F.col("rank") <= QL_ENTRY_K)
 
 
 def _query_likelihood_sql(k: int = QL_ENTRY_K,

@@ -2863,11 +2863,19 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k retrieval for a fixed keyword-query set
     (operators/retrieval.py — inverted-index shape, broadcast query/df
     sides, fixed-point order-independent score sums)."""
-    from arcane_framework_spark.operators.retrieval import bm25_topk
+    from arcane_framework_spark.operators.retrieval import (
+        RETRIEVAL_POOL_K,
+        bm25_topk,
+    )
 
     t = load_tables(spark, sf_dir, "documents")
-    return bm25_topk(spark, t["documents"].select("doc_id", "text"),
-                     k=BM25_TOP_K)
+    # Rank against the shared pool depth and cut to the entry's k on
+    # top: identical rows (top-5 is a prefix of the deterministic
+    # top-20), and the pooled subtree is byte-identical to the RRF
+    # fusion's BM25 arm, so session prep persists it once for both.
+    return bm25_topk(
+        spark, t["documents"].select("doc_id", "text"), k=RETRIEVAL_POOL_K
+    ).filter(F.col("rank") <= BM25_TOP_K)
 
 
 def _bm25_sql() -> str:

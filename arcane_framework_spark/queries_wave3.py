@@ -425,7 +425,12 @@ FROM scored
 
 #: RRF fusion: pool depth taken from each ranker, fused list cutoff, and
 #: the standard RRF damping constant (Cormack et al. 2009 use k=60).
-RRF_POOL_K = 20
+#: The pool depth is the retrieval-family shared constant so the ranker
+#: subtrees here are byte-identical to the single-ranker entries'
+#: (prep persists each pooled ranking once — r14 optimization).
+from arcane_framework_spark.operators.retrieval import RETRIEVAL_POOL_K
+
+RRF_POOL_K = RETRIEVAL_POOL_K
 RRF_TOP_K = 10
 RRF_DAMP = 60
 
