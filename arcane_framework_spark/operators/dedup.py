@@ -595,6 +595,29 @@ NGRAM_SKETCH_K = 5
 NGRAM_MAX_BLOCK = 64
 
 
+def norm_grams(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, s, grams): normalized text + its distinct char-n-gram set.
+
+    The shared base of every char-gram family operator (sketch blocking,
+    sorted-neighborhood, edit blocking). Each consumer builds EXACTLY
+    this subtree and projects on top, so a session that persists
+    ``norm_grams(corpus)`` once (prep.shared_prep) serves the gram build
+    — the O(len(s)) substring transform + distinct per doc — to all of
+    them via CacheManager plan matching. The explode(array(...)) wrapper
+    is the usual Generate barrier: ``s`` is referenced per gram position
+    and must be materialized, not re-inlined."""
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+        ).alias("s"),
+    )
+    return norm.select(
+        "id", "s", char_ngrams_from_norm(F.col("s")).alias("grams")
+    )
+
+
 def _ngram_keyed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, grams, block_key) with the bottom-k sketch blocking key,
     repartitioned on the key and persisted.
@@ -608,17 +631,8 @@ def _ngram_keyed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     aggregation joined back — this one-shuffle shape is the fastest; the
     sketch is identical either way so the oracle is unaffected.)
     Persisted: consumed by the window and BOTH sides of the pair join."""
-    norm = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
-        ).alias("norm"),
-    )
-    grams = norm.select(
-        "id", char_ngrams_from_norm(F.col("norm")).alias("grams")
-    )
     return (
-        grams.select(
+        norm_grams(df, text_col, id_col).select(
             "id",
             "grams",
             F.array_join(
@@ -955,25 +969,14 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
     on the candidate pair, zero Python. Output (id_a, id_b,
     edit_distance) with id_a < id_b.
     """
-    norm = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-            )
-        ).alias("s"),
-    )
     keyed = (
-        norm.select(
+        norm_grams(df, text_col, id_col).select(
             "id",
             "s",
             F.explode(
                 F.slice(
                     F.array_sort(
-                        F.transform(
-                            char_ngrams_from_norm(F.col("s")),
-                            lambda g: F.md5(g),
-                        )
+                        F.transform("grams", lambda g: F.md5(g))
                     ),
                     1,
                     sketch_k,
@@ -984,12 +987,17 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
     )
     from pyspark.sql import Window
 
+    # Persist the capped table: it feeds BOTH sides of the candidate
+    # self-join, and without it the whole normalize+gram+md5-sketch build
+    # runs twice (once per side). Built on norm_grams so a prepped
+    # session additionally serves the gram build from the shared cache.
     ok = (
         keyed.withColumn(
             "__blk", F.count(F.lit(1)).over(Window.partitionBy("bk"))
         )
         .filter(F.col("__blk") <= max_block)
         .drop("__blk")
+        .transform(scoped_persist)
     )
     a = ok.select(F.col("id").alias("id_a"), F.col("s").alias("sa"), "bk")
     b = ok.select(F.col("id").alias("id_b"), F.col("s").alias("sb"), "bk")
@@ -1051,18 +1059,12 @@ def sorted_neighborhood_pairs(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    norm = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-            )
-        ).alias("s"),
-    )
-    keyed = norm.select(
+    # Built on the shared norm_grams subtree so a prepped session serves
+    # the gram build from cache (see norm_grams).
+    keyed = norm_grams(df, text_col, id_col).select(
         "id",
         "s",
-        char_ngrams_from_norm(F.col("s")).alias("g"),
+        F.col("grams").alias("g"),
         F.substring("s", 1, prefix).alias("block"),
     )
     w = Window.partitionBy("block").orderBy("s", "id")

@@ -95,6 +95,7 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         _with_tokens,
         minhash_lsh_pairs,
         minhash_signatures,
+        norm_grams,
         shingles_from_tokens,
     )
     from arcane_framework_spark.operators.retrieval import term_frequencies
@@ -140,6 +141,12 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # (_dhash_hashes), so plan matching substitutes this table
             # into each (r14 optimization).
             "dhash_hashes": _dhash_hashes(spark, sf_dir),
+            # (id, s, grams) over the planted corpus: the char-gram build
+            # (O(len) substring transform + distinct per doc) is the
+            # shared base of ngram_jaccard and sorted_neighborhood; both
+            # consumers construct this exact subtree (operators/dedup.py
+            # norm_grams) so plan matching serves it from here.
+            "norm_grams_corpus": norm_grams(corpus),
         }
         for df in out.values():
             df.persist()

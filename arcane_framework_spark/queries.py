@@ -1458,9 +1458,15 @@ def lsh_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sample = base.unionByName(planted)
 
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    # Persist the sample shingle table: it feeds both sides of the exact
+    # all-pairs join, and building it re-runs the full-corpus scan + the
+    # in-plan modulus aggregate each time (the sample filter is cheap,
+    # the scans behind it are not).
     sh = _with_tokens(sample, "text", "doc_id").select(
         "id", shingles_from_tokens(F.col("toks")).alias("shingles")
-    )
+    ).transform(scoped_persist)
     a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
     exact = (
@@ -1477,6 +1483,8 @@ def lsh_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= LSH_RECALL_MIN_J
         )
         .select("id_a", "id_b")
+        # Persisted: consumed by the n_true aggregate AND the semi join.
+        .transform(scoped_persist)
     )
     found = minhash_lsh_pairs(sample).filter(
         F.col("jaccard") >= LSH_RECALL_MIN_J

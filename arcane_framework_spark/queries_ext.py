@@ -252,6 +252,11 @@ def ngram_cap_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__j") >= NGRAM_MIN_JACCARD)
     )
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    # Persisted: the ground-truth pair set feeds BOTH the per-cohort
+    # n_true aggregate and the semi join against the capped path —
+    # without it the quadratic exact-verify arm runs twice.
     truth = with_broadcast_scalar(exact, boff_df).select(
         "id_a",
         "id_b",
@@ -260,7 +265,7 @@ def ngram_cap_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("id_b") >= F.col("__boff")),
             F.lit("boilerplate"),
         ).otherwise(F.lit("corpus")).alias("cohort"),
-    )
+    ).transform(scoped_persist)
     found = ngram_jaccard_pairs(
         sample, min_jaccard=NGRAM_MIN_JACCARD
     ).select("id_a", "id_b")
