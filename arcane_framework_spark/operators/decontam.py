@@ -158,10 +158,16 @@ def source_overlap(docs: DataFrame, group_col: str = "source",
     join fan-out is bounded by the (small, fixed) source count S, never
     by corpus size. Per-source distinct totals are S rows -> broadcast.
     """
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    # Persisted: consumed by the totals aggregate AND both sides of the
+    # pair join — without it the corpus tokenize + gram + distinct
+    # pipeline runs three times.
     grams = (
         ngram_hashes(docs, id_col=group_col, text_col=text_col, n=n)
         .select(F.col(group_col).alias("src"), "gram_hash")
         .distinct()
+        .transform(scoped_persist)
     )
     totals = grams.groupBy("src").agg(
         F.count(F.lit(1)).alias("n_grams")

@@ -185,6 +185,20 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         _PREPPED.extend([cb, codes])
         _HANDLES[("pq_codebooks", sf_dir)] = cb
         _HANDLES[("pq_codes", sf_dir)] = codes
+        # Exact-cosine ground truth for the PQ family: pq_recall and
+        # ivfpq_recall measure against the byte-identical
+        # knn_bruteforce subtree (same emb projection, query set, k), so
+        # one persisted run serves both via plan matching.
+        from arcane_framework_spark.operators.similarity import (
+            knn_bruteforce,
+        )
+        from arcane_framework_spark.queries_ext import PQ_QUERIES, PQ_TOPK
+
+        pq_exact = knn_bruteforce(
+            emb, emb.filter(F.col("vec_id") < PQ_QUERIES), k=PQ_TOPK
+        ).persist()
+        out["pq_exact_knn"] = pq_exact
+        _PREPPED.append(pq_exact)
         # SemDeDup centroids: the governed k-means fit over the planted
         # near-dup embedding corpus is the dominant cost of every
         # semantic_dedup_* entry (exact fit measured 2-4s, routed 6.5-8s

@@ -2371,7 +2371,10 @@ def pq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = pq_encode(emb, cb).transform(scoped_persist)
     q = emb.filter(F.col("vec_id") < PQ_QUERIES)
     adc = pq_adc_topk(codes, cb, q, k=PQ_TOPK)
-    exact = knn_bruteforce(emb, q, k=PQ_TOPK)
+    # Persisted: consumed by the overlap join AND the per-query base set;
+    # the subtree is byte-identical to ivfpq_recall's exact arm, so
+    # session prep additionally serves it to both entries from one run.
+    exact = scoped_persist(knn_bruteforce(emb, q, k=PQ_TOPK))
     overlap = (
         exact.select("query_id", "neighbor_id")
         .join(adc.select("query_id", "neighbor_id"),
@@ -2557,7 +2560,8 @@ def ivfpq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = pq_encode(emb, cb).transform(scoped_persist)
     q = emb.filter(F.col("vec_id") < PQ_QUERIES)
     adc = ivfpq_topk(emb, centroids, codes, cb, q, k=PQ_TOPK)
-    exact = knn_bruteforce(emb, q, k=PQ_TOPK)
+    # Persisted + prep-shared with pq_recall's identical exact arm.
+    exact = scoped_persist(knn_bruteforce(emb, q, k=PQ_TOPK))
     overlap = (
         exact.select("query_id", "neighbor_id")
         .join(adc.select("query_id", "neighbor_id"),

@@ -567,6 +567,12 @@ def basket_rules_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("okey"), "p_brand")
         .distinct()
     )
+    from arcane_framework_spark.operators.cache import scoped_persist
+
+    # Persisted: consumed by the order count, the per-brand supports, and
+    # BOTH sides of the per-order self-join — four scans of the
+    # lineitem-join-part distinct without it.
+    bl = scoped_persist(bl)
     s = bl.agg(F.countDistinct("okey").alias("__s"))
     cx = bl.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
     a = bl.select("okey", F.col("p_brand").alias("x"))
