@@ -22,10 +22,25 @@ recursive-CTE closure reproduces it exactly — the oracle for
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from arcane_framework_spark.operators.cache import scoped_persist
+
+# Storage level for every lineage-truncation localCheckpoint in this
+# module. The default for RDD local checkpoints (MEMORY_AND_DISK_DESER)
+# stores corpus-scale edge tables as deserialized row objects on the
+# heap — at the 100x stress scale (~54M directed edges) that OOMs the
+# executor heap (deserialized unroll spikes, several-x object overhead,
+# 32 concurrent task unrolls). Serialized storage keeps blocks as
+# compact UnsafeRow bytes with eviction-to-disk under pressure;
+# measured at 100x both this level and DISK_ONLY checkpoint the
+# 54M-edge table without OOM (~44s pagerank either way), and the
+# serialized-memory level stays RAM-resident at gate scale. (PySpark's
+# MEMORY_AND_DISK is the serialized level; _DESER is the deserialized
+# default that OOM'd.)
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -134,7 +149,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # reclaimed by the ContextCleaner once the round's reference
         # drops.) The persisted `propagated` handle is returned so the
         # loop can drop it once the probe materializes the checkpoint.
-        return jumped.localCheckpoint(eager=False), propagated
+        return jumped.localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL), propagated
 
     # Fold one propagation lazily into the first probed round's job: no
     # action runs until the first probe, which materializes seed + sym +
@@ -315,7 +330,7 @@ def pagerank(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("__n"))
@@ -329,7 +344,7 @@ def pagerank(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                 f" div ({PR_DAMP_DEN} * __n)"
             ).alias("__base"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     )
     ranks = nodes.select("id", "deg", F.col("__r0").alias("r"))
     for _ in range(iterations):
@@ -487,7 +502,7 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
@@ -512,7 +527,7 @@ def label_propagation(pairs: DataFrame, id_a: str = "id_a",
             # lazy: all rounds + the final join materialize in ONE action;
             # the checkpoint only truncates the plan (RDD cache released
             # by the ContextCleaner once the round's reference drops).
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=_CKPT_LEVEL)
         )
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("community_size")
