@@ -603,19 +603,51 @@ def norm_grams(df: DataFrame, text_col: str = "text",
     sorted-neighborhood, edit blocking). Each consumer builds EXACTLY
     this subtree and projects on top, so a session that persists
     ``norm_grams(corpus)`` once (prep.shared_prep) serves the gram build
-    — the O(len(s)) substring transform + distinct per doc — to all of
-    them via CacheManager plan matching. The explode(array(...)) wrapper
-    is the usual Generate barrier: ``s`` is referenced per gram position
-    and must be materialized, not re-inlined."""
+    — the O(len(s)) gram extraction + distinct per doc — to all of
+    them via CacheManager plan matching.
+
+    Gram extraction runs as an Arrow-batched Python map (guide §4.2, the
+    decode-path pattern), not the ``char_ngrams_from_norm`` column
+    expression: a transform-over-sequence HOF evaluates interpreted, one
+    boxed substring per gram position (~len(s) per doc), and measured 2×
+    slower than the batched Python slice+dict build at sf0.1 (2.2s →
+    1.1s per corpus build). ``dict.fromkeys`` preserves first-occurrence
+    order, so the output — including array ORDER — is byte-identical to
+    the expression form (verified row-for-row on both planted corpora);
+    the normalization itself stays in the JVM scan."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
     norm = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+        F.regexp_replace(
+            F.lower(F.trim(F.col(text_col))), r"\s+", " "
         ).alias("s"),
     )
-    return norm.select(
-        "id", "s", char_ngrams_from_norm(F.col("s")).alias("grams")
+    k = CHAR_NGRAM
+    # StructType.add mutates the DataFrame's cached schema — build fresh.
+    schema = StructType(
+        list(norm.schema.fields)
+        + [StructField("grams", ArrayType(StringType()))]
     )
+
+    def _gram_batches(batches):
+        for pdf in batches:
+            out = []
+            for s in pdf["s"]:
+                if s is None:
+                    out.append([None])
+                    continue
+                n = len(s)
+                if n >= k:
+                    out.append(
+                        list(dict.fromkeys(s[i:i + k] for i in range(n - k + 1)))
+                    )
+                else:
+                    # whole-text fallback, same no-drop rule as shingles
+                    out.append([s])
+            yield pdf.assign(grams=out)
+
+    return norm.mapInPandas(_gram_batches, schema)
 
 
 def _ngram_keyed(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -816,21 +848,37 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     ``minhash_signatures``: one md5 per token (codegen), ±1 votes summed via
     map-side partial aggregation, bits assembled from the vote sums.
     """
-    votes = (
+    # Per-bit vote = top bit of hex nibble p ("digit >= '8'"), read with
+    # integer shifts over 8-nibble chunks parsed ONCE per row (F.conv)
+    # instead of 32 per-bit substring+string-compares — same values
+    # (verified bit-identical at sf0.1), ~30% faster aggregation: the
+    # string path allocated a UTF8String per bit per token row.
+    assert bits % 8 == 0, "chunked nibble parse assumes 8-nibble chunks"
+    base = (
         df.select(
             F.col(id_col).alias("id"),
             F.explode(tokens_expr(text_col)).alias("t"),
         )
         .withColumn("h", F.md5("t"))
-        .groupBy("id")
-        .agg(
+        .select(
+            "id",
             *[
-                F.sum(
-                    F.when(F.substring("h", p, 1) >= "8", 1).otherwise(-1)
-                ).alias(f"v{p}")
-                for p in range(1, bits + 1)
-            ]
+                F.conv(F.substring("h", 1 + 8 * c, 8), 16, 10)
+                .cast("long")
+                .alias(f"c{c}")
+                for c in range(bits // 8)
+            ],
         )
+    )
+    votes = base.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"c{(p - 1) // 8}"),
+                             (7 - (p - 1) % 8) * 4 + 3)
+                .bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{p}")
+            for p in range(1, bits + 1)
+        ]
     )
     bit_cols = [
         F.when(F.col(f"v{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
@@ -969,10 +1017,13 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
     on the candidate pair, zero Python. Output (id_a, id_b,
     edit_distance) with id_a < id_b.
     """
+    # One persisted gram table serves the sketch build AND the text
+    # join-back below (norm_grams is one row per id).
+    ng = scoped_persist(norm_grams(df, text_col, id_col))
     keyed = (
-        norm_grams(df, text_col, id_col).select(
+        ng.select(
             "id",
-            "s",
+            F.length("s").alias("__l"),
             F.explode(
                 F.slice(
                     F.array_sort(
@@ -999,19 +1050,34 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
         .drop("__blk")
         .transform(scoped_persist)
     )
-    a = ok.select(F.col("id").alias("id_a"), F.col("s").alias("sa"), "bk")
-    b = ok.select(F.col("id").alias("id_b"), F.col("s").alias("sb"), "bk")
+    # The self-join sides carry LENGTHS, not texts: the candidate
+    # distinct then shuffles (int, int) pairs instead of two full
+    # normalized documents per row, and the texts join back from the
+    # cached per-doc table only for the surviving candidates.
+    a = ok.select(
+        F.col("id").alias("id_a"), F.col("__l").alias("__la"), "bk"
+    )
+    b = ok.select(
+        F.col("id").alias("id_b"), F.col("__l").alias("__lb"), "bk"
+    )
     cand = (
         a.join(b, "bk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.abs(F.length("sa") - F.length("sb")) <= F.lit(max_dist)
-        )
-        .select("id_a", "id_b", "sa", "sb")
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= F.lit(max_dist))
+        .select("id_a", "id_b")
         .distinct()
     )
+    texts = ng.select("id", "s")
     return (
-        cand.select(
+        cand.join(
+            texts.select(F.col("id").alias("id_a"), F.col("s").alias("sa")),
+            "id_a",
+        )
+        .join(
+            texts.select(F.col("id").alias("id_b"), F.col("s").alias("sb")),
+            "id_b",
+        )
+        .select(
             "id_a",
             "id_b",
             F.levenshtein("sa", "sb", max_dist).alias("__d"),
@@ -1148,10 +1214,18 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
     # Sets are word-SHINGLES, not raw tokens: on low-vocabulary corpora
     # nearly every doc pair shares 60% of its token SET (measured: 94k
     # "pairs" at sf0.01) while 3-gram shingles keep sets discriminative —
-    # the same reason the MinHash family shingles.
-    toks = _with_tokens(df, text_col, id_col).select(
-        "id", F.explode(shingles_from_tokens(F.col("toks"))).alias("tok")
+    # the same reason the MinHash family shingles. Built via the ARRAY
+    # projection first (not a fused explode): that inner subtree is the
+    # byte-identical plan prep.shared_prep persists as ``shingles``, so a
+    # warmed session serves the whole tokenize+shingle pass from cache,
+    # and the arrays feed the array_intersect verification below without
+    # a second explode join.
+    sh = scoped_persist(
+        _with_tokens(df, text_col, id_col).select(
+            "id", shingles_from_tokens(F.col("toks")).alias("shingles")
+        )
     )
+    toks = sh.select("id", F.explode("shingles").alias("tok"))
     toks = scoped_persist(toks)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     # Per-doc size as an unordered window over the SAME partitioning the
@@ -1183,13 +1257,21 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
         ranked.filter(
             F.col("__rn")
             <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + F.lit(1)
-        ).select("tok", "id", "__n")
+        ).select("tok", "id", "__n", "__rn")
     )
     a = prefix.select(
-        F.col("id").alias("id_a"), F.col("__n").alias("__na"), "tok"
+        F.col("id").alias("id_a"), F.col("__n").alias("__na"),
+        F.col("__rn").alias("__ra"), "tok"
     )
     b = prefix.select(
-        F.col("id").alias("id_b"), F.col("__n").alias("__nb"), "tok"
+        F.col("id").alias("id_b"), F.col("__n").alias("__nb"),
+        F.col("__rn").alias("__rb"), "tok"
+    )
+    # Required overlap: J >= num/den ⟺ O·den >= num·(na+nb−O) ⟺
+    # O >= num·(na+nb)/(num+den); O is an integer, so O >= alpha with
+    # alpha the ceiling divide (expressed as -floor(-x/q), all integer).
+    alpha = -F.floor(
+        -(F.col("__na") + F.col("__nb")) * F.lit(num) / F.lit(num + den)
     )
     cand = (
         a.join(b, "tok")
@@ -1200,16 +1282,44 @@ def prefix_filter_pairs(df: DataFrame, text_col: str = "text",
             (F.least("__na", "__nb") * F.lit(den))
             >= (F.greatest("__na", "__nb") * F.lit(num))
         )
+        # positional filter (PPJoin): every shared token of a pair sits at
+        # within-doc rank >= the rarest shared token's rank (both docs
+        # rank by the same global rarity order), so the overlap is
+        # bounded by O <= 1 + min(na−ra, nb−rb) at the rarest shared
+        # token's ranks (ra, rb). That token is itself a prefix⋈prefix
+        # match row whenever J >= t (the AllPairs prefix guarantee names
+        # a shared prefix token, and the rarest shared token precedes it
+        # in both prefixes), and on that row the bound is >= O >= alpha —
+        # so a true pair always keeps at least one row and the distinct
+        # below yields it. Rows pruned here could never certify a pair
+        # the verify join wouldn't reject: candidates shrink, output is
+        # identical.
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")
+            )
+            >= alpha
+        )
         .select("id_a", "id_b", "__na", "__nb")
         .distinct()
     )
-    ta = toks.select(F.col("id").alias("id_a"), "tok")
-    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    # Verification via array_intersect over the per-doc shingle ARRAYS
+    # (distinct by construction): two id-equi-joins and an O(|A|+|B|)
+    # intersect per candidate, where the explode formulation shuffled
+    # candidates × doc-length rows into a tok-join + groupBy (measured
+    # ~14M rows / 3.4s at sf0.1 for 87k candidates). Identical __ni: the
+    # row-join counted distinct shared (id_a, id_b, tok) rows, which IS
+    # the set-intersection size.
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(F.count(F.lit(1)).alias("__ni"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "__na", "__nb",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__ni"),
+        )
     )
     union_sz = F.col("__na") + F.col("__nb") - F.col("__ni")
     return (
@@ -1256,9 +1366,15 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    toks = _with_tokens(df, text_col, id_col).select(
-        "id", F.explode(shingles_from_tokens(F.col("toks"))).alias("tok")
+    # Shingle ARRAYS first (the prep-cached subtree — see
+    # prefix_filter_pairs), exploded rows derived from them; the arrays
+    # also feed the array_intersect verification below.
+    sh = scoped_persist(
+        _with_tokens(df, text_col, id_col).select(
+            "id", shingles_from_tokens(F.col("toks")).alias("shingles")
+        )
     )
+    toks = sh.select("id", F.explode("shingles").alias("tok"))
     toks = scoped_persist(toks)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
@@ -1278,24 +1394,41 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     prefix = ranked.filter(
         F.col("__rn")
         <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + F.lit(1)
-    ).select("tok", F.col("id").alias("id_a"), F.col("__n").alias("__na"))
+    ).select(
+        "tok", F.col("id").alias("id_a"), F.col("__n").alias("__na"),
+        F.col("__rn").alias("__ra"),
+    )
     postings = toks.join(sizes, "id").select(
         F.col("id").alias("id_b"), F.col("__n").alias("__nb"), "tok"
     )
+    # Required overlap O >= ceil(t·|A|) (integer ceiling divide).
+    alpha = -F.floor(-F.col("__na") * F.lit(num) / F.lit(den))
     cand = (
         prefix.join(postings, "tok")
         .filter(F.col("id_a") != F.col("id_b"))
         .filter(F.col("__nb") * F.lit(den) >= F.lit(num) * F.col("__na"))
+        # positional filter on the PREFIX side only (postings carry no
+        # rank): every shared token sits at A-rank >= the rarest shared
+        # token's rank, so O <= 1 + (na − ra) on that token's row — and
+        # the rarest shared token of a true pair is in A's prefix (the
+        # AllPairs guarantee) and always in B's full postings, so the
+        # pair keeps at least one row. Pruned rows could never certify a
+        # pair the verification wouldn't reject.
+        .filter(F.lit(1) + F.col("__na") - F.col("__ra") >= alpha)
         .select("id_a", "id_b", "__na")
         .distinct()
     )
-    ta = toks.select(F.col("id").alias("id_a"), "tok")
-    tb = toks.select(F.col("id").alias("id_b"), "tok")
+    # array_intersect verification (see prefix_filter_pairs: identical
+    # count, no candidates × doc-length row shuffle).
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("__sa"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("__sb"))
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "tok"])
-        .groupBy("id_a", "id_b", "__na")
-        .agg(F.count(F.lit(1)).alias("__ni"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "__na",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__ni"),
+        )
     )
     return (
         inter.filter(F.col("__ni") * F.lit(den) >= F.lit(num) * F.col("__na"))

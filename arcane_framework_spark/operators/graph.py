@@ -69,16 +69,23 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # means re-running the whole sketch pipeline.
     edges = edges.select(src, dst).transform(scoped_persist)
     # Hash-partition the symmetric adjacency on the per-round join key:
-    # InMemoryTableScan preserves outputPartitioning, so every round's
-    # sym⋈labels join reuses this layout instead of re-exchanging the (much
-    # larger) edge side — labels are the only thing that moves per round.
-    # No distinct(): duplicate edges cannot change a min-aggregation, and
-    # dropping it removes a full shuffle of the edge set from the setup.
+    # the checkpointed layout is reused by every round's sym⋈labels join
+    # instead of re-exchanging the (much larger) edge side — labels are
+    # the only thing that moves per round. No distinct(): duplicate edges
+    # cannot change a min-aggregation, and dropping it removes a full
+    # shuffle of the edge set from the setup. Eager localCheckpoint, not
+    # persist: every round's scoped_persist / lazy-checkpoint call forces
+    # full Catalyst planning of its subtree, and with a bare persist that
+    # subtree re-embeds the whole pair-generator lineage — at sf0.1 the
+    # driver-side planning cost ~8s while the probe jobs took ~0.2s
+    # (measured round 14; the pagerank fix, same pathology). The
+    # checkpoint collapses the lineage to a LogicalRDD so per-round
+    # planning is O(round), not O(pair pipeline).
     sym = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
         .repartition("nbr")
-        .transform(scoped_persist)
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     )
     # Seed with the 1-hop minimum (folds the would-be first round into the
     # init aggregation — one fewer driver-synchronized round).
@@ -177,7 +184,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )
-    sym.unpersist()
+    # sym is checkpoint-backed (its RDD is reclaimed by the ContextCleaner
+    # once unreferenced — the pagerank trade); only the edge cache needs an
+    # explicit release.
     edges.unpersist()
     return labels.select("node", "component")
 

@@ -1467,15 +1467,34 @@ def lsh_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _with_tokens(sample, "text", "doc_id").select(
         "id", shingles_from_tokens(F.col("toks")).alias("shingles")
     ).transform(scoped_persist)
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
+    a = sh.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sa"),
+        F.size("shingles").alias("__za"),
+    )
+    b = sh.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sb"),
+        F.size("shingles").alias("__zb"),
+    )
+    # Size-ratio prefilter inside the quadratic join condition: ni <=
+    # min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so J <= min/max — pairs
+    # failing it cannot reach LSH_RECALL_MIN_J (1e-6 slack guards the
+    # double boundary, keeping any borderline pair for the exact test
+    # below). Skips the O(|A|+|B|) intersect for the non-pair majority.
     exact = (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        a.join(
+            F.broadcast(b),
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__za", "__zb").cast("double")
+                >= (LSH_RECALL_MIN_J - 1e-6)
+                * F.greatest("__za", "__zb").cast("double")
+            ),
+        )
         .select(
             "id_a",
             "id_b",
             F.size(F.array_intersect("sa", "sb")).alias("__ni"),
-            (F.size("sa") + F.size("sb")).alias("__ns"),
+            (F.col("__za") + F.col("__zb")).alias("__ns"),
         )
         .filter(
             F.col("__ni").cast("double")

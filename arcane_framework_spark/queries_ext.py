@@ -228,15 +228,35 @@ def ngram_cap_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = base.unionByName(planted).unionByName(boiler)
 
     grams = _ngram_keyed(sample, "text", "doc_id").select("id", "grams")
-    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
-    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    a = grams.select(
+        F.col("id").alias("id_a"), F.col("grams").alias("ga"),
+        F.size("grams").alias("__sa"),
+    )
+    b = grams.select(
+        F.col("id").alias("id_b"), F.col("grams").alias("gb"),
+        F.size("grams").alias("__sb"),
+    )
+    # Size-ratio prefilter INSIDE the quadratic join condition (same
+    # 1e-6-slack bound ngram_jaccard_pairs applies on the capped path:
+    # jaccard <= min/max of the set sizes, so pairs failing it cannot
+    # reach NGRAM_MIN_JACCARD even after 6dp rounding) — the nested-loop
+    # join then skips the O(|A|+|B|) array_intersect and never surfaces
+    # the array-carrying row for the overwhelming non-pair majority.
     exact = (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        a.join(
+            F.broadcast(b),
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__sa", "__sb").cast("double")
+                >= (NGRAM_MIN_JACCARD - 1e-6)
+                * F.greatest("__sa", "__sb").cast("double")
+            ),
+        )
         .select(
             "id_a",
             "id_b",
-            F.size("ga").alias("__na"),
-            F.size("gb").alias("__nb"),
+            F.col("__sa").alias("__na"),
+            F.col("__sb").alias("__nb"),
             F.size(F.array_intersect("ga", "gb")).alias("__ni"),
         )
         .select(
