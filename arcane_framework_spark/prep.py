@@ -37,6 +37,8 @@ materialized output.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -148,154 +150,261 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # norm_grams) so plan matching serves it from here.
             "norm_grams_corpus": norm_grams(corpus),
         }
+        # Exact-substring dedup family (r14 wave 3): the corpus segment
+        # tables are each rebuilt by several entries — the batch
+        # incremental twins AND the streaming entries' pre-stream seed
+        # writes (the bucketed seen-state seed reads the byte-identical
+        # index subtree, so plan matching serves the segmentation from
+        # cache and the entry pays only the write). Measured at sf0.1:
+        # anchored corpus index ~1.4s x 3 consumers, positioned ~0.6s x
+        # 2, plus the planted/offset segment tables at ~1-1.3s x 2 each.
+        from arcane_framework_spark.operators.dedup import (
+            anchored_corpus_segment_hashes,
+            anchored_substring_segments,
+            corpus_segment_hashes,
+            exact_substring_segments,
+        )
+        from arcane_framework_spark.operators.text import (
+            anchored_segment_hashes,
+        )
+        from arcane_framework_spark.queries_wave6 import (
+            _planted_substring_docs,
+        )
+        from arcane_framework_spark.queries_wave7 import _planted_offset_docs
+
+        # full (doc, seg) anchored table over the raw documents: consumed
+        # directly by anchored_width_stats and as the base subtree of the
+        # distinct presence index below
+        out["seg_anchored_docs"] = anchored_segment_hashes(docs)
+        # distinct presence indexes: the side tables the incremental batch
+        # twins join against and the streaming entries seed their
+        # bucketed seen-state from
+        out["seg_anchored_index"] = anchored_corpus_segment_hashes(docs)
+        out["seg_positioned_index"] = corpus_segment_hashes(docs)
+        # flagged segment tables over the two planted corpora: shared by
+        # (substring_dedup_documents, substring_span_stats_documents) and
+        # (substring_dedup_unaligned, substring_recall_aligned_vs_anchored)
+        out["substr_segments_planted"] = exact_substring_segments(
+            _planted_substring_docs(spark, sf_dir)
+        )
+        out["substr_segments_offset"] = anchored_substring_segments(
+            _planted_offset_docs(spark, sf_dir)
+        )
         for df in out.values():
             df.persist()
             _PREPPED.append(df)
-        # Connected components of the near-dup pair graph: the ONE shared
-        # stage plan-matching cannot carry across entries (the iterative
-        # loop ends in a localCheckpoint → fresh ExistingRDD lineage each
-        # build). Registered as a keyed handle instead; dedup_clusters /
-        # canonical accounting / leakage splits all read this same table —
-        # exactly how a production corpus build shares it.
+        # --- Eager phase: independent training/materialization chains run
+        # CONCURRENTLY (guide §2.6 "overlap independent jobs"): each chain
+        # below is a driver loop of many tiny jobs (Lloyd iterations, the
+        # CC fixpoint, BPE merge rounds) that leaves most of local[N]
+        # idle when run alone; Spark's FIFO scheduler back-fills the idle
+        # executors with the next chain's tasks. Chains are mutually
+        # independent (disjoint outputs); within a chain, steps run in
+        # dependency order so each reuses the previous step's cache. Each
+        # chain runs inside its OWN cache_scope on its thread (the scope
+        # stack is thread-local) and transfers every persist it takes to
+        # the session registry before the scope exits.
         from arcane_framework_spark.operators.graph import (
             connected_components,
         )
-
-        comps = connected_components(out["pairs"]).persist()
-        out["components"] = comps
-        _PREPPED.append(comps)
-        _HANDLES[("components", sf_dir)] = comps
-        # PQ codebooks + codes: trained once per session and shared by
-        # keyed handle (the pq and ivfpq entries would otherwise each
-        # rerun the joint Lloyd fit) — the codebook-as-side-table story,
-        # same pattern as components. Entries fall back to training
-        # their own when no prep is active (the oracle gate's path).
         from arcane_framework_spark.operators.similarity import (
+            kmeans_fit,
+            knn_bruteforce,
             pq_codebooks,
             pq_encode,
-        )
-
-        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
-            "vec_id", "embedding"
-        )
-        cb = pq_codebooks(emb).persist()
-        codes = pq_encode(emb, cb).persist()
-        out["pq_codebooks"] = cb
-        out["pq_codes"] = codes
-        _PREPPED.extend([cb, codes])
-        _HANDLES[("pq_codebooks", sf_dir)] = cb
-        _HANDLES[("pq_codes", sf_dir)] = codes
-        # Exact-cosine ground truth for the PQ family: pq_recall and
-        # ivfpq_recall measure against the byte-identical
-        # knn_bruteforce subtree (same emb projection, query set, k), so
-        # one persisted run serves both via plan matching.
-        from arcane_framework_spark.operators.similarity import (
-            knn_bruteforce,
-        )
-        from arcane_framework_spark.queries_ext import PQ_QUERIES, PQ_TOPK
-
-        pq_exact = knn_bruteforce(
-            emb, emb.filter(F.col("vec_id") < PQ_QUERIES), k=PQ_TOPK
-        ).persist()
-        out["pq_exact_knn"] = pq_exact
-        _PREPPED.append(pq_exact)
-        # SemDeDup centroids: the governed k-means fit over the planted
-        # near-dup embedding corpus is the dominant cost of every
-        # semantic_dedup_* entry (exact fit measured 2-4s, routed 6.5-8s
-        # at sf0.1) and the catalog runs it five times across the four
-        # twins without sharing. Train each mode ONCE here and register
-        # keyed handles (the pq_codebooks pattern — kmeans_fit ends in
-        # per-iteration materializations, so plan matching cannot
-        # substitute it). The fit is deterministic: consumers get the
-        # identical table they would have trained, and the oracle gate
-        # (which never warms prep) still exercises the full in-entry
-        # training path every round.
-        from arcane_framework_spark.operators.similarity import kmeans_fit
-        from arcane_framework_spark.queries_ext import (
-            SEMDEDUP_CELL,
-            SEMDEDUP_ITERS,
-            _neardup_corpus,
-        )
-
-        ndc = _neardup_corpus(spark, sf_dir)
-        cent_exact = kmeans_fit(
-            ndc, k=None, iterations=SEMDEDUP_ITERS,
-            target_cell_size=SEMDEDUP_CELL,
-        ).persist()
-        cent_routed = kmeans_fit(
-            ndc, k=None, iterations=SEMDEDUP_ITERS,
-            target_cell_size=SEMDEDUP_CELL, routed=True,
-        ).persist()
-        out["semdedup_cent_exact"] = cent_exact
-        out["semdedup_cent_routed"] = cent_routed
-        _PREPPED.extend([cent_exact, cent_routed])
-        _HANDLES[("semdedup_cent_exact", sf_dir)] = cent_exact
-        _HANDLES[("semdedup_cent_routed", sf_dir)] = cent_routed
-        # Full SemDeDup decision tables (exact + routed): each is read by
-        # its standalone twin AND by the agreement diagnostic, which
-        # otherwise re-runs both full pipelines. The entries build the
-        # byte-identical subtree (same semantic_dedup call, same centroid
-        # handle), so CacheManager plan matching substitutes these — no
-        # keyed handle needed. The forced-split twin differs (its own
-        # split windows) and keeps its own run.
-        from arcane_framework_spark.operators.similarity import (
             semantic_dedup,
         )
-        from arcane_framework_spark.queries_ext import SEMDEDUP_TAU
-
-        sdd_exact = semantic_dedup(
-            ndc, k=None, threshold=SEMDEDUP_TAU,
-            iterations=SEMDEDUP_ITERS, target_cell_size=SEMDEDUP_CELL,
-            centroids=cent_exact,
-        ).persist()
-        sdd_routed = semantic_dedup(
-            ndc, k=None, threshold=SEMDEDUP_TAU,
-            iterations=SEMDEDUP_ITERS, target_cell_size=SEMDEDUP_CELL,
-            routed=True, centroids=cent_routed,
-        ).persist()
-        out["semdedup_exact"] = sdd_exact
-        out["semdedup_routed"] = sdd_routed
-        _PREPPED.extend([sdd_exact, sdd_routed])
-        # BPE merge winners: one deterministic training pass shared by
-        # bpe_train_documents and bpe_fertility_by_source (training reads
-        # only the text column, so both entries' tops are identical; the
-        # per-step 1-row DataFrames are the model). Already persisted by
-        # bpe_train_tops via scoped_persist — ownership transfers with
-        # `tracked` below.
         from arcane_framework_spark.operators.bpe import bpe_train_tops
-
-        tops = bpe_train_tops(docs)
-        _HANDLES[("bpe_tops", sf_dir)] = tops
-        # Pooled literal-query rankings: the BM25 and query-likelihood
-        # top-RETRIEVAL_POOL_K tables are each read by the single-ranker
-        # entry (which cuts its own k on top) AND by the RRF fusion —
-        # byte-identical subtrees, plan-matched like the SemDeDup tables.
         from arcane_framework_spark.operators.retrieval import (
             RETRIEVAL_POOL_K,
             bm25_topk,
             query_likelihood_topk,
         )
         from arcane_framework_spark.queries_eval import QL_ENTRY_MU
+        from arcane_framework_spark.queries_ext import (
+            PQ_QUERIES,
+            PQ_TOPK,
+            SEMDEDUP_CELL,
+            SEMDEDUP_ITERS,
+            SEMDEDUP_TAU,
+            _neardup_corpus,
+        )
 
-        bm25_pool = bm25_topk(spark, docs, k=RETRIEVAL_POOL_K).persist()
-        ql_pool = query_likelihood_topk(
-            spark, docs, k=RETRIEVAL_POOL_K, mu=QL_ENTRY_MU
-        ).persist()
-        out["bm25_pool"] = bm25_pool
-        out["ql_pool"] = ql_pool
-        _PREPPED.extend([bm25_pool, ql_pool])
+        emb = load_tables(spark, sf_dir, "embeddings")["embeddings"].select(
+            "vec_id", "embedding"
+        )
+        ndc = _neardup_corpus(spark, sf_dir)
+
+        def _register(name: str, df: DataFrame, handle: bool = False):
+            out[name] = df
+            _PREPPED.append(df)
+            if handle:
+                _HANDLES[(name, sf_dir)] = df
+
+        def chain_graph():
+            # minhash chain in dependency order, then the CC fixpoint
+            # over the cached pair list (plan matching cannot carry an
+            # ExistingRDD lineage across entries → keyed handle).
+            out["sigs_corpus"].count()
+            out["pairs"].count()
+            comps = connected_components(out["pairs"]).persist()
+            comps.count()
+            _register("components", comps, handle=True)
+
+        def chain_semdedup_exact():
+            # Governed k-means fit + full decision table: the fit is the
+            # dominant cost of every semantic_dedup_* twin and is
+            # deterministic, so consumers get the identical table they
+            # would have trained (keyed handle; the gate never warms prep
+            # and still exercises in-entry training every round). The
+            # decision table is read by the standalone twin AND the
+            # agreement diagnostic via plan matching.
+            cent = kmeans_fit(
+                ndc, k=None, iterations=SEMDEDUP_ITERS,
+                target_cell_size=SEMDEDUP_CELL,
+            ).persist()
+            _register("semdedup_cent_exact", cent, handle=True)
+            sdd = semantic_dedup(
+                ndc, k=None, threshold=SEMDEDUP_TAU,
+                iterations=SEMDEDUP_ITERS, target_cell_size=SEMDEDUP_CELL,
+                centroids=cent,
+            ).persist()
+            sdd.count()
+            _register("semdedup_exact", sdd)
+
+        def chain_semdedup_routed():
+            cent = kmeans_fit(
+                ndc, k=None, iterations=SEMDEDUP_ITERS,
+                target_cell_size=SEMDEDUP_CELL, routed=True,
+            ).persist()
+            _register("semdedup_cent_routed", cent, handle=True)
+            sdd = semantic_dedup(
+                ndc, k=None, threshold=SEMDEDUP_TAU,
+                iterations=SEMDEDUP_ITERS, target_cell_size=SEMDEDUP_CELL,
+                routed=True, centroids=cent,
+            ).persist()
+            sdd.count()
+            _register("semdedup_routed", sdd)
+
+        def chain_pq():
+            # PQ codebooks + codes + the exact-cosine ground truth the
+            # recall twins measure against (byte-identical knn_bruteforce
+            # subtree → one persisted run serves both).
+            cb = pq_codebooks(emb).persist()
+            _register("pq_codebooks", cb, handle=True)
+            codes = pq_encode(emb, cb).persist()
+            codes.count()
+            _register("pq_codes", codes, handle=True)
+            pq_exact = knn_bruteforce(
+                emb, emb.filter(F.col("vec_id") < PQ_QUERIES), k=PQ_TOPK
+            ).persist()
+            pq_exact.count()
+            _register("pq_exact_knn", pq_exact)
+
+        def chain_bpe():
+            # one deterministic BPE training shared by bpe_train_documents
+            # and bpe_fertility_by_source (the per-step 1-row DataFrames
+            # ARE the model; training is eager).
+            _HANDLES[("bpe_tops", sf_dir)] = bpe_train_tops(docs)
+
+        def chain_retrieval():
+            # tf first so both pooled rankings reuse it; each pool is read
+            # by its single-ranker entry AND the RRF fusion.
+            out["tf_docs"].count()
+            bm25_pool = bm25_topk(spark, docs, k=RETRIEVAL_POOL_K).persist()
+            bm25_pool.count()
+            _register("bm25_pool", bm25_pool)
+            ql_pool = query_likelihood_topk(
+                spark, docs, k=RETRIEVAL_POOL_K, mu=QL_ENTRY_MU
+            ).persist()
+            ql_pool.count()
+            _register("ql_pool", ql_pool)
+
+        def chain_dhash():
+            out["dhash_hashes"].count()
+
+        def chain_substr():
+            # dependency order: the distinct anchored index reuses the
+            # full anchored table's cache.
+            out["seg_anchored_docs"].count()
+            out["seg_anchored_index"].count()
+            out["seg_positioned_index"].count()
+            out["substr_segments_planted"].count()
+            out["substr_segments_offset"].count()
+
+        def chain_misc():
+            out["shingles"].count()
+            out["sigs_docs"].count()
+            out["norm_grams_corpus"].count()
+
+        # Longest chains first so the tail of the pool is short ones.
+        chains = {
+            "semdedup_routed": chain_semdedup_routed,
+            "graph": chain_graph,
+            "semdedup_exact": chain_semdedup_exact,
+            "pq": chain_pq,
+            "substr": chain_substr,
+            "retrieval": chain_retrieval,
+            "bpe": chain_bpe,
+            "dhash": chain_dhash,
+            "misc": chain_misc,
+        }
+
+        def _run_owned(fn):
+            # fresh scope on THIS thread; transfer its persists to the
+            # session registry BEFORE the scope exit would release them
+            import time as _time
+
+            t0 = _time.perf_counter()
+            with cache_scope() as tr:
+                try:
+                    fn()
+                finally:
+                    _PREPPED.extend(tr)
+                    tr.clear()
+            return round(_time.perf_counter() - t0, 3)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Measured on local[32] at sf0.1: the chains are driver-bound
+        # (Catalyst planning + py4j round-trips of many tiny jobs), so
+        # concurrency beyond ~3 only adds contention — 9 workers ran the
+        # SAME build in 57s, 3 and 5 workers in 35s, sequential in 62s.
+        # Parameterised for bigger drivers; 3 is the measured local
+        # optimum and behaves identically at low core counts (FIFO
+        # back-fill just serializes).
+        n_workers = int(os.environ.get("SPARK_GRAFT_PREP_WORKERS", "3"))
+        with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
+            futures = {
+                name: pool.submit(_run_owned, fn)
+                for name, fn in chains.items()
+            }
+            # re-raise the first failure (bench treats prep as optional;
+            # the catalog still runs without it)
+            LAST_BUILD_TASK_SECONDS.clear()
+            for name, fut in futures.items():
+                LAST_BUILD_TASK_SECONDS[name] = fut.result()
         _PREPPED.extend(tracked)
         tracked.clear()
     return out
 
 
+#: Wall seconds per eager build chain of the LAST shared_prep run —
+#: diagnostics for prep-growth attribution now that the chains overlap
+#: (the per-table marginal numbers in warm_shared_prep_itemized are ~0
+#: for anything a chain already materialized).
+LAST_BUILD_TASK_SECONDS: dict[str, float] = {}
+
+
 def warm_shared_prep_itemized(spark: SparkSession,
                               sf_dir: str) -> dict[str, float]:
     """``shared_prep`` + eager materialization; returns seconds spent PER
-    TABLE (in materialization order — a later table reuses whatever the
-    earlier ones already cached, so each number is the marginal cost of
-    adding that table, which is the attribution that makes prep growth
-    explainable round-over-round)."""
+    TABLE (marginal cost in materialization order). Since r14 wave 3 the
+    eager build chains inside ``shared_prep`` run concurrently and
+    already materialize most tables, so ``__build`` carries nearly all
+    of the wall time and the per-table numbers are the (near-zero)
+    residuals; per-CHAIN wall seconds for attribution live in
+    ``LAST_BUILD_TASK_SECONDS``."""
     import time
 
     breakdown: dict[str, float] = {}

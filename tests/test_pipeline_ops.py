@@ -331,6 +331,42 @@ class TestSharedPrep:
         ).storageLevel
         assert not (lvl.useMemory or lvl.useDisk)
 
+    def test_substring_prep_substitution_and_equality(self, spark):
+        """r14 wave 3: the substring-family prep tables (corpus segment
+        indexes + planted flagged-segment tables) substitute into the
+        batch consumers' physical plans, and results are byte-identical
+        with and without prep (substitution only ever replaces a subtree
+        with that subtree's own materialized output)."""
+        from arcane_framework_spark.operators.cache import cache_scope
+        from arcane_framework_spark.prep import (
+            release_shared_prep,
+            warm_shared_prep,
+        )
+        from arcane_framework_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        entries = (
+            "substring_dedup_documents",
+            "incremental_substring_unaligned_documents",
+            "anchored_width_stats_documents",
+        )
+        baseline = {}
+        for name in entries:
+            with cache_scope():
+                baseline[name] = sorted(
+                    map(repr, QUERIES[name](spark, sf).collect())
+                )
+        try:
+            warm_shared_prep(spark, sf)
+            for name in entries:
+                with cache_scope():
+                    q = QUERIES[name](spark, sf)
+                    plan = q._jdf.queryExecution().executedPlan().toString()
+                    assert "InMemoryTableScan" in plan, name
+                    assert sorted(map(repr, q.collect())) == baseline[name]
+        finally:
+            release_shared_prep()
+
     def test_stale_session_handle_rebuilt(self, spark):
         """A handle left over from a STOPPED session (warmed, session
         restarted, release never called) must not make shared_prep no-op:
