@@ -154,6 +154,12 @@ def bm25_rank(docs: DataFrame, qterms: DataFrame, k: int = 5,
         F.broadcast(q_term_set) if broadcast_queries else q_term_set,
         "term", "left_semi",
     )
+    # NOTE (r14 opt): computing contrib_fp per (term, doc) BEFORE the
+    # query join (it is query-independent) was tried and measured
+    # consistently SLOWER (3-pass A/B at sf0.1: 2.3-3.6s this shape vs
+    # 3.9-4.6s restructured, outputs identical) — the extra projection
+    # barrier between the broadcast joins costs more than moving the
+    # ln/divide off the 4M-row path saves. Keep the single fused chain.
     scored = with_broadcast_scalar(
         tf.join(q_side, "term")
         .join(dl, id_col)
