@@ -614,7 +614,15 @@ def norm_grams(df: DataFrame, text_col: str = "text",
     1.1s per corpus build). ``dict.fromkeys`` preserves first-occurrence
     order, so the output — including array ORDER — is byte-identical to
     the expression form (verified row-for-row on both planted corpora);
-    the normalization itself stays in the JVM scan."""
+    the normalization itself stays in the JVM scan.
+
+    NOTE (r15 opt): the remaining codegen-friendly JVM formulation —
+    posexplode(sequence) + per-position substring (whole-stage codegen)
+    + min(ord)-per-gram aggregate + ordered re-collect — was A/B'd at
+    sf0.1: byte-identical (exceptAll both ways = 0) but 4.7-5.1s vs
+    0.67-0.71s per corpus build, ~7x SLOWER: the first-occurrence
+    distinct needs a shuffle of one row per gram POSITION (~5M rows)
+    where the batched map needs none. Do not re-try."""
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
     norm = df.select(

@@ -362,6 +362,17 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # lp FIRST so get_prepped's session guard probes a DataFrame
             _HANDLES[("nb_model", sf_dir)] = (lp, prior_micro, dpos, dneg)
 
+        # NOTE (r15 opt): prep-sharing the semantic twins' frozen corpus
+        # cell table (ivf_assign over the embeddings) and the DSIR
+        # bucket-weight/scored tables was tried and A/B-measured
+        # NEUTRAL: same-session stash A/B, 3 passes — entries flat
+        # (dsir_weights 1.13-1.14 vs 1.15-1.21, incremental_semantic
+        # 1.24-1.28 vs 1.11-1.14, streaming_semantic 1.74-1.83 both)
+        # while prep grew ~1.4s. Those subtrees are ~0.3s each at gate
+        # scale; substitution verified working (cache-hit probe) but
+        # the savings drown in per-entry fixed costs. Reverted — do not
+        # re-add without a measured catalog-total win.
+
         def chain_decontam():
             # the benchmark 8-gram probe table: built identically by the
             # batch decontam entry and the decontam stream's static side
@@ -415,12 +426,14 @@ def shared_prep(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
         # Measured on local[32] at sf0.1: the chains are driver-bound
         # (Catalyst planning + py4j round-trips of many tiny jobs), so
-        # concurrency beyond ~3 only adds contention — 9 workers ran the
-        # SAME build in 57s, 3 and 5 workers in 35s, sequential in 62s.
-        # Parameterised for bigger drivers; 3 is the measured local
-        # optimum and behaves identically at low core counts (FIFO
-        # back-fill just serializes).
-        n_workers = int(os.environ.get("SPARK_GRAFT_PREP_WORKERS", "3"))
+        # concurrency well past the chain count only adds contention —
+        # 9 workers ran the r14 9-chain build in 57s, 3 and 5 workers in
+        # 35s, sequential in 62s. With r15's 11 chains the pool is
+        # packing-bound rather than contention-bound and 5 workers beat
+        # 3 by ~3-5s (23.8-26.5s vs 28.7-31.4s, repeated A/B).
+        # Parameterised for bigger drivers; behaves identically at low
+        # core counts (FIFO back-fill just serializes).
+        n_workers = int(os.environ.get("SPARK_GRAFT_PREP_WORKERS", "5"))
         with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
             futures = {
                 name: pool.submit(_run_owned, fn)

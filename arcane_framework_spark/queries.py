@@ -1167,18 +1167,13 @@ def streaming_incremental_dedup(spark: SparkSession,
     t = load_tables(spark, sf_dir, "documents")
     docs = t["documents"].select("doc_id", "text")
     corpus_sigs = minhash_signatures(docs)
+    # with_signature=True attaches the K-long signature array map-side on
+    # every band row — the same (id, sig, band_id, band_hash) rows the
+    # old band-rows ⋈ signature-array id-join produced, minus that
+    # join's exchange (r15; incremental_minhash_pairs' layout).
     static_side = (
-        minhash_band_rows(corpus_sigs)
-        .join(
-            corpus_sigs.select(
-                "id",
-                F.array(*[f"s{i}" for i in range(NUM_HASHES)]).alias(
-                    "corpus_sig"
-                ),
-            ),
-            "id",
-        )
-        .withColumnsRenamed({"id": "corpus_id"})
+        minhash_band_rows(corpus_sigs, with_signature=True)
+        .withColumnsRenamed({"id": "corpus_id", "sig": "corpus_sig"})
         .persist()
     )
 
